@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the shared parquet test tables (see TESTDATA.md / FIXTURES.md §B). */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects unless nanos are surfaced as raw longs; with the legacy
+    * flag the `ts` column reads as BIGINT nanoseconds since epoch.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (for spark.sql-path queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

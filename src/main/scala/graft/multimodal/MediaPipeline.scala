@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media record: opaque binary payload + typed metadata. In production the
+  * payload is an image/audio/video blob read from parquet `binary` columns;
+  * in this container the test corpus has no media files, so payloads are
+  * synthesized from document text bytes — the Spark-side plumbing (schema,
+  * encoders, partition-wise batch processing) is the real deliverable.
+  */
+final case class MediaRecord(
+    media_id: Long,
+    kind: String,
+    payload: Array[Byte],
+    declared_format: String)
+
+final case class MediaFeatures(
+    media_id: Long,
+    n_bytes: Long,
+    mean_byte: Double,
+    width: Long,
+    height: Long,
+    channels: Long)
+
+object MediaPipeline {
+
+  /** STUB decoder — the real image/audio libs aren't in this container.
+    * Deterministic fake: dimensions derived from payload size, "pixel"
+    * statistics from raw bytes. Swap this body for a real codec call
+    * (e.g. javax.imageio / ffmpeg bindings) in production; the surrounding
+    * partition-wise pipeline does not change.
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    val n = payload.length.toLong
+    (n % 512 + 16, (n / 512) % 512 + 16, n % 4 + 1)
+  }
+
+  /** Synthesize a media table from `documents` (text bytes as payload). */
+  def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      upper(col("source")).as("declared_format"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise feature extraction: one decoder instance per partition
+    * (mirrors how a real codec/model handle would be initialized once per
+    * task, then stream its batch), no driver-side collection.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init of the (stubbed) decoder would go here
+      it.map { rec =>
+        val (w, h, c) = decodeStub(rec.payload)
+        val mean =
+          if (rec.payload.isEmpty) 0.0
+          else rec.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / rec.payload.length
+        MediaFeatures(rec.media_id, rec.payload.length.toLong, mean, w, h, c)
+      }
+    }
+  }
+}

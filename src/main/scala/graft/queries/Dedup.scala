@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over `documents` (north-star ops): exact hash
+  * dedup and n-gram Jaccard near-dup with SQL oracles; MinHash+LSH and
+  * SimHash variants live in [[graft.functions.MinHash]] and land as
+  * rows-only queries (portable-hash oracle is pinned in ScalaTest against
+  * the exact-Jaccard query instead).
+  *
+  * Scale notes: exact dedup is one hash-shuffle on the digest; the shingle
+  * self-join is bounded by LSH-style banding before the pairwise check at
+  * 100 TB (see q40), never a full cross join.
+  */
+object Dedup extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q38_dedup_exact_sha256",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val keep = d
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        d.join(keep, d("doc_id") === keep("keep_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d
+        |JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
+        |      FROM documents GROUP BY 1) k
+        |  ON d.doc_id = k.keep_id
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
+      "q39_dedup_ngram_jaccard_pairs",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+        val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+          .as("shingle"))
+        val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val a = sh.select(col("doc_id").as("d1"), col("shingle"))
+        val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+        val pairs = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        pairs
+          .join(nsh.select(col("doc_id").as("d1"), col("nsh").as("n1")), Seq("d1"))
+          .join(nsh.select(col("doc_id").as("d2"), col("nsh").as("n2")), Seq("d2"))
+          .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+          .filter(col("jaccard") >= 0.05)
+          .select(col("d1"), col("d2"), col("inter"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     FOR i IN generate_series(1, len(ws) - 2)])) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+        |  round(inter / (n1.nsh + n2.nsh - inter), 6) AS jaccard
+        |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+        |WHERE inter / (n1.nsh + n2.nsh - inter) >= 0.05
+        |ORDER BY d1, d2""".stripMargin)),
+
+    // MinHash + LSH banding: signatures from md5-derived shingle hashes
+    // (engine-portable), banded into buckets, candidate pairs within a
+    // bucket. Estimated similarity = fraction of matching signature slots.
+    // Oracle omitted (rows-only): correctness is pinned in ScalaTest
+    // against q39's exact Jaccard on the same data.
+    GraftQuery(
+      "q40_dedup_minhash_lsh",
+      (s, dir) => {
+        import graft.functions.MinHash
+        MinHash.candidatePairs(
+          Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          numHashes = 16, bands = 4, shingleSize = 3)
+          .orderBy("d1", "d2")
+      },
+      None),
+
+    // SimHash (64-bit, md5-derived word hashes): per-doc fingerprint plus
+    // hamming-close pair count. Rows-only for the same portability reason.
+    GraftQuery(
+      "q41_dedup_simhash",
+      (s, dir) => {
+        import graft.functions.SimHash
+        SimHash.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch analogs of the streaming window surface (SURVEY.md §2.2 streaming
+  * rows): tumbling and sliding time windows plus gap-based sessionization
+  * over the `events` table. The Structured Streaming variants live in
+  * `graft.streaming`; these batch twins are the oracle-checkable face.
+  *
+  * `events.ts` arrives as BIGINT nanoseconds (see [[graft.Tables]]); all
+  * bucket math is integer arithmetic on epoch units so both engines agree
+  * exactly.
+  */
+object Events extends QueryPack {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q30_window_tumbling_hourly",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .withColumn("hour_s", expr("(ts div 3600000000000) * 3600"))
+          .groupBy(col("hour_s"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+          .orderBy("hour_s", "event_type")
+      },
+      Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_s,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin)),
+
+    GraftQuery(
+      "q31_window_sliding_10m_5m",
+      (s, dir) => {
+        // Idiomatic Spark: the built-in `window()` generator (same operator
+        // Structured Streaming plans); 10-minute windows sliding every 5.
+        Tables(s, dir, "events")
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ts_t"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+          .select(
+            expr("unix_micros(window.start) div 1000000").as("w_start_s"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("w_start_s", "event_type")
+      },
+      Some("""WITH x AS (SELECT event_type, value,
+        |                  epoch_us(ts) // 1000000 AS s FROM events),
+        |w AS (SELECT event_type, value,
+        |        unnest([s - (s % 300) - 300, s - (s % 300)]) AS w_start_s FROM x)
+        |SELECT CAST(w_start_s AS BIGINT) AS w_start_s, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start_s, event_type""".stripMargin)),
+
+    GraftQuery(
+      "q32_sessionize_30m_gap",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts_us")).as("session_start_us"),
+            count(lit(1)).as("n_events"),
+            max(col("ts_us")).as("session_end_us"))
+          .select(col("user_id"), col("session_id"), col("session_start_us"),
+            col("n_events"),
+            expr("(session_end_us - session_start_us) div 1000000").as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_s
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+  )
+}

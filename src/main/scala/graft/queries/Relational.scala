@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: scan/filter/project, every join shape, hash aggregation,
+  * rollup/cube/grouping sets. Mirrors the reference's filter/count idiom
+  * (reference `cli/Test.java:119-133`) collapsed into Catalyst-native
+  * groupBy/agg, widened to the declared engine surface (SURVEY.md §2.2).
+  *
+  * Money sums run through DECIMAL(18,2|4) then cast to double so Spark and
+  * the DuckDB oracle produce bit-identical values regardless of
+  * float-accumulation order.
+  */
+object Relational extends QueryPack {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q01_agg_pricing_summary",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum2(col("l_quantity")).as("sum_qty"),
+            dsum2(col("l_extendedprice")).as("sum_base_price"),
+            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    GraftQuery(
+      "q02_filter_predicates",
+      (s, dir) => {
+        Tables(s, dir, "part")
+          .filter(
+            col("p_size").isin(5, 15, 25, 35, 45) &&
+            col("p_type").isin("ECONOMY", "STANDARD") &&
+            col("p_name").like("%e%") &&
+            regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int") % 2 === 1)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size").cast("long").as("p_size"), col("p_retailprice"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type,
+        |  CAST(p_size AS BIGINT) AS p_size, p_retailprice
+        |FROM part
+        |WHERE p_size IN (5,15,25,35,45) AND p_type IN ('ECONOMY','STANDARD')
+        |  AND p_name LIKE '%e%'
+        |  AND CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) % 2 = 1
+        |ORDER BY p_partkey""".stripMargin)),
+
+    GraftQuery(
+      "q03_join_broadcast_revenue_by_brand",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val p = Tables(s, dir, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    GraftQuery(
+      "q04_join_shuffle_orders",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
+      "q05_join_star_revenue_by_region",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum2(col("o_totalprice")).as("turnover"), count(lit(1)).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    GraftQuery(
+      "q06_left_join_customers_per_nation",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val c = Tables(s, dir, "customer")
+        n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+          .groupBy(col("n_name"))
+          .agg(count(col("c_custkey")).as("n_customers"), dsum2(col("c_acctbal")).as("total_bal"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+        |  CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    GraftQuery(
+      "q07_semi_join_big_quantity_orders",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("turnover"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    GraftQuery(
+      "q08_anti_join_customers_without_urgent_orders",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    GraftQuery(
+      "q09_theta_join_price_bands",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val bands = s.createDataFrame(Seq(
+          ("small", 0.0, 50000.0),
+          ("medium", 50000.0, 200000.0),
+          ("large", 200000.0, 600000.0))).toDF("band", "lo", "hi")
+        o.join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("turnover"))
+          .orderBy("band")
+      },
+      Some("""SELECT band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+        |FROM orders JOIN (VALUES ('small',0.0,50000.0),('medium',50000.0,200000.0),
+        |                         ('large',200000.0,600000.0)) AS b(band,lo,hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)),
+
+    GraftQuery(
+      "q10_asof_join_latest_order_before_event",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        val o = Tables(s, dir, "orders")
+        AsOfJoin(
+          left = e,
+          leftKey = col("user_id"),
+          leftTime = col("ts_us"),
+          right = o,
+          rightKey = col("o_custkey"),
+          rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+          tiebreak = col("o_orderkey"),
+          payload = Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("ts_us"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, epoch_us(e.ts) AS ts_us, l.o_orderkey, l.o_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+        |) l ON true
+        |ORDER BY e.event_id""".stripMargin)),
+
+    GraftQuery(
+      "q11_agg_distinct_counts",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GraftQuery(
+      "q12_rollup_nation_year",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(dsum2(col("o_totalprice")).as("turnover"), count(lit(1)).as("n_orders"))
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("o_year"), lit(-1)).cast("long").as("o_year"),
+            col("turnover"), col("n_orders"))
+          .orderBy("nation", "o_year")
+      },
+      Some("""SELECT COALESCE(n_name, 'ALL') AS nation,
+        |  CAST(COALESCE(YEAR(o_orderdate), -1) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, YEAR(o_orderdate))
+        |ORDER BY nation, o_year""".stripMargin)),
+
+    GraftQuery(
+      "q13_cube_flag_status",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy("rf", "ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+
+    GraftQuery(
+      "q14_grouping_sets_sql",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |  COALESCE(l_linestatus, 'ALL') AS ls,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n_rows
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin))
+  )
+}

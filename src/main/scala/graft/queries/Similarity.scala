@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north-star ops): brute-force cosine
+  * top-k as the correctness baseline, cosine near-dup pairs, and a
+  * random-hyperplane LSH-bucketed ANN variant as the scale path.
+  *
+  * All dot products fold float→double element-wise in the same order on
+  * both engines, so raw similarity values (and therefore rankings) are
+  * bit-identical with the DuckDB oracle.
+  */
+object Similarity extends QueryPack {
+
+  /** (vec_id, emb array<double>, norm2 double) projection. */
+  private def normed(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("norm2", expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q42_similarity_cosine_topk",
+      (s, dir) => {
+        val e = normed(Tables(s, dir, "embeddings"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm2").as("qn"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qemb, emb, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("norm2"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb, norm2 AS qn FROM n WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_reduce([qemb[i] * emb[i] FOR i IN generate_series(1, len(emb))], (a, b) -> a + b)
+        |      / (sqrt(qn) * sqrt(norm2)) AS sim
+        |  FROM n, q WHERE n.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    GraftQuery(
+      "q43_similarity_neardup_pairs",
+      (s, dir) => {
+        val e = normed(Tables(s, dir, "embeddings"))
+        val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"), col("norm2").as("n1"))
+        val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"), col("norm2").as("n2"))
+        a.join(b, col("id1") < col("id2"))
+          .withColumn("sim", expr(
+            "aggregate(zip_with(e1, e2, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+            / (sqrt(col("n1")) * sqrt(col("n2"))))
+          .filter(col("sim") >= 0.3)
+          .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_reduce([a.emb[i] * b.emb[i] FOR i IN generate_series(1, len(a.emb))],
+        |                    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce([a.emb[i] * b.emb[i] FOR i IN generate_series(1, len(a.emb))],
+        |                  (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.3
+        |ORDER BY id1, id2""".stripMargin)),
+
+    // Random-hyperplane LSH ANN: 8 deterministic hyperplanes (seeded LCG,
+    // generated driver-side as literals) bucket vectors by sign pattern;
+    // top-k search runs only within the query's bucket. Rows-only check —
+    // recall vs the brute-force q42 is pinned in ScalaTest.
+    GraftQuery(
+      "q44_similarity_ann_lsh",
+      (s, dir) => {
+        val dim = 64
+        val nPlanes = 8
+        // Deterministic pseudo-random hyperplanes from a fixed LCG seed.
+        var state = 42L
+        def nextUnit(): Double = {
+          state = (state * 6364136223846793005L + 1442695040888963407L)
+          ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        }
+        val planes = Array.fill(nPlanes, dim)(nextUnit())
+        val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+
+        val e = normed(Tables(s, dir, "embeddings"))
+          .withColumn("planes", planesCol)
+          .withColumn("bucket", expr(
+            s"""aggregate(transform(sequence(0, ${nPlanes - 1}),
+               |  j -> CASE WHEN aggregate(zip_with(emb, element_at(planes, j + 1),
+               |                                    (a, b) -> a * b),
+               |                           CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0
+               |            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+               |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+          .drop("planes")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("norm2").as("qn"), col("bucket"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+        e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(qemb, emb, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("norm2"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      None)
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents` (north-star ops, SURVEY.md §2.2):
+  * tokenization + word counts, n-gram-heuristic language ID, quality
+  * scoring, token counting (whitespace + regex), document fingerprinting.
+  */
+object Text extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q33_text_wordcount_top20",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20)
+      },
+      Some("""SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q34_text_langid_stopwords",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("ws", split(lower(col("text")), " "))
+          .withColumn("score_de", expr(
+            "size(filter(ws, w -> w IN ('der','die','das','und','ist','ein')))").cast("long"))
+          .withColumn("score_en", expr(
+            "size(filter(ws, w -> w IN ('the','a','of','and','to','in')))").cast("long"))
+          .withColumn("score_es", expr(
+            "size(filter(ws, w -> w IN ('el','los','las','y','es','un')))").cast("long"))
+          .withColumn("score_fr", expr(
+            "size(filter(ws, w -> w IN ('le','la','les','et','est','une')))").cast("long"))
+          .withColumn("pred_lang", expr(
+            """CASE
+              |  WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+              |  WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+              |  WHEN score_es >= score_fr THEN 'es'
+              |  ELSE 'fr' END""".stripMargin))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(ws, w -> w IN ('el','los','las','y','es','un'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','est','une'))) AS BIGINT) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |    WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es >= score_fr THEN 'es'
+        |    ELSE 'fr' END AS pred_lang,
+        |  score_en, score_de, score_es, score_fr
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q35_text_quality_score",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("n_alpha",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .withColumn("stop_hits", expr(
+            "size(filter(split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in')))").cast("long"))
+          .select(
+            col("doc_id"), col("n_chars"), col("n_tokens"),
+            (col("n_alpha") / col("n_chars")).as("alpha_ratio"),
+            (col("stop_hits") / col("n_tokens")).as("stopword_ratio"),
+            (least(col("n_tokens") / lit(100.0), lit(1.0)) *
+              (lit(0.5) + lit(0.5) * (col("stop_hits") / col("n_tokens")))).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  n_alpha / n_chars AS alpha_ratio,
+        |  stop_hits / n_tokens AS stopword_ratio,
+        |  least(n_tokens / 100.0, 1.0) * (0.5 + 0.5 * (stop_hits / n_tokens)) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q36_text_token_counts",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").cast("long")
+              .as("re_tokens"),
+            length(col("text")).cast("long").as("n_chars_measured"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q37_text_fingerprint",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .select(
+            col("doc_id"),
+            md5(col("norm")).as("fp"),
+            md5(array_join(array_sort(array_distinct(split(col("norm"), " "))), " "))
+              .as("bag_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_fp
+        |FROM t ORDER BY doc_id""".stripMargin))
+  )
+}
