@@ -21,7 +21,8 @@ object SparkEntry {
     packs.Text,
     packs.Dedup,
     packs.Similarity,
-    packs.Multimodal)
+    packs.Multimodal,
+    packs.Logfile)
 
   private lazy val all: Seq[GraftQuery] = allPacks.flatMap(_.queries)
 

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack}
+import graft.sources.logfile.LogfileFixture
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own two pipelines, re-expressed on the `logfile` DSv2
+  * source (SURVEY.md §3.2/§3.3): count-by-level over multiline records
+  * (`cli/Test.java:119-133` collapsed to one groupBy) and Bernoulli
+  * sample-and-format (`cli/Sample.java:99-102`). Inputs are the
+  * deterministic fixture corpus (plain + gz twins, formats A and B) —
+  * no SQL oracle (DuckDB can't read logfiles); exact truth-count parity
+  * is pinned in ScalaTest, and these rows-only entries prove the source
+  * end-to-end under the driver.
+  */
+object Logfile extends QueryPack {
+
+  private val FixtureDir = s"${sys.props("java.io.tmpdir")}/graft_logfile_fixture"
+
+  private def readFixture(s: SparkSession): DataFrame = {
+    LogfileFixture.ensure(FixtureDir, files = 4, recordsPerFile = 20000, seed = 42L)
+    s.read.format("logfile")
+      .option("pattern", LogfileFixture.PatternA)
+      .option("pattern.*_1.log*", LogfileFixture.PatternB)
+      .option("pattern.*_3.log*", LogfileFixture.PatternB)
+      .load(FixtureDir)
+  }
+
+  /** level + timestamp projection valid for both layouts (regex finds the
+    * level token and the `yyyy-MM-dd HH:mm:ss,SSS` stamp anywhere in the
+    * head line — reference P1, `test/LogfileType.java:21-23`).
+    */
+  private def parsed(df: DataFrame): DataFrame = df
+    .withColumn("head", substring_index(col("record"), "\n", 1))
+    .withColumn("level", regexp_extract(col("head"), "\\b(INFO|WARN|ERROR)\\b", 1))
+    .withColumn("ts", to_timestamp(
+      regexp_extract(col("head"), "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2},\\d{3})", 1),
+      "yyyy-MM-dd HH:mm:ss,SSS"))
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Reference Test pipeline: one shuffle instead of 4 filtered counts.
+    GraftQuery(
+      "q47_logfile_count_by_level",
+      (s, _) => {
+        parsed(readFixture(s))
+          .withColumn("kind",
+            when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
+          .groupBy(col("kind"), col("level"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(when(col("record").contains("\n"), 1L).otherwise(0L)).as("n_multiline"),
+            min(unix_millis(col("ts"))).as("first_ts_ms"),
+            max(unix_millis(col("ts"))).as("last_ts_ms"))
+          .orderBy("kind", "level")
+      },
+      None),
+
+    // Reference Sample pipeline: Bernoulli sample → formatted export lines.
+    GraftQuery(
+      "q48_logfile_sample_format",
+      (s, _) => {
+        readFixture(s)
+          .filter(col("file").endsWith(".log")) // plain half only
+          .sample(withReplacement = false, fraction = 0.01, seed = 7L)
+          .select(format_string("%s@%016d:%n%n%s%n%n",
+            col("file"), col("offset"), col("record")).as("sample_line"))
+          .orderBy("sample_line")
+      },
+      None)
+  )
+}

@@ -1,0 +1,206 @@
+package graft.sources.logfile
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, GlobPattern, Path}
+import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("logfile")` — a DataSource V2 scan over (possibly
+  * gzipped) logfiles whose records span multiple physical lines, delimited by
+  * a "first line of a record" regex.
+  *
+  * Semantics re-expressed from the reference
+  * (`LogfileInputFormat.java:46-119`, `LogfileRecordReader.java:140-344`):
+  * a line is a record head iff the regex fully matches it; a record belongs
+  * to the split where its head line starts; readers realign at split start
+  * and read past split end for boundary-spanning records; non-splittable
+  * codecs (gzip) get exactly one whole-file partition; splittable compressed
+  * input is rejected.
+  *
+  * Options:
+  *   - `pattern` (required): default first-line regex.
+  *   - `pattern.<glob>`: per-file override, glob matched against the file
+  *     name and full path (reference's per-path dispatch,
+  *     `LogfileInputFormat.java:85-101`). Keys are case-insensitive.
+  *   - `maxsplitbytes`: target split size for uncompressed files (default
+  *     `spark.sql.files.maxPartitionBytes`).
+  *
+  * Output schema: `file string, offset long, record string`; `offset` is the
+  * byte offset of the record's first line in the (decompressed) stream.
+  * Column pruning is pushed into the scan.
+  */
+final class LogfileDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "logfile"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogfileTable.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogfileTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LogfileTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("record", StringType, nullable = false)))
+}
+
+final class LogfileTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"logfile(${LogfileOptions.paths(options).mkString(",")})"
+  override def schema(): StructType = LogfileTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+    new LogfileScanBuilder(options)
+}
+
+private object LogfileOptions {
+  /** DataFrameReader.load(paths*) passes "path" or a JSON-array "paths". */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      // minimal JSON string-array parse: ["a","b"]
+      js.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val single = Option(options.get("path")).toSeq
+    (multi ++ single).distinct
+  }
+
+  def defaultPattern(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("pattern")
+    require(p != null && p.nonEmpty,
+      "logfile source requires option 'pattern' (first-line regex); " +
+        "parity with LogfileRecordReader.java:150-154")
+    p
+  }
+
+  /** (glob, regex) overrides from `pattern.<glob>` options. */
+  def overrides(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    options.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("pattern.") =>
+        (k.substring("pattern.".length), v)
+    }.sortBy(_._1)
+
+  /** Per-file pattern resolution: first matching glob (against file name,
+    * then full path), else the default — the reference's lookup-with-fallback
+    * (`LogfileInputFormat.java:98-101`).
+    */
+  def resolvePattern(options: CaseInsensitiveStringMap, file: Path): String = {
+    val name = file.getName
+    val full = file.toString
+    overrides(options).collectFirst {
+      case (glob, re)
+          if new GlobPattern(glob).matches(name) || new GlobPattern(glob).matches(full) => re
+    }.getOrElse(defaultPattern(options))
+  }
+}
+
+final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = LogfileTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep declared order; an empty projection (count(*)) is legal
+    required = StructType(
+      LogfileTable.Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  }
+
+  override def build(): Scan = new LogfileScan(options, required)
+}
+
+final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LogfileScan(paths=${LogfileOptions.paths(options).mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+
+  /** Driver-side split planning — the DSv2 analog of
+    * `FileInputFormat.getSplits` + `isSplitable` (`LogfileInputFormat.java:112-119`):
+    * uncompressed files are carved into `maxSplitBytes` ranges, files with a
+    * (non-splittable) codec become exactly one whole-file partition.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val codecs = new CompressionCodecFactory(conf)
+    val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
+      .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    require(maxSplit > 0, "maxSplitBytes must be positive")
+
+    val files: Seq[FileStatus] = LogfileOptions.paths(options).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      require(globbed.nonEmpty, s"logfile path matches no files: $p")
+      globbed.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
+      }
+    }.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }.sortBy(_.getPath.toString)
+
+    files.flatMap { st =>
+      val pattern = LogfileOptions.resolvePattern(options, st.getPath)
+      val codec = codecs.getCodec(st.getPath)
+      if (codec != null) {
+        // whole-file single partition; splittable-compressed rejected at read
+        Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern))
+      } else {
+        val len = st.getLen
+        if (len == 0) Seq.empty
+        else (0L until len by maxSplit).map { start =>
+          LogfilePartition(st.getPath.toString, start, math.min(start + maxSplit, len), pattern)
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
+    new LogfileReaderFactory(conf, required)
+  }
+}
+
+/** One split: [start, end) byte range of `path` (decompressed-logical for
+  * codec'd files, where end is MaxValue ⇒ whole file).
+  */
+final case class LogfilePartition(path: String, start: Long, end: Long, pattern: String)
+  extends InputPartition
+
+final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new LogfilePartitionReader(partition.asInstanceOf[LogfilePartition], conf.value, required)
+}
+
+private[logfile] object LogfileCodec {
+  def forPath(conf: Configuration, path: Path): Option[org.apache.hadoop.io.compress.CompressionCodec] =
+    Option(new CompressionCodecFactory(conf).getCodec(path)).map { c =>
+      if (c.isInstanceOf[SplittableCompressionCodec])
+        throw new RuntimeException(
+          s"splittable compressed input is not supported: $path " +
+            "(parity with LogfileRecordReader.java:163-165)")
+      c
+    }
+}

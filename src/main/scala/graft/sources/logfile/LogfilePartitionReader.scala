@@ -1,0 +1,157 @@
+package graft.sources.logfile
+
+import java.util.regex.Pattern
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.io.compress.{CodecPool, Decompressor}
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side multiline record assembly for one split.
+  *
+  * Invariants (re-expressed from `LogfileRecordReader.java:200-319`, see
+  * SURVEY.md §1.4):
+  *   1. a line is a record head iff the regex FULLY matches it (`matches()`,
+  *      not `find()` — reference `:272-274`);
+  *   2. a record is owned by the split in which its head line starts
+  *      (`[start, end)`): a reader with `start > 0` seeks to `start-1`,
+  *      discards the (possibly partial) line it lands in, then discards
+  *      continuation lines up to the first head (reference `:200-206`,
+  *      `:285-291`);
+  *   3. the reader keeps consuming lines beyond `end` until the next head or
+  *      EOF so boundary-spanning records are emitted whole, exactly once
+  *      (reference `:236-238` + `:310-314`);
+  *   4. codec'd files arrive as one whole-file split (planner) and stream
+  *      through a pooled decompressor (reference `:160-172`); offsets are
+  *      positions in the decompressed stream;
+  *   5. continuation lines re-join with "\n" and records carry no trailing
+  *      newline (reference `:311`; we pin "\n" over platform separators).
+  */
+final class LogfilePartitionReader(
+    split: LogfilePartition,
+    conf: Configuration,
+    required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val headMatcher = Pattern.compile(split.pattern).matcher("")
+  private val hadoopPath = new Path(split.path)
+
+  private var decompressor: Decompressor = _
+  private var pos: Long = 0L // logical (decompressed) offset of the next byte
+  private var end: Long = split.end
+
+  private val reader: LineReader = {
+    val fs = hadoopPath.getFileSystem(conf)
+    LogfileCodec.forPath(conf, hadoopPath) match {
+      case Some(codec) =>
+        require(split.start == 0L, "codec'd files must be single whole-file splits")
+        end = Long.MaxValue
+        decompressor = CodecPool.getDecompressor(codec)
+        new LineReader(codec.createInputStream(fs.open(hadoopPath), decompressor), conf)
+      case None =>
+        val in = fs.open(hadoopPath)
+        if (split.start > 0) {
+          // the −1 trick (reference :184-196): land one byte early so a line
+          // starting exactly at `start` survives the partial-line discard.
+          in.seek(split.start - 1)
+          pos = split.start - 1
+        }
+        new LineReader(in, conf)
+    }
+  }
+
+  private val line = new Text
+  private var finished = false
+  private var pendingHead: String = _
+  private var pendingHeadPos: Long = 0L
+
+  // --- realignment: discard partial line, then skip continuation lines
+  // (they belong to the previous split; for start==0, leading junk before the
+  // file's first head is dropped — reference quirk, SURVEY.md §1.4 notes).
+  locally {
+    if (split.start > 0) {
+      val n = reader.readLine(line)
+      pos += n
+      if (n == 0) finished = true
+    }
+    advanceToNextHead()
+  }
+
+  /** Scan forward to the next head line starting before `end`; sets
+    * `pendingHead`/`pendingHeadPos` or `finished`.
+    */
+  private def advanceToNextHead(): Unit = {
+    pendingHead = null
+    while (pendingHead == null && !finished) {
+      if (pos >= end) { finished = true; return } // next head is the next split's
+      val lineStart = pos
+      val n = reader.readLine(line)
+      if (n == 0) finished = true
+      else {
+        pos += n
+        val s = line.toString
+        if (headMatcher.reset(s).matches()) {
+          pendingHead = s
+          pendingHeadPos = lineStart
+        }
+      }
+    }
+  }
+
+  private var curOffset = 0L
+  private var curRecord: String = _
+  private val fileUtf8 = UTF8String.fromString(split.path)
+
+  override def next(): Boolean = {
+    if (pendingHead == null) return false
+    curOffset = pendingHeadPos
+    val sb = new java.lang.StringBuilder(pendingHead)
+    pendingHead = null
+    var assembling = true
+    while (assembling) {
+      val lineStart = pos
+      val n = reader.readLine(line)
+      if (n == 0) { finished = true; assembling = false }
+      else {
+        pos += n
+        val s = line.toString
+        if (headMatcher.reset(s).matches()) {
+          if (lineStart < end) { // next record is ours
+            pendingHead = s
+            pendingHeadPos = lineStart
+          } else finished = true // head at/past end → next split emits it
+          assembling = false
+        } else {
+          sb.append('\n').append(s)
+        }
+      }
+    }
+    curRecord = sb.toString
+    true
+  }
+
+  override def get(): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "file" => fileUtf8
+        case "offset" => java.lang.Long.valueOf(curOffset)
+        case "record" => UTF8String.fromString(curRecord)
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = {
+    reader.close()
+    if (decompressor != null) {
+      CodecPool.returnDecompressor(decompressor)
+      decompressor = null
+    }
+  }
+}

@@ -1,0 +1,185 @@
+package graft.sources.logfile
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the five split/record invariants of SURVEY.md §1.4 — the content the
+  * reference couldn't unit-test (`README.md:85-86`); we can.
+  */
+class LogfileSourceSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def write(dir: String, name: String, content: String): Unit =
+    Files.write(new File(dir, name).toPath, content.getBytes(StandardCharsets.UTF_8))
+
+  private val TsPat = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*"""
+
+  private def read(dir: String, pattern: String = TsPat, maxSplit: Long = 0,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.read.format("logfile").option("pattern", pattern)
+    if (maxSplit > 0) r = r.option("maxsplitbytes", maxSplit.toString)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(dir)
+  }
+
+  // ---- invariant 1: full-match head detection, multiline assembly ----
+
+  test("multiline records assemble; continuation lines never split records") {
+    val dir = tmpDir("logfile-basic")
+    write(dir, "a.log",
+      """2017-01-01 00:00:00,001 INFO ok
+        |2017-01-01 00:00:00,002 ERROR boom
+        |java.lang.IllegalStateException: x
+        |	at com.example.A.f(A.java:1)
+        |	at com.example.B.g(B.java:2)
+        |2017-01-01 00:00:00,003 INFO done
+        |""".stripMargin)
+    val rows = read(dir).orderBy("offset").collect()
+    assert(rows.length == 3)
+    val rec2 = rows(1).getAs[String]("record")
+    assert(rec2.startsWith("2017-01-01 00:00:00,002 ERROR boom\njava.lang"))
+    assert(rec2.split("\n").length == 4)
+    assert(!rec2.endsWith("\n"), "no trailing newline (reference :311)")
+    // a line that merely CONTAINS a timestamp mid-line is not a head
+    val dir2 = tmpDir("logfile-fullmatch")
+    write(dir2, "b.log",
+      "2017-01-01 00:00:00,001 INFO head\nnoise 2017-01-01 00:00:00,002 INFO not-a-head\n")
+    val r2 = read(dir2).collect()
+    assert(r2.length == 1 && r2(0).getAs[String]("record").contains("not-a-head"))
+  }
+
+  test("offsets are byte positions of the head line") {
+    val dir = tmpDir("logfile-offsets")
+    val l1 = "2017-01-01 00:00:00,001 INFO first"
+    val l2 = "2017-01-01 00:00:00,002 INFO second"
+    write(dir, "a.log", s"$l1\n$l2\n")
+    val offs = read(dir).orderBy("offset").select("offset").collect().map(_.getLong(0))
+    assert(offs.toSeq == Seq(0L, l1.length + 1L))
+  }
+
+  test("leading continuation lines before a file's first head are dropped") {
+    val dir = tmpDir("logfile-leading")
+    write(dir, "a.log",
+      "orphan continuation\nanother orphan\n2017-01-01 00:00:00,001 INFO real\n")
+    val rows = read(dir).collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("record").endsWith("real"))
+  }
+
+  // ---- invariants 2+3: split ownership, read-past-end; the ScalaCheck-style
+  // sweep: every split size must agree with the single-split read ----
+
+  test("read(k splits) == read(1 split) for every tiny split size") {
+    val dir = tmpDir("logfile-splits")
+    val truth = LogfileFixture.ensure(dir, files = 1, recordsPerFile = 500, seed = 11L)
+    // drop the gz twin: this test wants many splits of the plain file
+    new File(dir).listFiles().filter(_.getName.endsWith(".gz")).foreach(_.delete())
+    val single = read(dir, LogfileFixture.PatternA, maxSplit = 1L << 30)
+      .select("offset", "record").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(single.length == truth.total)
+    for (splitBytes <- Seq(64L, 97L, 128L, 1000L, 4096L)) {
+      val multi = read(dir, LogfileFixture.PatternA, maxSplit = splitBytes)
+        .select("offset", "record").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(multi.toSeq == single.toSeq,
+        s"splitBytes=$splitBytes: ${multi.length} records vs ${single.length}")
+    }
+  }
+
+  test("record head exactly at a split boundary is emitted exactly once") {
+    val dir = tmpDir("logfile-boundary")
+    val l1 = "2017-01-01 00:00:00,001 INFO aa" // head of record 1
+    val l2 = "2017-01-01 00:00:00,002 INFO bb"
+    write(dir, "a.log", s"$l1\n$l2\n")
+    val headPos = l1.length + 1 // l2 starts exactly here
+    for (splitBytes <- Seq(headPos.toLong, headPos - 1L, headPos + 1L)) {
+      val rows = read(dir, maxSplit = splitBytes).select("offset").collect()
+      assert(rows.length == 2, s"splitBytes=$splitBytes")
+    }
+  }
+
+  // ---- invariant 4: gzip single-split, plain == gz, codec offsets ----
+
+  test("plain and gz twins agree with generator truth (reference Test parity)") {
+    val dir = tmpDir("logfile-gz")
+    val truth = LogfileFixture.ensure(dir, files = 2, recordsPerFile = 3000, seed = 42L)
+    val df = read(dir, LogfileFixture.PatternA,
+      maxSplit = 8192,
+      extra = Map("pattern.*_1.log*" -> LogfileFixture.PatternB))
+      .withColumn("kind", when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
+      .withColumn("level", regexp_extract(
+        substring_index(col("record"), "\n", 1), "\\b(INFO|WARN|ERROR)\\b", 1))
+    val counts = df.groupBy("kind", "level").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (kind <- Seq("plain", "gz")) {
+      assert(counts.getOrElse((kind, "INFO"), 0L) == truth.info, s"$kind INFO")
+      assert(counts.getOrElse((kind, "WARN"), 0L) == truth.warn, s"$kind WARN")
+      assert(counts.getOrElse((kind, "ERROR"), 0L) == truth.error, s"$kind ERROR")
+    }
+    // offsets inside the gz stream are decompressed-logical ⇒ identical to plain
+    val plainOffs = df.filter(col("kind") === "plain").select("offset")
+      .collect().map(_.getLong(0)).sorted
+    val gzOffs = df.filter(col("kind") === "gz").select("offset")
+      .collect().map(_.getLong(0)).sorted
+    assert(plainOffs.toSeq == gzOffs.toSeq)
+  }
+
+  test("gz file is exactly one partition; plain file splits") {
+    val dir = tmpDir("logfile-parts")
+    LogfileFixture.ensure(dir, files = 1, recordsPerFile = 2000, seed = 5L)
+    val parts = read(dir, LogfileFixture.PatternA, maxSplit = 4096)
+      .rdd.getNumPartitions
+    val gzOnly = {
+      new File(dir).listFiles().filter(_.getName.endsWith(".log")).foreach(_.delete())
+      read(dir, LogfileFixture.PatternA, maxSplit = 4096).rdd.getNumPartitions
+    }
+    assert(parts > gzOnly, s"plain+gz parts=$parts, gz-only parts=$gzOnly")
+    assert(gzOnly == 1)
+  }
+
+  // ---- per-path dispatch + error parity ----
+
+  test("per-path pattern override resolves by glob with default fallback") {
+    val dir = tmpDir("logfile-perpath")
+    write(dir, "a.log", "2017-01-01 00:00:00,001 INFO fmtA\ncont A\n")
+    write(dir, "b.log", "INFO 2017-01-01 00:00:00,002 fmtB\ncont B\n")
+    val df = read(dir, TsPat, extra = Map("pattern.b.log" -> """(INFO|WARN|ERROR) \d{4}.*"""))
+    val recs = df.orderBy("file").collect().map(_.getAs[String]("record"))
+    assert(recs.length == 2)
+    assert(recs(0) == "2017-01-01 00:00:00,001 INFO fmtA\ncont A")
+    assert(recs(1) == "INFO 2017-01-01 00:00:00,002 fmtB\ncont B")
+  }
+
+  test("missing pattern option fails (reference :150-154 parity)") {
+    val dir = tmpDir("logfile-nopattern")
+    write(dir, "a.log", "x\n")
+    val e = intercept[Exception] {
+      spark.read.format("logfile").load(dir).collect()
+    }
+    assert(e.getMessage.contains("pattern") || e.getCause != null)
+  }
+
+  // ---- column pruning reaches the scan ----
+
+  test("column pruning: offset-only projection plans a pruned scan") {
+    val dir = tmpDir("logfile-prune")
+    write(dir, "a.log", "2017-01-01 00:00:00,001 INFO x\n")
+    val df = read(dir).select("offset")
+    val scanLine = df.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("LogfileScan")).getOrElse("")
+    assert(scanLine.contains("columns=offset"), s"plan: $scanLine")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("count(*) over empty projection works") {
+    val dir = tmpDir("logfile-count")
+    LogfileFixture.ensure(dir, files = 1, recordsPerFile = 100, seed = 3L)
+    val n = read(dir, LogfileFixture.PatternA).count()
+    assert(n > 0)
+  }
+}
