@@ -19,17 +19,29 @@ object MinHash {
 
   private val M = 2147483647L // 2^31 - 1
 
-  /** Per-row MinHash signature: (id, sig array<bigint>[numHashes]). */
+  /** Per-row MinHash signature: (id, sig array<bigint>[numHashes]).
+    *
+    * Slot i applies an independent affine permutation `(a_i·h + b_i) mod M`
+    * with a_i, b_i drawn from a fixed-seed RNG — large random multipliers,
+    * not small constants, so the k minima decorrelate and the matching-slot
+    * fraction is an unbiased Jaccard estimate. a_i,h < M = 2^31−1 keeps the
+    * product below 2^63 (no overflow).
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
+    val rng = new java.util.Random(987654321L)
+    val slots = Array.fill(numHashes) {
+      val a = 1L + rng.nextInt((M - 1).toInt)
+      val b = rng.nextInt(M.toInt).toLong
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${M}L))"
+    }
     df.select(col(idCol), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= shingleSize)
       .withColumn("shingles", array_distinct(expr(
         s"transform(sequence(0, size(ws) - $shingleSize), i -> concat_ws(' ', slice(ws, i + 1, $shingleSize)))")))
       .withColumn("hs", expr(
         s"transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $M)"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(hs, h -> ((2 * i + 1) * h + 1000003 * i) % $M)))"))
+      .withColumn("sig", expr(s"array(${slots.mkString(",")})"))
       .select(col(idCol), col("sig"))
   }
 

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{SparkTestBase, SparkEntry, Tables}
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the rows-only queries (no DuckDB oracle) plus
+  * whole-surface sanity on the sf0.001 tables.
+  */
+class QueryPackSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query executes and returns rows at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.size >= 48)
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a query; oracle SQL is non-empty") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(qs.contains(k), s"oracle for undeclared query $k")
+      assert(sql.trim.nonEmpty)
+    }
+  }
+
+  test("q23 Bernoulli sample: deterministic under fixed seed, fraction ≈ 0.01") {
+    val fn = SparkEntry.queries("q23_sample_bernoulli")
+    val a = fn(spark, sf).collect()
+    val b = fn(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "same seed ⇒ same sample")
+    val total = Tables(spark, sf, "lineitem").count().toDouble
+    assert(a.length > 0 && a.length < total * 0.05, s"sample size ${a.length} of $total")
+  }
+
+  test("q24 approx distinct within 10% of exact per group") {
+    val approx = SparkEntry.queries("q24_approx_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.10, s"$k approx=$ap exact=$ex")
+    }
+  }
+
+  test("q44 LSH ANN: bucketed neighbors are a subset of brute-force candidates with sane sims") {
+    val ann = SparkEntry.queries("q44_similarity_ann_lsh")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every (query, neighbor, sim) must match the brute-force sim for that pair
+    val brute = SparkEntry.queries("q42_similarity_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteAll = brute // topk only has top5; check sims where pair overlaps
+    ann.foreach { r =>
+      val (q, n, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(sim >= -1.0001 && sim <= 1.0001)
+      bruteAll.get((q, n)).foreach(bs => assert(math.abs(bs - sim) < 1e-9,
+        s"pair ($q,$n) ann=$sim brute=$bs"))
+    }
+  }
+
+  test("q40 MinHash-LSH candidates: est_sim ≈ exact Jaccard on sf docs (within 0.3)") {
+    val est = SparkEntry.queries("q40_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty, "expect at least one near-dup candidate in documents")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh(s: String): Set[String] = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    est.foreach { case ((d1, d2), e) =>
+      val (a, b) = (sh(docs(d1)), sh(docs(d2)))
+      val exact = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(e - exact) <= 0.3, s"($d1,$d2) est=$e exact=$exact")
+    }
+  }
+
+  test("q46 media features: mean_byte matches direct byte math; decode is deterministic") {
+    implicit val s = spark
+    val feats = MediaPipeline.extractFeatures(
+      MediaPipeline.fromDocuments(Tables(spark, sf, "documents")))
+      .collect().map(f => f.media_id -> f).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.take(20).foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val mean = bytes.map(_ & 0xff).map(_.toLong).sum.toDouble / bytes.length
+      val f = feats(id)
+      assert(f.n_bytes == bytes.length)
+      assert(math.abs(f.mean_byte - mean) < 1e-9)
+      assert(f.width == bytes.length % 512 + 16)
+    }
+  }
+
+  test("flagship entry returns TPC-H Q1 shape with rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.contains("sum_qty"))
+    assert(df.count() > 0)
+  }
+}

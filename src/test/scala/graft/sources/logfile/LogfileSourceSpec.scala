@@ -176,6 +176,33 @@ class LogfileSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  // property-style sweep: random corpora × random split sizes must all agree
+  // with the single-split read (the §7.4 "bug farm" mitigation)
+  test("property: read(k splits) == read(1 split) over random corpora") {
+    val rnd = new scala.util.Random(1234)
+    for (iter <- 0 until 5) {
+      val dir = tmpDir(s"logfile-prop$iter")
+      val sb = new StringBuilder
+      var expected = 0
+      for (_ <- 0 until 50 + rnd.nextInt(200)) {
+        sb.append(f"2017-01-01 00:00:${rnd.nextInt(60)}%02d,${rnd.nextInt(1000)}%03d INFO m${rnd.nextInt(10)}\n")
+        expected += 1
+        for (_ <- 0 until rnd.nextInt(4)) // 0-3 continuation lines, some empty
+          sb.append(if (rnd.nextBoolean()) s"\tat x.Y.z(Y.java:${rnd.nextInt(99)})\n" else "\n")
+      }
+      write(dir, "p.log", sb.toString)
+      val one = read(dir).select("offset", "record").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(one.length == expected)
+      for (_ <- 0 until 4) {
+        val splitBytes = 16 + rnd.nextInt(500)
+        val multi = read(dir, maxSplit = splitBytes).select("offset", "record").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        assert(multi == one, s"iter=$iter splitBytes=$splitBytes")
+      }
+    }
+  }
+
   test("count(*) over empty projection works") {
     val dir = tmpDir("logfile-count")
     LogfileFixture.ensure(dir, files = 1, recordsPerFile = 100, seed = 3L)
