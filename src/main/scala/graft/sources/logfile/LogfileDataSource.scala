@@ -67,7 +67,7 @@ final class LogfileTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"logfile(${LogfileOptions.paths(options).mkString(",")})"
   override def schema(): StructType = LogfileTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
     new LogfileScanBuilder(options)
 }
@@ -130,6 +130,9 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LogfileMicroBatchStream(options, required)
   override def description(): String =
     s"LogfileScan(paths=${LogfileOptions.paths(options).mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The streaming operator surface (SURVEY.md §2.2 streaming rows), written as
+  * plan transformations that apply identically to a streaming or batch
+  * DataFrame — Structured Streaming's unified-plan contract. The batch twins
+  * in [[graft.queries.Events]] are the DuckDB-oracle face; these are wired to
+  * `readStream` inputs and pinned by MemoryStream ScalaTests.
+  *
+  * State design for 100 TB streams: every aggregation here keys its state by
+  * (window, group) or session key, watermarks bound state size and admit
+  * late data up to the bound, and `dropDuplicatesWithinWatermark` keeps the
+  * dedup map finite — no unbounded driver or executor state anywhere.
+  */
+object StreamingOps {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** events.ts arrives as BIGINT nanos (TESTDATA); expose an event-time col. */
+  def withEventTime(df: DataFrame, nanosCol: String = "ts", out: String = "ts_t"): DataFrame =
+    df.withColumn(out, timestamp_micros(col(nanosCol) / 1000 cast "long"))
+
+  /** Tumbling windowed counts per event_type (streaming form of q30). */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windowed counts (streaming form of q31). */
+  def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based session windows per user (streaming form of q32) — built on
+    * the native `session_window` generator so state merges windows
+    * incrementally instead of re-sorting history.
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, gap: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Stateful streaming dedup bounded by the watermark (north-star dedup,
+    * streaming form): duplicates arriving within the watermark horizon are
+    * dropped; state for keys older than the horizon is evicted.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

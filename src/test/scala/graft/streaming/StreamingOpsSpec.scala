@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream pins for the streaming surface: windowed aggregation,
+  * sessionization, watermark late-data semantics, stateful dedup.
+  */
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private var qn = 0
+  private def runQuery(df: org.apache.spark.sql.DataFrame, mode: OutputMode)(
+      feed: => Unit): Array[org.apache.spark.sql.Row] = {
+    qn += 1
+    val name = s"sink$qn"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      feed
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).collect()
+  }
+
+  test("tumbling window counts aggregate per (window, type)") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = StreamingOps.tumblingCounts(
+      in.toDF.toDF("ts_t", "event_type", "value"), "ts_t", "10 minutes", "5 minutes")
+    val rows = runQuery(df, OutputMode.Update()) {
+      in.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:04:00"), "click", 2.0),
+        (ts("2024-01-01 00:11:00"), "click", 4.0),
+        (ts("2024-01-01 00:02:00"), "view", 8.0))
+    }
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("2024-01-01 00:00:00.0", "click")) == ((2L, 3.0)))
+    assert(byKey(("2024-01-01 00:10:00.0", "click")) == ((1L, 4.0)))
+    assert(byKey(("2024-01-01 00:00:00.0", "view")) == ((1L, 8.0)))
+  }
+
+  test("sliding windows assign events to overlapping windows") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = StreamingOps.slidingCounts(
+      in.toDF.toDF("ts_t", "event_type", "value"), "ts_t", "10 minutes", "5 minutes",
+      "5 minutes")
+    val rows = runQuery(df, OutputMode.Update()) {
+      in.addData((ts("2024-01-01 00:07:00"), "click", 1.0))
+    }
+    val starts = rows.map(_.getTimestamp(0).toString).sorted
+    assert(starts.toSeq == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
+  }
+
+  test("session windows merge events within gap, split across gap") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val df = StreamingOps.sessionCounts(
+      in.toDF.toDF("ts_t", "user_id"), "ts_t", "30 minutes", "10 minutes")
+    val rows = runQuery(df, OutputMode.Complete()) {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L), // same session (gap 10m < 30m)
+        (ts("2024-01-01 01:30:00"), 1L), // new session (gap 80m)
+        (ts("2024-01-01 00:00:00"), 2L))
+    }
+    val u1 = rows.filter(_.getLong(2) == 1L).map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+      .sortBy(_._1)
+    assert(u1.toSeq == Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 01:30:00.0", 1L)))
+    assert(rows.count(_.getLong(2) == 2L) == 1)
+  }
+
+  test("watermark drops events later than the horizon") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = StreamingOps.tumblingCounts(
+      in.toDF.toDF("ts_t", "event_type", "value"), "ts_t", "10 minutes", "5 minutes")
+    val sinkName = "wmsink"
+    val q = df.writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window → it finalizes
+      in.addData((ts("2024-01-01 01:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is now 54min late, far beyond the 5min watermark → dropped
+      in.addData((ts("2024-01-01 00:02:00"), "click", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table(sinkName).collect()
+      val first = rows.filter(_.getTimestamp(0).toString == "2024-01-01 00:00:00.0")
+      assert(first.length == 1 && first(0).getLong(2) == 1L,
+        "late event must not reopen a finalized window")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keys inside the horizon") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val df = StreamingOps.dedupWithinWatermark(
+      in.toDF.toDF("ts_t", "event_id"), "ts_t", Seq("event_id"), "10 minutes")
+    val rows = runQuery(df, OutputMode.Append()) {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "a"),
+        (ts("2024-01-01 00:01:00"), "a"), // dup within watermark → dropped
+        (ts("2024-01-01 00:02:00"), "b"))
+    }
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("logfile readStream: files arriving across triggers emit records exactly once") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("logfile-stream").toFile.getAbsolutePath
+    def writeLog(name: String, n: Int, base: Int): Unit = {
+      val sb = new StringBuilder
+      for (i <- 0 until n) {
+        sb.append(f"2017-01-01 00:00:${(base + i) % 60}%02d,000 INFO msg${base + i}\n")
+        if (i % 3 == 0) sb.append("\tat continuation.line(X.java:1)\n")
+      }
+      Files.write(new java.io.File(dir, name).toPath,
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    writeLog("s1.log", 10, 0)
+    val stream = spark.readStream.format("logfile")
+      .option("pattern", """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*""")
+      .load(dir)
+    val q = stream.writeStream.format("memory").queryName("logsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logsink").count() == 10)
+      writeLog("s2.log", 7, 100)
+      q.processAllAvailable()
+      val rows = spark.table("logsink").collect()
+      assert(rows.length == 17, "second file must add exactly its own records")
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == 17,
+        "no (file, offset) pair may duplicate across triggers")
+      val multiline = rows.count(_.getString(2).contains("\n"))
+      assert(multiline == 4 + 3, "multiline records assemble inside one trigger")
+    } finally q.stop()
+  }
+
+  test("streaming and batch twins produce identical tumbling aggregates") {
+    val batch = Seq(
+      (ts("2024-01-01 00:01:00"), "click", 1.5),
+      (ts("2024-01-01 00:04:00"), "click", 2.5),
+      (ts("2024-01-01 00:11:00"), "view", 4.0))
+      .toDF("ts_t", "event_type", "value")
+    // same transformation applied to a batch frame (unified-plan contract)
+    val fromBatch = batch
+      .groupBy(window(col("ts_t"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).sorted
+
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val streamed = runQuery(
+      StreamingOps.tumblingCounts(in.toDF.toDF("ts_t", "event_type", "value"),
+        "ts_t", "10 minutes", "5 minutes"), OutputMode.Update()) {
+      in.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.5),
+        (ts("2024-01-01 00:04:00"), "click", 2.5),
+        (ts("2024-01-01 00:11:00"), "view", 4.0))
+    }.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).sorted
+
+    assert(streamed.toSeq == fromBatch.toSeq)
+  }
+}
