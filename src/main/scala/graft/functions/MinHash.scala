@@ -5,44 +5,67 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH banding for near-duplicate detection at scale.
   *
-  * Everything is built from codegen'd Catalyst built-ins (md5, conv,
-  * higher-order array functions) — no Scala UDFs in the hot path. The base
-  * shingle hash is the first 15 hex digits of md5 (a 60-bit integer both
-  * engines can reproduce), folded into 31 bits; the k signature slots apply
-  * affine permutations `(2i+1)·h + 1000003·i (mod 2^31-1)`.
+  * The base shingle hash is the first 60 bits of md5 folded mod M = 2^31−1
+  * (engine-portable, see [[TokenHasher]]); slot i of the signature applies an
+  * independent affine permutation `(a_i·h + b_i) mod M` with coefficients
+  * from a fixed-seed RNG, so the fraction of matching slots is an unbiased
+  * Jaccard estimate. a_i, h < M keeps products below 2^63.
   *
-  * Scale shape: signatures are one narrow projection; banding turns the
-  * quadratic all-pairs problem into a shuffle on (band, key) where only
+  * Scale shape: signatures are one narrow `mapPartitions` projection
+  * (per-partition shingle-hash cache, primitive min loops); banding turns
+  * the quadratic all-pairs problem into a shuffle on (band, key) where only
   * same-bucket docs meet — the standard sub-quadratic MinHash-LSH layout.
   */
 object MinHash {
 
   private val M = 2147483647L // 2^31 - 1
 
-  /** Per-row MinHash signature: (id, sig array<bigint>[numHashes]).
-    *
-    * Slot i applies an independent affine permutation `(a_i·h + b_i) mod M`
-    * with a_i, b_i drawn from a fixed-seed RNG — large random multipliers,
-    * not small constants, so the k minima decorrelate and the matching-slot
-    * fraction is an unbiased Jaccard estimate. a_i,h < M = 2^31−1 keeps the
-    * product below 2^63 (no overflow).
-    */
+  private def coefficients(numHashes: Int): Array[(Long, Long)] = {
+    val rng = new java.util.Random(987654321L)
+    Array.fill(numHashes) {
+      (1L + rng.nextInt((M - 1).toInt), rng.nextInt(M.toInt).toLong)
+    }
+  }
+
+  /** Per-row MinHash signature: (id, sig array<bigint>[numHashes]). */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
-    val rng = new java.util.Random(987654321L)
-    val slots = Array.fill(numHashes) {
-      val a = 1L + rng.nextInt((M - 1).toInt)
-      val b = rng.nextInt(M.toInt).toLong
-      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${M}L))"
-    }
-    df.select(col(idCol), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= shingleSize)
-      .withColumn("shingles", array_distinct(expr(
-        s"transform(sequence(0, size(ws) - $shingleSize), i -> concat_ws(' ', slice(ws, i + 1, $shingleSize)))")))
-      .withColumn("hs", expr(
-        s"transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $M)"))
-      .withColumn("sig", expr(s"array(${slots.mkString(",")})"))
-      .select(col(idCol), col("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = coefficients(numHashes)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val hasher = new TokenHasher
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ")
+          if (ws.length < shingleSize) None
+          else {
+            val sig = Array.fill(numHashes)(Long.MaxValue)
+            val sb = new java.lang.StringBuilder(64)
+            var i = 0
+            while (i <= ws.length - shingleSize) {
+              sb.setLength(0)
+              var j = 0
+              while (j < shingleSize) {
+                if (j > 0) sb.append(' ')
+                sb.append(ws(i + j))
+                j += 1
+              }
+              val h = hasher.h60(sb.toString) % M
+              var k = 0
+              while (k < numHashes) {
+                val v = (coeffs(k)._1 * h + coeffs(k)._2) % M
+                if (v < sig(k)) sig(k) = v
+                k += 1
+              }
+              i += 1
+            }
+            Some((id, sig))
+          }
+        }
+      }
+      .toDF(idCol, "sig")
   }
 
   /** LSH candidate pairs with estimated similarity (fraction of matching

