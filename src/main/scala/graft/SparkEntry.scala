@@ -22,7 +22,8 @@ object SparkEntry {
     packs.Dedup,
     packs.Similarity,
     packs.Multimodal,
-    packs.Logfile)
+    packs.Logfile,
+    packs.Extended)
 
   private lazy val all: Seq[GraftQuery] = allPacks.flatMap(_.queries)
 

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY.md §2.1 K1): text sink with refuse-to-overwrite
+  * parity (`cli/Sample.java:75-78`), parquet roundtrip fidelity.
+  */
+class SinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("text sink writes sample lines; ErrorIfExists refuses to overwrite") {
+    val out = Files.createTempDirectory("sink-text").toFile.getAbsolutePath + "/out"
+    val df = Seq("line-a", "line-b").toDF("value")
+    df.coalesce(1).write.mode(SaveMode.ErrorIfExists).text(out)
+    val back = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == Seq("line-a", "line-b"))
+    intercept[Exception] {
+      df.write.mode(SaveMode.ErrorIfExists).text(out)
+    }
+  }
+
+  test("parquet roundtrip preserves schema and values incl. arrays") {
+    val out = Files.createTempDirectory("sink-parquet").toFile.getAbsolutePath + "/t"
+    val df = Seq((1L, "x", Seq(1.0f, 2.0f)), (2L, "y", Seq(3.0f)))
+      .toDF("id", "s", "vec")
+    df.write.parquet(out)
+    val back = spark.read.parquet(out)
+    // parquet normalizes nullability; names+types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.orderBy("id").collect().map(_.toString).toSeq ==
+      df.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val out = Files.createTempDirectory("sink-part").toFile.getAbsolutePath + "/t"
+    Tables(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(out)
+    val one = spark.read.parquet(out).filter(col("yr") === 1995)
+    val scan = one.queryExecution.executedPlan.toString()
+    assert(one.count() > 0)
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"), s"plan: $scan")
+  }
+}
