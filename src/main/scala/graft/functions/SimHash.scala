@@ -15,6 +15,37 @@ object SimHash {
 
   private val Bits = 60
 
+  /** Near-dup pairs with hamming distance ≤ maxDist, sub-quadratically: by
+    * the pigeonhole principle, two 60-bit fingerprints within distance d
+    * agree exactly on at least one of d+1 disjoint bit-bands, so candidates
+    * are found by joining on (band_index, band_value) — one shuffle on the
+    * band key instead of an all-pairs product — then filtered with the
+    * codegen'd [[graft.functions.expressions.HammingDistance]].
+    */
+  def neardupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    import graft.functions.expressions.HammingDistance.hamming64
+    val bands = maxDist + 1
+    val width = Bits / bands // last band absorbs the remainder bits
+    val lastWidth = Bits - (bands - 1) * width
+    val mask = (1L << width) - 1
+    val lastMask = (1L << lastWidth) - 1
+    val fps = fingerprints(df, idCol, textCol).select(col(idCol), col("simhash"))
+    val bandExprs = (0 until bands).map { j =>
+      val m = if (j == bands - 1) lastMask else mask
+      s"shiftright(simhash, ${j * width}) & ${m}L"
+    }
+    val banded = fps.select(col(idCol), col("simhash"),
+      posexplode(expr(s"array(${bandExprs.mkString(",")})")).as(Seq("band", "key")))
+    val l = banded.select(col(idCol).as("d1"), col("simhash").as("h1"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("d2"), col("simhash").as("h2"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming64(col("h1"), col("h2")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** (id, simhash bigint, n_tokens bigint) per input row. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -101,6 +101,20 @@ object Dedup extends QueryPack {
         SimHash.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")
       },
+      None),
+
+    // Banded SimHash near-dup join: pigeonhole banding shuffles on
+    // (band, key) so only same-band docs meet (sub-quadratic), distance
+    // filtered by the codegen'd hamming64 Catalyst expression. Exactness
+    // vs brute force is pinned in HammingDistanceSpec.
+    GraftQuery(
+      "q53_dedup_simhash_banded",
+      (s, dir) => {
+        import graft.functions.SimHash
+        SimHash.neardupPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDist = 14)
+          .orderBy("d1", "d2")
+      },
       None)
   )
 }

@@ -60,4 +60,43 @@ object StreamingOps {
       watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Custom arbitrary state via flatMapGroupsWithState: per-user running
+    * totals emitted on every update — the escape hatch for state machines the
+    * built-in windows can't express. State is one small case class per key
+    * with a processing-time timeout, so executor state stays bounded by the
+    * live-key set.
+    */
+  def runningUserTotals(ds: org.apache.spark.sql.Dataset[UserEvent],
+      evictAfter: Option[String] = None): org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    // processing-time eviction keeps the live-key set bounded in production;
+    // note it makes the engine trigger periodic empty batches to fire
+    // timeouts, so tests driving processAllAvailable() use NoTimeout
+    val timeoutConf = evictAfter
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update(), timeoutConf) {
+        (user: Long, events: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            events.foreach { e => n += 1; total += e.value }
+            val next = UserTotal(user, n, total)
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
 }
+
+final case class UserEvent(user_id: Long, value: Double)
+final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -144,6 +144,23 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    val in = MemoryStream[UserEvent](spark)
+    val df = StreamingOps.runningUserTotals(in.toDS())
+    val q = df.toDF().writeStream.format("memory").queryName("statesink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, 2.0)) // state must carry: 1 → (3, 17.0)
+      q.processAllAvailable()
+      val latest = spark.table("statesink").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.maxBy(_.getLong(1)) }
+      assert(latest(1L).getLong(1) == 3L && latest(1L).getDouble(2) == 17.0)
+      assert(latest(2L).getLong(1) == 1L && latest(2L).getDouble(2) == 1.0)
+    } finally q.stop()
+  }
+
   test("streaming and batch twins produce identical tumbling aggregates") {
     val batch = Seq(
       (ts("2024-01-01 00:01:00"), "click", 1.5),
