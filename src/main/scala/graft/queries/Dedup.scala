@@ -111,8 +111,10 @@ object Dedup extends QueryPack {
       "q53_dedup_simhash_banded",
       (s, dir) => {
         import graft.functions.SimHash
+        // maxDist=5: the corpus's true near-dups sit at d ≤ 5 while d ≥ 6 is
+        // the combinatorial noise floor; 6 bands × 10 bits keeps buckets tiny
         SimHash.neardupPairs(Tables(s, dir, "documents"), "doc_id", "text",
-          maxDist = 14)
+          maxDist = 5)
           .orderBy("d1", "d2")
       },
       None)
