@@ -66,4 +66,47 @@ object MediaPipeline {
       }
     }
   }
+
+  /** STUB resize: a real implementation rescales decoded pixels; the stub
+    * deterministically downsamples payload bytes to `target²` samples so the
+    * batch shape (one fixed-size output per record, partition-streamed) is
+    * exercised for real.
+    */
+  def resize(ds: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    val n = target * target
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val src = rec.payload
+        val out = new Array[Byte](math.min(n, math.max(src.length, 1)))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (src.isEmpty) 0 else src((i.toLong * src.length / out.length).toInt)
+          i += 1
+        }
+        rec.copy(payload = out, declared_format = s"${rec.declared_format}@${target}x$target")
+      }
+    }
+  }
+
+  /** STUB frame sampling: emits every `stride`-th fixed-size window of the
+    * payload as one "frame" record — the row-explosion shape (1 → N rows) a
+    * real video frame sampler has, with deterministic fake frame bytes.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { rec =>
+      val frames = rec.payload.grouped(frameBytes).toSeq
+      frames.indices.collect {
+        case i if i % stride == 0 =>
+          MediaFrame(rec.media_id, i.toLong, frames(i),
+            if (frames(i).isEmpty) 0.0
+            else frames(i).foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / frames(i).length)
+      }
+    }
+  }
 }
+
+final case class MediaFrame(
+    media_id: Long, frame_idx: Long, frame: Array[Byte], mean_byte: Double)
