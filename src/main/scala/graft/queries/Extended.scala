@@ -97,6 +97,104 @@ object Extended extends QueryPack {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) t
         |WHERE k >= 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Pivot (wide aggregation): order counts per status × priority.
+    GraftQuery(
+      "q54_pivot_status_priority",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus"),
+            coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+            coalesce(col("5-LOW"), lit(0L)).as("low"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems under 40% of
+    // their part's average quantity — exercises Catalyst decorrelation.
+    GraftQuery(
+      "q55_correlated_subquery_small_qty",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_partkey,
+          |  CAST(COUNT(*) AS BIGINT) AS n_small,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+          |FROM lineitem l1
+          |WHERE l_quantity < (SELECT 0.4 * AVG(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)
+          |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+      },
+      Some("""SELECT l_partkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.4 * AVG(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+
+    // Ordered string aggregation (deterministic collect): nations per region.
+    GraftQuery(
+      "q56_string_agg_nations",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Exact percentiles (continuous interpolation) per group; the
+    // approx_percentile scale path is rows-only next to it.
+    GraftQuery(
+      "q57_percentiles_price",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Approximate percentile (t-digest-style sketch) — the 100 TB path for
+    // q57; approximate by construction → rows-only.
+    GraftQuery(
+      "q58_approx_percentile",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)")
+            .as("approx_pcts"))
+          .orderBy("o_orderpriority")
+      },
+      None)
   )
 }
