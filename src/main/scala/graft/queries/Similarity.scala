@@ -117,6 +117,22 @@ object Similarity extends QueryPack {
             round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
           .orderBy("query_id", "rnk")
       },
+      None),
+
+    // IVF inverted-list ANN (the second scale path next to q44's LSH):
+    // deterministic seeded centroids, nProbe of nLists lists searched.
+    // Rows-only; recall vs brute force and the nProbe==nLists exactness
+    // degeneration are pinned in IvfIndexSpec.
+    GraftQuery(
+      "q59_similarity_ann_ivf",
+      (s, dir) => {
+        graft.operators.IvfIndex.topK(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < 8, k = 5, nLists = 8, nProbe = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
       None)
   )
 }

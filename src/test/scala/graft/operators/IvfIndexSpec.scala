@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF top-k is deterministic and recalls most brute-force neighbors") {
+    val emb = Tables(spark, sf, "embeddings")
+    val ivf1 = IvfIndex.topK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5, nLists = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = IvfIndex.topK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5, nLists = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 == ivf2, "seeded centroids ⇒ deterministic result")
+
+    val brute = BruteForceCosine.topK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf1.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low for nProbe=3 of 8 lists")
+
+    // widening nProbe to all lists must recover brute-force exactly
+    val full = IvfIndex.topK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nProbe == nLists must equal exact search")
+  }
+}
