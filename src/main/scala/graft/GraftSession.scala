@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Turnkey SparkSession factory with the engine's recommended configuration:
+  * UTC semantics, AQE (incl. skew-join handling), nanosecond-parquet
+  * compatibility, and the `graft` function extensions (`hamming64`)
+  * pre-registered. `shufflePartitions` should track the executor-core count
+  * on a real cluster (set to 32 under the project's local[32] contract).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
+
+  /** Build + register the test tables as views when a data dir is given. */
+  def create(master: String = "local[*]", shufflePartitions: Int = 32,
+      tablesDir: Option[String] = None): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    // getOrCreate may return a pre-existing session, whose extensions were
+    // fixed at creation — registering directly is idempotent either way
+    graft.functions.expressions.HammingDistance.register(spark)
+    tablesDir.foreach(Tables.registerAll(spark, _))
+    spark
+  }
+}

@@ -203,6 +203,56 @@ class LogfileSourceSpec extends SparkTestBase {
     }
   }
 
+  test("edge cases: empty file, CRLF terminators, head as last line, blank continuations") {
+    val dir = tmpDir("logfile-edge")
+    write(dir, "empty.log", "")
+    val e = read(dir + "/empty.log")
+    assert(e.count() == 0)
+
+    val dir2 = tmpDir("logfile-crlf")
+    write(dir2, "crlf.log",
+      "2017-01-01 00:00:00,001 INFO a\r\ncont\r\n2017-01-01 00:00:00,002 INFO b\r\n")
+    val crlf = read(dir2).orderBy("offset").collect()
+    assert(crlf.length == 2)
+    assert(crlf(0).getAs[String]("record") == "2017-01-01 00:00:00,001 INFO a\ncont",
+      "CRLF strips like the LineReader contract; joins stay \\n")
+    // multi-split CRLF read must agree too
+    for (split <- Seq(5L, 33L, 34L, 35L)) {
+      assert(read(dir2, maxSplit = split).count() == 2, s"split=$split")
+    }
+
+    val dir3 = tmpDir("logfile-lasthead")
+    write(dir3, "last.log", "2017-01-01 00:00:00,001 INFO only-head-no-newline")
+    val last = read(dir3).collect()
+    assert(last.length == 1 &&
+      last(0).getAs[String]("record").endsWith("only-head-no-newline"))
+
+    val dir4 = tmpDir("logfile-blanks")
+    write(dir4, "blank.log",
+      "2017-01-01 00:00:00,001 INFO x\n\n\n2017-01-01 00:00:00,002 INFO y\n")
+    val blanks = read(dir4).orderBy("offset").collect()
+    assert(blanks.length == 2)
+    assert(blanks(0).getAs[String]("record") == "2017-01-01 00:00:00,001 INFO x\n\n",
+      "empty lines are continuations of the open record")
+  }
+
+  test("splittable compressed input (bzip2) is rejected — reference :163-165 parity") {
+    val dir = tmpDir("logfile-bzip2")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(conf)
+    val f = new File(dir, "a.log.bz2")
+    val os = codec.createOutputStream(new java.io.FileOutputStream(f))
+    os.write("2017-01-01 00:00:00,001 INFO x\n".getBytes(StandardCharsets.UTF_8))
+    os.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      read(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("splittable compressed")), messages(e).mkString(" | "))
+  }
+
   test("count(*) over empty projection works") {
     val dir = tmpDir("logfile-count")
     LogfileFixture.ensure(dir, files = 1, recordsPerFile = 100, seed = 3L)
