@@ -45,8 +45,6 @@ object AsOfJoin {
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast("long"))
-      .withColumn("__payload", lit(null).cast("string")) // replaced on union by name
-      .drop("__payload")
     val r = right.select(
       rightKey.as("__k"),
       rightTime.as("__t"),

@@ -195,6 +195,48 @@ object Extended extends QueryPack {
             .as("approx_pcts"))
           .orderBy("o_orderpriority")
       },
-      None)
+      None),
+
+    // Value-range window frame (RANGE BETWEEN): per customer, count orders
+    // whose price is within ±10000 of the current order's price.
+    GraftQuery(
+      "q60_window_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-10000L, 10000L)
+        Tables(s, dir, "orders")
+          .filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_similar_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |       RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+        |    AS n_similar_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Conditional aggregation (FILTER-clause shape) in one pass.
+    GraftQuery(
+      "q61_conditional_agg",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+            count(when(col("l_quantity") >= 25, 1)).as("n_bulk"),
+            sum(when(col("l_tax") === 0, 1L).otherwise(0L)).as("n_taxfree"),
+            count(lit(1)).as("n_total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  CAST(COUNT(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_bulk,
+        |  CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
