@@ -115,6 +115,54 @@ object Text extends QueryPack {
         |  CAST(length(text) AS BIGINT) AS n_chars_measured
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top terms: tf = in-doc count, idf = ln(N / docs-containing),
+    // top-3 per doc with full tie-break. One tokenize pass, two shuffles
+    // (per-(doc,word) and per-word aggregation) — the scale-honest layout.
+    GraftQuery(
+      "q62_text_tfidf_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val n = docs.count()
+        val tok = docs
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("word"))
+        val allTok = docs.select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("word"))
+        val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfreq = allTok.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("word").asc)
+        tf.join(dfreq, Seq("word"))
+          .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("word"), col("tf"), col("df"),
+            col("tfidf"), col("rnk").cast("long").as("rnk"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    w -> w <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok WHERE doc_id < 100 GROUP BY 1, 2),
+        |dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |          FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf, df,
+        |    round(tf * ln(n.n / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, word) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, word, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     GraftQuery(
       "q37_text_fingerprint",
       (s, dir) => {

@@ -61,6 +61,21 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream inner join: both sides watermarked, the join range
+    * bounded by an interval condition so each side's buffered state is
+    * evictable — the only layout that keeps stream-stream join state finite.
+    */
+  def streamStreamJoin(left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      watermark: String, joinWindow: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+  }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * totals emitted on every update — the escape hatch for state machines the
     * built-in windows can't express. State is one small case class per key

@@ -144,6 +144,27 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches pairs inside the interval, drops outside") {
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      clicks.toDF.toDF("c_ts", "c_user"), "c_ts", "c_user",
+      buys.toDF.toDF("b_ts", "b_user"), "b_ts", "b_user",
+      watermark = "10 minutes", joinWindow = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+      buys.addData(
+        (ts("2024-01-01 00:10:00"), 1L),  // within 30m of click → match
+        (ts("2024-01-01 01:10:00"), 2L))  // 70m later → outside window
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("c_user") == 1L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val in = MemoryStream[UserEvent](spark)
     val df = StreamingOps.runningUserTotals(in.toDS())
