@@ -25,7 +25,12 @@ object SparkEntry {
     packs.Logfile,
     packs.Extended)
 
-  private lazy val all: Seq[GraftQuery] = allPacks.flatMap(_.queries)
+  private lazy val all: Seq[GraftQuery] = {
+    val qs = allPacks.flatMap(_.queries)
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names would shadow in the Map: ${dups.mkString(",")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's Test pipeline collapsed to one Catalyst plan: count by
