@@ -46,8 +46,15 @@ object Dedup extends QueryPack {
           "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
           .as("shingle"))
         val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        val a = sh.select(col("doc_id").as("d1"), col("shingle"))
-        val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+        // candidate pruning: a shingle held by a single doc can never form a
+        // pair — drop it before the self-join (most shingles are unique, so
+        // this shrinks the join input by an order of magnitude; results are
+        // provably identical)
+        val shared = sh.groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+          .filter(col("ndocs") > 1).select(col("shingle"))
+        val shJ = sh.join(shared, Seq("shingle"))
+        val a = shJ.select(col("doc_id").as("d1"), col("shingle"))
+        val b = shJ.select(col("doc_id").as("d2"), col("shingle"))
         val pairs = a.join(b, Seq("shingle")).filter(col("d1") < col("d2"))
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
         pairs

@@ -90,7 +90,7 @@ object Similarity extends QueryPack {
           ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
         }
         val planes = Array.fill(nPlanes, dim)(nextUnit())
-        val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+        val planesCol = array(planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
 
         val e = normed(Tables(s, dir, "embeddings"))
           .withColumn("planes", planesCol)
