@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * are tagged and unioned, then a single hash shuffle on the key plus an
   * in-partition sort by `(time, side, tiebreak)` lets `last(payload,
   * ignoreNulls)` carry the most recent right payload forward — one shuffle,
-  * one sort, linear in input, skew handled by AQE. The payload travels as a
-  * single struct so a NULL field inside a matched right row can never "tear"
-  * and pick up a value from an older row.
+  * one sort, linear in input. The payload travels as a single struct so a
+  * NULL field inside a matched right row can never "tear" and pick up a
+  * value from an older row.
+  *
+  * Skew caveat: window partitions are not splittable by AQE, so one
+  * pathologically hot key serializes into a single task; if a key can hold
+  * a large fraction of all rows, pre-split it by time range (run the as-of
+  * per coarse time bucket with the previous bucket's last right row carried
+  * in) before reaching for this operator.
   */
 object AsOfJoin {
 

@@ -115,3 +115,39 @@ object StreamingOps {
 
 final case class UserEvent(user_id: Long, value: Double)
 final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** The same running totals on Spark 4's `transformWithState` API — typed
+  * `ValueState` handles instead of one opaque state object, RocksDB-backed
+  * (`spark.sql.streaming.stateStore.providerClass` must be the RocksDB
+  * provider). This is the forward-looking arbitrary-state surface;
+  * [[StreamingOps.runningUserTotals]] keeps the legacy contract.
+  */
+object TwsRunningTotals {
+  import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.{Dataset, Encoders}
+
+  private class Processor extends StatefulProcessor[Long, UserEvent, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(user, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserTotal(user, n, total)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def apply(ds: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -182,6 +182,31 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB provider) keeps running totals across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[UserEvent](spark)
+      val q = TwsRunningTotals(in.toDS()).toDF().writeStream.format("memory")
+        .queryName("twssink").outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(UserEvent(7L, 4.0), UserEvent(7L, 6.0))
+        q.processAllAvailable()
+        in.addData(UserEvent(7L, 5.0))
+        q.processAllAvailable()
+        val latest = spark.table("twssink").collect()
+          .filter(_.getLong(0) == 7L).maxBy(_.getLong(1))
+        assert(latest.getLong(1) == 3L && latest.getDouble(2) == 15.0)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming and batch twins produce identical tumbling aggregates") {
     val batch = Seq(
       (ts("2024-01-01 00:01:00"), "click", 1.5),
