@@ -123,6 +123,24 @@ object Similarity extends QueryPack {
     // deterministic seeded centroids, nProbe of nLists lists searched.
     // Rows-only; recall vs brute force and the nProbe==nLists exactness
     // degeneration are pinned in IvfIndexSpec.
+    // int8-quantized top-k: store 4× smaller, dequantize on the fly, search
+    // exact — the memory/recall rung below full-precision ANN. Rows-only;
+    // roundtrip error and cosine preservation are pinned in QuantizeSpec.
+    GraftQuery(
+      "q63_similarity_quantized_topk",
+      (s, dir) => {
+        import graft.functions.Quantize
+        val deq = Quantize.dequantize(
+          Quantize.int8(Tables(s, dir, "embeddings"), "embedding"))
+          .select(col("vec_id"), col("deq"))
+        graft.operators.BruteForceCosine
+          .topK(deq, "vec_id", "deq", queryPred = col("vec_id") < 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     GraftQuery(
       "q59_similarity_ann_ivf",
       (s, dir) => {
