@@ -114,8 +114,10 @@ private object LogfileOptions {
 }
 
 final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = LogfileTable.Schema
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared order; an empty projection (count(*)) is legal
@@ -123,11 +125,55 @@ final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
       LogfileTable.Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
 
-  override def build(): Scan = new LogfileScan(options, required)
+  /** Only predicates over the `file` column push down — they prune whole
+    * files at planning time (e.g. selecting the plain twins of a plain+gz
+    * corpus never opens a .gz). Predicates on `offset`/`record` depend on
+    * record assembly and stay post-scan (SURVEY.md §4.2: filter pushdown on
+    * parsed fields is intentionally not useful).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (pushable, rest) = filters.partition(f =>
+      f.references.toSeq == Seq("file") && LogfileFileFilter.supported(f))
+    fileFilters = pushable
+    rest // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = fileFilters
+
+  override def build(): Scan = new LogfileScan(options, required, fileFilters)
 }
 
-final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType)
-    extends Scan with Batch {
+/** Evaluates pushed `file`-column predicates against candidate paths. */
+private[logfile] object LogfileFileFilter {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case In(_, vs) => vs.forall(_.isInstanceOf[String])
+    case Or(a, b) => supported(a) && supported(b)
+    case And(a, b) => supported(a) && supported(b)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  def accept(f: Filter, path: String): Boolean = f match {
+    case EqualTo(_, v) => path == v
+    case StringStartsWith(_, p) => path.startsWith(p)
+    case StringEndsWith(_, s) => path.endsWith(s)
+    case StringContains(_, s) => path.contains(s)
+    case In(_, vs) => vs.contains(path)
+    case Or(a, b) => accept(a, path) || accept(b, path)
+    case And(a, b) => accept(a, path) && accept(b, path)
+    case Not(c) => !accept(c, path)
+    case _ => true
+  }
+}
+
+final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -135,7 +181,35 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType)
     new LogfileMicroBatchStream(options, required)
   override def description(): String =
     s"LogfileScan(paths=${LogfileOptions.paths(options).mkString(",")}, " +
-      s"columns=${required.fieldNames.mkString(",")})"
+      s"columns=${required.fieldNames.mkString(",")}, " +
+      s"PushedFileFilters=[${fileFilters.mkString(",")}])"
+
+  /** Byte-size statistics from the (filter-pruned) file listing, so Catalyst
+    * can pick a broadcast side when a logfile relation joins something.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = listFiles().map(_.getLen).sum
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+
+  private def listFiles(): Seq[FileStatus] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    LogfileOptions.paths(options).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      require(globbed.nonEmpty, s"logfile path matches no files: $p")
+      globbed.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
+      }
+    }.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }.filter(st => fileFilters.forall(LogfileFileFilter.accept(_, st.getPath.toString)))
+      .sortBy(_.getPath.toString)
+  }
 
   /** Driver-side split planning — the DSv2 analog of
     * `FileInputFormat.getSplits` + `isSplitable` (`LogfileInputFormat.java:112-119`):
@@ -150,20 +224,7 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     require(maxSplit > 0, "maxSplitBytes must be positive")
 
-    val files: Seq[FileStatus] = LogfileOptions.paths(options).flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val globbed = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      require(globbed.nonEmpty, s"logfile path matches no files: $p")
-      globbed.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile) else Seq(st)
-      }
-    }.filterNot { st =>
-      val n = st.getPath.getName
-      n.startsWith("_") || n.startsWith(".")
-    }.sortBy(_.getPath.toString)
-
-    files.flatMap { st =>
+    listFiles().flatMap { st =>
       val pattern = LogfileOptions.resolvePattern(options, st.getPath)
       val codec = codecs.getCodec(st.getPath)
       if (codec != null) {

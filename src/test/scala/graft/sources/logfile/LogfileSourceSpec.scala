@@ -253,6 +253,25 @@ class LogfileSourceSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("splittable compressed")), messages(e).mkString(" | "))
   }
 
+  test("file-column filters push down and prune whole files at planning") {
+    val dir = tmpDir("logfile-filepush")
+    LogfileFixture.ensure(dir, files = 2, recordsPerFile = 300, seed = 21L)
+    val all = read(dir, LogfileFixture.PatternA,
+      extra = Map("pattern.*_1.log*" -> LogfileFixture.PatternB))
+    val plainOnly = all.filter(col("file").endsWith(".log"))
+    // planner must not create partitions for the .gz twins
+    assert(plainOnly.rdd.getNumPartitions < all.rdd.getNumPartitions)
+    val scanDesc = plainOnly.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("PushedFileFilters=[StringEndsWith(file,.log)]"), scanDesc)
+    // and results equal the post-scan-filter semantics
+    assert(plainOnly.count() == all.count() / 2)
+    // unsupported filters (on record) stay above the scan and still work
+    val recs = all.filter(col("record").contains("ERROR"))
+    assert(recs.queryExecution.executedPlan.toString()
+      .contains("PushedFileFilters=[]"))
+    assert(recs.count() > 0)
+  }
+
   test("count(*) over empty projection works") {
     val dir = tmpDir("logfile-count")
     LogfileFixture.ensure(dir, files = 1, recordsPerFile = 100, seed = 3L)
