@@ -63,5 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(session =>
+      graft.plans.RewriteSingletonRepartition(session))
   }
 }
