@@ -168,6 +168,23 @@ object Analytics extends QueryPack {
       },
       None),
 
+    // Stratified sample (per-stratum Bernoulli fractions, seeded) — the
+    // class-balancing primitive for training-data curation. RNG differs
+    // across engines → rows-only; fraction bounds pinned in ScalaTest.
+    GraftQuery(
+      "q64_sample_stratified",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .stat.sampleBy("o_orderpriority",
+            fractions = Map(
+              "1-URGENT" -> 0.02, "2-HIGH" -> 0.02, "3-MEDIUM" -> 0.01,
+              "4-NOT SPECIFIED" -> 0.01, "5-LOW" -> 0.005),
+            seed = 42L)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      None),
+
     // HLL approximate distinct: approximate by construction → rows-only check.
     GraftQuery(
       "q24_approx_count_distinct",

@@ -35,6 +35,24 @@ class SinkSpec extends SparkTestBase {
       df.orderBy("id").collect().map(_.toString).toSeq)
   }
 
+  test("zstd-compressed parquet roundtrips (the recommended codec over gzip)") {
+    val out = Files.createTempDirectory("sink-zstd").toFile.getAbsolutePath + "/t"
+    val df = Tables(spark, "/root/testdata/sf0.001", "nation")
+    df.write.option("compression", "zstd").parquet(out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".zstd.parquet")))
+    assert(spark.read.parquet(out).count() == df.count())
+  }
+
+  test("observe: pipeline metrics ride the job without a second pass") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("rowstats")
+    val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .observe(obs, count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+    val n = df.count()
+    assert(obs.get("n").asInstanceOf[Long] == n)
+    assert(obs.get("total").asInstanceOf[Double] > 0)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("sink-part").toFile.getAbsolutePath + "/t"
     Tables(spark, "/root/testdata/sf0.001", "orders")

@@ -96,6 +96,35 @@ class QueryPackSpec extends SparkTestBase {
     }
   }
 
+  test("q64 stratified sample: deterministic, per-stratum fraction within 3x") {
+    val fn = SparkEntry.queries("q64_sample_stratified")
+    val a = fn(spark, sf).collect()
+    val b = fn(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val totals = Tables(spark, sf, "orders").groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    val fractions = Map("1-URGENT" -> 0.02, "2-HIGH" -> 0.02, "3-MEDIUM" -> 0.01,
+      "4-NOT SPECIFIED" -> 0.01, "5-LOW" -> 0.005)
+    sampled.foreach { case (k, n) =>
+      val expected = totals(k) * fractions(k)
+      assert(n <= expected * 3 + 5, s"$k sampled $n of expected ~$expected")
+    }
+  }
+
+  test("cache: reused plan reads from InMemoryTableScan (reference X3)") {
+    val df = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).count()
+    df.cache()
+    try {
+      df.count() // materialize
+      val plan = df.filter(col("l_returnflag") === "A")
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"expected cached scan: $plan")
+    } finally df.unpersist()
+  }
+
   test("flagship entry returns TPC-H Q1 shape with rows") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.contains("sum_qty"))

@@ -207,6 +207,36 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("checkpoint recovery: stateful query restarts from its state store") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    val in = MemoryStream[UserEvent](spark)
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, Double)]())
+    def start() = StreamingOps.runningUserTotals(in.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt) // foreachBatch sinks ARE recoverable
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserTotal], _: Long) =>
+        batch.collect().foreach(t => seen.add((t.user_id, t.n_events, t.total_value)))
+      }.start()
+
+    val q1 = start()
+    in.addData(UserEvent(9L, 10.0), UserEvent(9L, 20.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // same checkpoint → state must carry across restarts
+    in.addData(UserEvent(9L, 30.0))
+    q2.processAllAvailable()
+    try {
+      val latest = seen.toArray.map(_.asInstanceOf[(Long, Long, Double)])
+        .filter(_._1 == 9L).maxBy(_._2)
+      assert(latest._2 == 3L && latest._3 == 60.0,
+        s"state lost across restart: $latest")
+    } finally q2.stop()
+  }
+
   test("streaming and batch twins produce identical tumbling aggregates") {
     val batch = Seq(
       (ts("2024-01-01 00:01:00"), "click", 1.5),
