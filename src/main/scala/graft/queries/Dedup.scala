@@ -110,6 +110,50 @@ object Dedup extends QueryPack {
       },
       None),
 
+    // Capstone curation pipeline (the end-to-end shape a training-data run
+    // takes): language gate → quality gates (length, alpha ratio, stopword
+    // floor) → exact dedup keeping the smallest doc_id → per-source stats.
+    // One scan, one dedup shuffle, one final aggregation.
+    GraftQuery(
+      "q65_curation_pipeline",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("alpha_ratio",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") / col("n_chars"))
+          .withColumn("stop_hits", expr(
+            "size(filter(split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in')))").cast("long"))
+          .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 && col("stop_hits") >= 1)
+        val keep = d.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        d.join(keep, d("doc_id") === keep("keep_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("alpha_ratio")), 6).as("avg_alpha"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits
+        |  FROM documents WHERE lang = 'en'),
+        |g AS (SELECT * FROM f
+        |      WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stop_hits >= 1),
+        |k AS (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id FROM g GROUP BY 1)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(AVG(alpha_ratio), 6) AS avg_alpha,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        |FROM g JOIN k ON g.doc_id = k.keep_id
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Banded SimHash near-dup join: pigeonhole banding shuffles on
     // (band, key) so only same-band docs meet (sub-quadratic), distance
     // filtered by the codegen'd hamming64 Catalyst expression. Exactness
