@@ -219,6 +219,37 @@ object Extended extends QueryPack {
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Single-pass column profiler (ingest data-quality sweep): one
+    // aggregation over the data, one summary row per column.
+    GraftQuery(
+      "q66_profile_orders",
+      (s, dir) => {
+        graft.operators.Profiler.profile(
+          Tables(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+          .orderBy("column")
+      },
+      Some("""WITH p AS (
+        |  SELECT
+        |    COUNT(*) - COUNT(o_orderkey) AS nulls_ok, COUNT(DISTINCT o_orderkey) AS nd_ok,
+        |      CAST(MIN(o_orderkey) AS VARCHAR) AS min_ok, CAST(MAX(o_orderkey) AS VARCHAR) AS max_ok,
+        |    COUNT(*) - COUNT(o_custkey) AS nulls_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+        |      CAST(MIN(o_custkey) AS VARCHAR) AS min_ck, CAST(MAX(o_custkey) AS VARCHAR) AS max_ck,
+        |    COUNT(*) - COUNT(o_totalprice) AS nulls_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+        |      CAST(MIN(o_totalprice) AS VARCHAR) AS min_tp, CAST(MAX(o_totalprice) AS VARCHAR) AS max_tp,
+        |    COUNT(*) - COUNT(o_orderpriority) AS nulls_op, COUNT(DISTINCT o_orderpriority) AS nd_op,
+        |      CAST(MIN(o_orderpriority) AS VARCHAR) AS min_op, CAST(MAX(o_orderpriority) AS VARCHAR) AS max_op
+        |  FROM orders)
+        |SELECT 'o_custkey' AS "column", CAST(nulls_ck AS BIGINT) AS n_nulls,
+        |  CAST(nd_ck AS BIGINT) AS n_distinct, min_ck AS min_value, max_ck AS max_value FROM p
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(nulls_ok AS BIGINT), CAST(nd_ok AS BIGINT), min_ok, max_ok FROM p
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(nulls_op AS BIGINT), CAST(nd_op AS BIGINT), min_op, max_op FROM p
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(nulls_tp AS BIGINT), CAST(nd_tp AS BIGINT), min_tp, max_tp FROM p
+        |ORDER BY "column"""".stripMargin)),
+
     // Conditional aggregation (FILTER-clause shape) in one pass.
     GraftQuery(
       "q61_conditional_agg",
