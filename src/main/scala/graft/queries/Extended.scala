@@ -250,6 +250,63 @@ object Extended extends QueryPack {
         |SELECT 'o_totalprice', CAST(nulls_tp AS BIGINT), CAST(nd_tp AS BIGINT), min_tp, max_tp FROM p
         |ORDER BY "column"""".stripMargin)),
 
+    // Outlier detection via z-score, with variance computed from decimal
+    // moment sums (n, Σx, Σx²) so both engines accumulate identically —
+    // stddev_samp's float accumulation order would not hash-match.
+    GraftQuery(
+      "q67_outliers_zscore",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val moments = li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double").as("s1"),
+            sum((col("l_extendedprice") * col("l_extendedprice"))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double").as("s2"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("var", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        li.join(broadcast(moments), Seq("l_returnflag"))
+          .withColumn("z", (col("l_extendedprice") - col("mean")) / sqrt(col("var")))
+          .filter(abs(col("z")) > 1.5)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_outliers"),
+            round(max(abs(col("z"))), 6).as("max_abs_z"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |z AS (
+        |  SELECT l.l_returnflag,
+        |    (l.l_extendedprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+        |  round(MAX(abs(z)), 6) AS max_abs_z
+        |FROM z WHERE abs(z) > 1.5
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Equi-width histogram by integer bucket arithmetic (deterministic).
+    GraftQuery(
+      "q68_histogram_price",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(MIN(o_totalprice), 2) AS lo,
+        |  round(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Conditional aggregation (FILTER-clause shape) in one pass.
     GraftQuery(
       "q61_conditional_agg",
