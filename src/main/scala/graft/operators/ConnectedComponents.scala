@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — turns near-dup
+  * candidate PAIRS (MinHash/SimHash/cosine output) into dedup CLUSTERS, the
+  * step that decides which documents actually survive a dedup pass.
+  *
+  * Each iteration is one shuffle: every node adopts the smallest label in
+  * its neighborhood (neighbors ∪ self); convergence in O(diameter)
+  * iterations. Near-dup graphs are overwhelmingly tiny star/clique
+  * components, so 3–5 iterations close almost any real corpus; `maxIter`
+  * bounds the pathological chain. Checkpoint-free: each loop materializes
+  * only (node, label) pairs, never the growing lineage (localCheckpoint
+  * every few iters guards the long-chain case).
+  */
+object ConnectedComponents {
+
+  /** @param pairs two-column DataFrame of undirected edges (a, b)
+    * @return (node, component) where component = min node id reachable
+    */
+  def run(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq
+    // symmetric edge list + self-loops so isolated propagation keeps self
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node's new label = min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint() // cut lineage so plans stay O(1) per iteration
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

@@ -154,6 +154,29 @@ object Dedup extends QueryPack {
         |FROM g JOIN k ON g.doc_id = k.keep_id
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Dedup clusters: MinHash-LSH candidate pairs → connected components →
+    // one survivor (min doc_id) per cluster with the member list. Rows-only
+    // (iterative fixpoint isn't single-statement SQL); component correctness
+    // is pinned in ConnectedComponentsSpec.
+    GraftQuery(
+      "q69_dedup_clusters",
+      (s, dir) => {
+        import graft.functions.MinHash
+        import graft.operators.ConnectedComponents
+        val pairs = MinHash.candidatePairs(
+          Tables(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          numHashes = 16, bands = 4, shingleSize = 3)
+          .select(col("d1"), col("d2"))
+        ConnectedComponents.run(pairs)
+          .groupBy(col("component"))
+          .agg(
+            count(lit(1)).as("cluster_size"),
+            min(col("node")).as("survivor_id"),
+            concat_ws(",", array_sort(collect_list(col("node")))).as("members"))
+          .orderBy("component")
+      },
+      None),
+
     // Banded SimHash near-dup join: pigeonhole banding shuffles on
     // (band, key) so only same-band docs meet (sub-quadratic), distance
     // filtered by the codegen'd hamming64 Catalyst expression. Exactness

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components merge chains and cliques; isolated-by-edges nodes keep smallest id") {
+    // components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val cc = ConnectedComponents.run(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("long chain converges within the diameter bound") {
+    val n = 16
+    val pairs = (0 until n - 1).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+    val cc = ConnectedComponents.run(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until n).forall(i => cc(i.toLong) == 0L), cc.toString)
+  }
+
+  test("dedup clusters from MinHash candidates pick one survivor per cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "completely unrelated text with different words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.functions.MinHash.candidatePairs(
+      docs, "doc_id", "text", numHashes = 32, bands = 8, shingleSize = 3,
+      minEstSim = 0.3).select("d1", "d2")
+    val cc = ConnectedComponents.run(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2,3 form one cluster with survivor 1; 4 never appears (no pairs)
+    assert(cc.get(1L).contains(1L) && cc.get(3L).contains(1L))
+    assert(cc.get(2L).forall(_ == 1L)) // present iff the near-dup pair surfaced
+    assert(!cc.contains(4L))
+  }
+}
