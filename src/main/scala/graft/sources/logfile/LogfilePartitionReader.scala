@@ -48,21 +48,31 @@ final class LogfilePartitionReader(
 
   private val reader: LineReader = {
     val fs = hadoopPath.getFileSystem(conf)
-    LogfileCodec.forPath(conf, hadoopPath) match {
-      case Some(codec) =>
-        require(split.start == 0L, "codec'd files must be single whole-file splits")
-        end = Long.MaxValue
-        decompressor = CodecPool.getDecompressor(codec)
-        new LineReader(codec.createInputStream(fs.open(hadoopPath), decompressor), conf)
-      case None =>
-        val in = fs.open(hadoopPath)
-        if (split.start > 0) {
-          // the −1 trick (reference :184-196): land one byte early so a line
-          // starting exactly at `start` survives the partial-line discard.
-          in.seek(split.start - 1)
-          pos = split.start - 1
-        }
-        new LineReader(in, conf)
+    var in: java.io.InputStream = null
+    try {
+      LogfileCodec.forPath(conf, hadoopPath) match {
+        case Some(codec) =>
+          require(split.start == 0L, "codec'd files must be single whole-file splits")
+          end = Long.MaxValue
+          decompressor = CodecPool.getDecompressor(codec)
+          in = fs.open(hadoopPath)
+          new LineReader(codec.createInputStream(in, decompressor), conf)
+        case None =>
+          val raw = fs.open(hadoopPath)
+          in = raw
+          if (split.start > 0) {
+            // the −1 trick (reference :184-196): land one byte early so a line
+            // starting exactly at `start` survives the partial-line discard.
+            raw.seek(split.start - 1)
+            pos = split.start - 1
+          }
+          new LineReader(raw, conf)
+      }
+    } catch {
+      case t: Throwable => // don't leak the stream/decompressor on init failure
+        if (in != null) try in.close() catch { case _: Throwable => () }
+        if (decompressor != null) CodecPool.returnDecompressor(decompressor)
+        throw t
     }
   }
 
