@@ -74,40 +74,47 @@ object Similarity extends QueryPack {
         |                  (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.3
         |ORDER BY id1, id2""".stripMargin)),
 
-    // Random-hyperplane LSH ANN: 8 deterministic hyperplanes (seeded LCG,
-    // generated driver-side as literals) bucket vectors by sign pattern;
-    // top-k search runs only within the query's bucket. Rows-only check —
-    // recall vs the brute-force q42 is pinned in ScalaTest.
+    // Random-hyperplane LSH ANN, multi-table: L=10 independent tables of k=5
+    // deterministic hyperplanes (seeded LCG literals). A pair is a candidate
+    // if it shares a bucket in ANY table — L·(collision p)^k is the standard
+    // recall knob; one table of many planes has near-zero recall on a
+    // spread-out corpus. Rows-only check — recall ≥ floor vs brute-force
+    // q42 is pinned in ScalaTest.
     GraftQuery(
       "q44_similarity_ann_lsh",
       (s, dir) => {
         val dim = 64
-        val nPlanes = 8
-        // Deterministic pseudo-random hyperplanes from a fixed LCG seed.
+        val k = 5 // planes per table
+        val nTables = 10
         var state = 42L
         def nextUnit(): Double = {
           state = (state * 6364136223846793005L + 1442695040888963407L)
           ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
         }
-        val planes = Array.fill(nPlanes, dim)(nextUnit())
-        val planesCol = array(planes.toIndexedSeq.map(p => array(p.toIndexedSeq.map(lit): _*)): _*)
-
+        val planes = Array.fill(nTables, k, dim)(nextUnit())
+        // per-table bucket expressions as literals (evaluated once per row)
+        val bucketExprs = (0 until nTables).map { t =>
+          val bits = (0 until k).map { j =>
+            val p = planes(t)(j).toIndexedSeq
+            val dot = p.zipWithIndex
+              .map { case (w, i) => s"(${w}d * element_at(emb, ${i + 1}))" }
+              .mkString(" + ")
+            s"CASE WHEN ($dot) >= 0 THEN ${1L << j}L ELSE 0L END"
+          }.mkString(" + ")
+          s"($bits)"
+        }
         val e = normed(Tables(s, dir, "embeddings"))
-          .withColumn("planes", planesCol)
-          .withColumn("bucket", expr(
-            s"""aggregate(transform(sequence(0, ${nPlanes - 1}),
-               |  j -> CASE WHEN aggregate(zip_with(emb, element_at(planes, j + 1),
-               |                                    (a, b) -> a * b),
-               |                           CAST(0.0 AS DOUBLE), (a, x) -> a + x) >= 0
-               |            THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-               |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-          .drop("planes")
+          .select(col("vec_id"), col("emb"), col("norm2"),
+            posexplode(expr(s"array(${bucketExprs.mkString(",")})"))
+              .as(Seq("tbl", "bucket")))
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-            col("norm2").as("qn"), col("bucket"))
+            col("norm2").as("qn"), col("tbl"), col("bucket"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-        e.join(broadcast(q), Seq("bucket"))
+        e.join(broadcast(q.withColumnRenamed("qn", "qn2")), Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("qemb"),
+            col("qn2").as("qn"), col("emb"), col("norm2")).distinct()
           .withColumn("dot", expr(
             "aggregate(zip_with(qemb, emb, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
           .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("norm2"))))

@@ -62,6 +62,11 @@ class QueryPackSpec extends SparkTestBase {
       bruteAll.get((q, n)).foreach(bs => assert(math.abs(bs - sim) < 1e-9,
         s"pair ($q,$n) ann=$sim brute=$bs"))
     }
+    // multi-probe (bucket + hamming-1 neighbors) should recover a healthy
+    // fraction of the true top-5 sets
+    val annPairs = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.keySet.count(annPairs.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"multi-probe recall $recall below floor")
   }
 
   test("q40 MinHash-LSH candidates: est_sim ≈ exact Jaccard on sf docs (within 0.3)") {

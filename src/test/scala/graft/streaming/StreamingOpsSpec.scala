@@ -98,6 +98,29 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late events INSIDE the watermark horizon still aggregate") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = StreamingOps.tumblingCounts(
+      in.toDF.toDF("ts_t", "event_type", "value"), "ts_t", "10 minutes", "30 minutes")
+    val q = df.writeStream.format("memory").queryName("latesink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      // 19 minutes late relative to max event time, but watermark is 30m →
+      // must still land in the 00:00 window
+      in.addData((ts("2024-01-01 00:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:02:00"), "click", 5.0))
+      q.processAllAvailable()
+      val first = spark.table("latesink").collect()
+        .filter(_.getTimestamp(0).toString == "2024-01-01 00:00:00.0")
+        .maxBy(_.getLong(2))
+      assert(first.getLong(2) == 2L && first.getDouble(3) == 6.0,
+        s"late-but-in-horizon event lost: $first")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups keys inside the horizon") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val df = StreamingOps.dedupWithinWatermark(
