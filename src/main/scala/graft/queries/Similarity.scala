@@ -92,32 +92,39 @@ object Similarity extends QueryPack {
           ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
         }
         val planes = Array.fill(nTables, k, dim)(nextUnit())
-        // per-table bucket expressions as literals (evaluated once per row)
-        val bucketExprs = (0 until nTables).map { t =>
-          val bits = (0 until k).map { j =>
-            val p = planes(t)(j).toIndexedSeq
-            val dot = p.zipWithIndex
-              .map { case (w, i) => s"(${w}d * element_at(emb, ${i + 1}))" }
-              .mkString(" + ")
-            s"CASE WHEN ($dot) >= 0 THEN ${1L << j}L ELSE 0L END"
-          }.mkString(" + ")
-          s"($bits)"
-        }
+        // bucket computation as primitive loops per partition — a giant
+        // literal SQL expression for L·k·dim terms chokes Catalyst
+        val planesB = s.sparkContext.broadcast(planes)
+        import s.implicits._
         val e = normed(Tables(s, dir, "embeddings"))
-          .select(col("vec_id"), col("emb"), col("norm2"),
-            posexplode(expr(s"array(${bucketExprs.mkString(",")})"))
-              .as(Seq("tbl", "bucket")))
+          .as[(Long, Array[Double], Double)]
+          .flatMap { case (id, emb, n2) =>
+            val ps = planesB.value
+            (0 until nTables).map { t =>
+              var bucket = 0L
+              var j = 0
+              while (j < k) {
+                var d = 0.0
+                var i = 0
+                while (i < emb.length) { d += ps(t)(j)(i) * emb(i); i += 1 }
+                if (d >= 0) bucket |= (1L << j)
+                j += 1
+              }
+              (id, emb, n2, t, bucket)
+            }
+          }.toDF("vec_id", "emb", "norm2", "tbl", "bucket")
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
             col("norm2").as("qn"), col("tbl"), col("bucket"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
         e.join(broadcast(q.withColumnRenamed("qn", "qn2")), Seq("tbl", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"), col("qemb"),
-            col("qn2").as("qn"), col("emb"), col("norm2")).distinct()
           .withColumn("dot", expr(
             "aggregate(zip_with(qemb, emb, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
-          .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("norm2"))))
+          .withColumn("sim", col("dot") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
+          // dedup multi-table candidate collisions on scalars only — a
+          // distinct over the 64-wide embedding arrays would dominate runtime
+          .select(col("query_id"), col("vec_id"), col("sim")).distinct()
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
