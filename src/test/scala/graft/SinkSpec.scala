@@ -53,6 +53,19 @@ class SinkSpec extends SparkTestBase {
     assert(obs.get("total").asInstanceOf[Double] > 0)
   }
 
+  test("csv and json roundtrip with schema (interchange formats)") {
+    val base = Files.createTempDirectory("sink-fmt").toFile.getAbsolutePath
+    val df = Tables(spark, "/root/testdata/sf0.001", "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    df.write.option("header", "true").csv(s"$base/csv")
+    df.write.json(s"$base/json")
+    val csvBack = spark.read.option("header", "true").schema(df.schema).csv(s"$base/csv")
+    val jsonBack = spark.read.schema(df.schema).json(s"$base/json")
+    val want = df.orderBy("n_nationkey").collect().map(_.toString).toSeq
+    assert(csvBack.orderBy("n_nationkey").collect().map(_.toString).toSeq == want)
+    assert(jsonBack.orderBy("n_nationkey").collect().map(_.toString).toSeq == want)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = Files.createTempDirectory("sink-part").toFile.getAbsolutePath + "/t"
     Tables(spark, "/root/testdata/sf0.001", "orders")
