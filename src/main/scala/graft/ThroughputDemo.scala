@@ -1,0 +1,51 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Scaled replica of the reference's integration workload (README.md:92-100:
+  * 172.8M records, plain+gz, count-by-level vs generator truth) — run with
+  * `runMain graft.ThroughputDemo [recordsPerFile] [files]`.
+  */
+object ThroughputDemo {
+  def main(args: Array[String]): Unit = {
+    val perFile = args.headOption.map(_.toInt).getOrElse(1350000)
+    val files = args.drop(1).headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/graft_throughput"
+    val t0 = System.nanoTime()
+    val truth = sources.logfile.LogfileFixture.ensure(dir, files, perFile, seed = 99L)
+    println(f"TIMER generate: ${(System.nanoTime()-t0)/1e9}%.1f s for ${truth.total} records x2 (plain+gz)")
+    val plainBytes = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".log")).map(_.length).sum
+    val gzBytes = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz")).map(_.length).sum
+    println(f"TIMER corpus: plain ${plainBytes/1e9}%.2f GB, gz ${gzBytes/1e9}%.2f GB")
+
+    def read() = {
+      var r = spark.read.format("logfile")
+        .option("pattern", sources.logfile.LogfileFixture.PatternA)
+      for (i <- 1 until files by 2)
+        r = r.option(s"pattern.*_$i.log*", sources.logfile.LogfileFixture.PatternB)
+      r.load(dir)
+    }
+    // reference Test pipeline: count by level over plain+gz, compare to truth
+    val t1 = System.nanoTime()
+    val counts = read()
+      .withColumn("kind", when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
+      .withColumn("level", regexp_extract(
+        substring_index(col("record"), "\n", 1), "\\b(INFO|WARN|ERROR)\\b", 1))
+      .groupBy("kind", "level").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val secs = (System.nanoTime()-t1)/1e9
+    val totBytes = plainBytes + gzBytes // gz measured compressed on disk
+    println(f"TIMER read+count plain+gz: $secs%.1f s = ${2*truth.total/secs/1e6}%.2f M rec/s, ${(plainBytes*2)/1e6/secs}%.0f MB/s logical")
+    val ok = Seq("plain", "gz").forall { k =>
+      counts((k, "INFO")) == truth.info && counts((k, "WARN")) == truth.warn &&
+        counts((k, "ERROR")) == truth.error }
+    println(s"TIMER correctness vs generator truth: ${if (ok) "SUCCESS" else "FAILURE"}")
+    // cleanup the big corpus
+    new java.io.File(dir).listFiles().foreach(_.delete())
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
