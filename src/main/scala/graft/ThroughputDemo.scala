@@ -39,12 +39,13 @@ object ThroughputDemo {
     val secs = (System.nanoTime()-t1)/1e9
     val totBytes = plainBytes + gzBytes // gz measured compressed on disk
     println(f"TIMER read+count plain+gz: $secs%.1f s = ${2*truth.total/secs/1e6}%.2f M rec/s, ${(plainBytes*2)/1e6/secs}%.0f MB/s logical")
+    def got(k: String, l: String): Long = counts.getOrElse((k, l), 0L)
     val ok = Seq("plain", "gz").forall { k =>
-      counts((k, "INFO")) == truth.info && counts((k, "WARN")) == truth.warn &&
-        counts((k, "ERROR")) == truth.error }
+      got(k, "INFO") == truth.info && got(k, "WARN") == truth.warn &&
+        got(k, "ERROR") == truth.error }
     println(s"TIMER correctness vs generator truth: ${if (ok) "SUCCESS" else "FAILURE"}")
-    // cleanup the big corpus
-    new java.io.File(dir).listFiles().foreach(_.delete())
+    // always clean the big corpus, even on failure paths
+    Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
     spark.stop()
     if (!ok) sys.exit(1)
   }

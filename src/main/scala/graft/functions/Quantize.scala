@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Adds `q` (array<tinyint>) and `q_scale` (double); drops nothing. */
+  /** Adds `q` (array<tinyint>) and `q_scale` (double); drops nothing.
+    * An all-zero vector gets q_scale = 0 and quantizes to zeros (guarded —
+    * 0/0 would otherwise produce NaN and fail the TINYINT cast under ANSI).
+    */
   def int8(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("q_scale",
         expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"))
       .withColumn("q", expr(
-        s"""transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) / q_scale) AS TINYINT))"""))
+        s"""transform($vecCol, x -> CAST(CASE WHEN q_scale = 0.0 THEN 0.0
+           |  ELSE round(CAST(x AS DOUBLE) / q_scale) END AS TINYINT))""".stripMargin))
 
   /** Reconstructs an array<double> from (q, q_scale). */
   def dequantize(df: DataFrame, out: String = "deq"): DataFrame =

@@ -47,6 +47,12 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // non-convergence would silently split real clusters (duplicate docs
+    // surviving a dedup pass) — fail loudly; callers raise maxIter instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations — " +
+          "raise maxIter (components merge one hop per iteration)")
     labels.select(col("node"), col("label").as("component"))
   }
 }

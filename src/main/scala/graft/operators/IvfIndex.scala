@@ -52,10 +52,12 @@ object IvfIndex {
     require(cents.length == nLists, s"not enough rows for $nLists centroids")
     val bcCents = spark.sparkContext.broadcast(cents)
 
+    // localCheckpoint: the assignment pass feeds both the query collect and
+    // the scoring scan — without it the mapPartitions recomputes twice
     val assigned = vecs.mapPartitions { it =>
       val cs = bcCents.value
       it.map { case (id, v) => (id, v, nearestLists(v, cs, 1)(0)) }
-    }.toDF(idCol, "vec", "list")
+    }.toDF(idCol, "vec", "list").localCheckpoint()
 
     val queries = assigned
       .filter(queryPred)

@@ -35,9 +35,9 @@ object Extended extends QueryPack {
     GraftQuery(
       "q50_udtf_record_split",
       (s, _) => {
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_logfile_fixture"
-        LogfileFixture.ensure(dir, files = 4, recordsPerFile = 20000, seed = 42L)
-        val whole = s.read.option("wholetext", "true").text(s"$dir/fixture_0.log")
+        Logfile.ensureFixture() // same dir/params as the q47/q48 fixture
+        val whole = s.read.option("wholetext", "true")
+          .text(s"${Logfile.FixtureDir}/fixture_0.log")
         whole
           .select(explode(RecordSplitter.splitRecords(col("value"), LogfileFixture.PatternA))
             .as("record"))

@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Logfile extends QueryPack {
 
-  private val FixtureDir = s"${sys.props("java.io.tmpdir")}/graft_logfile_fixture"
+  /** Shared fixture location + parameters (also used by q50 in Extended). */
+  val FixtureDir = s"${sys.props("java.io.tmpdir")}/graft_logfile_fixture"
+  val FixtureFiles = 4
+  val FixtureRecordsPerFile = 20000
+  val FixtureSeed = 42L
+
+  def ensureFixture(): LogfileFixture.Truth =
+    LogfileFixture.ensure(FixtureDir, FixtureFiles, FixtureRecordsPerFile, FixtureSeed)
 
   private def readFixture(s: SparkSession): DataFrame = {
-    LogfileFixture.ensure(FixtureDir, files = 4, recordsPerFile = 20000, seed = 42L)
+    ensureFixture()
     s.read.format("logfile")
       .option("pattern", LogfileFixture.PatternA)
       .option("pattern.*_1.log*", LogfileFixture.PatternB)

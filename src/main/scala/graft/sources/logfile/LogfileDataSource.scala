@@ -76,9 +76,12 @@ private object LogfileOptions {
   /** DataFrameReader.load(paths*) passes "path" or a JSON-array "paths". */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      // minimal JSON string-array parse: ["a","b"]
-      js.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // JSON string-array parse honoring escapes — a naive split(",") would
+      // corrupt paths containing commas or quotes
+      val m = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(js)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      out.result()
     }
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
@@ -227,7 +230,11 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
     listFiles().flatMap { st =>
       val pattern = LogfileOptions.resolvePattern(options, st.getPath)
       val codec = codecs.getCodec(st.getPath)
-      if (codec != null) {
+      if (st.getLen == 0) {
+        // skip empty files in BOTH branches: a 0-byte .gz would otherwise
+        // get a partition and EOF inside the decompressor
+        Seq.empty
+      } else if (codec != null) {
         // whole-file single partition; splittable-compressed rejected at read
         Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern))
       } else {

@@ -43,7 +43,19 @@ object LogfileFixture {
     d.mkdirs()
     val rng = new Lcg(seed)
     var (total, info, warn, error, multi) = (0L, 0L, 0L, 0L, 0L)
-    val existing = d.listFiles() != null && d.listFiles().count(_.getName.endsWith(".log")) == files
+    // parameter marker: reuse on-disk files only if they were generated with
+    // the SAME (files, recordsPerFile, seed) — a crashed run with different
+    // parameters would otherwise be replayed against fresh truth counts
+    val marker = new File(d, "_params")
+    val params = s"$files,$recordsPerFile,$seed"
+    val existing = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == params &&
+      d.listFiles().count(_.getName.endsWith(".log")) == files
+    if (!existing) {
+      Option(d.listFiles()).foreach(_.filterNot(_.getName == "_params").foreach(_.delete()))
+      java.nio.file.Files.write(marker.toPath,
+        params.getBytes(StandardCharsets.UTF_8))
+    }
 
     for (i <- 0 until files) {
       val formatA = i % 2 == 0

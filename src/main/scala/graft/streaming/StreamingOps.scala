@@ -19,9 +19,13 @@ object StreamingOps {
 
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** events.ts arrives as BIGINT nanos (TESTDATA); expose an event-time col. */
+  /** events.ts arrives as BIGINT nanos (TESTDATA); expose an event-time col.
+    * Integer `div`, not float `/`: epoch nanos exceed double's 2^53 exact
+    * range, so float division can truncate a microsecond off boundary events
+    * and shift them into the previous window vs the batch twin.
+    */
   def withEventTime(df: DataFrame, nanosCol: String = "ts", out: String = "ts_t"): DataFrame =
-    df.withColumn(out, timestamp_micros(col(nanosCol) / 1000 cast "long"))
+    df.withColumn(out, timestamp_micros(expr(s"$nanosCol div 1000")))
 
   /** Tumbling windowed counts per event_type (streaming form of q30). */
   def tumblingCounts(df: DataFrame, tsCol: String, width: String,
@@ -68,12 +72,14 @@ object StreamingOps {
   def streamStreamJoin(left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
       watermark: String, joinWindow: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    // alias the sides so identical key/ts column names (the common case for
+    // two event streams sharing a schema) don't hit AMBIGUOUS_REFERENCE
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $joinWindow"))
   }
 
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
