@@ -26,4 +26,14 @@ class QuantizeSpec extends SparkTestBase {
     val schema = Quantize.int8(emb, "embedding").schema("q").dataType.sql
     assert(schema == "ARRAY<TINYINT>", schema)
   }
+
+  test("all-zero vectors quantize to zeros instead of NaN") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Quantize.int8(df, "embedding").orderBy("vec_id").collect()
+    assert(q(0).getSeq[Byte](q(0).fieldIndex("q")).toList == List[Byte](0, 0, 0))
+    assert(q(0).getDouble(q(0).fieldIndex("q_scale")) == 0.0)
+    assert(q(1).getSeq[Byte](q(1).fieldIndex("q")).max > 0)
+  }
 }

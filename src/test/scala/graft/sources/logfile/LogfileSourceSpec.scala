@@ -236,6 +236,25 @@ class LogfileSourceSpec extends SparkTestBase {
       "empty lines are continuations of the open record")
   }
 
+  test("zero-byte files (plain AND gz) are skipped at planning, not EOF-crashed") {
+    val dir = tmpDir("logfile-empty-gz")
+    write(dir, "real.log", "2017-01-01 00:00:00,001 INFO x\n")
+    write(dir, "empty.log", "")
+    Files.write(new File(dir, "empty.log.gz").toPath, Array.empty[Byte])
+    val rows = read(dir).collect()
+    assert(rows.length == 1, "empty plain and gz files contribute nothing")
+  }
+
+  test("multi-path load with escaped-JSON paths resolves each path") {
+    val dir1 = tmpDir("logfile-multi1")
+    val dir2 = tmpDir("logfile-multi2")
+    write(dir1, "a.log", "2017-01-01 00:00:00,001 INFO one\n")
+    write(dir2, "b.log", "2017-01-01 00:00:00,002 INFO two\n")
+    val df = spark.read.format("logfile").option("pattern", TsPat)
+      .load(s"$dir1/a.log", s"$dir2/b.log")
+    assert(df.count() == 2)
+  }
+
   test("splittable compressed input (bzip2) is rejected — reference :163-165 parity") {
     val dir = tmpDir("logfile-bzip2")
     val conf = new org.apache.hadoop.conf.Configuration()

@@ -188,6 +188,35 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join works when both sides share column names") {
+    val a = MemoryStream[(Timestamp, Long)](spark)
+    val b = MemoryStream[(Timestamp, Long)](spark)
+    // identical schemas on both sides — must not hit AMBIGUOUS_REFERENCE
+    val joined = StreamingOps.streamStreamJoin(
+      a.toDF.toDF("ts_t", "user_id"), "ts_t", "user_id",
+      b.toDF.toDF("ts_t", "user_id"), "ts_t", "user_id",
+      watermark = "10 minutes", joinWindow = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("samename")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      a.addData((ts("2024-01-01 00:00:00"), 1L))
+      b.addData((ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("samename").count() == 1)
+    } finally q.stop()
+  }
+
+  test("withEventTime keeps boundary nanos exact (integer div, not float)") {
+    import spark.implicits._
+    // a timestamp whose nanos exceed double's 2^53 exact-integer range and
+    // sit exactly on a minute boundary
+    val nanos = 1735689600000000000L // 2025-01-01 00:00:00 UTC in ns
+    val df = StreamingOps.withEventTime(Seq(nanos).toDF("ts"))
+    val t = df.collect()(0).getTimestamp(1)
+    assert(t.toInstant.toEpochMilli == nanos / 1000000,
+      s"boundary event shifted: $t")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     val in = MemoryStream[UserEvent](spark)
     val df = StreamingOps.runningUserTotals(in.toDS())
