@@ -1,0 +1,36 @@
+package graft
+
+/** Pins the plan shapes the 100 TB design depends on (SURVEY.md §4.2) — a
+  * regression here means a scan stopped pruning or a join stopped
+  * broadcasting even though results stay correct.
+  */
+class PlanPropertiesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q01: filter pushed to parquet, schema pruned, partial aggregation") {
+    val p = plan("q01_agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must not reach the scan")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q03: small dimension broadcasts") {
+    val p = plan("q03_join_broadcast_revenue_by_brand")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q19: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q19_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q47: logfile scan reads only the pruned columns") {
+    val p = plan("q47_logfile_count_by_level")
+    val scanLine = p.linesIterator.find(_.contains("LogfileScan")).getOrElse("")
+    assert(scanLine.contains("columns=file,record"), scanLine)
+  }
+}
