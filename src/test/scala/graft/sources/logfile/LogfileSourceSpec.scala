@@ -191,13 +191,22 @@ class LogfileSourceSpec extends SparkTestBase {
           sb.append(if (rnd.nextBoolean()) s"\tat x.Y.z(Y.java:${rnd.nextInt(99)})\n" else "\n")
       }
       write(dir, "p.log", sb.toString)
-      val one = read(dir).select("offset", "record").collect()
+      // gz twin of the same bytes: whole-file path must agree with every
+      // split size of the plain path
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new File(dir, "p.log.gz")))
+      try gz.write(sb.toString.getBytes(StandardCharsets.UTF_8)) finally gz.close()
+
+      val one = read(dir + "/p.log").select("offset", "record").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
       assert(one.length == expected)
+      val viaGz = read(dir + "/p.log.gz").select("offset", "record").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(viaGz == one, s"iter=$iter gz twin diverged")
       for (_ <- 0 until 4) {
         val splitBytes = 16 + rnd.nextInt(500)
-        val multi = read(dir, maxSplit = splitBytes).select("offset", "record").collect()
-          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        val multi = read(dir + "/p.log", maxSplit = splitBytes).select("offset", "record")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
         assert(multi == one, s"iter=$iter splitBytes=$splitBytes")
       }
     }
