@@ -63,6 +63,26 @@ object Logfile extends QueryPack {
       },
       None),
 
+    // Layout-parser pipeline: prebuilt log4j layout → per-minute severity
+    // counts over format-A fixture files (rows-only; parser values pinned
+    // in LogParsersSpec).
+    GraftQuery(
+      "q70_logfile_parsed_timeline",
+      (s, _) => {
+        import graft.sources.logfile.LogParsers
+        ensureFixture()
+        val df = s.read.format("logfile")
+          .option("pattern", LogParsers.Log4jDefault.headPattern)
+          .load(s"$FixtureDir/fixture_0.log", s"$FixtureDir/fixture_2.log")
+        LogParsers.parse(df, LogParsers.Log4jDefault)
+          .groupBy(date_trunc("minute", col("ts")).as("minute"), col("level"))
+          .agg(count(lit(1)).as("n"), sum(col("n_lines")).as("total_lines"))
+          .select(unix_micros(col("minute")).as("minute_us"), col("level"),
+            col("n"), col("total_lines"))
+          .orderBy("minute_us", "level")
+      },
+      None),
+
     // Reference Sample pipeline: Bernoulli sample → formatted export lines.
     GraftQuery(
       "q48_logfile_sample_format",
