@@ -22,7 +22,8 @@ object ConnectedComponents {
     */
   def run(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq
-    // symmetric edge list + self-loops so isolated propagation keeps self
+    // symmetric edge list; nodes with no edges never enter the frame (a
+    // document without near-dup candidates needs no cluster row)
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
