@@ -30,6 +30,7 @@ object ThroughputDemo {
     }
     // reference Test pipeline: count by level over plain+gz, compare to truth
     val t1 = System.nanoTime()
+    try {
     val counts = read()
       .withColumn("kind", when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
       .withColumn("level", regexp_extract(
@@ -44,9 +45,11 @@ object ThroughputDemo {
       got(k, "INFO") == truth.info && got(k, "WARN") == truth.warn &&
         got(k, "ERROR") == truth.error }
     println(s"TIMER correctness vs generator truth: ${if (ok) "SUCCESS" else "FAILURE"}")
-    // always clean the big corpus, even on failure paths
-    Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
-    spark.stop()
     if (!ok) sys.exit(1)
+    } finally {
+      // always clean the big corpus, even when the read/verify throws
+      Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
+      spark.stop()
+    }
   }
 }

@@ -34,16 +34,20 @@ object Logfile extends QueryPack {
       .load(FixtureDir)
   }
 
-  /** level + timestamp projection valid for both layouts (regex finds the
-    * level token and the `yyyy-MM-dd HH:mm:ss,SSS` stamp anywhere in the
-    * head line — reference P1, `test/LogfileType.java:21-23`).
+  /** Cross-layout projection (reference P1, `test/LogfileType.java:21-23`):
+    * unanchored ts/level regexes match both fixture formats A and B, reusing
+    * the shared [[graft.sources.logfile.LogParsers.parse]] implementation.
     */
-  private def parsed(df: DataFrame): DataFrame = df
-    .withColumn("head", substring_index(col("record"), "\n", 1))
-    .withColumn("level", regexp_extract(col("head"), "\\b(INFO|WARN|ERROR)\\b", 1))
-    .withColumn("ts", to_timestamp(
-      regexp_extract(col("head"), "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2},\\d{3})", 1),
-      "yyyy-MM-dd HH:mm:ss,SSS"))
+  private val MixedLayout = graft.sources.logfile.LogParsers.Layout(
+    name = "fixture-mixed",
+    headPattern = "", // resolution happens per-file at read time, not here
+    tsRegex = """(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3})""",
+    tsFormat = "yyyy-MM-dd HH:mm:ss,SSS",
+    levelRegex = """\b(INFO|WARN|ERROR)\b""",
+    msgRegex = """ - (.*)$""")
+
+  private def parsed(df: DataFrame): DataFrame =
+    graft.sources.logfile.LogParsers.parse(df, MixedLayout)
 
   def queries: Seq[GraftQuery] = Seq(
     // Reference Test pipeline: one shuffle instead of 4 filtered counts.

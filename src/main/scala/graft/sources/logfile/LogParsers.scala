@@ -46,12 +46,16 @@ object LogParsers {
     levelRegex = """^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b""",
     msgRegex = """\] (.*)$""")
 
-  /** ISO-8601 `2017-01-02T03:04:05.678Z LEVEL msg`. */
+  /** ISO-8601 UTC `2017-01-02T03:04:05.678Z LEVEL msg`. The Z is consumed
+    * by the timestamp format (`X`) so the instant stays UTC under any
+    * session timezone — capturing the digits without the zone would reparse
+    * them as session-local time.
+    */
   val Iso8601: Layout = Layout(
     name = "iso8601",
-    headPattern = """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z? .*""",
-    tsRegex = """^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3})""",
-    tsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    headPattern = """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z .*""",
+    tsRegex = """^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z)""",
+    tsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSX",
     levelRegex = """\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\b""",
     msgRegex = """ (?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL) (.*)$""")
 

@@ -80,11 +80,38 @@ private object LogfileOptions {
       // corrupt paths containing commas or quotes
       val m = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(js)
       val out = Seq.newBuilder[String]
-      while (m.find()) out += m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      while (m.find()) out += unescapeJson(m.group(1))
       out.result()
     }
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
+  }
+
+  /** Full JSON string-escape decoding (Jackson may emit \t, \n, \uXXXX for
+    * control characters in file names, not just \" and \\).
+    */
+  private def unescapeJson(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   def defaultPattern(options: CaseInsensitiveStringMap): String = {
@@ -238,10 +265,9 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
         // whole-file single partition; splittable-compressed rejected at read
         Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern))
       } else {
-        val len = st.getLen
-        if (len == 0) Seq.empty
-        else (0L until len by maxSplit).map { start =>
-          LogfilePartition(st.getPath.toString, start, math.min(start + maxSplit, len), pattern)
+        (0L until st.getLen by maxSplit).map { start =>
+          LogfilePartition(st.getPath.toString, start,
+            math.min(start + maxSplit, st.getLen), pattern)
         }
       }
     }.toArray

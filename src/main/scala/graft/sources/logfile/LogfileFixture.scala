@@ -43,19 +43,18 @@ object LogfileFixture {
     d.mkdirs()
     val rng = new Lcg(seed)
     var (total, info, warn, error, multi) = (0L, 0L, 0L, 0L, 0L)
-    // parameter marker: reuse on-disk files only if they were generated with
-    // the SAME (files, recordsPerFile, seed) — a crashed run with different
-    // parameters would otherwise be replayed against fresh truth counts
+    // parameter marker: reuse on-disk files only if a PREVIOUS run finished
+    // generating with the SAME (files, recordsPerFile, seed) — the marker is
+    // written only after the last file, so a crashed half-generated corpus
+    // (same or different parameters) is always regenerated
     val marker = new File(d, "_params")
     val params = s"$files,$recordsPerFile,$seed"
     val existing = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == params &&
-      d.listFiles().count(_.getName.endsWith(".log")) == files
-    if (!existing) {
-      Option(d.listFiles()).foreach(_.filterNot(_.getName == "_params").foreach(_.delete()))
-      java.nio.file.Files.write(marker.toPath,
-        params.getBytes(StandardCharsets.UTF_8))
-    }
+      d.listFiles().count(_.getName.endsWith(".log")) == files &&
+      d.listFiles().count(_.getName.endsWith(".log.gz")) == files
+    if (!existing)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
 
     for (i <- 0 until files) {
       val formatA = i % 2 == 0
@@ -94,6 +93,8 @@ object LogfileFixture {
         try gz.write(bytes) finally gz.close()
       }
     }
+    if (!existing)
+      java.nio.file.Files.write(marker.toPath, params.getBytes(StandardCharsets.UTF_8))
     Truth(total, info, warn, error, multi)
   }
 
