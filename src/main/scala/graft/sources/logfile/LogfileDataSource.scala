@@ -105,7 +105,7 @@ private object LogfileOptions {
           case 'r' => sb.append('\r'); i += 2
           case 'b' => sb.append('\b'); i += 2
           case 'f' => sb.append('\f'); i += 2
-          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case other => sb.append(other); i += 2
         }

@@ -262,6 +262,12 @@ class LogfileSourceSpec extends SparkTestBase {
     val df = spark.read.format("logfile").option("pattern", TsPat)
       .load(s"$dir1/a.log", s"$dir2/b.log")
     assert(df.count() == 2)
+    // a comma inside a path must survive the JSON paths round-trip
+    val dir3 = tmpDir("logfile-comma, dir")
+    write(dir3, "c.log", "2017-01-01 00:00:00,003 INFO three\n")
+    val df2 = spark.read.format("logfile").option("pattern", TsPat)
+      .load(s"$dir1/a.log", s"$dir3/c.log")
+    assert(df2.count() == 2, "path containing a comma was corrupted")
   }
 
   test("splittable compressed input (bzip2) is rejected — reference :163-165 parity") {
