@@ -19,15 +19,31 @@ object Bench {
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Time a noop-sink write, not .count(): under a bare count Catalyst
+    // prunes every projection and drops top-level sorts, so select/sort-heavy
+    // queries would under-measure. The noop sink consumes every row of the
+    // declared plan. Failures are recorded per query (never swallowed into a
+    // plausible-looking time).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch { case t: Throwable =>
+        Some(t.getClass.getSimpleName + ": " +
+          Option(t.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map { case (k, v, e) =>
+      "\"" + k + "\":" + (if (e.isDefined) -v else v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

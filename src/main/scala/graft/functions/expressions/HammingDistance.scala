@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session =>
       graft.plans.RewriteSingletonRepartition(session))
   }

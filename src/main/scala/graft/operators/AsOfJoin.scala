@@ -46,29 +46,42 @@ object AsOfJoin {
       tiebreak: Column,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Internal column names must not shadow caller columns: pick the first
+    // "__k", "__k_1", "__k_2", … suffix generation where none of the six
+    // working names exists in the left schema (right's columns never leak —
+    // they are projected into the working names up front).
+    val bases = Seq("__k", "__t", "__side", "__tb", "__payload", "__match")
+    val taken = leftCols.toSet
+    val sfx = Iterator.from(0)
+      .map(i => if (i == 0) "" else s"_$i")
+      .find(s => bases.forall(b => !taken.contains(b + s)))
+      .get
+    val (kC, tC, sideC, tbC, payC, matchC) =
+      ("__k" + sfx, "__t" + sfx, "__side" + sfx, "__tb" + sfx,
+        "__payload" + sfx, "__match" + sfx)
     val l = left
-      .withColumn("__k", leftKey)
-      .withColumn("__t", leftTime)
-      .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn(kC, leftKey)
+      .withColumn(tC, leftTime)
+      .withColumn(sideC, lit(1))
+      .withColumn(tbC, lit(null).cast("long"))
     val r = right.select(
-      rightKey.as("__k"),
-      rightTime.as("__t"),
-      lit(0).as("__side"),
-      tiebreak.cast("long").as("__tb"),
-      struct(payload.map(col): _*).as("__payload"))
+      rightKey.as(kC),
+      rightTime.as(tC),
+      lit(0).as(sideC),
+      tiebreak.cast("long").as(tbC),
+      struct(payload.map(col): _*).as(payC))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window
-      .partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .partitionBy(col(kC))
+      .orderBy(col(tC).asc, col(sideC).asc, col(tbC).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn(matchC, last(col(payC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
 
-    val out = leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p))
+    val out = leftCols.map(col) ++ payload.map(p => col(s"$matchC.$p").as(p))
     matched.select(out: _*)
   }
 }

@@ -44,11 +44,16 @@ object IvfIndex {
     val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
 
-    // deterministic centroids: a seeded sample of the corpus itself
-    val cents = vecs.sample(withReplacement = false, math.min(1.0, nLists * 20.0 /
-        math.max(df.count(), 1L)), seed)
-      .take(nLists * 4)
-      .sortBy(_._1).take(nLists).map(_._2)
+    // deterministic centroids: the nLists rows with the smallest seeded hash
+    // of their id — a uniform pseudo-random pick that needs no row count
+    // (sizing a sample fraction would cost an extra full-scan job) and plans
+    // as TakeOrderedAndProject: per-partition top-k, driver-side merge only.
+    val cents = vecs.toDF("__cid", "__cvec")
+      .orderBy(xxhash64(lit(seed), col("__cid")), col("__cid"))
+      .limit(nLists)
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1).map(_._2)
     require(cents.length == nLists, s"not enough rows for $nLists centroids")
     val bcCents = spark.sparkContext.broadcast(cents)
 

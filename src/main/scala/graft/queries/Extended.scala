@@ -185,7 +185,10 @@ object Extended extends QueryPack {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Approximate percentile (t-digest-style sketch) — the 100 TB path for
-    // q57; approximate by construction → rows-only.
+    // q57; approximate by construction → rows-only. Emitted as scalar
+    // p50/p90/p99 columns (same shape as q57), never array<double>: the
+    // driver's rows-only checker sorts column values in pandas and an
+    // array column crashes it (unhashable ndarray).
     GraftQuery(
       "q58_approx_percentile",
       (s, dir) => {
@@ -193,6 +196,10 @@ object Extended extends QueryPack {
           .groupBy(col("o_orderpriority"))
           .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)")
             .as("approx_pcts"))
+          .select(col("o_orderpriority"),
+            element_at(col("approx_pcts"), 1).as("p50"),
+            element_at(col("approx_pcts"), 2).as("p90"),
+            element_at(col("approx_pcts"), 3).as("p99"))
           .orderBy("o_orderpriority")
       },
       None),

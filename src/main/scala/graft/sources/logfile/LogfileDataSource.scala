@@ -257,17 +257,20 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
     listFiles().flatMap { st =>
       val pattern = LogfileOptions.resolvePattern(options, st.getPath)
       val codec = codecs.getCodec(st.getPath)
+      val fs = st.getPath.getFileSystem(conf)
       if (st.getLen == 0) {
         // skip empty files in BOTH branches: a 0-byte .gz would otherwise
         // get a partition and EOF inside the decompressor
         Seq.empty
       } else if (codec != null) {
         // whole-file single partition; splittable-compressed rejected at read
-        Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern))
+        Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern,
+          LogfileLocality.hosts(fs, st, 0L, st.getLen)))
       } else {
         (0L until st.getLen by maxSplit).map { start =>
-          LogfilePartition(st.getPath.toString, start,
-            math.min(start + maxSplit, st.getLen), pattern)
+          val end = math.min(start + maxSplit, st.getLen)
+          LogfilePartition(st.getPath.toString, start, end, pattern,
+            LogfileLocality.hosts(fs, st, start, end - start))
         }
       }
     }.toArray
@@ -277,13 +280,51 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
     new LogfileReaderFactory(conf, required)
   }
+
+  /** Scan observability (bytes read, records assembled, boundary-spanning
+    * records) — the `getProgress` parity item
+    * (`LogfileRecordReader.java:331-337`); values aggregate per-task via
+    * [[LogfilePartitionReader.currentMetricsValues]].
+    */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    LogfileMetrics.supported
 }
 
 /** One split: [start, end) byte range of `path` (decompressed-logical for
   * codec'd files, where end is MaxValue ⇒ whole file).
+  *
+  * `locations` are the HDFS block hosts holding this range, ranked by
+  * overlap, so the scheduler can place the task data-local — what the
+  * reference inherits from `FileInputFormat.getSplits`
+  * (`LogfileInputFormat.java:112-119`). Empty on filesystems without
+  * block topology.
   */
-final case class LogfilePartition(path: String, start: Long, end: Long, pattern: String)
-  extends InputPartition
+final case class LogfilePartition(path: String, start: Long, end: Long, pattern: String,
+    locations: Array[String] = Array.empty)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
+
+private[logfile] object LogfileLocality {
+  /** Hosts holding blocks overlapping [start, start+len), most bytes first. */
+  def hosts(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
+      start: Long, len: Long): Array[String] =
+    rank(Option(fs.getFileBlockLocations(st, start, len)).getOrElse(Array.empty), start, len)
+
+  /** Rank hosts by overlapping byte count with [start, start+len); ties keep
+    * block order (deterministic for a stable block report).
+    */
+  def rank(blocks: Array[org.apache.hadoop.fs.BlockLocation],
+      start: Long, len: Long): Array[String] = {
+    val byHost = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    blocks.foreach { b =>
+      val overlap = math.min(b.getOffset + b.getLength, start + len) - math.max(b.getOffset, start)
+      if (overlap > 0)
+        b.getHosts.foreach(h => byHost.update(h, byHost.getOrElse(h, 0L) + overlap))
+    }
+    byHost.toSeq.sortBy(-_._2).map(_._1).toArray
+  }
+}
 
 final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType)
     extends PartitionReaderFactory {

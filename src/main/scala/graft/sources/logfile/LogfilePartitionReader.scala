@@ -76,10 +76,17 @@ final class LogfilePartitionReader(
     }
   }
 
+  // logical position before realignment: bytes-read metric counts realignment
+  // reads too (must precede the `locally` block below in declaration order)
+  private val basePos: Long = pos
+
   private val line = new Text
   private var finished = false
   private var pendingHead: String = _
   private var pendingHeadPos: Long = 0L
+
+  private var recordsAssembled = 0L
+  private var recordsSpanning = 0L
 
   // --- realignment: discard partial line, then skip continuation lines
   // (they belong to the previous split; for start==0, leading junk before the
@@ -124,6 +131,7 @@ final class LogfilePartitionReader(
     val sb = new java.lang.StringBuilder(pendingHead)
     pendingHead = null
     var assembling = true
+    var spanned = false
     while (assembling) {
       val lineStart = pos
       val n = reader.readLine(line)
@@ -138,11 +146,16 @@ final class LogfilePartitionReader(
           } else finished = true // head at/past end → next split emits it
           assembling = false
         } else {
+          // continuation at/past split end ⇒ this record spans the boundary
+          // (invariant 3); MaxValue end (whole-file codec split) never spans
+          if (lineStart >= end) spanned = true
           sb.append('\n').append(s)
         }
       }
     }
     curRecord = sb.toString
+    recordsAssembled += 1
+    if (spanned) recordsSpanning += 1
     true
   }
 
@@ -156,6 +169,15 @@ final class LogfilePartitionReader(
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
+
+  /** Task-level scan metrics, polled by Spark per-batch and on task end;
+    * aggregated driver-side by [[LogfileMetrics.supported]].
+    */
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      LogfileMetrics.TaskMetric(LogfileMetrics.BytesRead, pos - basePos),
+      LogfileMetrics.TaskMetric(LogfileMetrics.RecordsAssembled, recordsAssembled),
+      LogfileMetrics.TaskMetric(LogfileMetrics.RecordsSpanningSplits, recordsSpanning))
 
   override def close(): Unit = {
     reader.close()

@@ -312,4 +312,60 @@ class LogfileSourceSpec extends SparkTestBase {
     val n = read(dir, LogfileFixture.PatternA).count()
     assert(n > 0)
   }
+
+  test("custom scan metrics: bytes read, records assembled, split-spanning records") {
+    val dir = tmpDir("logfile-metrics")
+    // two records, the first multiline so tiny splits force boundary spans
+    val content =
+      """2017-01-01 00:00:00,001 ERROR boom
+        |java.lang.IllegalStateException: x
+        |	at com.example.A.f(A.java:1)
+        |2017-01-01 00:00:00,002 INFO done
+        |""".stripMargin
+    write(dir, "a.log", content)
+    val df = read(dir, maxSplit = 16)
+    // collect() (not count()) so THIS QueryExecution's scan node runs — its
+    // SQL-metric accumulators are the ones asserted below
+    assert(df.collect().length == 2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    // metric values flow task → driver through the SQL-metric accumulators
+    // (the same channel the SQL UI reads); df.count() above populated them
+    val m = scan.metrics
+    assert(m.contains(LogfileMetrics.BytesRead)
+      && m.contains(LogfileMetrics.RecordsAssembled)
+      && m.contains(LogfileMetrics.RecordsSpanningSplits), m.keys.mkString(","))
+    assert(m(LogfileMetrics.RecordsAssembled).value == 2, m.toString)
+    // realignment re-reads make bytesRead ≥ file size under tiny splits
+    assert(m(LogfileMetrics.BytesRead).value >= content.getBytes.length, m.toString)
+    assert(m(LogfileMetrics.RecordsSpanningSplits).value >= 1,
+      "a 3-line record over 16-byte splits must span at least one boundary")
+  }
+
+  test("preferred locations: block hosts ranked by overlap; populated from local FS") {
+    import org.apache.hadoop.fs.BlockLocation
+    val blocks = Array(
+      new BlockLocation(Array("h1:1", "h2:1"), Array("h1", "h2"), 0L, 100L),
+      new BlockLocation(Array("h2:1", "h3:1"), Array("h2", "h3"), 100L, 100L))
+    // split [80, 180): 20 bytes from block 1, 80 from block 2 → h2 first
+    assert(LogfileLocality.rank(blocks, 80L, 100L).toSeq == Seq("h2", "h3", "h1"))
+    // no overlap → empty
+    assert(LogfileLocality.rank(blocks, 200L, 50L).isEmpty)
+
+    // end-to-end: local FS reports localhost for every block; the planner
+    // must attach it to each partition (the FileInputFormat.getSplits parity)
+    val dir = tmpDir("logfile-locality")
+    LogfileFixture.ensure(dir, files = 1, recordsPerFile = 200, seed = 9L)
+    val df = read(dir, LogfileFixture.PatternA, maxSplit = 4096)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputPartitions
+    assert(parts.length > 1, "expected a multi-split plan")
+    parts.foreach { p =>
+      assert(p.preferredLocations().contains("localhost"),
+        s"partition $p missing local-FS block host")
+    }
+  }
 }
