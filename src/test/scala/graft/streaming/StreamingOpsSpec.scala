@@ -167,6 +167,82 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("logfile readStream: maxFilesPerTrigger caps batches; offset stays O(watermark window)") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("logfile-stream-cap").toFile.getAbsolutePath
+    val base = System.currentTimeMillis() - 60000
+    def writeLog(name: String, n: Int, mtime: Long): Unit = {
+      val sb = new StringBuilder
+      for (i <- 0 until n)
+        sb.append(f"2017-01-01 00:00:${i % 60}%02d,000 INFO $name-$i\n")
+      val p = new java.io.File(dir, name).toPath
+      Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+    }
+    // distinct mtimes so the watermark window holds exactly one file
+    writeLog("f1.log", 3, base)
+    writeLog("f2.log", 4, base + 1000)
+    writeLog("f3.log", 5, base + 2000)
+    val stream = spark.readStream.format("logfile")
+      .option("pattern", """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*""")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+    val q = stream.writeStream.format("memory").queryName("logcap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logcap").count() == 12)
+      // the cap forces one file per batch → at least 3 data-bearing batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3, s"expected >=3 capped batches, got $dataBatches")
+      // offset is the high-water mark, not all files seen: after f3 the
+      // boundary holds only the single file at the watermark
+      val endOffset = q.lastProgress.sources.apply(0).endOffset
+      val parsed = graft.sources.logfile.LogfileHwmOffset.fromJson(endOffset)
+      assert(parsed.watermark == base + 2000, endOffset)
+      assert(parsed.boundary.keySet.map(new java.io.File(_).getName) == Set("f3.log"),
+        s"boundary must not accumulate history: $endOffset")
+
+      writeLog("f4.log", 2, base + 3000)
+      q.processAllAvailable()
+      assert(spark.table("logcap").count() == 14)
+      val off2 = graft.sources.logfile.LogfileHwmOffset.fromJson(
+        q.lastProgress.sources.apply(0).endOffset)
+      assert(off2.boundary.size == 1, "offset size grew with total files seen")
+    } finally q.stop()
+  }
+
+  test("logfile offset serde round-trips hostile paths; isNew honors lateness window") {
+    import graft.sources.logfile.LogfileHwmOffset
+    val nasty = Map(
+      "/data/a \"quoted\".log" -> 100L,
+      "/data/tab\there\nnewline.log" -> 200L,
+      "/data/unicode-é中.log" -> 200L)
+    val off = LogfileHwmOffset(200L, nasty)
+    val back = LogfileHwmOffset.fromJson(off.json())
+    assert(back == off, s"round-trip mangled: ${off.json()}")
+    assert(LogfileHwmOffset.fromJson(LogfileHwmOffset.Initial.json()) ==
+      LogfileHwmOffset.Initial)
+
+    // isNew: past watermark → new; in-boundary → seen; same-mtime different
+    // path → new; older than lateness window → dropped
+    assert(off.isNew("/data/later.log", 201L, 0L))
+    assert(!off.isNew("/data/unicode-é中.log", 200L, 0L))
+    assert(off.isNew("/data/sibling.log", 200L, 0L))
+    assert(!off.isNew("/data/backdated.log", 150L, 0L), "outside window must drop")
+    assert(off.isNew("/data/backdated.log", 150L, 60L), "lateness window admits it")
+
+    // advance prunes boundary entries that fall out of the window
+    val st = new org.apache.hadoop.fs.FileStatus(
+      1L, false, 1, 1L, 300L, new org.apache.hadoop.fs.Path("/data/new.log"))
+    val adv = off.advance(Seq(st), 0L)
+    assert(adv.watermark == 300L && adv.boundary == Map("/data/new.log" -> 300L))
+    val advLate = off.advance(Seq(st), 100L)
+    assert(advLate.boundary.size == 3, "lateness window keeps the 200L entries")
+  }
+
   test("stream-stream join matches pairs inside the interval, drops outside") {
     val clicks = MemoryStream[(Timestamp, Long)](spark)
     val buys = MemoryStream[(Timestamp, Long)](spark)
