@@ -11,23 +11,39 @@ import org.apache.spark.sql.functions._
   * its neighborhood (neighbors ∪ self); convergence in O(diameter)
   * iterations. Near-dup graphs are overwhelmingly tiny star/clique
   * components, so 3–5 iterations close almost any real corpus; `maxIter`
-  * bounds the pathological chain. Checkpoint-free: each loop materializes
-  * only (node, label) pairs, never the growing lineage (localCheckpoint
-  * every few iters guards the long-chain case).
+  * bounds the pathological chain. Each loop materializes only (node, label)
+  * pairs, never the growing lineage — the per-iteration checkpoint cuts it.
+  *
+  * Checkpoint durability: `localCheckpoint` stores blocks on executors, so
+  * an executor loss mid-job kills the computation — acceptable in local
+  * mode, not on a 1000-executor cluster. When the session has a reliable
+  * checkpoint dir (`sparkContext.setCheckpointDir`, typically HDFS) the
+  * iteration automatically checkpoints there instead; `reliable` overrides
+  * the autodetection either way.
   */
 object ConnectedComponents {
 
   /** @param pairs two-column DataFrame of undirected edges (a, b)
+    * @param reliable force reliable (`Some(true)`) or executor-local
+    *   (`Some(false)`) lineage cuts; default picks reliable iff a
+    *   checkpoint dir is configured
     * @return (node, component) where component = min node id reachable
     */
-  def run(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def run(pairs: DataFrame, maxIter: Int = 10,
+      reliable: Option[Boolean] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val useReliable = reliable.getOrElse(sc.getCheckpointDir.isDefined)
+    require(!useReliable || sc.getCheckpointDir.isDefined,
+      "reliable checkpoints need sparkContext.setCheckpointDir(<durable path>)")
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+
     val Seq(a, b) = pairs.columns.toSeq
     // symmetric edge list; nodes with no edges never enter the frame (a
     // document without near-dup candidates needs no cluster row)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = cut(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -38,10 +54,9 @@ object ConnectedComponents {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
+      val next = cut(labels.select(col("node"), col("label"))
         .union(viaNeighbors)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint() // cut lineage so plans stay O(1) per iteration
+        .groupBy("node").agg(min(col("label")).as("label"))) // lineage cut → O(1) plans per iteration
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count()
       converged = changed == 0

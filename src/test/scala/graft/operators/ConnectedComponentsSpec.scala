@@ -27,6 +27,29 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert((0 until n).forall(i => cc(i.toLong) == 0L), cc.toString)
   }
 
+  test("reliable checkpointing: same result with a durable checkpoint dir; loud without one") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    // forcing reliable mode without a checkpoint dir must fail fast, not at job end
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(pairs, reliable = Some(true))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // autodetected reliable mode (checkpoint dir now set) matches local mode
+      val cc = ConnectedComponents.run(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable mode must actually write checkpoint data")
+      val local = ConnectedComponents.run(pairs, reliable = Some(false))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == cc)
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("dedup clusters from MinHash candidates pick one survivor per cluster") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
