@@ -41,6 +41,46 @@ object BruteForceCosine {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact all pairs (id1 < id2, cosine ≥ threshold) with NO broadcast — the
+    * scale path past [[pairsAbove]]'s broadcast-build constraint. The
+    * upper-triangle pair space is tiled into `nBlocks·(nBlocks+1)/2` hash
+    * tiles keyed by (p, q): the left side replicates each row to every tile
+    * in its block's row, the right side to every tile in its block's column,
+    * then one shuffle join on the tile key lands each tile on one task.
+    * Shuffle volume is O(n·nBlocks) rows and per-task memory is
+    * O(n/nBlocks) — both tunable, neither driver- nor executor-broadcast-
+    * bound. Comparisons stay exactly the O(n²) the semantics demand.
+    *
+    * A cross-block pair meets in exactly one tile (smaller block on the
+    * left), a same-block pair twice — `p != q OR id < id2` keeps one. The
+    * kernel is symmetric bit-for-bit (double · and + are commutative;
+    * accumulation order is fixed), so least/greatest output is safe.
+    *
+    * Pick nBlocks ≈ √(2 · cluster cores) so every core gets a tile.
+    */
+  def pairsAboveBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 8): DataFrame = {
+    require(nBlocks > 0, s"nBlocks must be positive, got $nBlocks")
+    val vecs = df.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    def blk(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(nBlocks.toLong)).cast("int")
+    val left = vecs.toDF("id1", "v1")
+      .withColumn("p", blk(col("id1")))
+      .withColumn("q", explode(sequence(col("p"), lit(nBlocks - 1))))
+    val right = vecs.toDF("id2", "v2")
+      .withColumn("q", blk(col("id2")))
+      .withColumn("p", explode(sequence(lit(0), col("q"))))
+    left.join(right, Seq("p", "q"))
+      .filter(col("p") =!= col("q") || col("id1") < col("id2"))
+      .select(
+        least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        cosineSim(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact top-k neighbors for a set of query ids: (query_id, neighbor_id,
     * sim, rnk). The filtered query side is broadcast; every probe partition
     * scores its rows against each query, then one shuffle ranks k per query.

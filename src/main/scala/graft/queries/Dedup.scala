@@ -83,6 +83,38 @@ object Dedup extends QueryPack {
         |WHERE inter / (n1.nsh + n2.nsh - inter) >= 0.05
         |ORDER BY d1, d2""".stripMargin)),
 
+    // Prefix-filtered exact Jaccard (AllPairs/PPJoin pruning) at a
+    // dedup-grade threshold: candidates only need to share one of the
+    // RAREST ceil((1-t)·n)+1 shingles, so the self-join never touches the
+    // stopword-grade groups that dominate q39's shared-shingle join — yet
+    // results are exact and share q39's oracle shape.
+    GraftQuery(
+      "q72_dedup_jaccard_prefix",
+      (s, dir) => {
+        graft.operators.PrefixFilterJoin
+          .shinglePairs(Tables(s, dir, "documents"), "doc_id", "text", 0.6)
+          .select(col("d1"), col("d2"), col("inter"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     FOR i IN generate_series(1, len(ws) - 2)])) AS shingle
+        |  FROM t),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+        |  round(inter / (n1.nsh + n2.nsh - inter), 6) AS jaccard
+        |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+        |WHERE inter / (n1.nsh + n2.nsh - inter) >= 0.6
+        |ORDER BY d1, d2""".stripMargin)),
+
     // MinHash + LSH banding: signatures from md5-derived shingle hashes
     // (engine-portable), banded into buckets, candidate pairs within a
     // bucket. Estimated similarity = fraction of matching signature slots.

@@ -332,6 +332,52 @@ object Extended extends QueryPack {
         |  CAST(COUNT(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_bulk,
         |  CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
         |  CAST(COUNT(*) AS BIGINT) AS n_total
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Deterministic train/val/test split: bucket = first two hex chars of
+    // md5(doc_id) → 0..255, cut at 205/230 (~80/10/10). Content-addressed
+    // assignment is reproducible across engines, runs, and cluster sizes —
+    // the property a training-data pipeline needs so a document never
+    // migrates between splits when the corpus regrows. Hex parsed via
+    // instr('0123456789abcdef', ·) arithmetic, the portable subset both
+    // engines evaluate identically.
+    GraftQuery(
+      "q73_split_assignment",
+      (s, dir) => {
+        val hexpos: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          c => instr(lit("0123456789abcdef"), c) - 1
+        val h = md5(col("doc_id").cast("string"))
+        Tables(s, dir, "documents")
+          .withColumn("bucket",
+            (hexpos(substring(h, 1, 1)) * 16 + hexpos(substring(h, 2, 1))).cast("long"))
+          .withColumn("split",
+            when(col("bucket") < 205, "train")
+              .when(col("bucket") < 230, "val")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN bucket < 205 THEN 'train'
+        |         WHEN bucket < 230 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin))
   )
 }

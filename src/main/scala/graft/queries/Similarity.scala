@@ -74,6 +74,31 @@ object Similarity extends QueryPack {
         |                  (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.3
         |ORDER BY id1, id2""".stripMargin)),
 
+    // Same exact semantics as q43 but via the tiled shuffle join (no
+    // broadcast, no executor-memory build side) — the 100 TB exact path.
+    // Shares q43's oracle: results must be bit-identical.
+    GraftQuery(
+      "q71_similarity_neardup_blocked",
+      (s, dir) => {
+        graft.operators.BruteForceCosine
+          .pairsAboveBlocked(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            0.3, nBlocks = 8)
+          .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_reduce([a.emb[i] * b.emb[i] FOR i IN generate_series(1, len(a.emb))],
+        |                    (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce([a.emb[i] * b.emb[i] FOR i IN generate_series(1, len(a.emb))],
+        |                  (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.3
+        |ORDER BY id1, id2""".stripMargin)),
+
     // Random-hyperplane LSH ANN, multi-table: L=10 independent tables of k=5
     // deterministic hyperplanes (seeded LCG literals). A pair is a candidate
     // if it shares a bucket in ANY table — L·(collision p)^k is the standard

@@ -68,6 +68,26 @@ class CosineSimilaritySpec extends SparkTestBase {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got == truth, "broadcast-join pairsAbove must match local brute force bit-for-bit")
 
+    // blocked variant: same pairs bit-for-bit via an equi-join on tile keys.
+    // With auto-broadcast off (what a 100 TB input looks like to the
+    // planner) the plan must still be a pure shuffle join — the operator
+    // never REQUIRES a broadcastable side, unlike pairsAbove.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val gotBlocked = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val blocked = BruteForceCosine.pairsAboveBlocked(df, "vec_id", "embedding", 0.2, nBlocks = 4)
+      val blockedPlan = blocked.queryExecution.executedPlan.toString()
+      assert(!blockedPlan.contains("BroadcastNestedLoopJoin") &&
+        !blockedPlan.contains("BroadcastHashJoin"),
+        s"blocked all-pairs must survive without a broadcastable side: $blockedPlan")
+      blocked.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(gotBlocked == truth, "tiled join must reproduce broadcast results bit-for-bit")
+    // nBlocks=1 degenerates to a single tile and still matches
+    val oneTile = BruteForceCosine.pairsAboveBlocked(df, "vec_id", "embedding", 0.2, nBlocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(oneTile == truth)
+
     val topk = BruteForceCosine.topK(df, "vec_id", "embedding", col("vec_id") < 3, k = 4)
     val topkPlan = topk.queryExecution.executedPlan.toString()
     assert(topkPlan.contains("BroadcastNestedLoopJoin"),
