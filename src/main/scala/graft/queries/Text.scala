@@ -180,6 +180,98 @@ object Text extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, md5(norm) AS fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bag_fp
-        |FROM t ORDER BY doc_id""".stripMargin))
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Repetition-based quality filters (the Gopher/MassiveText rules recast
+    // for unstructured word streams): per-doc top-word fraction and
+    // duplicate-2-gram fraction, flagged against the published-style
+    // thresholds, aggregated per language. One scan, one shuffle; the
+    // per-doc mode is an O(len²) array fold bounded by doc length, never a
+    // join.
+    GraftQuery(
+      "q74_text_repetition_filters",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("top_word_n", expr(
+            "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))"))
+          .withColumn("grams2", expr(
+            "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+          .withColumn("n2", size(col("grams2")))
+          .withColumn("d2", size(array_distinct(col("grams2"))))
+          .withColumn("top_word_frac", col("top_word_n") / col("n_tokens"))
+          .withColumn("dup_2gram_frac", (col("n2") - col("d2")) / col("n2"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("top_word_frac") > 0.1 || col("dup_2gram_frac") > 0.15, 1L)
+              .otherwise(0L)).as("n_flagged"),
+            round(avg(col("top_word_frac")), 6).as("avg_top_word_frac"),
+            round(avg(col("dup_2gram_frac")), 6).as("avg_dup_2gram_frac"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    list_max([len(list_filter(ws, x -> x = w)) FOR w IN list_distinct(ws)]) AS top_word_n,
+        |    len([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)]) AS n2,
+        |    len(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)])) AS d2
+        |  FROM t WHERE len(ws) >= 2)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN top_word_n / n_tokens > 0.1 OR (n2 - d2) / n2 > 0.15
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(AVG(top_word_n / n_tokens), 6) AS avg_top_word_frac,
+        |  round(AVG((n2 - d2) / n2), 6) AS avg_dup_2gram_frac
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Benchmark decontamination: flag training docs sharing any distinct
+    // word-4-gram with the "benchmark" partition (doc_id % 10 = 0 stands in
+    // for an eval suite). Shape: explode distinct 4-grams once, semi-join
+    // train-side grams against the (much smaller) eval gram set, aggregate
+    // per doc then per language — the canonical overlap-decontamination
+    // pass run before every pretraining cut.
+    GraftQuery(
+      "q75_text_decontamination",
+      (s, dir) => {
+        val g = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 4)
+          .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+            "transform(sequence(0, size(ws) - 4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
+            .as("gram"))
+        val evalGrams = g.filter(col("doc_id") % 10 === 0)
+          .select(col("gram")).distinct()
+        g.filter(col("doc_id") % 10 =!= 0)
+          .join(evalGrams, Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("shared"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_contaminated"),
+            sum(col("shared")).as("total_shared"),
+            max(col("shared")).as("max_shared"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    [list_aggregate(ws[i:i+3], 'string_agg', ' ') FOR i IN generate_series(1, len(ws)-3)])) AS gram
+        |  FROM t),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, g.lang, COUNT(*) AS shared
+        |  FROM g JOIN eval_g USING (gram) WHERE g.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(shared) AS BIGINT) AS total_shared,
+        |  CAST(MAX(shared) AS BIGINT) AS max_shared
+        |FROM hits GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
