@@ -34,6 +34,29 @@ object Analytics extends QueryPack {
         |      FROM part) t
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin)),
 
+    // q15's semantics via the bounded-heap TopKAgg aggregator instead of a
+    // window: partial aggregation keeps ≤3 rows per (brand, map task) so the
+    // shuffle never carries the full table — the 100 TB top-k-per-group
+    // plan. Shares q15's oracle; results must be bit-identical.
+    GraftQuery(
+      "q76_topk_per_group_agg",
+      (s, dir) => {
+        val topk = udaf(graft.functions.TopKAgg(3))
+        Tables(s, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+          .select(col("p_brand"), posexplode(col("top")))
+          .select(col("p_brand"), col("col._2").as("p_partkey"),
+            col("col._1").as("p_retailprice"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy("p_brand", "rnk")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin)),
+
     GraftQuery(
       "q16_window_running_revenue",
       (s, dir) => {
