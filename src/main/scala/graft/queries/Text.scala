@@ -272,6 +272,30 @@ object Text extends QueryPack {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
         |  CAST(SUM(shared) AS BIGINT) AS total_shared,
         |  CAST(MAX(shared) AS BIGINT) AS max_shared
-        |FROM hits GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM hits GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Exact heavy hitters via the two-pass Misra–Gries pattern: the sketch
+    // pass shuffles ≤ k counters per map task (not the token stream), its
+    // no-miss guarantee nominates every ≥ phi candidate, and the exact pass
+    // re-counts candidates behind a pushed-down IN filter. Output equals the
+    // naive full groupBy + HAVING — which is exactly the oracle.
+    GraftQuery(
+      "q77_heavy_hitters",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        graft.functions.MisraGries.heavyHitters(words, col("word"), phi = 0.03, k = 64)
+          .select(col("token").as("word"), col("n"))
+          .orderBy("word")
+      },
+      Some("""WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word FROM w WHERE word <> ''),
+        |t AS (SELECT COUNT(*) AS n_total FROM f)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM f GROUP BY word
+        |HAVING COUNT(*) > 0.03 * (SELECT n_total FROM t)
+        |ORDER BY word""".stripMargin))
   )
 }
