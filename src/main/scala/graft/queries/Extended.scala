@@ -378,6 +378,46 @@ object Extended extends QueryPack {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
-        |FROM s GROUP BY split ORDER BY split""".stripMargin))
+        |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Temperature-based domain mixture (the alpha=0.5 sampling of
+    // multilingual pretraining): per-source weight ∝ sqrt(corpus chars),
+    // normalized to target fractions, then the per-source sampling rate
+    // that realizes them. sqrt is IEEE-correctly-rounded in both engines
+    // and weights are summed as decimals (order-independent), so the
+    // derived doubles are bit-identical cross-engine. One scan, one tiny
+    // (n_sources-row) aggregation — the weights table a 100 TB mixture job
+    // broadcasts to its samplers.
+    GraftQuery(
+      "q78_domain_mixture",
+      (s, dir) => {
+        val bySource = Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .withColumn("w", sqrt(col("n_chars")).cast("decimal(28,8)"))
+        val totals = bySource.agg(
+          sum(col("w")).as("tw"), sum(col("n_chars")).as("tc"))
+        bySource.crossJoin(broadcast(totals))
+          .withColumn("target_frac",
+            col("w").cast("double") / col("tw").cast("double"))
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            round(col("target_frac"), 6).as("target_frac"),
+            round(col("target_frac") * col("tc").cast("double") / col("n_chars"), 6)
+              .as("sample_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_chars,
+        |    CAST(sqrt(n_chars) AS DECIMAL(28,8)) AS w FROM s),
+        |t AS (SELECT SUM(w) AS tw, SUM(n_chars) AS tc FROM w)
+        |SELECT source, n_docs, n_chars,
+        |  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS target_frac,
+        |  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * CAST(tc AS DOUBLE) / n_chars, 6)
+        |    AS sample_rate
+        |FROM w, t ORDER BY source""".stripMargin))
   )
 }
