@@ -26,13 +26,22 @@ object PrefixFilterJoin {
   /** All pairs (d1 < d2) with token-set Jaccard ≥ threshold:
     * (d1, d2, inter, jaccard). `tokens` must be (docId, token) rows;
     * duplicates are collapsed (set semantics, like the naive join).
+    *
+    * `persist` (default true) caches the two multiply-referenced
+    * intermediates — the distinct token table (read 6×: frequency, doc
+    * sizes, both prefix sides, both verify sides) and the prefix table
+    * (both candidate sides) — as MEMORY_AND_DISK, turning six scan+explode
+    * passes into one. Disable for one-shot runs where recompute is cheaper
+    * than executor disk.
     */
   def jaccardPairs(tokens: DataFrame, docIdCol: String, tokenCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, persist: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val toks = tokens
-      .select(col(docIdCol).as("doc"), col(tokenCol).as("tok")).distinct()
+    def cached(df: DataFrame): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+    val toks = cached(tokens
+      .select(col(docIdCol).as("doc"), col(tokenCol).as("tok")).distinct())
     val nTok = toks.groupBy(col("doc")).agg(count(lit(1)).as("n"))
 
     // global rarity order: ascending document frequency, token as tiebreak.
@@ -43,12 +52,12 @@ object PrefixFilterJoin {
 
     // prefix = the (n - ceil(t·n) + 1) rarest tokens of each doc
     val perDocW = Window.partitionBy(col("doc")).orderBy(col("df"), col("tok"))
-    val prefixes = toks
+    val prefixes = cached(toks
       .join(ranked, Seq("tok"))
       .withColumn("pos", row_number().over(perDocW))
       .join(nTok, Seq("doc"))
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc"), col("tok"), col("n"))
+      .select(col("doc"), col("tok"), col("n")))
 
     // candidates: share ≥1 prefix token + mutual length bound for J ≥ t
     val cands = prefixes.toDF("d1", "tok", "n1")
