@@ -20,4 +20,16 @@ object Tables {
   /** Register every table as a temp view (for spark.sql-path queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Hash-spread `df` to full parallelism when its scan planned fewer
+    * partitions (a small table = one row group = one task, which would
+    * single-thread any explode/flatMap fan-out downstream). At scale the
+    * scan already has ≥ parallelism partitions and this is a no-op.
+    */
+  def spread(df: DataFrame, keyCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par)
+      df.repartition(par, org.apache.spark.sql.functions.col(keyCol))
+    else df
+  }
 }

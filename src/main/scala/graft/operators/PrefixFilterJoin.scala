@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join with prefix filtering — the published
@@ -27,53 +26,67 @@ object PrefixFilterJoin {
     * (d1, d2, inter, jaccard). `tokens` must be (docId, token) rows;
     * duplicates are collapsed (set semantics, like the naive join).
     *
-    * `persist` (default true) caches the two multiply-referenced
-    * intermediates — the distinct token table (read 6×: frequency, doc
-    * sizes, both prefix sides, both verify sides) and the prefix table
-    * (both candidate sides) — as MEMORY_AND_DISK, turning six scan+explode
-    * passes into one. Disable for one-shot runs where recompute is cheaper
-    * than executor disk.
+    * The whole per-doc state — token count, rarity-ordered token array, and
+    * its prefix slice — is built in ONE aggregation (global rarity order is
+    * the (df, tok) pair itself, so no global row_number, and the in-array
+    * `sort_array`/`slice` replace a per-doc window pass). That table is the
+    * only multiply-read intermediate; `persist` (default true) caches it
+    * MEMORY_AND_DISK so candidate generation and both verify sides reuse it
+    * instead of re-exploding the corpus.
     */
   def jaccardPairs(tokens: DataFrame, docIdCol: String, tokenCol: String,
       threshold: Double, persist: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    def cached(df: DataFrame): DataFrame =
-      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
-    val toks = cached(tokens
-      .select(col(docIdCol).as("doc"), col(tokenCol).as("tok")).distinct())
-    val nTok = toks.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val toks = tokens
+      .select(col(docIdCol).as("doc"), col(tokenCol).as("tok")).distinct()
+    // ascending document frequency, token as tiebreak — one consistent
+    // TOTAL order, which is all the prefix theorem needs. df comes from a
+    // whole-partition window on the tok shuffle (no second agg + join pass).
+    val withDf = toks.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    // per-doc state in one shuffle: n, tokens rarest-first, prefix =
+    // the (n - ceil(t·n) + 1) rarest
+    val docSets = withDf
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc"),
+        size(col("ordered")).cast("long").as("n"),
+        expr("transform(ordered, x -> x.tok)").as("toks"))
+      .withColumn("prefix", expr(
+        s"slice(toks, 1, cast(size(toks) - ceil($threshold * size(toks)) + 1 AS INT))"))
+    val cachedSets =
+      if (persist) docSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docSets
 
-    // global rarity order: ascending document frequency, token as tiebreak.
-    // The theorem needs any one consistent TOTAL order — the (df, tok) pair
-    // itself is one, so no global row_number (which would funnel every
-    // distinct token through a single-partition sort at scale)
-    val ranked = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-
-    // prefix = the (n - ceil(t·n) + 1) rarest tokens of each doc
-    val perDocW = Window.partitionBy(col("doc")).orderBy(col("df"), col("tok"))
-    val prefixes = cached(toks
-      .join(ranked, Seq("tok"))
-      .withColumn("pos", row_number().over(perDocW))
-      .join(nTok, Seq("doc"))
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc"), col("tok"), col("n")))
-
-    // candidates: share ≥1 prefix token + mutual length bound for J ≥ t
-    val cands = prefixes.toDF("d1", "tok", "n1")
-      .join(prefixes.toDF("d2", "tok", "n2"), Seq("tok"))
+    // candidates: share ≥1 prefix token, mutual length bound for J ≥ t, and
+    // the PPJoin positional bound — a token at (0-based) position p in the
+    // rarity order leaves at most n - p common tokens at or after it, so
+    // overlap ≤ min(n1-p1, n2-p2); J ≥ t forces overlap ≥
+    // ceil(t/(1+t)·(n1+n2)), and a pair none of whose shared prefix tokens
+    // can witness that bound is pruned before the verify join ever sees it
+    val pref = cachedSets.select(col("doc"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "tok")))
+    // required overlap: J ≥ t ⇔ I ≥ t/(1+t)·(n1+n2); ε guards the FP
+    // product from over-pruning an exact-boundary pair (over-keeping is
+    // harmless — the verify below is exact)
+    val alpha = lit(threshold / (1.0 + threshold)) * (col("n1") + col("n2")) - lit(1e-9)
+    val cands = pref.select(col("doc").as("d1"), col("n").as("n1"), col("pos").as("p1"), col("tok"))
+      .join(pref.select(col("doc").as("d2"), col("n").as("n2"), col("pos").as("p2"), col("tok")),
+        Seq("tok"))
       .filter(col("d1") < col("d2") &&
         col("n2") >= lit(threshold) * col("n1") &&
         col("n1") >= lit(threshold) * col("n2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(max(least(col("n1") - col("p1"), col("n2") - col("p2"))).as("ubound"))
+      .filter(col("ubound") >= alpha)
       .select(col("d1"), col("d2"), col("n1"), col("n2"))
-      .distinct()
 
-    // verify: true intersection against the full (sorted) token arrays
-    val sets = toks.groupBy(col("doc"))
-      .agg(array_sort(collect_list(col("tok"))).as("toks"))
+    // verify: true intersection against the full token arrays
+    // (array_intersect hashes — order is irrelevant)
     cands
-      .join(sets.select(col("doc").as("d1"), col("toks").as("t1")), Seq("d1"))
-      .join(sets.select(col("doc").as("d2"), col("toks").as("t2")), Seq("d2"))
+      .join(cachedSets.select(col("doc").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(cachedSets.select(col("doc").as("d2"), col("toks").as("t2")), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -85,7 +98,10 @@ object PrefixFilterJoin {
     */
   def shinglePairs(docs: DataFrame, docIdCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val ws = docs
+    // a small input (one parquet row group) plans as one partition, which
+    // would single-thread the explode fan-out below; spread it first (no-op
+    // at scale — see Tables.spread)
+    val ws = graft.Tables.spread(docs, docIdCol)
       .select(col(docIdCol).as("doc"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
     val sh = ws.select(col("doc"), explode(expr(

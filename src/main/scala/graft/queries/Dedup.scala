@@ -39,7 +39,9 @@ object Dedup extends QueryPack {
     GraftQuery(
       "q39_dedup_ngram_jaccard_pairs",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
+        // spread the single-row-group table before the shingle fan-out so
+        // the explode runs at full parallelism (no-op at scale)
+        val docs = Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
         val sh = docs.select(col("doc_id"), explode(array_distinct(expr(

@@ -243,6 +243,61 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(advLate.boundary.size == 3, "lateness window keeps the 200L entries")
   }
 
+  test("offset algebra property: random arrival/cap schedules process every file exactly once") {
+    import graft.sources.logfile.LogfileHwmOffset
+    // pure simulation of the latestOffset/planInputPartitions contract: files
+    // arrive with monotone non-decreasing mtimes (the documented producer
+    // contract), triggers admit up to `cap` in (mtime, path) order, batches
+    // take new(start) && !new(end). No file may be lost or double-read.
+    val rng = new scala.util.Random(42)
+    for (round <- 0 until 50) {
+      val nFiles = 1 + rng.nextInt(30)
+      // heavy mtime collisions on purpose: same-millisecond files exercise
+      // the boundary set
+      var clock = 1000L
+      val files = (0 until nFiles).map { i =>
+        if (rng.nextBoolean()) clock += rng.nextInt(3)
+        (s"/d/f$i.log", clock)
+      }
+      var offset = LogfileHwmOffset.Initial
+      val processed = scala.collection.mutable.ListBuffer.empty[String]
+      var triggers = 0
+      var visibleCount = 0
+      while (processed.size < nFiles && triggers < 200) {
+        triggers += 1
+        // more files "arrive" each trigger; visibility only ever grows
+        visibleCount = math.min(nFiles, visibleCount + 1 + rng.nextInt(5))
+        val visible = files.take(visibleCount)
+        val cap = 1 + rng.nextInt(4)
+        val candidates = visible
+          .filter { case (p, m) => offset.isNew(p, m, 0L) }
+          .sortBy { case (p, m) => (m, p) }
+          .take(cap)
+        if (candidates.nonEmpty) {
+          val statuses = candidates.map { case (p, m) =>
+            new org.apache.hadoop.fs.FileStatus(1L, false, 1, 1L, m,
+              new org.apache.hadoop.fs.Path(p))
+          }
+          val next = offset.advance(statuses, 0L)
+          // the batch re-derives its file set from the two offsets, as
+          // planInputPartitions does against a fresh listing
+          val batch = visible.filter { case (p, m) =>
+            offset.isNew(p, m, 0L) && !next.isNew(p, m, 0L)
+          }
+          assert(batch.map(_._1).sorted == candidates.map(_._1).sorted,
+            s"round $round: batch from offsets != admitted set")
+          processed ++= batch.map(_._1)
+          // offset JSON must round-trip at every step
+          assert(LogfileHwmOffset.fromJson(next.json()) == next)
+          offset = next
+        }
+      }
+      assert(processed.sorted == files.map(_._1).sorted,
+        s"round $round: lost or duplicated files: ${processed.sorted} vs all ${files.size}")
+      assert(processed.distinct.size == processed.size, s"round $round: double-read")
+    }
+  }
+
   test("stream-stream join matches pairs inside the interval, drops outside") {
     val clicks = MemoryStream[(Timestamp, Long)](spark)
     val buys = MemoryStream[(Timestamp, Long)](spark)
