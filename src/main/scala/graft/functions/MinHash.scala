@@ -33,7 +33,9 @@ object MinHash {
     val spark = df.sparkSession
     import spark.implicits._
     val coeffs = coefficients(numHashes)
-    df.select(col(idCol).cast("long"), col(textCol))
+    // small scans plan one partition — spread so hashing runs at full
+    // parallelism (no-op at scale, see Tables.spread)
+    graft.Tables.spread(df.select(col(idCol).cast("long").as(idCol), col(textCol)), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val hasher = new TokenHasher

@@ -50,7 +50,10 @@ object SimHash {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), lower(col(textCol)))
+    // spread small scans to full parallelism before the hashing pass
+    // (no-op at scale, see Tables.spread)
+    graft.Tables.spread(
+      df.select(col(idCol).cast("long").as(idCol), lower(col(textCol))), idCol)
       .as[(Long, String)]
       .mapPartitions { it =>
         val hasher = new TokenHasher

@@ -13,7 +13,7 @@ object Text extends QueryPack {
     GraftQuery(
       "q33_text_wordcount_top20",
       (s, dir) => {
-        Tables(s, dir, "documents")
+        Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
           .groupBy(col("word"))
@@ -122,7 +122,7 @@ object Text extends QueryPack {
       "q62_text_tfidf_top_terms",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables(s, dir, "documents")
+        val docs = Tables.spread(Tables(s, dir, "documents"), "doc_id")
         val n = docs.count()
         val tok = docs
           .filter(col("doc_id") < 100)
@@ -191,7 +191,7 @@ object Text extends QueryPack {
     GraftQuery(
       "q74_text_repetition_filters",
       (s, dir) => {
-        Tables(s, dir, "documents")
+        Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 2)
           .withColumn("n_tokens", size(col("ws")).cast("long"))
@@ -238,7 +238,7 @@ object Text extends QueryPack {
     GraftQuery(
       "q75_text_decontamination",
       (s, dir) => {
-        val g = Tables(s, dir, "documents")
+        val g = Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 4)
           .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
@@ -282,7 +282,7 @@ object Text extends QueryPack {
     GraftQuery(
       "q77_heavy_hitters",
       (s, dir) => {
-        val words = Tables(s, dir, "documents")
+        val words = Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
         graft.functions.MisraGries.heavyHitters(words, col("word"), phi = 0.03, k = 64)
