@@ -35,7 +35,14 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // full JSON string escaping incl. control chars (a tab inside an
+    // exception message must not invalidate the whole bench record)
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v, e) =>
       "\"" + k + "\":" + (if (e.isDefined) -v else v)
     }.mkString("{", ",", "}")

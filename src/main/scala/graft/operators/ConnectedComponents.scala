@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,41 +13,61 @@ import org.apache.spark.sql.functions._
   * iterations. Near-dup graphs are overwhelmingly tiny star/clique
   * components, so 3–5 iterations close almost any real corpus; `maxIter`
   * bounds the pathological chain. Each loop materializes only (node, label)
-  * pairs, never the growing lineage — the per-iteration checkpoint cuts it.
+  * pairs, never the growing lineage — the per-iteration cut caps plan depth.
   *
-  * Checkpoint durability: `localCheckpoint` stores blocks on executors, so
-  * an executor loss mid-job kills the computation — acceptable in local
-  * mode, not on a 1000-executor cluster. When the session has a reliable
-  * checkpoint dir (`sparkContext.setCheckpointDir`, typically HDFS) the
-  * iteration automatically checkpoints there instead; `reliable` overrides
-  * the autodetection either way.
+  * Cut durability: `localCheckpoint` stores blocks on executors, so an
+  * executor loss mid-job kills the computation — acceptable in local mode,
+  * not on a 1000-executor cluster. When the session has a checkpoint dir
+  * (`sparkContext.setCheckpointDir`, typically HDFS) the iteration instead
+  * cuts via explicit parquet round-trips in a per-run subdirectory — unlike
+  * `Dataset.checkpoint` (whose files nothing deletes unless the GC-driven
+  * cleaner happens to fire), each superseded iteration is deleted as the
+  * loop advances, so a run holds at most edges + two label tables on disk.
+  * The run directory (`<checkpointDir>/graft-cc-<uuid>`) keeps the edges and
+  * final-labels files backing the RETURNED DataFrame; delete it once the
+  * result has been consumed. `reliable` overrides the autodetection.
   */
 object ConnectedComponents {
 
   /** @param pairs two-column DataFrame of undirected edges (a, b)
-    * @param reliable force reliable (`Some(true)`) or executor-local
-    *   (`Some(false)`) lineage cuts; default picks reliable iff a
+    * @param reliable force durable (`Some(true)`) or executor-local
+    *   (`Some(false)`) lineage cuts; default picks durable iff a
     *   checkpoint dir is configured
     * @return (node, component) where component = min node id reachable
     */
   def run(pairs: DataFrame, maxIter: Int = 10,
       reliable: Option[Boolean] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     val useReliable = reliable.getOrElse(sc.getCheckpointDir.isDefined)
     require(!useReliable || sc.getCheckpointDir.isDefined,
       "reliable checkpoints need sparkContext.setCheckpointDir(<durable path>)")
-    def cut(df: DataFrame): DataFrame =
-      if (useReliable) df.checkpoint() else df.localCheckpoint()
+
+    val runDir = if (useReliable)
+      Some(new Path(sc.getCheckpointDir.get, s"graft-cc-${java.util.UUID.randomUUID()}"))
+    else None
+    val fs = runDir.map(_.getFileSystem(spark.sessionState.newHadoopConf()))
+    var cutId = 0
+    // returns the cut frame plus its backing path (None in local mode)
+    def cut(df: DataFrame): (DataFrame, Option[Path]) = runDir match {
+      case Some(root) =>
+        val p = new Path(root, s"cut-$cutId")
+        cutId += 1
+        df.write.parquet(p.toString)
+        (spark.read.parquet(p.toString), Some(p))
+      case None => (df.localCheckpoint(), None)
+    }
 
     val Seq(a, b) = pairs.columns.toSeq
     // symmetric edge list; nodes with no edges never enter the frame (a
     // document without near-dup candidates needs no cluster row)
-    val edges = cut(pairs.select(col(a).as("src"), col(b).as("dst"))
+    val (edges, _) = cut(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct())
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    var labelsPath: Option[Path] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -54,13 +75,17 @@ object ConnectedComponents {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val next = cut(labels.select(col("node"), col("label"))
+      val (next, nextPath) = cut(labels.select(col("node"), col("label"))
         .union(viaNeighbors)
-        .groupBy("node").agg(min(col("label")).as("label"))) // lineage cut → O(1) plans per iteration
+        .groupBy("node").agg(min(col("label")).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).count()
       converged = changed == 0
+      // the prior iteration's cut was fully consumed by the `changed` count
+      // above — delete it so disk holds O(1) tables, not O(iterations)
+      labelsPath.foreach(p => fs.foreach(_.delete(p, true)))
       labels = next
+      labelsPath = nextPath
       iter += 1
     }
     // non-convergence would silently split real clusters (duplicate docs

@@ -84,13 +84,21 @@ object PrefixFilterJoin {
 
     // verify: true intersection against the full token arrays
     // (array_intersect hashes — order is irrelevant)
-    cands
+    val out = cands
       .join(cachedSets.select(col("doc").as("d1"), col("toks").as("t1")), Seq("d1"))
       .join(cachedSets.select(col("doc").as("d2"), col("toks").as("t2")), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("inter"), col("jaccard"))
+    if (persist) {
+      // materialize the (near-dup pairs ≪ corpus) result eagerly, then
+      // release the per-doc cache — a lazy return would pin the widest
+      // intermediate in the block manager for the rest of the session
+      val result = out.localCheckpoint()
+      cachedSets.unpersist()
+      result
+    } else out
   }
 
   /** Word-3-shingle convenience over a text column, matching q39's

@@ -262,15 +262,21 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
         // skip empty files in BOTH branches: a 0-byte .gz would otherwise
         // get a partition and EOF inside the decompressor
         Seq.empty
-      } else if (codec != null) {
-        // whole-file single partition; splittable-compressed rejected at read
-        Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern,
-          LogfileLocality.hosts(fs, st, 0L, st.getLen)))
       } else {
-        (0L until st.getLen by maxSplit).map { start =>
-          val end = math.min(start + maxSplit, st.getLen)
-          LogfilePartition(st.getPath.toString, start, end, pattern,
-            LogfileLocality.hosts(fs, st, start, end - start))
+        // one block-location RPC per FILE (as FileInputFormat.getSplits
+        // does), then slice locally per split — not one RPC per split
+        val blocks = Option(fs.getFileBlockLocations(st, 0L, st.getLen))
+          .getOrElse(Array.empty)
+        if (codec != null) {
+          // whole-file single partition; splittable-compressed rejected at read
+          Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern,
+            LogfileLocality.rank(blocks, 0L, st.getLen)))
+        } else {
+          (0L until st.getLen by maxSplit).map { start =>
+            val end = math.min(start + maxSplit, st.getLen)
+            LogfilePartition(st.getPath.toString, start, end, pattern,
+              LogfileLocality.rank(blocks, start, end - start))
+          }
         }
       }
     }.toArray
@@ -306,11 +312,6 @@ final case class LogfilePartition(path: String, start: Long, end: Long, pattern:
 }
 
 private[logfile] object LogfileLocality {
-  /** Hosts holding blocks overlapping [start, start+len), most bytes first. */
-  def hosts(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus,
-      start: Long, len: Long): Array[String] =
-    rank(Option(fs.getFileBlockLocations(st, start, len)).getOrElse(Array.empty), start, len)
-
   /** Rank hosts by overlapping byte count with [start, start+len); ties keep
     * block order (deterministic for a stable block report).
     */

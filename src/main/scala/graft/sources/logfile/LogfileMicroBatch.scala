@@ -18,24 +18,26 @@ import org.apache.spark.util.SerializableConfiguration
   * exact same [[LogfilePartitionReader]] record-assembly core (SURVEY.md
   * §7.3, "streaming logfile source").
   *
-  * Offsets are a **(modification-time watermark, boundary set)** high-water
-  * mark, not the set of every file ever seen: `watermark` is the largest
-  * admitted mtime and `boundary` maps each admitted path *at* that watermark
-  * (within `latenessMs` of it) to its mtime. A file is new iff its mtime is
-  * past the watermark, or within the lateness window and not in the boundary.
-  * Offset size is therefore bounded by the number of files sharing the
-  * watermark window — it does NOT grow with the total files processed, so a
-  * year-long directory stream keeps O(1) checkpoints. Serde is real Jackson
-  * JSON, so any legal path (quotes, newlines, unicode) round-trips.
+  * Offsets carry a **(modification-time watermark, boundary set)** high-water
+  * mark plus the batch's own file list: `watermark` is the largest admitted
+  * mtime, `boundary` maps each admitted path within `latenessMs` of it to
+  * its mtime, and `files` pins exactly the paths admitted into the batch
+  * that ends at this offset — so a replayed batch re-reads precisely the
+  * files the original admitted, independent of listing timing. Offset size
+  * is O(lateness window + one batch), never O(files ever seen), so a
+  * year-long directory stream keeps small checkpoints. Serde is real
+  * Jackson JSON (any legal path round-trips).
   *
   * Admission control: `maxFilesPerTrigger` caps each batch; files are
   * admitted in (mtime, path) order so the watermark only ever advances past
   * files that were admitted. `settleTimeMs` (default 0) delays admission
   * until a file's mtime has been stable for that long — a guard for
-  * producers that write in place. The durable contract remains the standard
-  * file-stream one: produce by write-then-rename (atomic), after which files
-  * are immutable; a file back-dated to before `watermark - latenessMs` is
-  * dropped (raise `latenessMs` for skewed producer clocks).
+  * producers that write in place. `latenessMs` (default 5 minutes) is how
+  * long a file whose mtime predates the watermark can still become visible
+  * and be admitted — it covers the write→rename gap of atomic producers and
+  * modest copy-with-preserved-mtime skew; files surfacing with mtimes older
+  * than the window are dropped by contract (raise the window for laggier
+  * producers, at the cost of a proportionally larger boundary set).
   */
 final class LogfileMicroBatchStream(
     options: CaseInsensitiveStringMap,
@@ -52,7 +54,7 @@ final class LogfileMicroBatchStream(
       n
     }
   private val latenessMs: Long =
-    Option(options.get("latenessms")).map(_.toLong).getOrElse(0L)
+    Option(options.get("latenessms")).map(_.toLong).getOrElse(300000L)
   private val settleMs: Long =
     Option(options.get("settletimems")).map(_.toLong).getOrElse(0L)
 
@@ -80,6 +82,10 @@ final class LogfileMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
+  // latest full-admission offset from this trigger's listing, for progress
+  // reporting — avoids a second (and third) directory listing per trigger
+  @volatile private var lastReported: Offset = LogfileHwmOffset.Initial
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = LogfileHwmOffset.of(start)
     val cap = limit match {
@@ -97,37 +103,28 @@ final class LogfileMicroBatchStream(
       if (settleMs <= 0) candidates
       else candidates.takeWhile(_.getModificationTime <= settledBefore)
     val admitted = settled.take(cap)
+    lastReported =
+      if (settled.isEmpty) s else s.advance(settled, latenessMs)
     if (admitted.isEmpty) s else s.advance(admitted, latenessMs)
   }
 
-  override def reportLatestOffset(): Offset =
-    latestOffset(LogfileHwmOffset.Initial, ReadLimit.allAvailable())
+  override def reportLatestOffset(): Offset = lastReported
 
   override def deserializeOffset(json: String): Offset = LogfileHwmOffset.fromJson(json)
 
-  /** The batch is every currently-listed file that is new w.r.t. `start` and
-    * not new w.r.t. `end`. Under the immutable/monotone-mtime contract this
-    * is exactly the set admitted when `end` was computed, so replays after a
-    * failure rebuild the same batch.
+  /** The batch is exactly `end.files` — the paths admitted when `end` was
+    * computed, pinned in the offset so replays after a failure rebuild the
+    * same batch regardless of what the directory lists by then.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = LogfileHwmOffset.of(start)
-    val e = LogfileHwmOffset.of(end)
-    listFiles()
-      .filter { st =>
-        val p = st.getPath.toString
-        val m = st.getModificationTime
-        s.isNew(p, m, latenessMs) && !e.isNew(p, m, latenessMs)
-      }
-      .sortBy(_.getPath.toString)
-      .map { st =>
-        val path = st.getPath
-        val pattern = LogfileOptions.resolvePattern(options, path)
-        // one partition per new file: whole-file for codec'd files by
-        // necessity, and for plain files because a file must land in a single
-        // batch anyway; intra-file split parallelism is a batch-side concern.
-        LogfilePartition(path.toString, 0L, Long.MaxValue, pattern)
-      }.toArray
+    LogfileHwmOffset.of(end).files.sorted.map { p =>
+      val path = new Path(p)
+      val pattern = LogfileOptions.resolvePattern(options, path)
+      // one partition per new file: whole-file for codec'd files by
+      // necessity, and for plain files because a file must land in a single
+      // batch anyway; intra-file split parallelism is a batch-side concern.
+      LogfilePartition(p, 0L, Long.MaxValue, pattern)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -139,9 +136,12 @@ final class LogfileMicroBatchStream(
 
 /** High-water-mark offset: `watermark` = largest admitted mtime; `boundary` =
   * admitted paths with mtime within the lateness window of the watermark
-  * (path → mtime, so the window can be re-pruned as the watermark advances).
+  * (path → mtime, so the window can be re-pruned as the watermark advances);
+  * `files` = the paths admitted into the batch ending at this offset (the
+  * batch's replay manifest — O(one batch), not cumulative).
   */
-final case class LogfileHwmOffset(watermark: Long, boundary: Map[String, Long])
+final case class LogfileHwmOffset(
+    watermark: Long, boundary: Map[String, Long], files: Seq[String])
     extends Offset {
 
   /** New = strictly past the watermark, or inside the lateness window and not
@@ -153,7 +153,9 @@ final case class LogfileHwmOffset(watermark: Long, boundary: Map[String, Long])
   def advance(admitted: Seq[FileStatus], latenessMs: Long): LogfileHwmOffset = {
     val newWm = math.max(watermark, admitted.map(_.getModificationTime).max)
     val merged = boundary ++ admitted.map(st => st.getPath.toString -> st.getModificationTime)
-    LogfileHwmOffset(newWm, merged.filter(_._2 >= newWm - latenessMs))
+    // files stored sorted so serde round-trips preserve case-class equality
+    LogfileHwmOffset(newWm, merged.filter(_._2 >= newWm - latenessMs),
+      admitted.map(_.getPath.toString).sorted)
   }
 
   override def json(): String = {
@@ -161,6 +163,8 @@ final case class LogfileHwmOffset(watermark: Long, boundary: Map[String, Long])
     root.put("watermark", watermark)
     val b = root.putObject("boundary")
     boundary.toSeq.sortBy(_._1).foreach { case (p, m) => b.put(p, m) }
+    val f = root.putArray("files")
+    files.sorted.foreach(f.add)
     LogfileHwmOffset.Mapper.writeValueAsString(root)
   }
 }
@@ -169,7 +173,7 @@ object LogfileHwmOffset {
   private[logfile] val Mapper = new ObjectMapper()
 
   /** Nothing admitted yet: every listed file is new. */
-  val Initial: LogfileHwmOffset = LogfileHwmOffset(Long.MinValue, Map.empty)
+  val Initial: LogfileHwmOffset = LogfileHwmOffset(Long.MinValue, Map.empty, Seq.empty)
 
   def of(o: Offset): LogfileHwmOffset = o match {
     case h: LogfileHwmOffset => h
@@ -179,8 +183,10 @@ object LogfileHwmOffset {
   def fromJson(json: String): LogfileHwmOffset = {
     val root = Mapper.readTree(json)
     val wm = root.get("watermark").asLong()
-    val b = root.get("boundary")
-    val entries = b.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    LogfileHwmOffset(wm, entries)
+    val boundary = root.get("boundary").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+    val files = Option(root.get("files")).map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+    LogfileHwmOffset(wm, boundary, files)
   }
 }

@@ -42,8 +42,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
       val cc = ConnectedComponents.run(pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      assert(new java.io.File(dir).listFiles().nonEmpty,
-        "reliable mode must actually write checkpoint data")
+      // setCheckpointDir nests a session uuid dir; our run dirs live inside it
+      val runDirs = new java.io.File(sc.getCheckpointDir.get.stripPrefix("file:"))
+        .listFiles().filter(_.getName.startsWith("graft-cc-"))
+      assert(runDirs.nonEmpty, "reliable mode must actually write checkpoint data")
+      // superseded iterations are deleted as the loop advances: at most the
+      // edges table + the final (returned) labels table remain on disk
+      val cuts = runDirs.head.listFiles().filter(_.getName.startsWith("cut-"))
+      assert(cuts.length <= 2,
+        s"superseded iteration cuts must be deleted, found: ${cuts.map(_.getName).mkString(",")}")
       val local = ConnectedComponents.run(pairs, reliable = Some(false))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == cc)

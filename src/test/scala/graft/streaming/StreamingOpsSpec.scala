@@ -188,6 +188,7 @@ class StreamingOpsSpec extends SparkTestBase {
     val stream = spark.readStream.format("logfile")
       .option("pattern", """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*""")
       .option("maxFilesPerTrigger", "1")
+      .option("latenessMs", "0") // boundary window = files AT the watermark only
       .load(dir)
     val q = stream.writeStream.format("memory").queryName("logcap")
       .outputMode(OutputMode.Append()).start()
@@ -220,7 +221,7 @@ class StreamingOpsSpec extends SparkTestBase {
       "/data/a \"quoted\".log" -> 100L,
       "/data/tab\there\nnewline.log" -> 200L,
       "/data/unicode-é中.log" -> 200L)
-    val off = LogfileHwmOffset(200L, nasty)
+    val off = LogfileHwmOffset(200L, nasty, Seq("/data/unicode-é中.log"))
     val back = LogfileHwmOffset.fromJson(off.json())
     assert(back == off, s"round-trip mangled: ${off.json()}")
     assert(LogfileHwmOffset.fromJson(LogfileHwmOffset.Initial.json()) ==
@@ -239,6 +240,7 @@ class StreamingOpsSpec extends SparkTestBase {
       1L, false, 1, 1L, 300L, new org.apache.hadoop.fs.Path("/data/new.log"))
     val adv = off.advance(Seq(st), 0L)
     assert(adv.watermark == 300L && adv.boundary == Map("/data/new.log" -> 300L))
+    assert(adv.files == Seq("/data/new.log"), "offset must pin the batch's files")
     val advLate = off.advance(Seq(st), 100L)
     assert(advLate.boundary.size == 3, "lateness window keeps the 200L entries")
   }
@@ -279,14 +281,16 @@ class StreamingOpsSpec extends SparkTestBase {
               new org.apache.hadoop.fs.Path(p))
           }
           val next = offset.advance(statuses, 0L)
-          // the batch re-derives its file set from the two offsets, as
-          // planInputPartitions does against a fresh listing
-          val batch = visible.filter { case (p, m) =>
-            offset.isNew(p, m, 0L) && !next.isNew(p, m, 0L)
+          // the batch is exactly next.files (planInputPartitions' source of
+          // truth), replay-stable no matter what a later listing shows
+          val batch = next.files
+          assert(batch.sorted == candidates.map(_._1).sorted,
+            s"round $round: batch manifest != admitted set")
+          // and every admitted file is no longer new w.r.t. next
+          candidates.foreach { case (pp, mm) =>
+            assert(!next.isNew(pp, mm, 0L), s"round $round: $pp still new after admit")
           }
-          assert(batch.map(_._1).sorted == candidates.map(_._1).sorted,
-            s"round $round: batch from offsets != admitted set")
-          processed ++= batch.map(_._1)
+          processed ++= batch
           // offset JSON must round-trip at every step
           assert(LogfileHwmOffset.fromJson(next.json()) == next)
           offset = next
