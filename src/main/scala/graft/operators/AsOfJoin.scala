@@ -4,20 +4,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed as-of join (nearest prior match).
+/** Distributed as-of join: backward (nearest prior match), forward (nearest
+  * following match), or nearest (closer of the two, ties to backward) —
+  * the `merge_asof` surface, with an optional tolerance predicate.
   *
-  * For each left row, attach the right row with the greatest
-  * `(rightTime, tiebreak)` such that `rightTime <= leftTime` and the join
-  * keys are equal; left rows with no prior right row keep NULL payload
-  * (left-outer semantics).
+  * Backward attaches, per left row, the right row with the greatest
+  * `(rightTime, tiebreak)` such that `rightTime <= leftTime`; forward the
+  * smallest `(rightTime, tiebreak)` with `rightTime >= leftTime`; rows with
+  * no match keep NULL payload (left-outer semantics).
   *
   * Scale design: instead of a range join (quadratic worst case), both sides
   * are tagged and unioned, then a single hash shuffle on the key plus an
   * in-partition sort by `(time, side, tiebreak)` lets `last(payload,
-  * ignoreNulls)` carry the most recent right payload forward — one shuffle,
-  * one sort, linear in input. The payload travels as a single struct so a
-  * NULL field inside a matched right row can never "tear" and pick up a
-  * value from an older row.
+  * ignoreNulls)` carry the nearest right payload across to left rows — one
+  * shuffle, one sort per direction, linear in input ("nearest" runs both
+  * window orders over the same exchange). The payload travels as a single
+  * struct so a NULL field inside a matched right row can never "tear" and
+  * pick up a value from an older row.
   *
   * Skew caveat: window partitions are not splittable by AQE, so one
   * pathologically hot key serializes into a single task; if a key can hold
@@ -35,6 +38,12 @@ object AsOfJoin {
     * @param rightTime event-time expression over `right` (same type as leftTime)
     * @param tiebreak  total-order tiebreaker among right rows with equal time
     * @param payload   right columns to attach (must not collide with left's)
+    * @param direction "backward" (default), "forward", or "nearest"
+    *   ("nearest" requires a time type whose `-` yields a comparable value —
+    *   longs, doubles, timestamps; equidistant ties go backward)
+    * @param within    optional tolerance predicate (leftTime, matchedRightTime)
+    *   => keep; a match failing it is nulled out (e.g. `(lt, mt) => lt - mt
+    *   <= lit(86400L)` for "within a day" on epoch-second longs)
     */
   def apply(
       left: DataFrame,
@@ -44,21 +53,27 @@ object AsOfJoin {
       rightKey: Column,
       rightTime: Column,
       tiebreak: Column,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = "backward",
+      within: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     // Internal column names must not shadow caller columns: pick the first
-    // "__k", "__k_1", "__k_2", … suffix generation where none of the six
-    // working names exists in the left schema (right's columns never leak —
-    // they are projected into the working names up front).
-    val bases = Seq("__k", "__t", "__side", "__tb", "__payload", "__match")
-    val taken = leftCols.toSet
+    // "__k", "__k_1", "__k_2", … suffix generation where none of the
+    // working names exists in the left schema or the payload (right's other
+    // columns never leak — they are projected into the working names up
+    // front; "__mt" also names the match-time field inside the payload
+    // struct, so it must not collide with a payload column either).
+    val bases = Seq("__k", "__t", "__side", "__tb", "__payload", "__mb", "__mf", "__mt")
+    val taken = leftCols.toSet ++ payload
     val sfx = Iterator.from(0)
       .map(i => if (i == 0) "" else s"_$i")
       .find(s => bases.forall(b => !taken.contains(b + s)))
       .get
-    val (kC, tC, sideC, tbC, payC, matchC) =
+    val (kC, tC, sideC, tbC, payC, mbC, mfC, mtC) =
       ("__k" + sfx, "__t" + sfx, "__side" + sfx, "__tb" + sfx,
-        "__payload" + sfx, "__match" + sfx)
+        "__payload" + sfx, "__mb" + sfx, "__mf" + sfx, "__mt" + sfx)
     val l = left
       .withColumn(kC, leftKey)
       .withColumn(tC, leftTime)
@@ -69,19 +84,50 @@ object AsOfJoin {
       rightTime.as(tC),
       lit(0).as(sideC),
       tiebreak.cast("long").as(tbC),
-      struct(payload.map(col): _*).as(payC))
+      // match time rides inside the struct so tolerance/nearest can see it
+      struct((payload.map(col) :+ rightTime.as(mtC)): _*).as(payC))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window
-      .partitionBy(col(kC))
+    // backward: ascending time; at equal time rights sort first (<= match),
+    // ascending tiebreak so `last` carries the greatest
+    val wB = Window.partitionBy(col(kC))
       .orderBy(col(tC).asc, col(sideC).asc, col(tbC).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: descending time; at equal time rights still first (>= match),
+    // descending tiebreak so `last` carries the smallest
+    val wF = Window.partitionBy(col(kC))
+      .orderBy(col(tC).desc, col(sideC).asc, col(tbC).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = unioned
-      .withColumn(matchC, last(col(payC), ignoreNulls = true).over(w))
+    def tolerated(m: Column): Column = within match {
+      case Some(p) => when(m.isNotNull && p(col(tC), m.getField(mtC)), m)
+      case None => m
+    }
+    val withCands = direction match {
+      case "backward" =>
+        unioned.withColumn(mbC, tolerated(last(col(payC), ignoreNulls = true).over(wB)))
+          .withColumn(mfC, col(mbC))
+      case "forward" =>
+        unioned.withColumn(mfC, tolerated(last(col(payC), ignoreNulls = true).over(wF)))
+          .withColumn(mbC, col(mfC))
+      case "nearest" =>
+        unioned
+          .withColumn(mbC, tolerated(last(col(payC), ignoreNulls = true).over(wB)))
+          .withColumn(mfC, tolerated(last(col(payC), ignoreNulls = true).over(wF)))
+    }
+    // nearest: closer candidate wins, equidistant goes backward; the
+    // subtractions are both non-negative so no abs() is needed (works for
+    // any time type whose difference is comparable)
+    val chosen =
+      when(col(mbC).isNull, col(mfC))
+        .when(col(mfC).isNull, col(mbC))
+        .when(col(mfC).getField(mtC) - col(tC) < col(tC) - col(mbC).getField(mtC), col(mfC))
+        .otherwise(col(mbC))
+    val matched = withCands
+      .withColumn(mbC, chosen)
       .filter(col(sideC) === 1)
 
-    val out = leftCols.map(col) ++ payload.map(p => col(s"$matchC.$p").as(p))
+    val out = leftCols.map(col) ++ payload.map(p => col(s"$mbC.$p").as(p))
     matched.select(out: _*)
   }
 }

@@ -223,6 +223,40 @@ object Relational extends QueryPack {
         |) l ON true
         |ORDER BY e.event_id""".stripMargin)),
 
+    // Forward as-of with tolerance: q10's mirror — the EARLIEST order at or
+    // after each event, but only within 30 days (the merge_asof
+    // direction+tolerance surface). Same one-shuffle union+window plan.
+    GraftQuery(
+      "q79_asof_forward_tolerance",
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        val o = Tables(s, dir, "orders")
+        val tolUs = 30L * 86400L * 1000000L
+        AsOfJoin(
+          left = e,
+          leftKey = col("user_id"),
+          leftTime = col("ts_us"),
+          right = o,
+          rightKey = col("o_custkey"),
+          rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+          tiebreak = col("o_orderkey"),
+          payload = Seq("o_orderkey", "o_totalprice"),
+          direction = "forward",
+          within = Some((lt, mt) => mt - lt <= lit(tolUs)))
+          .select(col("event_id"), col("ts_us"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, epoch_us(e.ts) AS ts_us, l.o_orderkey, l.o_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        |    AND epoch_us(o.o_orderdate::TIMESTAMP) - epoch_us(e.ts) <= 2592000000000
+        |  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1
+        |) l ON true
+        |ORDER BY e.event_id""".stripMargin)),
+
     GraftQuery(
       "q11_agg_distinct_counts",
       (s, dir) => {

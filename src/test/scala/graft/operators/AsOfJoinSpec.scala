@@ -34,6 +34,47 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e4") == ((None, None)))             // key never on right
   }
 
+  test("forward / nearest / tolerance match a brute-force as-of over random data") {
+    val rng = new scala.util.Random(17)
+    val left = (0 until 200).map(i => (rng.nextInt(5).toLong, rng.nextInt(1000).toLong, i))
+    val right = (0 until 300).map(i => (rng.nextInt(5).toLong, rng.nextInt(1000).toLong, i.toLong))
+    val lDf = left.toDF("k", "t", "tag")
+    val rDf = right.toDF("rk", "rt", "rid")
+
+    def brute(dir: String, tol: Option[Long]): Map[Int, Option[Long]] =
+      left.map { case (k, t, tag) =>
+        val cands = right.filter(_._1 == k)
+        val back = cands.filter(_._2 <= t).sortBy(c => (c._2, c._3)).lastOption
+        val fwd = cands.filter(_._2 >= t).sortBy(c => (-c._2, -c._3)).lastOption
+        def ok(c: (Long, Long, Long)) = tol.forall(w => math.abs(c._2 - t) <= w)
+        val pick = dir match {
+          case "backward" => back.filter(ok)
+          case "forward" => fwd.filter(ok)
+          case "nearest" =>
+            val b = back.filter(ok); val f = fwd.filter(ok)
+            (b, f) match {
+              case (Some(bb), Some(ff)) =>
+                if (ff._2 - t < t - bb._2) Some(ff) else Some(bb) // tie → backward
+              case _ => b.orElse(f)
+            }
+        }
+        tag -> pick.map(_._3)
+      }.toMap
+
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(50L))) {
+      val within = tol.map(w => (lt: org.apache.spark.sql.Column,
+        mt: org.apache.spark.sql.Column) =>
+        mt - lt <= lit(w) && lt - mt <= lit(w))
+      val got = AsOfJoin(lDf, col("k"), col("t"), rDf, col("rk"), col("rt"),
+        tiebreak = col("rid"), payload = Seq("rid"),
+        direction = dir, within = within)
+        .select("tag", "rid").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == brute(dir, tol), s"direction=$dir tolerance=$tol")
+    }
+  }
+
   test("tiebreak picks the highest tiebreak among equal times; null fields don't tear") {
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "tag")
     val right = Seq(
