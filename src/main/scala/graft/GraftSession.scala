@@ -27,6 +27,7 @@ object GraftSession {
     // getOrCreate may return a pre-existing session, whose extensions were
     // fixed at creation — registering directly is idempotent either way
     graft.functions.expressions.HammingDistance.register(spark)
+    graft.functions.expressions.CosineSimilarity.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RewriteSingletonRepartition]))
       spark.experimental.extraOptimizations ++=

@@ -245,6 +245,48 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(advLate.boundary.size == 3, "lateness window keeps the 200L entries")
   }
 
+  test("end-to-end: logfile stream -> parse -> watermarked tumbling counts") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    val dir = Files.createTempDirectory("logfile-e2e").toFile.getAbsolutePath
+    def writeLog(name: String, lines: Seq[String]): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    writeLog("a.log", Seq(
+      "2024-01-01 10:05:00,000 INFO start",
+      "2024-01-01 10:20:00,000 ERROR boom",
+      "\tat x.y(Z.java:1)", // continuation folds into the ERROR record
+      "2024-01-01 10:40:00,000 INFO tick"))
+    val parsed = spark.readStream.format("logfile")
+      .option("pattern", """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*""")
+      .load(dir)
+      .select(
+        to_timestamp(substring(col("record"), 1, 23), "yyyy-MM-dd HH:mm:ss,SSS").as("ts_t"),
+        regexp_extract(substring_index(col("record"), "\n", 1),
+          "\\b(INFO|WARN|ERROR)\\b", 1).as("event_type"),
+        lit(1.0).as("value"))
+    val agg = StreamingOps.tumblingCounts(parsed, "ts_t", "30 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("loge2e")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // second file lands in a later trigger, inside the watermark horizon
+      // (max event 10:40 - 10m = 10:30), joining the open 10:30 window
+      writeLog("b.log", Seq("2024-01-01 10:35:00,000 INFO more"))
+      q.processAllAvailable()
+      val rows = spark.table("loge2e").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows(("2024-01-01 10:00:00.0", "INFO")) == 1L)
+      assert(rows(("2024-01-01 10:00:00.0", "ERROR")) == 1L,
+        "multiline ERROR record must count once, not once per line")
+      // the later-trigger INFO updates the open 10:30 window: tick + more
+      val updated = spark.table("loge2e").collect()
+        .filter(r => r.getTimestamp(0).toString == "2024-01-01 10:30:00.0" &&
+          r.getString(1) == "INFO").map(_.getLong(2)).max
+      assert(updated == 2L, "file from a later trigger must update the open window")
+    } finally q.stop()
+  }
+
   test("offset algebra property: random arrival/cap schedules process every file exactly once") {
     import graft.sources.logfile.LogfileHwmOffset
     // pure simulation of the latestOffset/planInputPartitions contract: files
