@@ -96,6 +96,75 @@ object Events extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_s
         |FROM g GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin))
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Ordered conversion funnel view → click → purchase: each stage's
+    // earliest event must be at-or-after the previous stage's. Three
+    // per-user aggregations chained by joins (each stage's frame shrinks),
+    // one output row of stage counts + conversion rates — the product-
+    // analytics primitive, expressed as plain shuffles that scale.
+    GraftQuery(
+      "q80_funnel_steps",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") >= col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") >= col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+          .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+            round(col("n_view_click") / col("n_view"), 6).as("rate_click"),
+            round(col("n_full_funnel") / col("n_view_click"), 6).as("rate_purchase"))
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+        |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
+        |  round((SELECT COUNT(*) FROM c) / (SELECT COUNT(*) FROM v), 6) AS rate_click,
+        |  round((SELECT COUNT(*) FROM p) / (SELECT COUNT(*) FROM c), 6) AS rate_purchase""".stripMargin)),
+
+    // Weekly retention cohorts: cohort = a user's first active epoch-week
+    // (integer 604800-second buckets — no calendar-week semantics to
+    // disagree on), then distinct active (user, week) pairs counted per
+    // (cohort, offset). Two shuffles: per-user min, then the cohort
+    // aggregation.
+    GraftQuery(
+      "q81_retention_cohorts",
+      (s, dir) => {
+        val weeks = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 604800000000000").as("week_idx"))
+          .distinct()
+        val first = weeks.groupBy(col("user_id")).agg(min(col("week_idx")).as("cohort_week"))
+        weeks.join(first, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("week_idx") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week_idx
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM w GROUP BY 1)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(week_idx - cohort_week AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }
