@@ -418,6 +418,32 @@ object Extended extends QueryPack {
         |  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS target_frac,
         |  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * CAST(tc AS DOUBLE) / n_chars, 6)
         |    AS sample_rate
-        |FROM w, t ORDER BY source""".stripMargin))
+        |FROM w, t ORDER BY source""".stripMargin)),
+
+    // Deterministic stratified subsample: the 3 docs with the smallest
+    // md5(doc_id) per source — content-addressed, so the "random" pick is
+    // reproducible across engines, runs, and corpus regrowth (a doc keeps
+    // its slot unless a smaller-hash doc appears in its stratum). The
+    // reproducible-eval-subset primitive; Spark 4's WindowGroupLimit pushes
+    // the rank<=3 bound into the sort, so no stratum is fully sorted.
+    GraftQuery(
+      "q82_stratified_deterministic",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("source", "rnk")
+      },
+      Some("""SELECT source, doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT source, doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents) t
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
   )
 }
