@@ -444,6 +444,70 @@ object Extended extends QueryPack {
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         |      FROM documents) t
-        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)),
+
+    // Sequence-length bucketing for batch packing: pad-to-multiple-of-32
+    // buckets with document counts, real vs padded token totals, and the
+    // padding-waste fraction per bucket — the accounting a packing pipeline
+    // runs before choosing bucket boundaries. One scan, one aggregation.
+    GraftQuery(
+      "q83_length_buckets",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("bucket", (ceil(col("n_tokens") / 32.0) * 32).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("bucket") - col("n_tokens")).as("pad_tokens"),
+            round(sum(col("bucket") - col("n_tokens")) / sum(col("bucket")), 6)
+              .as("waste_frac"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (
+        |  SELECT n_tokens, CAST(ceil(n_tokens / 32.0) * 32 AS BIGINT) AS bucket FROM t)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens,
+        |  round(SUM(bucket - n_tokens) / SUM(bucket), 6) AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Embedding-table quality profile: vector count, dimension bounds,
+    // zero-norm (undefined-cosine) count, and norm mass — the sanity gate
+    // before any similarity pass. L2 norms fold element-ascending (both
+    // engines agree bit-for-bit, as in q42) and sum through DECIMAL so
+    // aggregation order can't smear the total.
+    GraftQuery(
+      "q84_embedding_quality",
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            sqrt(expr(
+              "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"))
+              .as("l2"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            min(col("dim")).as("min_dim"),
+            max(col("dim")).as("max_dim"),
+            sum(when(col("l2") === 0, 1L).otherwise(0L)).as("n_zero"),
+            sum(col("l2").cast("decimal(28,8)")).cast("double").as("sum_l2"),
+            round(sum(col("l2").cast("decimal(28,8)")).cast("double") / count(lit(1)), 6)
+              .as("avg_l2"))
+      },
+      Some("""WITH n AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding],
+        |                     (a, b) -> a + b)) AS l2
+        |  FROM embeddings)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(MIN(dim) AS BIGINT) AS min_dim, CAST(MAX(dim) AS BIGINT) AS max_dim,
+        |  CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CAST(l2 AS DECIMAL(28,8))) AS DOUBLE) AS sum_l2,
+        |  round(CAST(SUM(CAST(l2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS avg_l2
+        |FROM n""".stripMargin))
   )
 }
