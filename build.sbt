@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // tests assert Timestamp.toString renderings, which use the JVM default
+  // zone — pin it so assertions hold on any host
+  "-Duser.timezone=UTC",
   // 8g thrashes GC once the bench accumulates broadcast/collect garbage
   // across 60+ queries (q41 spiked 0.3s → 13s); 24g keeps pauses negligible
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
