@@ -223,6 +223,66 @@ object Relational extends QueryPack {
         |) l ON true
         |ORDER BY e.event_id""".stripMargin)),
 
+    // Salted skew-join, oracle-proven: revenue by brand through
+    // SaltedJoin's (key, shard) rewrite must hash-match the plain-join SQL —
+    // salting redistributes rows, never changes them. The declared proof
+    // that the skew tool is semantics-preserving.
+    GraftQuery(
+      "q85_salted_join_revenue",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        graft.operators.SaltedJoin(li, col("l_partkey"), p, col("p_partkey"), salts = 8)
+          .groupBy(col("p_brand"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Nearest as-of: the closest order in either direction per event,
+    // equidistant ties to backward; tie-break inside a date is max orderkey
+    // on the backward side, min on the forward side (the window's carry
+    // order), which the oracle mirrors with a signed-key CASE.
+    GraftQuery(
+      "q86_asof_nearest",
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        val o = Tables(s, dir, "orders")
+        AsOfJoin(
+          left = e,
+          leftKey = col("user_id"),
+          leftTime = col("ts_us"),
+          right = o,
+          rightKey = col("o_custkey"),
+          rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+          tiebreak = col("o_orderkey"),
+          payload = Seq("o_orderkey", "o_totalprice"),
+          direction = "nearest")
+          .select(col("event_id"), col("ts_us"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, epoch_us(e.ts) AS ts_us, l.o_orderkey, l.o_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id
+        |  ORDER BY abs(epoch_us(o.o_orderdate::TIMESTAMP) - epoch_us(e.ts)) ASC,
+        |    o.o_orderdate ASC,
+        |    CASE WHEN epoch_us(o.o_orderdate::TIMESTAMP) <= epoch_us(e.ts)
+        |         THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+        |  LIMIT 1
+        |) l ON true
+        |ORDER BY e.event_id""".stripMargin)),
+
     // Forward as-of with tolerance: q10's mirror — the EARLIEST order at or
     // after each event, but only within 30 days (the merge_asof
     // direction+tolerance surface). Same one-shuffle union+window plan.
