@@ -313,6 +313,37 @@ class LogfileSourceSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("generality: multiline pretty-printed JSON records assemble and parse via from_json") {
+    val dir = tmpDir("logfile-json")
+    // a record starts at a lone '{' — everything else is continuation
+    write(dir, "a.jsonl",
+      """{
+        |  "level": "ERROR",
+        |  "msg": "boom",
+        |  "stack": ["a", "b"]
+        |}
+        |{
+        |  "level": "INFO",
+        |  "msg": "ok"
+        |}
+        |""".stripMargin)
+    val df = read(dir, pattern = """\{""")
+    val rows = df.orderBy("offset").collect()
+    assert(rows.length == 2, "one record per top-level JSON object")
+    assert(rows(0).getAs[String]("record").split("\n").length == 5)
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("level", StringType), StructField("msg", StringType),
+      StructField("stack", ArrayType(StringType))))
+    val parsed = df.select(from_json(col("record"), schema).as("j"))
+      .select(col("j.level"), col("j.msg"), col("j.stack"))
+      .orderBy("level").collect()
+    assert(parsed(0).getString(0) == "ERROR" && parsed(0).getString(1) == "boom")
+    assert(parsed(0).getSeq[String](2) == Seq("a", "b"))
+    assert(parsed(1).getString(0) == "INFO" && parsed(1).isNullAt(2))
+  }
+
   test("custom scan metrics: bytes read, records assembled, split-spanning records") {
     val dir = tmpDir("logfile-metrics")
     // two records, the first multiline so tiny splits force boundary spans
