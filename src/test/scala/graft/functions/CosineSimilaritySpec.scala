@@ -88,6 +88,22 @@ class CosineSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(oneTile == truth)
 
+    // property sweep: every tiling must cover each unordered pair exactly
+    // once — sweep block counts (incl. nBlocks > distinct hash-blocks) over
+    // corpora with gappy, non-contiguous ids
+    for ((n, blocks, seed) <- Seq((17, 3, 23), (33, 7, 29), (12, 9, 31))) {
+      val rng2 = new scala.util.Random(seed)
+      val df2 = (0 until n).map(_ => rng2.nextLong().abs % 1000L).distinct
+        .map(id => (id, Array.fill(8)(rng2.nextDouble() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      val want = BruteForceCosine.pairsAbove(df2, "vec_id", "embedding", -1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val got = BruteForceCosine.pairsAboveBlocked(df2, "vec_id", "embedding", -1.0, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == want,
+        s"n=$n nBlocks=$blocks: tiling lost or duplicated pairs (${got.size} vs ${want.size})")
+    }
+
     val topk = BruteForceCosine.topK(df, "vec_id", "embedding", col("vec_id") < 3, k = 4)
     val topkPlan = topk.queryExecution.executedPlan.toString()
     assert(topkPlan.contains("BroadcastNestedLoopJoin"),
