@@ -287,6 +287,42 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("logfile stream restart: checkpointed offsets resume exactly-once into a file sink") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    val in = Files.createTempDirectory("logfile-restart-in").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("logfile-restart-out").toFile.getAbsolutePath + "/data"
+    val ckpt = Files.createTempDirectory("logfile-restart-ckpt").toFile.getAbsolutePath
+    def writeLog(name: String, n: Int, base: Int): Unit = {
+      val sb = new StringBuilder
+      for (i <- 0 until n)
+        sb.append(f"2017-01-01 00:${(base + i) / 60}%02d:${(base + i) % 60}%02d,000 INFO m${base + i}\n")
+      Files.write(new java.io.File(in, name).toPath,
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    def start() = spark.readStream.format("logfile")
+      .option("pattern", """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*""")
+      .load(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    writeLog("r1.log", 5, 0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 5)
+
+    // the restarted query must deserialize the checkpointed JSON offset
+    // (not reuse in-memory state) and read only the new file
+    writeLog("r2.log", 7, 100)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 12, s"restart lost or re-read records: ${rows.length}")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == 12,
+      "no (file, offset) may duplicate across the restart")
+  }
+
   test("offset algebra property: random arrival/cap schedules process every file exactly once") {
     import graft.sources.logfile.LogfileHwmOffset
     // pure simulation of the latestOffset/planInputPartitions contract: files
