@@ -33,6 +33,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
         return f"ROWS spark={len(s)} oracle={len(o)}"
     for c in s.columns:
         a, b = s[c], o[c]
+        # The driver hashes canonical VALUES, so a parquet DECIMAL on one
+        # side (pandas object of decimal.Decimal) vs a DOUBLE on the other
+        # hash-mismatches even when numerically equal. Coercing both through
+        # float here hid exactly that (round-2 q85) — flag it instead.
+        if a.dtype.kind != b.dtype.kind and "f" in (a.dtype.kind, b.dtype.kind):
+            return (f"TYPE col={c} spark_dtype={a.dtype}/{a.dtype.kind} "
+                    f"oracle_dtype={b.dtype}/{b.dtype.kind} "
+                    f"(float vs non-float: driver hash would mismatch)")
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype(float)
             b = b.astype(float)

@@ -28,7 +28,10 @@ object Tables {
     */
   def spread(df: DataFrame, keyCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par)
+    // probe the planned partition count on the EXISTING QueryExecution —
+    // df.rdd would append a DeserializeToObject and build (and plan) a whole
+    // second QueryExecution just to read a number
+    if (df.queryExecution.toRdd.getNumPartitions < par)
       df.repartition(par, org.apache.spark.sql.functions.col(keyCol))
     else df
   }

@@ -78,7 +78,11 @@ object MinHash {
       minEstSim: Double = 0.25): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // signatures feed the banding explode AND both verify joins — persist so
+    // the per-partition hashing pass runs once, not 3×, per invocation (the
+    // same persist/materialize/unpersist discipline as PrefixFilterJoin)
     val sigs = signatures(df, idCol, textCol, numHashes, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs
       .select(col(idCol), posexplode(expr(
@@ -92,12 +96,17 @@ object MinHash {
       .select(col("d1"), col("d2"))
       .distinct()
 
-    cand
+    val out = cand
       .join(sigs.select(col(idCol).as("d1"), col("sig").as("sig1")), Seq("d1"))
       .join(sigs.select(col(idCol).as("d2"), col("sig").as("sig2")), Seq("d2"))
       .withColumn("est_sim", expr(
         "size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b)) / CAST(size(sig1) AS DOUBLE)"))
       .filter(col("est_sim") >= minEstSim)
       .select(col("d1"), col("d2"), round(col("est_sim"), 4).as("est_sim"))
+    // materialize the (candidate pairs ≪ corpus) result eagerly, then drop
+    // the signature cache — a lazy return would pin it for the session
+    val result = out.localCheckpoint()
+    sigs.unpersist()
+    result
   }
 }

@@ -159,9 +159,13 @@ object Dedup extends QueryPack {
           .withColumn("stop_hits", expr(
             "size(filter(split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in')))").cast("long"))
           .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 && col("stop_hits") >= 1)
-        val keep = d.groupBy(sha2(col("text"), 256).as("h"))
-          .agg(min(col("doc_id")).as("keep_id"))
-        d.join(keep, d("doc_id") === keep("keep_id"))
+        // survivor = smallest doc_id per content hash, picked with ONE
+        // window pass over the hash shuffle — the agg+self-join phrasing
+        // (min(doc_id) → join back) evaluates the regex-heavy gate
+        // projection twice; this is the same result in a single evaluation
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),

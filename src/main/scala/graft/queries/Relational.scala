@@ -230,19 +230,18 @@ object Relational extends QueryPack {
     GraftQuery(
       "q85_salted_join_revenue",
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val li = Tables(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
         val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
         graft.operators.SaltedJoin(li, col("l_partkey"), p, col("p_partkey"), salts = 8)
           .groupBy(col("p_brand"))
-          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+          .agg(
+            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("p_brand")
       },
       Some("""SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
