@@ -256,29 +256,7 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
 
     listFiles().flatMap { st =>
       val pattern = LogfileOptions.resolvePattern(options, st.getPath)
-      val codec = codecs.getCodec(st.getPath)
-      val fs = st.getPath.getFileSystem(conf)
-      if (st.getLen == 0) {
-        // skip empty files in BOTH branches: a 0-byte .gz would otherwise
-        // get a partition and EOF inside the decompressor
-        Seq.empty
-      } else {
-        // one block-location RPC per FILE (as FileInputFormat.getSplits
-        // does), then slice locally per split — not one RPC per split
-        val blocks = Option(fs.getFileBlockLocations(st, 0L, st.getLen))
-          .getOrElse(Array.empty)
-        if (codec != null) {
-          // whole-file single partition; splittable-compressed rejected at read
-          Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern,
-            LogfileLocality.rank(blocks, 0L, st.getLen)))
-        } else {
-          (0L until st.getLen by maxSplit).map { start =>
-            val end = math.min(start + maxSplit, st.getLen)
-            LogfilePartition(st.getPath.toString, start, end, pattern,
-              LogfileLocality.rank(blocks, start, end - start))
-          }
-        }
-      }
+      LogfileSplits.forFile(st, pattern, conf, codecs, maxSplit)
     }.toArray
   }
 
@@ -309,6 +287,37 @@ final case class LogfilePartition(path: String, start: Long, end: Long, pattern:
     locations: Array[String] = Array.empty)
   extends InputPartition {
   override def preferredLocations(): Array[String] = locations
+}
+
+/** The one split-carving rule, shared by the batch planner and the streaming
+  * micro-batch planner so a big plain file parallelizes identically in both:
+  * uncompressed files become `maxSplit`-byte [start, end) ranges; codec'd
+  * files exactly one whole-file partition (splittable-compressed is rejected
+  * at read); empty files vanish (a 0-byte .gz would EOF in the decompressor).
+  */
+private[logfile] object LogfileSplits {
+  def forFile(st: FileStatus, pattern: String, conf: Configuration,
+      codecs: CompressionCodecFactory, maxSplit: Long): Seq[LogfilePartition] = {
+    require(maxSplit > 0, "maxSplitBytes must be positive")
+    if (st.getLen == 0) Seq.empty
+    else {
+      val fs = st.getPath.getFileSystem(conf)
+      // one block-location RPC per FILE (as FileInputFormat.getSplits
+      // does), then slice locally per split — not one RPC per split
+      val blocks = Option(fs.getFileBlockLocations(st, 0L, st.getLen))
+        .getOrElse(Array.empty)
+      if (codecs.getCodec(st.getPath) != null) {
+        Seq(LogfilePartition(st.getPath.toString, 0L, Long.MaxValue, pattern,
+          LogfileLocality.rank(blocks, 0L, st.getLen)))
+      } else {
+        (0L until st.getLen by maxSplit).map { start =>
+          val end = math.min(start + maxSplit, st.getLen)
+          LogfilePartition(st.getPath.toString, start, end, pattern,
+            LogfileLocality.rank(blocks, start, end - start))
+        }
+      }
+    }
+  }
 }
 
 private[logfile] object LogfileLocality {

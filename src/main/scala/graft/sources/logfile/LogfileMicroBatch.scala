@@ -115,15 +115,23 @@ final class LogfileMicroBatchStream(
   /** The batch is exactly `end.files` — the paths admitted when `end` was
     * computed, pinned in the offset so replays after a failure rebuild the
     * same batch regardless of what the directory lists by then.
+    *
+    * Files are carved with the SAME `maxSplitBytes` rule as the batch
+    * planner ([[LogfileSplits]]): one producer dropping a single 10 GB plain
+    * file must not single-thread the whole trigger. Splitting is a pure
+    * function of the (immutable-by-contract) file length, so a replayed
+    * batch re-carves the identical partitions.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    LogfileHwmOffset.of(end).files.sorted.map { p =>
+    val conf = confSer.value
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
+      .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    LogfileHwmOffset.of(end).files.sorted.flatMap { p =>
       val path = new Path(p)
       val pattern = LogfileOptions.resolvePattern(options, path)
-      // one partition per new file: whole-file for codec'd files by
-      // necessity, and for plain files because a file must land in a single
-      // batch anyway; intra-file split parallelism is a batch-side concern.
-      LogfilePartition(p, 0L, Long.MaxValue, pattern)
+      val st = path.getFileSystem(conf).getFileStatus(path)
+      LogfileSplits.forFile(st, pattern, conf, codecs, maxSplit)
     }.toArray
   }
 

@@ -527,4 +527,61 @@ class StreamingOpsSpec extends SparkTestBase {
 
     assert(streamed.toSeq == fromBatch.toSeq)
   }
+
+  test("logfile stream: one big plain file is carved into multiple splits per trigger") {
+    import java.nio.file.Files
+    import java.nio.charset.StandardCharsets
+    import graft.sources.logfile.{LogfileHwmOffset, LogfileMicroBatchStream, LogfileTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("logfile-stream-split").toFile.getAbsolutePath
+    val pat = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} .*"""
+    val sb = new StringBuilder
+    for (i <- 0 until 300) {
+      sb.append(f"2017-01-01 00:00:${i % 60}%02d,000 INFO message-$i%03d with some padding\n")
+      if (i % 5 == 0) sb.append("\tat continuation.spanning.splits(X.java:1)\n")
+    }
+    val file = new java.io.File(dir, "big.log")
+    Files.write(file.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+
+    // the unsplit batch read is the truth set (also forces the shared
+    // session, which LogfileMicroBatchStream's constructor looks up)
+    val expected = spark.read.format("logfile").option("pattern", pat)
+      .load(file.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+
+    // unit level: the micro-batch planner must carve the single admitted
+    // file with the batch planner's maxSplitBytes rule, not one whole-file
+    // partition per file
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", file.getAbsolutePath)
+    opts.put("pattern", pat)
+    opts.put("maxsplitbytes", "2048")
+    val ms = new LogfileMicroBatchStream(
+      new CaseInsensitiveStringMap(opts), LogfileTable.Schema)
+    val end = ms.latestOffset(LogfileHwmOffset.Initial, ReadLimit.allAvailable())
+    val parts = ms.planInputPartitions(LogfileHwmOffset.Initial, end)
+    assert(parts.length >= 5,
+      s"a ${file.length()}-byte plain file at maxSplitBytes=2048 planned ${parts.length} partition(s)")
+    // replays re-carve identically (pure function of the immutable file);
+    // compare field-wise — the locations Array makes case-class == useless
+    def ranges(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map { case graft.sources.logfile.LogfilePartition(p, s, e, pt, _) => (p, s, e, pt) }.toSeq
+    assert(ranges(ms.planInputPartitions(LogfileHwmOffset.Initial, end)) == ranges(parts))
+
+    // end-to-end: the split stream emits exactly the unsplit batch record set
+    val q = spark.readStream.format("logfile")
+      .option("pattern", pat).option("maxSplitBytes", "2048")
+      .load(file.getAbsolutePath)
+      .writeStream.format("memory").queryName("logsplit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("logsplit")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+      assert(got.length == 300, s"expected 300 records, got ${got.length}")
+      assert(got.toSeq == expected.toSeq,
+        "split streaming batch must equal the unsplit batch read")
+    } finally q.stop()
+  }
 }
