@@ -25,16 +25,28 @@ final case class MediaFeatures(
 
 object MediaPipeline {
 
-  /** STUB decoder — the real image/audio libs aren't in this container.
-    * Deterministic fake: dimensions derived from payload size, "pixel"
-    * statistics from raw bytes. Swap this body for a real codec call
-    * (e.g. javax.imageio / ffmpeg bindings) in production; the surrounding
-    * partition-wise pipeline does not change.
+  /** STUB decoder for audio/video — those codec libs aren't in this
+    * container. Deterministic fake: dimensions derived from payload size,
+    * "pixel" statistics from raw bytes. Swap this body for a real codec call
+    * (e.g. ffmpeg bindings) in production; the surrounding partition-wise
+    * pipeline does not change.
     */
   private[multimodal] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val n = payload.length.toLong
     (n % 512 + 16, (n / 512) % 512 + 16, n % 4 + 1)
   }
+
+  /** REAL image decode via the JDK's built-in javax.imageio (PNG/JPEG/GIF/
+    * BMP, no external deps): (width, height, channels) when the payload is a
+    * decodable image, None otherwise — callers fall back to the stub, so a
+    * corpus of synthesized text-byte payloads still flows end-to-end.
+    */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong))
+    } catch { case _: Exception => None }
 
   /** Synthesize a media table from `documents` (text bytes as payload). */
   def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
@@ -56,9 +68,15 @@ object MediaPipeline {
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition init of the (stubbed) decoder would go here
+      // per-partition init of a real audio/video codec handle would go here;
+      // ImageIO is stateless, so images need none
       it.map { rec =>
-        val (w, h, c) = decodeStub(rec.payload)
+        // images get the real decoder; non-images (and payloads that aren't
+        // actually decodable images, like the synthesized text-byte corpus)
+        // take the documented stub
+        val (w, h, c) =
+          (if (rec.kind == "image") decodeImage(rec.payload) else None)
+            .getOrElse(decodeStub(rec.payload))
         val mean =
           if (rec.payload.isEmpty) 0.0
           else rec.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / rec.payload.length

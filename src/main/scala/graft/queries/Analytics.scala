@@ -183,8 +183,8 @@ object Analytics extends QueryPack {
     GraftQuery(
       "q23_sample_bernoulli",
       (s, dir) => {
-        Tables(s, dir, "lineitem")
-          .sample(withReplacement = false, fraction = 0.01, seed = 42L)
+        graft.operators.Sampling.bernoulli(
+          Tables(s, dir, "lineitem"), fraction = 0.01, seed = 42L)
           .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
             col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber")

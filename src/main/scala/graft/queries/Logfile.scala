@@ -91,9 +91,9 @@ object Logfile extends QueryPack {
     GraftQuery(
       "q48_logfile_sample_format",
       (s, _) => {
-        readFixture(s)
-          .filter(col("file").endsWith(".log")) // plain half only
-          .sample(withReplacement = false, fraction = 0.01, seed = 7L)
+        graft.operators.Sampling.bernoulli(
+          readFixture(s).filter(col("file").endsWith(".log")), // plain half only
+          fraction = 0.01, seed = 7L)
           .select(format_string("%s@%016d:%n%n%s%n%n",
             col("file"), col("offset"), col("record")).as("sample_line"))
           .orderBy("sample_line")

@@ -28,6 +28,34 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(frames(one.media_id).map(_.frame_idx).forall(_ % 2 == 0))
   }
 
+  test("image kind decodes a genuine PNG via javax.imageio; others keep the stub") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    implicit val s = spark
+    import s.implicits._
+    // author a real 13x7 RGB PNG in memory — decoded dims must be the truth,
+    // not the size-derived stub values
+    val img = new BufferedImage(13, 7, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 13; y <- 0 until 7) img.setRGB(x, y, (x * 31 + y) << 8)
+    val baos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val ds = Seq(
+      MediaRecord(1L, "image", png, "PNG"),
+      MediaRecord(2L, "audio", png, "PNG"), // wrong kind → stub even for real bytes
+      MediaRecord(3L, "image", "not an image".getBytes, "PNG") // undecodable → stub
+    ).toDS()
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    assert((feats(0).width, feats(0).height, feats(0).channels) == ((13L, 7L, 3L)),
+      s"real decode expected, got ${feats(0)}")
+    val stub2 = MediaPipeline.decodeStub(png)
+    assert((feats(1).width, feats(1).height, feats(1).channels) == stub2)
+    val stub3 = MediaPipeline.decodeStub("not an image".getBytes)
+    assert((feats(2).width, feats(2).height, feats(2).channels) == stub3)
+  }
+
   test("typed logfile facade returns Dataset[LogRecord]") {
     import graft.sources.logfile.{LogfileFixture, LogfileReader}
     val dir = java.nio.file.Files.createTempDirectory("typed-facade").toFile.getAbsolutePath
