@@ -23,7 +23,8 @@ object SparkEntry {
     packs.Similarity,
     packs.Multimodal,
     packs.Logfile,
-    packs.Extended)
+    packs.Extended,
+    packs.Curation)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the q65/q73/q78 set: deterministic
+  * corpus shuffling, greedy sequence packing, PII scrubbing, and per-domain
+  * quota sampling — the remaining data-ordering/safety shapes a 100 TB
+  * pretraining pipeline runs between dedup and tokenization.
+  *
+  * Scale notes (per query):
+  *   - q87: a content-addressed shuffle key (`md5(seed || id)`) makes the
+  *     global ORDER BY a range-partitioned sort — Spark samples split points
+  *     and every executor sorts one key range; uniform hex keys mean no hot
+  *     ranges, and re-running with the same seed is bit-reproducible.
+  *   - q88: packing cumsum is a per-source window — one shuffle on source,
+  *     each partition streamed once. A single giant source serializes into
+  *     one task; shard the partition key hierarchically (source, shard) with
+  *     per-shard budgets when a source exceeds executor memory.
+  *   - q89: pure per-row regex projection + one aggregation — embarrassingly
+  *     parallel, no shuffle before the final partial+final agg.
+  *   - q90: quota-by-rank per source; the window phrasing here is the oracle
+  *     twin, the bounded-heap scale path is [[graft.functions.TopKAgg]]
+  *     (shuffle carries k rows per group per task, q76).
+  */
+object Curation extends QueryPack {
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Deterministic global shuffle: the reproducible "random" order a
+    // training run reads the corpus in. Key is content-addressed from a
+    // seed + doc_id so re-runs (and the oracle) agree bit-for-bit.
+    GraftQuery(
+      "q87_shuffle_deterministic",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id")
+      },
+      Some("""SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // Greedy sequence packing: walk each source in deterministic-shuffle
+    // order, cut a new pack when the running token total passes the budget
+    // (pack = floor(tokens-before-me / budget)), report per-pack fill.
+    GraftQuery(
+      "q88_sequence_packing",
+      (s, dir) => {
+        val budget = 512.0
+        val d = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(concat(lit("pack:"), col("doc_id").cast("string"))).as("skey"))
+        val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+          .orderBy("source", "pack_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin)),
+
+    // PII scrub: inject one known email/phone/IP per doc (the synthetic
+    // corpus has none), redact all three patterns, and prove per source that
+    // every injected item was found, nothing survives re-scanning the
+    // scrubbed text, and the byte delta matches. At 100 TB this is the
+    // no-shuffle projection pass every release pipeline runs.
+    GraftQuery(
+      "q89_pii_scrub",
+      (s, dir) => {
+        val aug = Tables(s, dir, "documents")
+          .select(col("source"), concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")).as("t"))
+        val red = aug.select(col("source"), col("t"),
+          regexp_count(col("t"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("t"), lit(PhoneRe)).as("n_phone"),
+          regexp_count(col("t"), lit(IpRe)).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>").as("clean"))
+        red.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_email")).as("emails_redacted"),
+            sum(col("n_phone")).as("phones_redacted"),
+            sum(col("n_ip")).as("ips_redacted"),
+            sum(regexp_count(col("clean"), lit(EmailRe)) +
+              regexp_count(col("clean"), lit(PhoneRe)) +
+              regexp_count(col("clean"), lit(IpRe))).as("residual"),
+            sum(length(col("t")) - length(col("clean"))).as("chars_removed"))
+          .orderBy("source")
+      },
+      Some("""WITH aug AS (
+        |  SELECT source, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT source, t,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(t, '\b555-\d{4}\b')) AS n_phone,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |  FROM aug)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+        |  CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+        |  CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+        |  CAST(SUM(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(clean, '\b555-\d{4}\b'))
+        |    + len(regexp_extract_all(clean, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS residual,
+        |  CAST(SUM(length(t) - length(clean)) AS BIGINT) AS chars_removed
+        |FROM red GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Per-domain quota: keep the 10 deterministically-"random" docs per
+    // source (md5 order = seeded uniform draw), report what survived.
+    GraftQuery(
+      "q90_domain_quota",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(concat(lit("quota:"), col("doc_id").cast("string"))).as("skey"))
+        val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("kept_tokens"),
+            min(col("skey")).as("first_key"),
+            max(col("skey")).as("last_key"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('quota:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |  min(skey) AS first_key, max(skey) AS last_key
+        |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin))
+  )
+}
