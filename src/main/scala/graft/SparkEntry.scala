@@ -24,7 +24,8 @@ object SparkEntry {
     packs.Multimodal,
     packs.Logfile,
     packs.Extended,
-    packs.Curation)
+    packs.Curation,
+    packs.Training)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

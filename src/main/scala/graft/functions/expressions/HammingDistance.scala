@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session =>
       graft.plans.RewriteSingletonRepartition(session))
   }

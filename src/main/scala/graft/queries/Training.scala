@@ -1,0 +1,339 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.functions.expressions.InterleaveBits
+import graft.operators.{BpeTrainer, KMeans}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 training-data operators: n-gram LM quality scoring, importance
+  * resampling, segment-level dedup, Bloom-prefiltered decontamination,
+  * Z-order layout, k-means semantic clustering, incremental dedup against a
+  * reference corpus, and BPE tokenizer training — the remaining shapes a
+  * 100 TB pretraining pipeline runs between crawl and tokenizer.
+  *
+  * Scale notes (per query):
+  *   - q91: the bigram LM table is vocab² — tiny next to the corpus — so the
+  *     score join broadcasts it; the corpus is scanned twice (count pass +
+  *     score pass), the inherent two-pass shape of corpus-LM scoring.
+  *   - q92: pure per-row projection + one partial+final agg; the acceptance
+  *     test u < w is exact binary arithmetic (u = k/4096, w = n/512, both
+  *     dyadic), so the sample is reproducible on any engine.
+  *   - q93: one shuffle on the segment digest; the row_number window carries
+  *     digest groups (dup cardinality), never whole documents.
+  *   - q94: the Bloom filter (built from the SMALL eval side, broadcast
+  *     read-only) drops ~(1-fpp) of candidate grams executor-locally BEFORE
+  *     the semi-join shuffle — the exact confirm join then kills the false
+  *     positives, so the output is bit-identical to the un-filtered exact
+  *     plan while the shuffle carries a few % of the grams.
+  *   - q95: `interleave_bits` is a codegen'd Catalyst expression; bucketing
+  *     by Z-value prefix is the multi-dimensional file-layout pass — each
+  *     bucket covers one (custkey × day) tile, so filters on EITHER key
+  *     prune most buckets at scan time.
+  *   - q96/q98: see [[graft.operators.KMeans]] / [[graft.operators.BpeTrainer]].
+  *   - q97: digests and 20-word windows shuffle once each; the reference
+  *     side collapses to distinct digests before the semi-joins.
+  */
+object Training extends QueryPack {
+
+  private def hexpos(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // n-gram LM coverage scoring: train a corpus bigram table, score every
+    // doc by the fraction of its bigram instances that are globally frequent
+    // (count >= 30) — the CCNet-style "does this text look like the corpus"
+    // quality gate, with integer-exact math instead of log-probs so the
+    // oracle agrees bit-for-bit. Lowest-coverage docs (the outliers a
+    // quality gate would cut) surface first.
+    GraftQuery(
+      "q91_ngram_lm_coverage",
+      (s, dir) => {
+        val w = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val bg = w.select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
+          .as("bigram"))
+        val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+        bg.join(broadcast(counts), Seq("bigram"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            countDistinct(col("bigram")).as("n_distinct"),
+            round(sum(when(col("c") >= 30, 1).otherwise(0)).cast("double")
+              / count(lit(1)), 4).as("lm_coverage"))
+          .orderBy(col("lm_coverage").asc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, source, UNNEST(list_transform(
+        |    generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w),
+        |counts AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, bg.source,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(DISTINCT bg.bigram) AS BIGINT) AS n_distinct,
+        |  ROUND(CAST(SUM(CASE WHEN c.c >= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS lm_coverage
+        |FROM bg JOIN counts c USING (bigram)
+        |GROUP BY 1, 2
+        |ORDER BY lm_coverage ASC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Importance resampling (DSIR-shaped): accept each doc with probability
+    // proportional to a quality weight, decided by a content-addressed
+    // uniform draw — deterministic, so the resampled corpus is reproducible
+    // and the oracle replays the identical draw. u = first-3-hex-digits/4096
+    // and w = min(1, n_chars/512) are both dyadic rationals: the comparison
+    // is exact on any IEEE engine.
+    GraftQuery(
+      "q92_importance_resampling",
+      (s, dir) => {
+        val h = md5(concat(lit("rs:"), col("doc_id").cast("string")))
+        val u = (hexpos(substring(h, 1, 1)) * 256 +
+          hexpos(substring(h, 2, 1)) * 16 +
+          hexpos(substring(h, 3, 1))) / lit(4096.0)
+        val wt = least(lit(1.0), col("n_chars") / lit(512.0))
+        Tables(s, dir, "documents")
+          .select(col("source"), u.as("u"), wt.as("w"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("u") < col("w"), 1).otherwise(0)).cast("long").as("n_kept"),
+            round(sum(col("w").cast(DecimalType(18, 4))), 4).cast("double")
+              .as("expected_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, n_chars,
+        |    ((instr('0123456789abcdef', substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256 +
+        |     (instr('0123456789abcdef', substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) / 4096.0 AS u,
+        |    LEAST(1.0, n_chars / 512.0) AS w
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(ROUND(SUM(CAST(w AS DECIMAL(18,4))), 4) AS DOUBLE) AS expected_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Segment-level exact dedup (the windowed approximation of suffix-array
+    // substring dedup): cut each doc into consecutive 10-word segments,
+    // dedup segments corpus-wide by digest keeping the first (doc_id,
+    // seg_idx) occurrence, report per-source duplication. At 100 TB this is
+    // one digest shuffle — the segment table is ~n_words/10 rows.
+    GraftQuery(
+      "q93_segment_dedup",
+      (s, dir) => {
+        val segs = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("source"), explode(expr(
+            """filter(
+              |  transform(sequence(0, (size(ws) - 1) div 10),
+              |    k -> struct(k AS seg_idx, slice(ws, k * 10 + 1, 10) AS seg)),
+              |  p -> size(p.seg) >= 5)""".stripMargin)).as("p"))
+          .select(col("doc_id"), col("source"), col("p.seg_idx").as("seg_idx"),
+            md5(concat_ws(" ", col("p.seg"))).as("dig"))
+        val rn = row_number().over(
+          Window.partitionBy(col("dig")).orderBy(col("doc_id"), col("seg_idx")))
+        segs.withColumn("rn", rn)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            sum(when(col("rn") > 1, 1).otherwise(0)).cast("long").as("n_dup_segments"),
+            round(sum(when(col("rn") > 1, 1).otherwise(0)).cast("double")
+              / count(lit(1)), 4).as("dup_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (
+        |  SELECT doc_id, source, k AS seg_idx,
+        |    array_to_string(list_slice(ws, k*10+1, k*10+10), ' ') AS seg
+        |  FROM w CROSS JOIN UNNEST(generate_series(0, 60)) AS t(k)
+        |  WHERE k*10+1 <= len(ws) AND len(list_slice(ws, k*10+1, k*10+10)) >= 5),
+        |ranked AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+        |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: same exact semantics as a plain
+    // 4-gram semi-join against the eval set (the oracle IS the plain exact
+    // SQL), but the Spark plan first drops non-candidate grams against a
+    // broadcast Bloom filter of the eval grams — the 100 TB pattern where
+    // the shuffle would otherwise carry every gram in the corpus. The exact
+    // confirm join eliminates Bloom false positives, so the prefilter is
+    // invisible in the result (pinned in TrainingOpsSpec).
+    GraftQuery(
+      "q94_bloom_decontaminate",
+      (s, dir) => {
+        val g = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 4)
+          .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+            "transform(sequence(0, size(ws) - 4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
+            .as("gram"))
+        val evalGrams = g.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+        val bloom = evalGrams.stat.bloomFilter("gram", 100000L, 0.03)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((gram: String) => gram != null && bc.value.mightContainString(gram))
+        g.filter(col("doc_id") % 10 =!= 0)
+          .filter(mightContain(col("gram")))
+          .join(evalGrams, Seq("gram"), "left_semi")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("shared"))
+          .orderBy(col("shared").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    [list_aggregate(ws[i:i+3], 'string_agg', ' ') FOR i IN generate_series(1, len(ws)-3)])) AS gram
+        |  FROM t),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, g.source, COUNT(*) AS shared
+        |  FROM g JOIN eval_g USING (gram) WHERE g.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(shared AS BIGINT) AS shared
+        |FROM hits ORDER BY shared DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Z-order data layout: Morton-interleave (custkey, order-day) and bucket
+    // by Z-prefix — each bucket is one 1024×1024 tile of the key space
+    // (min/max spans in the output prove the locality), which is what makes
+    // min/max zone-map pruning work for filters on either dimension.
+    GraftQuery(
+      "q95_zorder_layout",
+      (s, dir) => {
+        InterleaveBits.register(s)
+        Tables(s, dir, "orders")
+          .select(
+            (col("o_custkey") % 4096).as("xk"),
+            (datediff(col("o_orderdate"), lit("1995-01-01")) % 4096).cast("long").as("yk"))
+          .withColumn("zval", InterleaveBits.interleaveBits(col("xk"), col("yk")))
+          .withColumn("zbucket", shiftright(col("zval"), 20))
+          .groupBy("zbucket")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("xk")).as("min_ck"), max(col("xk")).as("max_ck"),
+            min(col("yk")).as("min_day"), max(col("yk")).as("max_day"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val terms = (0 until 12).flatMap { i =>
+          Seq(s"((xk >> $i) & 1) * ${1L << (2 * i)}",
+            s"((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
+        }.mkString(" + ")
+        s"""WITH d AS (
+          |  SELECT o_custkey % 4096 AS xk,
+          |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 4096 AS yk
+          |  FROM orders),
+          |z AS (SELECT xk, yk, CAST($terms AS BIGINT) >> 20 AS zbucket FROM d)
+          |SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(min(xk) AS BIGINT) AS min_ck, CAST(max(xk) AS BIGINT) AS max_ck,
+          |  CAST(min(yk) AS BIGINT) AS min_day, CAST(max(yk) AS BIGINT) AS max_day
+          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+      }),
+
+    // Semantic clustering: deterministic Lloyd's k-means over the embedding
+    // table (SemDeDup/topic-balance primitive). Rows-only by design (the
+    // iterative fixpoint is not ANSI-expressible); determinism, inertia
+    // monotonicity, and agreement with a naive reference are pinned in
+    // KMeansSpec.
+    GraftQuery(
+      "q96_kmeans_clusters",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 5)
+        KMeans.assign(emb, "vec_id", "embedding", model)
+          .groupBy("cluster")
+          .agg(
+            count(lit(1)).as("n_points"),
+            round(sum(col("sqdist").cast(DecimalType(30, 10))), 4).cast("double")
+              .as("cluster_inertia"))
+          .orderBy("cluster")
+          .select(col("cluster").cast("long").as("cluster"),
+            col("n_points"), col("cluster_inertia"))
+      },
+      None),
+
+    // Incremental dedup of a NEW batch (sources src10..src19) against the
+    // existing REFERENCE corpus (src0..src9): prefix-fingerprint exact dup
+    // + 20-word-window overlap — the nightly-crawl-vs-corpus shape where
+    // only the new partition is rescanned.
+    GraftQuery(
+      "q97_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        val isRef = length(col("source")) === 4
+        val isNew = length(col("source")) === 5
+        val pref = docs.select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(col("ws"), 1, 10))).as("pdig"))
+        val wins = docs.filter(size(col("ws")) >= 20)
+          .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+            """transform(sequence(0, size(ws) - 20),
+              |  i -> concat_ws(' ', slice(ws, i + 1, 20)))""".stripMargin)))
+            .as("win"))
+        val refP = pref.filter(isRef).select("pdig").distinct()
+        val refW = wins.filter(isRef).select("win").distinct()
+        val exactIds = pref.filter(isNew).join(refP, Seq("pdig"), "left_semi")
+          .select("doc_id").distinct().withColumn("is_pd", lit(1))
+        val winIds = wins.filter(isNew).join(refW, Seq("win"), "left_semi")
+          .select("doc_id").distinct().withColumn("is_w", lit(1))
+        pref.filter(isNew)
+          .join(exactIds, Seq("doc_id"), "left")
+          .join(winIds, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_new"),
+            sum(when(col("is_pd").isNotNull, 1).otherwise(0)).cast("long").as("prefix_dup"),
+            sum(when(col("is_w").isNotNull, 1).otherwise(0)).cast("long").as("window_overlap"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, UNNEST(list_distinct(
+        |    [list_aggregate(ws[i:i+19], 'string_agg', ' ') FOR i IN generate_series(1, len(ws)-19)])) AS win
+        |  FROM w WHERE len(ws) >= 20),
+        |p AS (SELECT doc_id, source, md5(array_to_string(ws[1:10], ' ')) AS pdig FROM w),
+        |refp AS (SELECT DISTINCT pdig FROM p WHERE len(source) = 4),
+        |refw AS (SELECT DISTINCT win FROM g WHERE len(source) = 4),
+        |newd AS (SELECT doc_id, source, pdig FROM p WHERE len(source) = 5),
+        |exact AS (SELECT DISTINCT n.doc_id FROM newd n JOIN refp r ON n.pdig = r.pdig),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN refw USING (win) WHERE len(g.source) = 5)
+        |SELECT n.source,
+        |  CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS prefix_dup,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS window_overlap
+        |FROM newd n LEFT JOIN exact e ON n.doc_id = e.doc_id
+        |LEFT JOIN contam c ON n.doc_id = c.doc_id
+        |GROUP BY n.source ORDER BY n.source""".stripMargin)),
+
+    // BPE tokenizer training: 12 merges over the corpus word counts.
+    // Rows-only by design (iterative argmax is not ANSI-expressible);
+    // the merge sequence is pinned against a hand-computed corpus in
+    // BpeTrainerSpec.
+    GraftQuery(
+      "q98_bpe_train",
+      (s, dir) => {
+        val wc = BpeTrainer.wordCounts(
+          Tables.spread(Tables(s, dir, "documents"), "doc_id"), "text")
+        val merges = BpeTrainer.train(wc, "word", "weight", nMerges = 12)
+        BpeTrainer.mergesDf(s, merges)
+          .select(col("rank").cast("long").as("rank"),
+            col("left"), col("right"), col("freq"))
+          .orderBy("rank")
+      },
+      None))
+}
