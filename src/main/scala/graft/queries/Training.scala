@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryPack, Tables}
-import graft.functions.expressions.InterleaveBits
-import graft.operators.{BpeTrainer, KMeans}
+import graft.functions.expressions.{CosineSimilarity, InterleaveBits}
+import graft.operators.{BpeTrainer, ConnectedComponents, KMeans}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -319,6 +319,46 @@ object Training extends QueryPack {
         |FROM newd n LEFT JOIN exact e ON n.doc_id = e.doc_id
         |LEFT JOIN contam c ON n.doc_id = c.doc_id
         |GROUP BY n.source ORDER BY n.source""".stripMargin)),
+
+    // SemDeDup-shaped semantic dedup: k-means shards the embedding space,
+    // near-dup cosine pairs are found WITHIN clusters only (the join key is
+    // the cluster id, so the all-pairs blowup is bounded by cluster size —
+    // the published trick that makes embedding dedup tractable at corpus
+    // scale), connected components pick min-id representatives. Rows-only by
+    // design (iterative k-means + fixpoint CC); the "every dropped row has a
+    // kept near-dup" guarantee is pinned in TrainingOpsSpec.
+    GraftQuery(
+      "q99_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+        val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
+          .select(col("id"), col("cluster"))
+        val vecs = emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        val a = assigned.join(vecs, "id")
+        val x = a.select(col("cluster"), col("id").as("id1"), col("vec").as("v1"))
+        val y = a.select(col("cluster"), col("id").as("id2"), col("vec").as("v2"))
+        val pairs = x.join(y, "cluster")
+          .where(col("id1") < col("id2"))
+          .where(CosineSimilarity.cosineSim(col("v1"), col("v2")) >= 0.3)
+          .select(col("id1"), col("id2"))
+        val comp = ConnectedComponents.run(pairs, maxIter = 25, reliable = Some(false))
+          .toDF("id", "component")
+        assigned.join(comp, Seq("id"), "left")
+          .select(col("cluster"),
+            // isolated nodes are their own component ⇒ kept
+            when(col("component").isNull.or(col("component") === col("id")), 1)
+              .otherwise(0).as("kept"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
+          .orderBy("cluster")
+          .select(col("cluster").cast("long").as("cluster"),
+            col("n_points"), col("n_kept"), col("n_dropped"))
+      },
+      None),
 
     // BPE tokenizer training: 12 merges over the corpus word counts.
     // Rows-only by design (iterative argmax is not ANSI-expressible);

@@ -82,6 +82,30 @@ object StreamingOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $joinWindow"))
   }
 
+  /** Stream-static enrichment: join a stream against a slowly-changing dim
+    * table. The static side is re-planned per micro-batch (Structured
+    * Streaming re-resolves batch relations each trigger, so a dim refresh
+    * lands without a restart) and broadcast — no shuffle of the stream, no
+    * state: the 100 TB-stream shape for dimension lookups.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Exactly-once parquet sink via the canonical idempotent-`foreachBatch`
+    * pattern: each micro-batch overwrites its OWN `batch_id=<id>` partition,
+    * so a batch replayed after a crash/restart rewrites the same directory
+    * instead of appending duplicates — idempotence without a transactional
+    * table format. Readers take `spark.read.parquet(outDir)` and see each
+    * input row exactly once.
+    */
+  def idempotentParquetSink(df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+
   /** Custom arbitrary state via flatMapGroupsWithState: per-user running
     * totals emitted on every update — the escape hatch for state machines the
     * built-in windows can't express. State is one small case class per key

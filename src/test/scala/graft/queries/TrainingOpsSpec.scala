@@ -96,6 +96,47 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("q99: semantic dedup — counts partition the table; dropped rows have a kept near-dup") {
+    import graft.functions.expressions.CosineSimilarity
+    import graft.operators.{ConnectedComponents, KMeans}
+    val fn = SparkEntry.queries("q99_semantic_dedup")
+    val a = fn(spark, sf).collect()
+    assert(a.nonEmpty)
+    val total = Tables(spark, sf, "embeddings").count()
+    assert(a.map(_.getLong(1)).sum == total)
+    a.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    assert(a.map(_.toString).toSeq == fn(spark, sf).collect().map(_.toString).toSeq)
+
+    // semantic guarantee: every dropped id has a kept same-cluster neighbor
+    // with cosine >= threshold (rebuild the assignment + pairs directly)
+    val emb = Tables(spark, sf, "embeddings")
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
+      .select(col("id"), col("cluster"))
+    val vecs = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val av = assigned.join(vecs, "id")
+    val x = av.select(col("cluster"), col("id").as("id1"), col("vec").as("v1"))
+    val y = av.select(col("cluster"), col("id").as("id2"), col("vec").as("v2"))
+    val pairs = x.join(y, "cluster").where(col("id1") < col("id2"))
+      .where(CosineSimilarity.cosineSim(col("v1"), col("v2")) >= 0.3)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = ConnectedComponents.run(
+      av.sparkSession.createDataFrame(pairs).toDF("a", "b"), maxIter = 25, reliable = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty, "threshold should produce near-dup pairs on this data")
+    val dropped = comp.filter { case (id, c) => c != id }.keySet
+    val kept = comp.keySet -- dropped
+    // min-label CC: each dropped id's component label is its kept
+    // representative, reachable through >=threshold edges (CC correctness
+    // itself is pinned in ConnectedComponentsSpec)
+    dropped.foreach(d => assert(kept(comp(d)),
+      s"dropped $d: representative ${comp(d)} was not kept"))
+    // and the query's aggregate dropped count matches the edge-level truth
+    assert(a.map(_.getLong(3)).sum == dropped.size)
+  }
+
   test("q98: BPE merge table is dense-ranked and reproducible") {
     val fn = SparkEntry.queries("q98_bpe_train")
     val a = fn(spark, sf).collect()

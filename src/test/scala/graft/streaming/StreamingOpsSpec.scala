@@ -502,6 +502,45 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim table, broadcast") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)](spark)
+    val enriched = StreamingOps.enrichWithStatic(
+      in.toDF.toDF("user_id", "value"), dim, "user_id")
+    val rows = runQuery(enriched, OutputMode.Append()) {
+      in.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+    }.map(r => (r.getLong(0), Option(r.getString(2)))).sorted
+    assert(rows.toSeq == Seq(
+      (1L, Some("gold")), (2L, Some("silver")), (3L, None)),
+      "left join must keep unmatched stream rows with null dim columns")
+  }
+
+  test("idempotent foreachBatch sink: restart replays a batch into the SAME dir, no dups") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft-upsert-out").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, Double)](spark)
+    def start() = StreamingOps.idempotentParquetSink(
+      in.toDF.toDF("k", "v"), out, ckpt).start()
+
+    val q1 = start()
+    in.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: a recovered/replayed batch must
+    // overwrite its own batch_id partition rather than append
+    val q2 = start()
+    in.addData((3L, 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(result.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"exactly-once violated: ${result.toSeq}")
+  }
+
   test("streaming and batch twins produce identical tumbling aggregates") {
     val batch = Seq(
       (ts("2024-01-01 00:01:00"), "click", 1.5),
