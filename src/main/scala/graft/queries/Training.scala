@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.DecimalType
 /** Round-4 training-data operators: n-gram LM quality scoring, importance
   * resampling, segment-level dedup, Bloom-prefiltered decontamination,
   * Z-order layout, k-means semantic clustering, incremental dedup against a
-  * reference corpus, and BPE tokenizer training — the remaining shapes a
-  * 100 TB pretraining pipeline runs between crawl and tokenizer.
+  * reference corpus, BPE tokenizer training, and SemDeDup-style semantic
+  * dedup — the remaining shapes a 100 TB pretraining pipeline runs between
+  * crawl and tokenizer.
   *
   * Scale notes (per query):
   *   - q91: the bigram LM table is vocab² — tiny next to the corpus — so the

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{SparkEntry, SparkTestBase, Tables}
 import org.apache.spark.sql.functions._
 
-/** Semantics pins for the round-4 training-pipeline queries (q91–q98):
+/** Semantics pins for the round-4 training-pipeline queries (q91–q99):
   * Bloom prefilter invisibility, Z-order tile bounds, resampling bounds, and
   * rows-only output shapes.
   */
