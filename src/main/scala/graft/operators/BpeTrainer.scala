@@ -76,8 +76,14 @@ object BpeTrainer {
 
     val typed = words.select(col(wordCol).cast("string"), col(weightCol).cast("long"))
       .as[(String, Long)]
-    if (typed.count() <= collectThreshold)
-      return trainLocal(typed.collect(), nMerges, minFreq)
+    // one action decides the mode AND supplies the local-path data: probe one
+    // row past the threshold; an overflowing probe falls through to the
+    // distributed loop (a separate count() + collect() would run the
+    // upstream corpus-wide word-count aggregation twice)
+    val cap = math.min(collectThreshold, (Int.MaxValue - 1).toLong).toInt
+    val probe = typed.limit(cap + 1).collect()
+    if (probe.length <= cap)
+      return trainLocal(probe, nMerges, minFreq)
 
     // word → its character symbols; </w> marks the word boundary so merges
     // cannot cross words when the vocab is later applied to running text
@@ -120,6 +126,22 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Unsigned byte-wise UTF-8 comparison — the order Spark's UTF8String
+    * uses, so local and distributed tie-breaks agree beyond the BMP.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Driver-side merge loop over a collected vocab — bit-identical to the
     * distributed loop (same mergePair, same tie-break), minus the per-merge
     * job latency.
@@ -141,8 +163,22 @@ object BpeTrainer {
           i += 1
         }
       }
-      // max by (freq desc, left asc, right asc) — the distributed orderBy
-      val best = freqs.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+      // max by (freq desc, left asc, right asc) with UTF-8 byte order for
+      // the strings — Spark's orderBy compares UTF8String bytes, and Java's
+      // String.compareTo (UTF-16 code units) disagrees with it for
+      // supplementary-plane symbols, which would break local≡distributed
+      val best =
+        if (freqs.isEmpty) None
+        else Some(freqs.min(new Ordering[((String, String), Long)] {
+          def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+            val c0 = java.lang.Long.compare(b._2, a._2) // freq desc
+            if (c0 != 0) c0
+            else {
+              val c1 = utf8Compare(a._1._1, b._1._1)
+              if (c1 != 0) c1 else utf8Compare(a._1._2, b._1._2)
+            }
+          }
+        }))
       best.filter(_._2 >= minFreq) match {
         case Some(((l, r), f)) =>
           merges += Merge(rank, l, r, f)

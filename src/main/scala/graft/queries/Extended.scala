@@ -344,8 +344,7 @@ object Extended extends QueryPack {
     GraftQuery(
       "q73_split_assignment",
       (s, dir) => {
-        val hexpos: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-          c => instr(lit("0123456789abcdef"), c) - 1
+        val hexpos = graft.queries.hexDigitVal _
         val h = md5(col("doc_id").cast("string"))
         Tables(s, dir, "documents")
           .withColumn("bucket",

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Training extends QueryPack {
 
-  private def hexpos(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+  private val hexpos = graft.queries.hexDigitVal _
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -153,13 +153,14 @@ object Training extends QueryPack {
       },
       Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |seg AS (
-        |  SELECT doc_id, source, k AS seg_idx,
-        |    array_to_string(list_slice(ws, k*10+1, k*10+10), ' ') AS seg
-        |  FROM w CROSS JOIN UNNEST(generate_series(0, 60)) AS t(k)
-        |  WHERE k*10+1 <= len(ws) AND len(list_slice(ws, k*10+1, k*10+10)) >= 5),
+        |  SELECT doc_id, source, UNNEST([
+        |    struct_pack(seg_idx := k, seg := array_to_string(ws[k*10+1:k*10+10], ' '))
+        |    FOR k IN generate_series(0, CAST(floor((len(ws)-1)/10.0) AS INT))
+        |    IF len(ws[k*10+1:k*10+10]) >= 5]) AS p
+        |  FROM w),
         |ranked AS (
         |  SELECT source,
-        |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |    row_number() OVER (PARTITION BY md5(p.seg) ORDER BY doc_id, p.seg_idx) AS rn
         |  FROM seg)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
@@ -183,7 +184,14 @@ object Training extends QueryPack {
             "transform(sequence(0, size(ws) - 4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
             .as("gram"))
         val evalGrams = g.filter(col("doc_id") % 10 === 0).select("gram").distinct()
-        val bloom = evalGrams.stat.bloomFilter("gram", 100000L, 0.03)
+        // size the filter from the actual eval cardinality — a hard-coded
+        // capacity saturates past it and the prefilter silently stops
+        // filtering (output stays exact, the shuffle saving vanishes). The
+        // extra count() pass re-scans only the eval partition, small by
+        // definition (and the returned plan is lazy, so a persist here could
+        // not be released before execution anyway).
+        val nEval = evalGrams.count()
+        val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1000L), 0.03)
         val bc = s.sparkContext.broadcast(bloom)
         val mightContain = udf((gram: String) => gram != null && bc.value.mightContainString(gram))
         g.filter(col("doc_id") % 10 =!= 0)
@@ -217,10 +225,14 @@ object Training extends QueryPack {
       "q95_zorder_layout",
       (s, dir) => {
         InterleaveBits.register(s)
+        // pmod keeps yk in [0, 4096) even for dates before the epoch anchor —
+        // a plain % would go negative and Morton 16 low two's-complement bits
+        // while the oracle interleaves only bits 0-11
         Tables(s, dir, "orders")
           .select(
-            (col("o_custkey") % 4096).as("xk"),
-            (datediff(col("o_orderdate"), lit("1995-01-01")) % 4096).cast("long").as("yk"))
+            pmod(col("o_custkey"), lit(4096)).as("xk"),
+            pmod(datediff(col("o_orderdate"), lit("1995-01-01")), lit(4096))
+              .cast("long").as("yk"))
           .withColumn("zval", InterleaveBits.interleaveBits(col("xk"), col("yk")))
           .withColumn("zbucket", shiftright(col("zval"), 20))
           .groupBy("zbucket")
@@ -236,8 +248,8 @@ object Training extends QueryPack {
             s"((yk >> $i) & 1) * ${1L << (2 * i + 1)}")
         }.mkString(" + ")
         s"""WITH d AS (
-          |  SELECT o_custkey % 4096 AS xk,
-          |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 4096 AS yk
+          |  SELECT ((o_custkey % 4096) + 4096) % 4096 AS xk,
+          |    ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 4096) + 4096) % 4096 AS yk
           |  FROM orders),
           |z AS (SELECT xk, yk, CAST($terms AS BIGINT) >> 20 AS zbucket FROM d)
           |SELECT zbucket, CAST(count(*) AS BIGINT) AS n,

@@ -519,26 +519,51 @@ class StreamingOpsSpec extends SparkTestBase {
     import java.nio.file.Files
     val ckpt = Files.createTempDirectory("graft-upsert-ckpt").toFile.getAbsolutePath
     val out = Files.createTempDirectory("graft-upsert-out").toFile.getAbsolutePath
-    val in = MemoryStream[(Long, Double)](spark)
+    // file source, not MemoryStream: the file-source log retains each batch's
+    // manifest, so a batch whose sink commit is lost can actually be re-read
+    // (MemoryStream purges data at source-commit time and cannot replay)
+    val inDir = Files.createTempDirectory("graft-upsert-in").toFile
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = new java.io.File(inDir, s".$name.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      assert(tmp.renameTo(new java.io.File(inDir, name))) // atomic publish
+    }
     def start() = StreamingOps.idempotentParquetSink(
-      in.toDF.toDF("k", "v"), out, ckpt).start()
+      spark.readStream.text(inDir.getAbsolutePath)
+        .select(
+          expr("cast(split(value, ',')[0] as long)").as("k"),
+          expr("cast(split(value, ',')[1] as double)").as("v")),
+      out, ckpt).start()
 
+    writeFile("a.txt", Seq("1,1.0", "2,2.0"))
     val q1 = start()
-    in.addData((1L, 1.0), (2L, 2.0))
     q1.processAllAvailable()
     q1.stop()
 
-    // restart from the same checkpoint: a recovered/replayed batch must
-    // overwrite its own batch_id partition rather than append
+    // force a real replay: delete batch 0's commit marker, as if the process
+    // died after the sink wrote but before the commit landed — on restart
+    // Spark re-runs batch 0 from its offset log into the SAME batch_id dir
+    val commit0 = new java.io.File(ckpt, "commits/0")
+    assert(commit0.exists(), s"expected commit marker at $commit0")
+    assert(commit0.delete())
+    // local ChecksumFs keeps a shadow .crc next to the marker; leaving it
+    // behind makes the replayed commit's rename collide (not a thing on HDFS)
+    new java.io.File(ckpt, "commits/.0.crc").delete()
+
+    writeFile("b.txt", Seq("3,3.0"))
     val q2 = start()
-    in.addData((3L, 3.0))
     q2.processAllAvailable()
     q2.stop()
 
     val result = spark.read.parquet(out)
       .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
     assert(result.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
-      s"exactly-once violated: ${result.toSeq}")
+      s"replayed batch must overwrite its own partition, not append: ${result.toSeq}")
+    // the replay really happened: batch 0's dir exists and carries only a.txt
+    val b0 = spark.read.parquet(s"$out/batch_id=0")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(b0.toSeq == Seq(1L, 2L))
   }
 
   test("streaming and batch twins produce identical tumbling aggregates") {
