@@ -68,6 +68,15 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var labelsPath: Option[Path] = None
+    // convergence probe: labels move only DOWNWARD (new = min(old,
+    // neighbors) <= old), so sum(label) strictly decreases until fixpoint —
+    // an exact DECIMAL aggregate over the already-cut frame detects
+    // convergence without joining consecutive label tables (null sentinel:
+    // iteration 1 never reads as converged).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -78,14 +87,14 @@ object ConnectedComponents {
       val (next, nextPath) = cut(labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      converged = changed == 0
-      // the prior iteration's cut was fully consumed by the `changed` count
+      val nextSum = labelSum(next)
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      // the prior iteration's cut was fully consumed by the sum probe
       // above — delete it so disk holds O(1) tables, not O(iterations)
       labelsPath.foreach(p => fs.foreach(_.delete(p, true)))
       labels = next
       labelsPath = nextPath
+      prevSum = nextSum
       iter += 1
     }
     // non-convergence would silently split real clusters (duplicate docs

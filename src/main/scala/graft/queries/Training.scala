@@ -183,24 +183,31 @@ object Training extends QueryPack {
           .select(col("doc_id"), col("source"), explode(array_distinct(expr(
             "transform(sequence(0, size(ws) - 4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
             .as("gram"))
+        // the eval-gram side feeds THREE consumers (cardinality count, Bloom
+        // build, exact confirm join) — persist it once instead of exploding
+        // the eval partition three times, then release after eagerly
+        // materializing the 20-row result (the PrefixFilterJoin discipline)
         val evalGrams = g.filter(col("doc_id") % 10 === 0).select("gram").distinct()
-        // size the filter from the actual eval cardinality — a hard-coded
-        // capacity saturates past it and the prefilter silently stops
-        // filtering (output stays exact, the shuffle saving vanishes). The
-        // extra count() pass re-scans only the eval partition, small by
-        // definition (and the returned plan is lazy, so a persist here could
-        // not be released before execution anyway).
-        val nEval = evalGrams.count()
-        val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1000L), 0.03)
-        val bc = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((gram: String) => gram != null && bc.value.mightContainString(gram))
-        g.filter(col("doc_id") % 10 =!= 0)
-          .filter(mightContain(col("gram")))
-          .join(evalGrams, Seq("gram"), "left_semi")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("shared"))
-          .orderBy(col("shared").desc, col("doc_id"))
-          .limit(20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // size the filter from the actual eval cardinality — a hard-coded
+          // capacity saturates past it and the prefilter silently stops
+          // filtering (output stays exact, the shuffle saving vanishes)
+          val nEval = evalGrams.count()
+          val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1000L), 0.03)
+          val bc = s.sparkContext.broadcast(bloom)
+          val mightContain = udf((gram: String) => gram != null && bc.value.mightContainString(gram))
+          val out = g.filter(col("doc_id") % 10 =!= 0)
+            .filter(mightContain(col("gram")))
+            .join(evalGrams, Seq("gram"), "left_semi")
+            .groupBy(col("doc_id"), col("source"))
+            .agg(count(lit(1)).as("shared"))
+            .orderBy(col("shared").desc, col("doc_id"))
+            .limit(20)
+            .persist()
+          out.count() // force execution while evalGrams is still cached
+          out
+        } finally evalGrams.unpersist()
       },
       Some("""WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -345,31 +352,40 @@ object Training extends QueryPack {
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
-        val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
+        // (id, cluster, vec) feeds both sides of the within-cluster pair join
+        // AND the final rollup — persist once instead of re-running the
+        // assignment projection + embedding scan three times, release after
+        // the k-row result is materialized
+        val a = KMeans.assign(emb, "vec_id", "embedding", model)
           .select(col("id"), col("cluster"))
-        val vecs = emb.select(col("vec_id").cast("long").as("id"),
-          col("embedding").cast("array<double>").as("vec"))
-        val a = assigned.join(vecs, "id")
-        val x = a.select(col("cluster"), col("id").as("id1"), col("vec").as("v1"))
-        val y = a.select(col("cluster"), col("id").as("id2"), col("vec").as("v2"))
-        val pairs = x.join(y, "cluster")
-          .where(col("id1") < col("id2"))
-          .where(CosineSimilarity.cosineSim(col("v1"), col("v2")) >= 0.3)
-          .select(col("id1"), col("id2"))
-        val comp = ConnectedComponents.run(pairs, maxIter = 25, reliable = Some(false))
-          .toDF("id", "component")
-        assigned.join(comp, Seq("id"), "left")
-          .select(col("cluster"),
-            // isolated nodes are their own component ⇒ kept
-            when(col("component").isNull.or(col("component") === col("id")), 1)
-              .otherwise(0).as("kept"))
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n_points"),
-            sum(col("kept")).cast("long").as("n_kept"),
-            (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
-          .orderBy("cluster")
-          .select(col("cluster").cast("long").as("cluster"),
-            col("n_points"), col("n_kept"), col("n_dropped"))
+          .join(emb.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("vec")), "id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val x = a.select(col("cluster"), col("id").as("id1"), col("vec").as("v1"))
+          val y = a.select(col("cluster"), col("id").as("id2"), col("vec").as("v2"))
+          val pairs = x.join(y, "cluster")
+            .where(col("id1") < col("id2"))
+            .where(CosineSimilarity.cosineSim(col("v1"), col("v2")) >= 0.3)
+            .select(col("id1"), col("id2"))
+          val comp = ConnectedComponents.run(pairs, maxIter = 25, reliable = Some(false))
+            .toDF("id", "component")
+          val out = a.select(col("id"), col("cluster")).join(comp, Seq("id"), "left")
+            .select(col("cluster"),
+              // isolated nodes are their own component ⇒ kept
+              when(col("component").isNull.or(col("component") === col("id")), 1)
+                .otherwise(0).as("kept"))
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n_points"),
+              sum(col("kept")).cast("long").as("n_kept"),
+              (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
+            .orderBy("cluster")
+            .select(col("cluster").cast("long").as("cluster"),
+              col("n_points"), col("n_kept"), col("n_dropped"))
+            .persist()
+          out.count() // force execution while `a` is still cached
+          out
+        } finally a.unpersist()
       },
       None),
 
