@@ -25,7 +25,8 @@ object SparkEntry {
     packs.Logfile,
     packs.Extended,
     packs.Curation,
-    packs.Training)
+    packs.Training,
+    packs.Advanced)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in FIXED-POINT integer arithmetic — ranks are BIGINT
+  * millionths, every operation is integer multiply / floor-divide / sum, so
+  * the result is bit-identical on any engine (no floating-point reduce-order
+  * or libm drift; the same reason q91/q92 use integer-exact math). The
+  * price: each floor-divide leaks up to 1 micro of rank mass, so totals sum
+  * to slightly under `n · 1_000_000` — deterministic, documented, and
+  * irrelevant to ranking.
+  *
+  * Per iteration (the classic pull formulation):
+  *
+  *   rank'(v) = 150_000 + (850_000 · Σ_{u→v} (rank(u) · w(u,v)) div outw(u))
+  *                         div 1_000_000
+  *
+  * Scale shape: one shuffle per iteration — edges equi-join ranks on `src`
+  * (both hash-partitioned on the node id), partial+final sum on `dst`.
+  * Driver state is O(1); nodes/edges stay distributed, so a billion-node
+  * domain graph runs the same plan. Lineage is cut with `localCheckpoint`
+  * each iteration (plan depth stays O(1)); on a real cluster pass a
+  * checkpoint dir and swap for durable cuts as `ConnectedComponents` does.
+  *
+  * Overflow bound: rank(u) ≤ n·10⁶ and rank(u)·w must stay under 2⁶³ —
+  * holds for any graph with n·w_max < 9·10¹².
+  */
+object PageRank {
+
+  /** @param edges 3-column DataFrame (src, dst, weight); weights must be
+    *              positive integers
+    * @param iters number of Jacobi iterations (fixed count — callers pick
+    *              the diameter-appropriate budget; rank deltas shrink
+    *              geometrically with damping 0.85)
+    * @return (node, rank_micros) — every node that appears as src or dst
+    */
+  def runFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val Seq(s0, d0, w0) = edges.columns.toSeq
+    val e = edges.select(
+      col(s0).cast("long").as("src"),
+      col(d0).cast("long").as("dst"),
+      col(w0).cast("long").as("w"))
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      val outw = e.groupBy("src").agg(sum(col("w")).as("ow")).persist()
+      try {
+        var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+        for (_ <- 1 to iters) {
+          val contrib = e
+            .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+            .join(outw, Seq("src"))
+            .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("contrib"))
+          ranks = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              expr("CAST(150000 + (850000 * coalesce(contrib, 0L)) div 1000000 AS BIGINT)")
+                .as("r"))
+            .localCheckpoint()
+        }
+        // the last localCheckpoint materialized the result — the cached
+        // inputs can be released before returning
+        ranks.select(col("node"), col("r").as("rank_micros"))
+      } finally {
+        nodes.unpersist()
+        outw.unpersist()
+      }
+    } finally {
+      e.unpersist()
+    }
+  }
+}

@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.operators.{IntervalJoin, PageRank}
+import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-5 surface: the join/graph/source shapes that close out a general
+  * analytics engine — bucketed interval containment (the equi-join rewrite
+  * of the range-predicate join Spark would plan as a nested loop), BM25
+  * relevance scoring in engine-exact rational arithmetic, MERGE/upsert CDC
+  * application, fixed-point integer PageRank, CSV/JSON source round-trips,
+  * equi-depth histograms, and time-series gap-fill with forward-fill.
+  *
+  * Scale notes:
+  *   - q100: one shuffle per side on the coarse time bin; candidate pairs
+  *     bounded by per-bin density, never |points|·|intervals| (see
+  *     [[graft.operators.IntervalJoin]]).
+  *   - q101: the per-term document frequencies and the corpus length stats
+  *     are tiny aggregates (broadcast); the corpus is scanned once to build
+  *     term frequencies for the query's terms only — the pushed-down
+  *     `isin` prunes everything else before the explode.
+  *   - q102: one full-outer-shaped shuffle on the merge key — the exact
+  *     MERGE INTO plan a lakehouse writer runs per CDC batch.
+  *   - q103: one equi-join shuffle per iteration, O(1) driver state (see
+  *     [[graft.operators.PageRank]]).
+  *   - q104: format fidelity proof — the same rows written to CSV and JSON,
+  *     read back through an explicit schema, must aggregate identically to
+  *     the parquet originals (the oracle reads the parquet).
+  *   - q105: `ntile` over a total order — one sort; at 100 TB the same
+  *     result comes from `approx_percentile` boundaries + one bucketing
+  *     pass (q58 carries that sketch surface).
+  *   - q106: the minute grid is `O(time span)`, independent of row count;
+  *     the fill is one window pass per series.
+  */
+object Advanced extends QueryPack {
+
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private val epochAnchor = "1970-01-01"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Point-in-interval containment with NO equi key: lineitem ship dates
+    // landing inside 14-day windows opened by urgent orders. The bucketed
+    // rewrite (bin width 16d >= interval length) turns the would-be nested
+    // loop into a hash join; the oracle is the plain BETWEEN join.
+    GraftQuery(
+      "q100_interval_join_bucketed",
+      (s, dir) => {
+        val iv = Tables(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as("iv_id"),
+            datediff(col("o_orderdate"), lit(epochAnchor)).cast("long").as("s_day"))
+          .withColumn("e_day", col("s_day") + 14)
+        val pt = Tables(s, dir, "lineitem")
+          .select(datediff(col("l_shipdate"), lit(epochAnchor)).cast("long").as("p_day"))
+        IntervalJoin.containment(pt, "p_day", iv, "s_day", "e_day", binWidth = 16L)
+          .groupBy("iv_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("p_day")).as("first_hit_day"),
+            max(col("p_day")).as("last_hit_day"))
+          .orderBy(col("n_hits").desc, col("iv_id"))
+          .limit(20)
+      },
+      Some("""WITH iv AS (
+        |  SELECT o_orderkey AS iv_id,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS s_day,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 14 AS e_day
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0),
+        |pt AS (SELECT date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS p_day
+        |       FROM lineitem)
+        |SELECT iv_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(p_day) AS BIGINT) AS first_hit_day,
+        |  CAST(max(p_day) AS BIGINT) AS last_hit_day
+        |FROM pt JOIN iv ON pt.p_day >= iv.s_day AND pt.p_day <= iv.e_day
+        |GROUP BY iv_id ORDER BY n_hits DESC, iv_id LIMIT 20""".stripMargin)),
+
+    // BM25 relevance scoring (k1=1.2, b=0.75) for a fixed 4-term query over
+    // the documents table. The Robertson idf is kept in its exact RATIONAL
+    // form (N - df + 0.5)/(df + 0.5) — no log, so every operation is an
+    // IEEE-exact multiply/divide and both engines agree bit-for-bit (the
+    // q91 integer-exact principle applied to ranking); per-doc term
+    // contributions are DECIMAL-summed for reduce-order independence.
+    GraftQuery(
+      "q101_bm25_scoring",
+      (s, dir) => {
+        val terms = Seq("data", "model", "training", "quality")
+        val d = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val stats = d.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(size(col("ws"))).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = d
+          .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+            explode(col("ws")).as("term"))
+          .where(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val contrib = (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        tf.join(broadcast(df_), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .groupBy("doc_id")
+          .agg(round(sum(contrib.cast(DecimalType(30, 10))), 4).cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""WITH terms(term) AS (VALUES ('data'), ('model'), ('training'), ('quality')),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            CAST(SUM(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, UNNEST(ws) AS w, CAST(len(ws) AS DOUBLE) AS dl FROM d)
+        |  WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  CAST(ROUND(SUM(CAST(
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+        |    * ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |   AS DECIMAL(30,10))), 4) AS DOUBLE) AS bm25
+        |FROM tf JOIN df USING (term) CROSS JOIN stats s
+        |GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // MERGE INTO / upsert: apply a CDC delta (every 5th order, repriced
+    // +100) onto the base table (orders missing every 7th key — so the
+    // delta holds both updates and inserts), then account per status ×
+    // operation. One full-outer-shaped shuffle on the key: the lakehouse
+    // merge plan.
+    GraftQuery(
+      "q102_merge_upsert",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val base = orders.where(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val delta = orders.where(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+        val applied = delta.join(base.select(col("o_orderkey"), lit(1).as("__hit")),
+            Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            when(col("__hit").isNull, "insert").otherwise("update").as("op"))
+        val kept = base.join(delta.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .withColumn("op", lit("keep"))
+        applied.unionByName(kept)
+          .groupBy(col("o_orderstatus"), col("op"))
+          .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus", "op")
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |applied AS (
+        |  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS op
+        |  FROM delta d LEFT JOIN base b ON d.o_orderkey = b.o_orderkey),
+        |kept AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice, 'keep' AS op
+        |  FROM base b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |  WHERE d.o_orderkey IS NULL),
+        |m AS (SELECT * FROM applied UNION ALL SELECT * FROM kept)
+        |SELECT o_orderstatus, op, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY 1, 2 ORDER BY o_orderstatus, op""".stripMargin)),
+
+    // Fixed-point PageRank over the nation trade graph (supplier nation →
+    // customer nation, weighted by lineitem count). The oracle unrolls the
+    // same 5 integer-exact iterations as SQL CTEs — bit-identical by
+    // construction, no float drift to paper over.
+    GraftQuery(
+      "q103_pagerank_trade",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ords = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val edges = li
+          .join(ords, li("l_orderkey") === ords("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .where(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        PageRank.runFixedPoint(edges, iters = 5)
+          .select(col("node").cast("long").as("node"), col("rank_micros"))
+          .orderBy(col("rank_micros").desc, col("node"))
+      },
+      Some {
+        val edges = """SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+          CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2"""
+        val ctes = Seq(
+          s"e AS ($edges)",
+          "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+          "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1)",
+          "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)") ++
+          (1 to 5).map { i =>
+            s"""r$i AS (
+              SELECT n.node,
+                CAST(150000 + (850000 * COALESCE(s.contrib, 0)) // 1000000 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS contrib
+                FROM e JOIN r${i - 1} p ON e.src = p.node JOIN outw o ON e.src = o.src
+                GROUP BY 1) s ON n.node = s.node)"""
+          }
+        "WITH " + ctes.mkString(",\n") +
+          "\nSELECT CAST(node AS BIGINT) AS node, r AS rank_micros FROM r5 " +
+          "ORDER BY rank_micros DESC, node"
+      }),
+
+    // Source-format fidelity: the same order rows written to CSV and JSON,
+    // read back through an explicit schema, must aggregate identically to
+    // the parquet originals (which is exactly what the oracle computes).
+    // Exercises the csv/json source+sink surface end-to-end.
+    GraftQuery(
+      "q104_csv_json_roundtrip",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .where(col("o_orderkey") % 3 === 0)
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_roundtrip").getAbsolutePath
+        val csvDir = s"$root/csv"
+        val jsonDir = s"$root/json"
+        base.coalesce(4).write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+        base.coalesce(4).write.mode(SaveMode.Overwrite).json(jsonDir)
+        val schema = "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+        val backCsv = s.read.schema(schema).option("header", "true").csv(csvDir)
+          .withColumn("fmt", lit("csv"))
+        val backJson = s.read.schema(schema).json(jsonDir)
+          .withColumn("fmt", lit("json"))
+        backCsv.unionByName(backJson)
+          .groupBy("fmt", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+          .orderBy("fmt", "o_orderpriority")
+      },
+      Some("""WITH b AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |f(fmt) AS (VALUES ('csv'), ('json'))
+        |SELECT f.fmt, b.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM b CROSS JOIN f GROUP BY 1, 2 ORDER BY fmt, o_orderpriority""".stripMargin)),
+
+    // Equi-DEPTH histogram (quantile buckets) — the partner of q68's
+    // equi-width bins: ntile(10) over a total order, then per-bucket
+    // bounds + mass. Narrow buckets where the data is dense.
+    GraftQuery(
+      "q105_equidepth_histogram",
+      (s, dir) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            dsum2(col("o_totalprice")).as("mass"))
+          .orderBy("bucket")
+          .select(col("bucket").cast("long").as("bucket"), col("n"),
+            col("lo"), col("hi"), col("mass"))
+      },
+      Some("""WITH t AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mass
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Time-series gap-fill: minute-resolution per-type value series over
+    // the full events span, missing minutes forward-filled from the last
+    // observation (nulls before the first observation stay null, flagged
+    // was_gap=1). The grid is O(span), not O(rows).
+    GraftQuery(
+      "q106_timeseries_gapfill",
+      (s, dir) => {
+        val x = Tables(s, dir, "events")
+          .where(col("event_type").isin("click", "error"))
+          .select(col("event_type"), expr("ts div 60000000000").as("m"), col("value"))
+          .groupBy("event_type", "m")
+          .agg(dsum2(col("value")).as("v"))
+        val bounds = x.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+        val grid = x.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(sequence(col("m0"), col("m1"))).as("m"))
+        val fillW = Window.partitionBy(col("event_type")).orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grid.join(x, Seq("event_type", "m"), "left")
+          .withColumn("v_filled", coalesce(col("v"), last(col("v"), ignoreNulls = true).over(fillW)))
+          .withColumn("was_gap", when(col("v").isNull, 1L).otherwise(0L))
+          .select(col("event_type"), col("m").as("minute_idx"),
+            col("v_filled"), col("was_gap"))
+          .orderBy("event_type", "minute_idx")
+      },
+      Some("""WITH x AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS m,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1, 2),
+        |b AS (SELECT min(m) AS m0, max(m) AS m1 FROM x),
+        |grid AS (
+        |  SELECT t.event_type, g.m
+        |  FROM (SELECT DISTINCT event_type FROM x) t
+        |  CROSS JOIN (SELECT UNNEST(generate_series(m0, m1)) AS m FROM b) g),
+        |j AS (SELECT grid.event_type, grid.m, x.v
+        |      FROM grid LEFT JOIN x USING (event_type, m))
+        |SELECT event_type, CAST(m AS BIGINT) AS minute_idx,
+        |  COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS v_filled,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM j ORDER BY event_type, minute_idx""".stripMargin)))
+}
