@@ -67,6 +67,11 @@ object ConnectedComponents {
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    // empty edge set (legal: a corpus with no near-dup candidates) — the
+    // sum probe below would read null forever and spin to maxIter; there is
+    // nothing to propagate, so return the empty (node, component) frame now
+    if (labels.isEmpty)
+      return labels.select(col("node"), col("label").as("component"))
     var labelsPath: Option[Path] = None
     // convergence probe: labels move only DOWNWARD (new = min(old,
     // neighbors) <= old), so sum(label) strictly decreases until fixpoint —
@@ -88,7 +93,16 @@ object ConnectedComponents {
         .union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
-      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      converged =
+        if (nextSum != null) prevSum != null && nextSum.compareTo(prevSum) == 0
+        else {
+          // a null sum here is DECIMAL(38,0) overflow (null under non-ANSI
+          // Spark) — the cheap probe is blind, so fall back to the exact
+          // join-based check for this iteration instead of spinning to
+          // maxIter and throwing on a graph that may already be converged
+          next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+            .where(col("n.label") =!= col("p.label")).isEmpty
+        }
       // the prior iteration's cut was fully consumed by the sum probe
       // above — delete it so disk holds O(1) tables, not O(iterations)
       labelsPath.foreach(p => fs.foreach(_.delete(p, true)))

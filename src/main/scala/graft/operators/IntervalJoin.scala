@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * replicas but more candidates per bin.
   *
   * Domain contract: bin math uses integer `div`, which truncates toward
-  * zero — callers pass NON-NEGATIVE coordinates (epoch days/seconds/micros
-  * all qualify); `require`d below so a negative domain fails loudly instead
-  * of silently mis-binning.
+  * zero, so only NON-NEGATIVE coordinates bin correctly (epoch
+  * days/seconds/micros all qualify). Out-of-domain rows — a negative point,
+  * a negative interval start, or an inverted interval (end < start) — are
+  * FILTERED OUT of the join rather than mis-binned: they produce no output
+  * pairs. Callers with legitimately negative domains (e.g. pre-1970 epoch
+  * days) must shift coordinates to be non-negative before calling.
   */
 object IntervalJoin {
 

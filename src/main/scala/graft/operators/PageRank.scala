@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   * each iteration (plan depth stays O(1)); on a real cluster pass a
   * checkpoint dir and swap for durable cuts as `ConnectedComponents` does.
   *
-  * Overflow bound: rank(u) ≤ n·10⁶ and rank(u)·w must stay under 2⁶³ —
-  * holds for any graph with n·w_max < 9·10¹².
+  * Overflow bound: total rank mass is conserved at ≤ n·10⁶, so a perfect
+  * hub can concentrate contrib(v) ≈ n·10⁶ on one node. The binding term is
+  * the damping step `850_000 · contrib(v)`, which must stay under 2⁶³:
+  * that requires n < ~1.08·10⁷ for hub-dominated graphs (the per-edge
+  * `rank(u)·w` term needs the weaker n·w_max < 9·10¹²). Under non-ANSI
+  * Spark a Long overflow wraps silently, so graphs past ~10⁷ nodes must
+  * compute the damping step in DECIMAL(38,0) (as the ConnectedComponents
+  * convergence probe does) — fine for the ≤10⁵-node domain graphs this
+  * engine ranks (q103 runs 25 nations).
   */
 object PageRank {
 

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{GraftQuery, QueryPack, Tables}
 import graft.operators.{IntervalJoin, PageRank}
-import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -228,21 +229,31 @@ object Advanced extends QueryPack {
         val base = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
           .where(col("o_orderkey") % 3 === 0)
-        val root = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_roundtrip").getAbsolutePath
-        val csvDir = s"$root/csv"
-        val jsonDir = s"$root/json"
-        base.coalesce(4).write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
-        base.coalesce(4).write.mode(SaveMode.Overwrite).json(jsonDir)
-        val schema = "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
-        val backCsv = s.read.schema(schema).option("header", "true").csv(csvDir)
-          .withColumn("fmt", lit("csv"))
-        val backJson = s.read.schema(schema).json(jsonDir)
-          .withColumn("fmt", lit("json"))
-        backCsv.unionByName(backJson)
-          .groupBy("fmt", "o_orderpriority")
-          .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
-          .orderBy("fmt", "o_orderpriority")
+        // per-invocation directory: concurrent drivers (verify + bench, or
+        // parallel sessions) must not overwrite each other's files mid-read
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_roundtrip_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        try {
+          val csvDir = s"$root/csv"
+          val jsonDir = s"$root/json"
+          base.coalesce(4).write.option("header", "true").csv(csvDir)
+          base.coalesce(4).write.json(jsonDir)
+          val schema = "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+          val backCsv = s.read.schema(schema).option("header", "true").csv(csvDir)
+            .withColumn("fmt", lit("csv"))
+          val backJson = s.read.schema(schema).json(jsonDir)
+            .withColumn("fmt", lit("json"))
+          // materialize the ~10-row rollup so the round-trip files can be
+          // deleted before returning (nothing lazy reads them afterwards)
+          materializeSmall(backCsv.unionByName(backJson)
+            .groupBy("fmt", "o_orderpriority")
+            .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+            .orderBy("fmt", "o_orderpriority"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
       },
       Some("""WITH b AS (
         |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),

@@ -197,16 +197,15 @@ object Training extends QueryPack {
           val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1000L), 0.03)
           val bc = s.sparkContext.broadcast(bloom)
           val mightContain = udf((gram: String) => gram != null && bc.value.mightContainString(gram))
-          val out = g.filter(col("doc_id") % 10 =!= 0)
+          // materialize the 20-row result while evalGrams is still cached;
+          // the local relation keeps no cache entry or lineage alive
+          materializeSmall(g.filter(col("doc_id") % 10 =!= 0)
             .filter(mightContain(col("gram")))
             .join(evalGrams, Seq("gram"), "left_semi")
             .groupBy(col("doc_id"), col("source"))
             .agg(count(lit(1)).as("shared"))
             .orderBy(col("shared").desc, col("doc_id"))
-            .limit(20)
-            .persist()
-          out.count() // force execution while evalGrams is still cached
-          out
+            .limit(20))
         } finally evalGrams.unpersist()
       },
       Some("""WITH t AS (
@@ -370,7 +369,9 @@ object Training extends QueryPack {
             .select(col("id1"), col("id2"))
           val comp = ConnectedComponents.run(pairs, maxIter = 25, reliable = Some(false))
             .toDF("id", "component")
-          val out = a.select(col("id"), col("cluster")).join(comp, Seq("id"), "left")
+          // materialize the k-row rollup while `a` is still cached; the
+          // local relation keeps no cache entry or lineage alive
+          materializeSmall(a.select(col("id"), col("cluster")).join(comp, Seq("id"), "left")
             .select(col("cluster"),
               // isolated nodes are their own component ⇒ kept
               when(col("component").isNull.or(col("component") === col("id")), 1)
@@ -381,10 +382,7 @@ object Training extends QueryPack {
               (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
             .orderBy("cluster")
             .select(col("cluster").cast("long").as("cluster"),
-              col("n_points"), col("n_kept"), col("n_dropped"))
-            .persist()
-          out.count() // force execution while `a` is still cached
-          out
+              col("n_points"), col("n_kept"), col("n_dropped")))
         } finally a.unpersist()
       },
       None),

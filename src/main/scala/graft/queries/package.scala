@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{instr, lit}
 
 package object queries {
@@ -12,4 +12,17 @@ package object queries {
     */
   private[queries] def hexDigitVal(c: Column): Column =
     instr(lit("0123456789abcdef"), c) - 1
+
+  /** Force execution of a query whose result has a HARD small row bound
+    * (a `limit`, or a groupBy over a k-bounded key) and return it as a
+    * local relation. Used where a builder must consume cached/temporary
+    * inputs before returning (the inputs are released or deleted right
+    * after this call) — unlike `persist()+count()`, no cache entry and no
+    * lineage over the temporaries outlive the builder. NOT for unbounded
+    * results: the rows transit the driver.
+    */
+  private[queries] def materializeSmall(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
 }

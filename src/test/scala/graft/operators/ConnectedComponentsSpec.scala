@@ -19,6 +19,13 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("empty edge set returns an empty result instead of spinning to maxIter") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val cc = ConnectedComponents.run(empty, maxIter = 3)
+    assert(cc.columns.toSeq == Seq("node", "component"))
+    assert(cc.count() == 0L)
+  }
+
   test("long chain converges within the diameter bound") {
     val n = 16
     val pairs = (0 until n - 1).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
