@@ -51,6 +51,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // compact summary as the LAST line: the driver keeps only the tail of
+    // stdout, and with 100+ queries the full line above loses its head
+    // (metric/value) to truncation — this one always survives intact
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -231,8 +231,10 @@ object Extended extends QueryPack {
     GraftQuery(
       "q66_profile_orders",
       (s, dir) => {
+        // spread: the small-SF parquet is one row group ⇒ one partition,
+        // which would single-thread the Expand(×5)+distinct aggregation
         graft.operators.Profiler.profile(
-          Tables(s, dir, "orders"),
+          Tables.spread(Tables(s, dir, "orders"), "o_orderkey"),
           Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
           .orderBy("column")
       },
