@@ -26,7 +26,8 @@ object SparkEntry {
     packs.Extended,
     packs.Curation,
     packs.Training,
-    packs.Advanced)
+    packs.Advanced,
+    packs.Mining)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

@@ -99,4 +99,32 @@ object BruteForceCosine {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Contrastive hard-negative mining: for each query vector, the k most
+    * cosine-similar vectors whose LABEL DIFFERS from the query's — the
+    * pairs a contrastive trainer wants as negatives precisely because the
+    * embedding thinks they're alike. Same plan shape as [[topK]] (filtered
+    * query side broadcast, per-partition scoring, one shuffle to rank k per
+    * query); the label inequality rides the join condition, so mismatched
+    * pairs are dropped before the similarity kernel runs.
+    *
+    * @return (query_id, qlabel, neighbor_id, nlabel, sim, rnk)
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val queries = df.filter(queryPred).select(
+      col(idCol).cast("long").as("query_id"),
+      col(labelCol).cast("long").as("qlabel"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probe = df.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).cast("long").as("nlabel"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val scored = probe.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") && col("qlabel") =!= col("nlabel"))
+      .select(col("query_id"), col("qlabel"), col("neighbor_id"), col("nlabel"),
+        cosineSim(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

@@ -1,0 +1,317 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 surface: sequence/behavior mining and training-set diagnostics —
+  * per-user event paths, skyline (record-breaking) days, blocked fuzzy name
+  * matching, distribution-drift between time halves, SCD2 interval building
+  * from a change log, lexical-diversity profiling, moving z-score anomaly
+  * detection, and contrastive hard-negative mining over embeddings.
+  *
+  * Determinism: every oracle-checked query here follows the engine-exact
+  * playbook — integer arithmetic wherever a sum crosses rows (window/group
+  * sums of BIGINT counts, never float accumulation), IEEE-exact single
+  * divisions/square roots on top, and total-order ORDER BYs.
+  *
+  * Scale notes:
+  *   - q107: two shuffles (user window, path rollup); the row_number cap
+  *     bounds per-user state at 4 rows before the rollup.
+  *   - q108: the skyline runs over the DAILY aggregate — O(span) rows — so
+  *     the unpartitioned running-max window is over thousands of rows, not
+  *     the fact table; the day rollup itself is one partial+final agg.
+  *   - q109: the self-join runs on the DISTINCT name space (variant
+  *     vocabulary), blocked by head noun — never |part|² rows.
+  *   - q110/q112: single scan each; shares/indices are exact-integer counts
+  *     divided once at the end.
+  *   - q111: one user-window pass + one rollup — the standard
+  *     gaps-and-islands SCD2 build, no self-join.
+  *   - q113: daily rollup first, then a bounded 7-row window per type:
+  *     state is O(types · 7), independent of event volume.
+  *   - q114: filtered query side broadcast (8 vectors), probe side streams
+  *     per partition, one shuffle ranks k per query.
+  */
+object Mining extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Per-user ordered event paths (first 4 events), top-20 by frequency —
+    // the "what do sessions look like" sweep behavior analytics starts with.
+    GraftQuery(
+      "q107_event_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id")
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
+    // Skyline / record-breaking days: the Pareto frontier of (earlier day,
+    // higher daily-max price) — a day survives iff its max price strictly
+    // beats every earlier day's. One running-max window over the day rollup.
+    GraftQuery(
+      "q108_skyline_days",
+      (s, dir) => {
+        val d = Tables(s, dir, "orders")
+          .select(datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"),
+            col("o_totalprice"))
+          .groupBy("day")
+          .agg(max(col("o_totalprice")).as("day_max"), count(lit(1)).as("n_orders"))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("prior_max", max(col("day_max")).over(w))
+          .filter(col("prior_max").isNull || col("day_max") > col("prior_max"))
+          .select(col("day"), col("day_max"), col("n_orders"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+        |  SELECT date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS day,
+        |    max(o_totalprice) AS day_max, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT day, day_max, n_orders,
+        |    max(day_max) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM d)
+        |SELECT CAST(day AS BIGINT) AS day, day_max, CAST(n_orders AS BIGINT) AS n_orders
+        |FROM s WHERE prior_max IS NULL OR day_max > prior_max ORDER BY day""".stripMargin)),
+
+    // Fuzzy variant matching over the DISTINCT part-name vocabulary,
+    // blocked by head noun: within a noun, name pairs within edit
+    // distance 3 are spelling/qualifier variants — the record-linkage
+    // blocking pattern (block key first, expensive distance after).
+    GraftQuery(
+      "q109_fuzzy_name_pairs",
+      (s, dir) => {
+        val names = Tables(s, dir, "part")
+          .select(lower(col("p_name")).as("name")).distinct()
+          .withColumn("noun", element_at(split(col("name"), " "), -1))
+        val a = names.select(col("noun"), col("name").as("n1"))
+        val b = names.select(col("noun"), col("name").as("n2"))
+        a.join(b, "noun")
+          .where(col("n1") < col("n2") && levenshtein(col("n1"), col("n2")) <= 3)
+          .select(col("noun"), col("n1"), col("n2"),
+            levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+          .orderBy("noun", "n1", "n2")
+      },
+      Some("""WITH names AS (
+        |  SELECT DISTINCT lower(p_name) AS name FROM part),
+        |t AS (
+        |  SELECT name, string_split(name, ' ')[-1] AS noun FROM names)
+        |SELECT a.noun AS noun, a.name AS n1, b.name AS n2,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.noun = b.noun
+        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3
+        |ORDER BY noun, n1, n2""".stripMargin)),
+
+    // Distribution drift between the first and second half of the time
+    // range: per-type counts and share deltas, plus the per-type
+    // total-variation contribution — all integer counts divided once, no
+    // float accumulation (the engine-exact alternative to KL, which would
+    // drag in cross-engine ln()).
+    GraftQuery(
+      "q110_event_mix_drift",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("us"))
+        val b = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+        val w = Window.partitionBy()
+        e.crossJoin(broadcast(b))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+          .withColumn("t1", sum(col("n1")).over(w))
+          .withColumn("t2", sum(col("n2")).over(w))
+          .select(col("event_type"), col("n1"), col("n2"),
+            round(col("n1") / col("t1"), 6).as("share1"),
+            round(col("n2") / col("t2"), 6).as("share2"),
+            round(abs(col("n1") / col("t1") - col("n2") / col("t2")), 6).as("drift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |h AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS n2
+        |  FROM e CROSS JOIN b GROUP BY 1),
+        |t AS (SELECT event_type, n1, n2, SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2 FROM h)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(CAST(n1 AS DOUBLE) / t1, 6) AS share1,
+        |  round(CAST(n2 AS DOUBLE) / t2, 6) AS share2,
+        |  round(abs(CAST(n1 AS DOUBLE) / t1 - CAST(n2 AS DOUBLE) / t2), 6) AS drift
+        |FROM t ORDER BY event_type""".stripMargin)),
+
+    // SCD2 interval build from a change log (gaps-and-islands): collapse
+    // each user's consecutive same-type runs into (valid_from, valid_to)
+    // rows, valid_to = next run's start (null while current) — the CDC→
+    // dimension-table transform every warehouse load runs.
+    GraftQuery(
+      "q111_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val runW = w.rowsBetween(Window.unboundedPreceding, 0)
+        val iv = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("grp", sum(col("chg")).over(runW))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("us")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val w2 = Window.partitionBy("user_id").orderBy("valid_from")
+        iv.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("n_events"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |m AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |iv AS (
+        |  SELECT user_id, grp, min(event_type) AS event_type,
+        |    min(us) AS valid_from, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS valid_to,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin)),
+
+    // Lexical diversity per source: type-token ratio and Simpson diversity
+    // index (1 - Σc²/n²) — concentration/diversity of the token
+    // distribution without entropy's cross-engine ln(). Σc² is an exact
+    // BIGINT sum, so both engines divide identical integers.
+    GraftQuery(
+      "q112_lexical_diversity",
+      (s, dir) => {
+        Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+            round(lit(1.0) - col("s2") / (col("n_tokens") * col("n_tokens")), 6)
+              .as("simpson"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (
+        |  SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, SUM(c) AS n_tokens, count(*) AS n_types, SUM(c * c) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  round(1.0 - CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS simpson
+        |FROM a ORDER BY source""".stripMargin)),
+
+    // Moving z-score anomaly detection over daily per-type event counts:
+    // mean/variance from the prior 7 observed days via exact integer window
+    // sums (Σx, Σx² in BIGINT — no float accumulation order), flag |z| > 2.
+    GraftQuery(
+      "q113_moving_zscore",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+        Tables(s, dir, "events")
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("n")).over(w))
+          .withColumn("s2", sum(col("n") * col("n")).over(w))
+          .filter(col("cnt") === 7)
+          .withColumn("mean", col("s1") / lit(7.0))
+          .withColumn("vr", (col("s2") - col("s1") * col("s1") / lit(7.0)) / lit(6.0))
+          .filter(col("vr") > 0)
+          .withColumn("z", (col("n") - col("mean")) / sqrt(col("vr")))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("event_type"), col("day"), col("n"), round(col("z"), 4).as("z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER w AS cnt, SUM(n) OVER w AS s1, SUM(n * n) OVER w AS s2
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    (n - s1 / 7.0) / sqrt((s2 - s1 * s1 / 7.0) / 6.0) AS z,
+        |    (s2 - s1 * s1 / 7.0) / 6.0 AS vr
+        |  FROM m WHERE cnt = 7)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  round(z, 4) AS z
+        |FROM z WHERE vr > 0 AND abs(z) > 2.0 ORDER BY event_type, day""".stripMargin)),
+
+    // Contrastive hard-negative mining: for each of the 8 anchor vectors,
+    // the 3 most cosine-similar vectors with a DIFFERENT label — the
+    // "embedding thinks they're alike, labels disagree" pairs a contrastive
+    // trainer feeds as negatives.
+    GraftQuery(
+      "q114_hard_negatives",
+      (s, dir) => {
+        graft.operators.BruteForceCosine
+          .hardNegatives(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            "label", queryPred = col("vec_id") < 8, k = 3)
+          .select(col("query_id"), col("qlabel"), col("neighbor_id"), col("nlabel"),
+            round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, norm2 AS qn
+        |      FROM n WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, q.qlabel, n.vec_id AS neighbor_id, n.label AS nlabel,
+        |    list_reduce([qemb[i] * emb[i] FOR i IN generate_series(1, len(emb))], (a, b) -> a + b)
+        |      / (sqrt(qn) * sqrt(norm2)) AS sim
+        |  FROM n, q WHERE n.vec_id <> q.query_id AND n.label <> q.qlabel),
+        |r AS (
+        |  SELECT query_id, qlabel, neighbor_id, nlabel, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel, neighbor_id,
+        |  CAST(nlabel AS BIGINT) AS nlabel, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)))
+}
