@@ -27,7 +27,10 @@ object SparkEntry {
     packs.Curation,
     packs.Training,
     packs.Advanced,
-    packs.Mining)
+    packs.Mining,
+    packs.Graph,
+    packs.Quality,
+    packs.Trends)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.operators.{ConnectedComponents, ShortestPaths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 surface: graph analytics over relationship structure *derived*
+  * from relational data — the co-purchase graph (parts appearing in the
+  * same order at least twice) and the name-variant graph (edit-distance
+  * pairs within a blocking key). Adds the traversal/counting primitives a
+  * warehouse needs beyond PageRank (q103) and the dedup-cluster use of
+  * connected components (q69/q99): BFS reachability, triangle counting
+  * with clustering coefficients, and entity resolution (fuzzy pairs →
+  * components → canonical ids).
+  *
+  * Oracle note: q115 and q124 are checked against DuckDB `WITH RECURSIVE`
+  * CTEs — the first genuinely *recursive* oracles in the suite, so the
+  * iterative operators (ShortestPaths, ConnectedComponents) are
+  * hash-verified against an independent fixpoint formulation rather than
+  * rows-only pinned.
+  *
+  * Scale notes:
+  *   - co-purchase edges are per-order pair fanout: sum over orders of
+  *     C(basket, 2) — linear in orders for bounded baskets (max 13 here);
+  *     the `count >= 2` support floor then drops ~97% of pairs, so the
+  *     graph ops run on the pruned edge set, never the raw pair stream.
+  *   - q115: each BFS iteration shuffles O(|reached|) rows, lineage cut
+  *     per iteration; hop cap 12 bounds the loop like the oracle's depth
+  *     cap.
+  *   - q116: the triangle join is edge-edge-edge on (p1 < p2 < p3)-ordered
+  *     edges, so each triangle is counted exactly once and the join never
+  *     explores both orientations; on skewed degree distributions the
+  *     standard refinement is degree-ordering the vertices first.
+  *   - q124: blocking (head noun) caps the candidate pairs, components run
+  *     on dense integer ids (row_number over the small distinct-name
+  *     vocabulary; at corpus scale a 64-bit content hash serves instead).
+  */
+object Graph extends QueryPack {
+
+  /** Undirected co-purchase edges (p1 < p2) with support >= 2: parts that
+    * appear together in the same order at least twice.
+    */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("p2"))
+    a.join(b, "k").where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+  }
+
+  private val coPurchaseSql = """
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // BFS hop distances from part 1 over the undirected co-purchase graph,
+    // depth-capped at 12 — reachability with exact shortest hop counts,
+    // oracle'd by a depth-capped recursive CTE computing min-over-walks.
+    GraftQuery(
+      "q115_bfs_hops",
+      (s, dir) => {
+        val pr = coPurchase(s, dir)
+        val edges = pr.select(col("p1").as("src"), col("p2").as("dst"))
+          .union(pr.select(col("p2").as("src"), col("p1").as("dst")))
+        ShortestPaths.hops(edges, source = 1L, maxHops = 12)
+          .select(col("node").cast("long").as("part"), col("hops"))
+          .orderBy("hops", "part")
+      },
+      Some(s"""WITH RECURSIVE p AS ($coPurchaseSql),
+        |e AS (SELECT p1 AS src, p2 AS dst FROM p UNION ALL SELECT p2, p1 FROM p),
+        |walk(node, d) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.d < 12)
+        |SELECT CAST(node AS BIGINT) AS part, CAST(min(d) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY hops, part""".stripMargin)),
+
+    // Triangle counting + local clustering coefficient on the co-purchase
+    // graph: per-part triangle membership and 2T/(d(d-1)), top-20.
+    GraftQuery(
+      "q116_triangle_count",
+      (s, dir) => {
+        val p = coPurchase(s, dir).select("p1", "p2").localCheckpoint()
+        val deg = p.select(col("p1").as("node")).union(p.select(col("p2")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val tri = p.as("e1")
+          .join(p.as("e2"), col("e1.p2") === col("e2.p1"))
+          .join(p.as("e3"),
+            col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+          .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+        val perNode = tri.select(col("a").as("node"))
+          .union(tri.select(col("b"))).union(tri.select(col("c")))
+          .groupBy("node").agg(count(lit(1)).as("tri"))
+        deg.join(perNode, Seq("node"), "left")
+          .select(col("node").as("part"), col("degree"),
+            coalesce(col("tri"), lit(0L)).as("triangles"),
+            round(when(col("degree") >= 2,
+                lit(2.0) * coalesce(col("tri"), lit(0L))
+                  / (col("degree") * (col("degree") - 1)))
+              .otherwise(lit(0.0)), 6).as("clustering"))
+          .orderBy(col("triangles").desc, col("part"))
+          .limit(20)
+      },
+      Some(s"""WITH p AS ($coPurchaseSql),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT p1 AS node FROM p UNION ALL SELECT p2 FROM p) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM p e1 JOIN p e2 ON e1.p2 = e2.p1
+        |  JOIN p e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |pertri AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.node AS part, CAST(d.deg AS BIGINT) AS degree,
+        |  CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+        |  round(CASE WHEN d.deg >= 2
+        |    THEN 2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1))
+        |    ELSE 0 END, 6) AS clustering
+        |FROM deg d LEFT JOIN pertri t ON d.node = t.node
+        |ORDER BY triangles DESC, part LIMIT 20""".stripMargin)),
+
+    // Entity resolution: noun-blocked edit-distance pairs over the
+    // distinct part-name vocabulary (q109's blocking), connected
+    // components over the variant graph, canonical entity = lexicographic
+    // min member — oracle'd by a recursive-CTE transitive closure, so the
+    // ConnectedComponents operator itself is hash-verified here.
+    GraftQuery(
+      "q124_entity_resolution",
+      (s, dir) => {
+        val names = Tables(s, dir, "part")
+          .select(lower(col("p_name")).as("name")).distinct()
+          .withColumn("noun", element_at(split(col("name"), " "), -1))
+          // dense ids for the component loop (numeric labels converge via
+          // the decimal sum probe); vocabulary-sized, one tiny window
+          .withColumn("id", row_number().over(Window.orderBy("name")))
+          .localCheckpoint()
+        val a = names.select(col("noun"), col("name").as("n1"), col("id").as("id1"))
+        val b = names.select(col("noun"), col("name").as("n2"), col("id").as("id2"))
+        val pairs = a.join(b, "noun")
+          .where(col("n1") < col("n2") && levenshtein(col("n1"), col("n2")) <= 3)
+          .select("id1", "id2")
+        val comp = ConnectedComponents.run(pairs, maxIter = 15)
+        comp.join(names, comp("node") === names("id"))
+          .groupBy(col("component"))
+          .agg(min(col("name")).as("entity"),
+            count(lit(1)).as("n_variants"),
+            array_join(array_sort(collect_list(col("name"))), ";").as("members"))
+          .where(col("n_variants") >= 2)
+          .select("entity", "n_variants", "members")
+          .orderBy("entity")
+      },
+      Some("""WITH RECURSIVE names AS (
+        |  SELECT DISTINCT lower(p_name) AS name FROM part),
+        |t AS (SELECT name, string_split(name, ' ')[-1] AS noun FROM names),
+        |pr AS (
+        |  SELECT a.name AS n1, b.name AS n2 FROM t a JOIN t b ON a.noun = b.noun
+        |  WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3),
+        |e AS (SELECT n1 AS a, n2 AS b FROM pr UNION SELECT n2, n1 FROM pr),
+        |nodes AS (SELECT DISTINCT a AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r),
+        |comp AS (SELECT node, min(r) AS entity FROM reach GROUP BY node)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_variants,
+        |  string_agg(node, ';' ORDER BY node) AS members
+        |FROM comp GROUP BY entity HAVING count(*) >= 2
+        |ORDER BY entity""".stripMargin)))
+}

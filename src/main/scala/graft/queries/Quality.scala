@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-7 surface: the data-quality / pipeline-hygiene operators a
+  * warehouse load runs before anything downstream trusts the tables — a
+  * constraint audit (nulls, key uniqueness, referential integrity, domain
+  * and cross-column rules), a snapshot differ (added/removed/changed
+  * classification between two table versions), and an oracle-checked
+  * count-min sketch (the frequency-estimation sketch, expressed as the
+  * same dataflow both engines can evaluate exactly).
+  *
+  * Scale notes:
+  *   - q120: per-table rule groups share ONE scan each (conditional sums +
+  *     count-distinct in a single aggregate); referential checks are
+  *     anti-joins on the key — the big-table side never shuffles more than
+  *     once per check group.
+  *   - q121: the diff is one full outer join on the snapshot key; the
+  *     report aggregates to O(statuses) rows. All-integer output — no
+  *     float in the hash path.
+  *   - q123: sketch construction is a (depth x width)-bounded aggregation
+  *     (here 4x256 = 1024 cells) — the merge of per-partition partial
+  *     sketches is exactly Spark's partial+final aggregate; the estimate
+  *     join broadcasts the 1024-cell sketch. The md5-derived bucket
+  *     function is the portable subset both engines hash identically
+  *     (hexDigitVal), making the sketch itself oracle-verifiable: est >=
+  *     exact for every key by construction.
+  */
+object Quality extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Constraint audit across orders / lineitem / customer / documents:
+    // null rates, key uniqueness, referential orphans, domain rules, and
+    // a cross-table rule (shipments dated before their order).
+    GraftQuery(
+      "q120_dq_audit",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val lineitem = Tables(s, dir, "lineitem")
+        val customer = Tables(s, dir, "customer")
+        val documents = Tables(s, dir, "documents")
+
+        def audit(name: String, bad: org.apache.spark.sql.Column,
+            from: org.apache.spark.sql.DataFrame) =
+          from.agg(sum(when(bad, 1L).otherwise(0L)).as("n_bad"),
+              count(lit(1)).as("n_total"))
+            .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
+
+        // one scan for both orders row-rules + key uniqueness
+        val ordersChecks = orders.agg(
+            sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nullprio"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("badprice"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dupkey"),
+            count(lit(1)).as("n"))
+          .select(explode(array(
+            struct(lit("orders_dup_orderkey").as("check_name"),
+              col("dupkey").as("n_bad"), col("n").as("n_total")),
+            struct(lit("orders_null_priority").as("check_name"),
+              col("nullprio").as("n_bad"), col("n").as("n_total")),
+            struct(lit("orders_nonpositive_price").as("check_name"),
+              col("badprice").as("n_bad"), col("n").as("n_total")))).as("r"))
+          .select(col("r.check_name"), col("r.n_bad"), col("r.n_total"))
+
+        val liChecks = lineitem.agg(
+            sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+              .otherwise(0L)).as("baddisc"),
+            sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("badqty"),
+            count(lit(1)).as("n"))
+          .select(explode(array(
+            struct(lit("lineitem_discount_range").as("check_name"),
+              col("baddisc").as("n_bad"), col("n").as("n_total")),
+            struct(lit("lineitem_nonpositive_qty").as("check_name"),
+              col("badqty").as("n_bad"), col("n").as("n_total")))).as("r"))
+          .select(col("r.check_name"), col("r.n_bad"), col("r.n_total"))
+
+        // anti-join yields only the bad rows; the table total joins in as a
+        // broadcast 1-row frame so the builder itself stays lazy
+        def orphan(name: String, bad: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+          bad.agg(count(lit(1)).as("n_bad"))
+            .crossJoin(broadcast(total.agg(count(lit(1)).as("n_total"))))
+            .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
+        val orphanLi = orphan("lineitem_orphan_order",
+          lineitem.select("l_orderkey")
+            .join(orders.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti"),
+          lineitem)
+        val orphanOrd = orphan("orders_orphan_customer",
+          orders.select("o_custkey")
+            .join(customer.select("c_custkey"),
+              col("o_custkey") === col("c_custkey"), "left_anti"),
+          orders)
+        val shipBefore = audit("lineitem_ship_before_order",
+          col("l_shipdate") < col("o_orderdate"),
+          lineitem.select("l_orderkey", "l_shipdate")
+            .join(orders.select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey")))
+        val docEmpty = audit("documents_empty_text",
+          col("text").isNull || length(trim(col("text"))) === 0, documents)
+
+        ordersChecks.unionByName(liChecks).unionByName(orphanLi)
+          .unionByName(orphanOrd).unionByName(shipBefore).unionByName(docEmpty)
+          .select(col("check_name"), col("n_bad"), col("n_total"),
+            round(col("n_bad") / col("n_total"), 6).as("bad_frac"))
+          .orderBy("check_name")
+      },
+      Some("""WITH checks AS (
+        |  SELECT 'orders_dup_orderkey' AS check_name,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_bad, count(*) AS n_total
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_null_priority',
+        |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), count(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_price',
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), count(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), count(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_qty',
+        |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), count(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_order',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    count(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer',
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    count(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_ship_before_order',
+        |    SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), count(*)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'documents_empty_text',
+        |    SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END),
+        |    count(*)
+        |  FROM documents)
+        |SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  round(CAST(n_bad AS DOUBLE) / n_total, 6) AS bad_frac
+        |FROM checks ORDER BY check_name""".stripMargin)),
+
+    // Snapshot diff: classify every key across two simulated versions of
+    // the orders table (deletes = key % 7 == 0 gone, updates = key % 5 ==
+    // 0 repriced, inserts = offset new keys) via one full outer join.
+    // All-integer report: status counts + key ranges.
+    GraftQuery(
+      "q121_snapshot_diff",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        val snapA = o
+        val survivors = o.where(col("k") % 7 =!= 0)
+          .select(col("k"),
+            when(col("k") % 5 === 0, col("price") + lit(10.0))
+              .otherwise(col("price")).as("price"))
+        val inserts = o.where(col("k") % 11 === 0)
+          .select((col("k") + lit(1000000000L)).as("k"), col("price"))
+        val snapB = survivors.unionByName(inserts)
+        snapA.as("a").join(snapB.as("b"), col("a.k") === col("b.k"), "full_outer")
+          .select(
+            when(col("b.k").isNull, "removed")
+              .when(col("a.k").isNull, "added")
+              .when(col("a.price") =!= col("b.price"), "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce(col("a.k"), col("b.k")).as("k"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+            max(col("k")).as("max_key"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN price + 10.0 ELSE price END AS price
+        |  FROM a WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, price FROM a WHERE k % 11 = 0),
+        |d AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'removed'
+        |              WHEN a.k IS NULL THEN 'added'
+        |              WHEN a.price <> b.price THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    COALESCE(a.k, b.k) AS k
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Count-min sketch over part frequencies (depth 4 x width 256,
+    // md5-derived row hashes): per-key estimate = min over rows of the
+    // key's bucket sum; est >= exact always. Reported for the top-10
+    // exact keys so the overcount is visible and hash-checkable.
+    GraftQuery(
+      "q123_count_min_sketch",
+      (s, dir) => {
+        val kc = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        def hx(c: org.apache.spark.sql.Column) = hexDigitVal(c)
+        val keyed = kc
+          .select(col("key"), col("n"),
+            explode(array((0 to 3).map(i => lit(i)): _*)).as("i"))
+          .withColumn("h",
+            md5(concat(col("i").cast("string"), lit("_"), col("key").cast("string"))))
+          .withColumn("bucket",
+            hx(substring(col("h"), 1, 1)) * 16 + hx(substring(col("h"), 2, 1)))
+          .select("key", "n", "i", "bucket")
+        val cms = keyed.groupBy("i", "bucket").agg(sum(col("n")).as("bsum"))
+        val est = keyed.join(broadcast(cms), Seq("i", "bucket"))
+          .groupBy("key").agg(min(col("bsum")).as("est"))
+        kc.join(est, "key")
+          .select(col("key").as("part"), col("n").as("exact_n"),
+            col("est").as("est_n"), (col("est") - col("n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("part"))
+          .limit(10)
+      },
+      Some("""WITH kc AS (
+        |  SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |rows_ AS (
+        |  SELECT key, n, i,
+        |    (instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(key AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(key AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM kc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cms AS (SELECT i, bucket, SUM(n) AS bsum FROM rows_ GROUP BY 1, 2),
+        |est AS (
+        |  SELECT r.key, min(c.bsum) AS est
+        |  FROM rows_ r JOIN cms c ON r.i = c.i AND r.bucket = c.bucket
+        |  GROUP BY r.key)
+        |SELECT k.key AS part, CAST(k.n AS BIGINT) AS exact_n,
+        |  CAST(e.est AS BIGINT) AS est_n, CAST(e.est - k.n AS BIGINT) AS overcount
+        |FROM kc k JOIN est e ON k.key = e.key
+        |ORDER BY exact_n DESC, part LIMIT 10""".stripMargin)))
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 surface: statistical trend and association mining — per-group
+  * closed-form OLS regression, wide-to-long reshaping with distribution
+  * ranks (percent_rank / cume_dist), and market-basket association rules
+  * (support / confidence / lift).
+  *
+  * Determinism playbook: every moment that crosses rows is an exact sum —
+  * BIGINT for integer series, DECIMAL(18,2|4) for money — and floating
+  * point enters only in the final per-row division, which both engines
+  * evaluate identically on identical inputs.
+  *
+  * Scale notes:
+  *   - q117: two partial+final aggregations (month rollup, then moment
+  *     rollup) — the regression itself never sees row-level data; the
+  *     moments are 6 numbers per group.
+  *   - q119: `stack` is a row-local generator (no shuffle); the rank
+  *     windows run over the 12-row aggregate, not the fact table.
+  *   - q122: basket pair fanout is sum of C(basket, 2) — linear in orders
+  *     for bounded baskets; item counts broadcast to the pair stream, so
+  *     the only big shuffle is the pair count itself. The support floor
+  *     prunes before the lift math.
+  */
+object Trends extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Per-nation revenue trend: closed-form OLS (slope, intercept) of
+    // monthly revenue against month index. Moment sums are exact (BIGINT
+    // x / DECIMAL y), so num/den reach the final double division
+    // bit-identical in both engines.
+    GraftQuery(
+      "q117_trend_ols",
+      (s, dir) => {
+        val m = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            ((year(col("o_orderdate")) - 1990) * 12 + month(col("o_orderdate")) - 1)
+              .cast("long").as("x"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("y"))
+        val mo = m.groupBy("nk").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val slope = num / den
+        mo.join(broadcast(Tables(s, dir, "nation")),
+            col("nk") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("n").as("n_months"),
+            round(slope, 6).as("slope"),
+            round((col("sy").cast("double") - slope * col("sx")) / col("n"), 4)
+              .as("intercept"))
+          .orderBy("nation")
+      },
+      Some("""WITH m AS (
+        |  SELECT c.c_nationkey AS nk,
+        |    (year(o.o_orderdate) - 1990) * 12 + month(o.o_orderdate) - 1 AS x,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT nk, count(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT nt.n_name AS nation, CAST(s.n AS BIGINT) AS n_months,
+        |  round(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+        |      / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(s.sy AS DOUBLE)
+        |      - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+        |        / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) * s.sx) / s.n, 4)
+        |    AS intercept
+        |FROM s JOIN nation nt ON s.nk = nt.n_nationkey
+        |ORDER BY nation""".stripMargin)),
+
+    // Inverted index construction over the document corpus: per-term
+    // document frequency, total term frequency, and the head of the
+    // posting list (first 5 doc ids). The posting head is bounded BEFORE
+    // collect_list by a per-term row_number, so no task ever materialises
+    // a full posting list — at corpus scale the postings stay distributed
+    // and only the k-bounded head ever reaches a single row.
+    GraftQuery(
+      "q118_inverted_index",
+      (s, dir) => {
+        val tok = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val stats = tok.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf_total"))
+        val pd = tok.select("term", "doc_id").distinct()
+        val w = Window.partitionBy("term").orderBy("doc_id")
+        val post = pd.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .groupBy("term")
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(doc_id)), x -> cast(x as string))"),
+            ";").as("postings_head"))
+        stats.join(post, "term")
+          .select(col("term"), col("df"), col("tf_total"), col("postings_head"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |stats AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+        |  FROM t GROUP BY 1),
+        |pd AS (SELECT DISTINCT term, doc_id FROM t),
+        |rn AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM pd),
+        |post AS (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ';' ORDER BY doc_id)
+        |    AS postings_head
+        |  FROM rn WHERE rn <= 5 GROUP BY 1)
+        |SELECT s.term, CAST(s.df AS BIGINT) AS df,
+        |  CAST(s.tf_total AS BIGINT) AS tf_total, p.postings_head
+        |FROM stats s JOIN post p USING (term)
+        |ORDER BY df DESC, term LIMIT 50""".stripMargin)),
+
+    // Wide-to-long reshape (`stack`) of lineitem's four measures, then the
+    // distribution-rank window functions (percent_rank, cume_dist) over
+    // each measure's per-flag totals — the unpivot + rank SQL surface.
+    GraftQuery(
+      "q119_unpivot_rank",
+      (s, dir) => {
+        val long = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+          expr("""stack(4,
+            'discount', l_discount, 'extprice', l_extendedprice,
+            'quantity', l_quantity, 'tax', l_tax) as (measure, value)"""))
+        val agg = long.groupBy("measure", "l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total"))
+        val w = Window.partitionBy("measure").orderBy("total")
+        agg.select(col("measure"), col("l_returnflag").as("rflag"),
+            col("n"), col("total"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("measure", "rflag")
+      },
+      Some("""WITH long_ AS (
+        |  SELECT l_returnflag, 'discount' AS measure, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax', l_tax FROM lineitem),
+        |agg AS (
+        |  SELECT measure, l_returnflag AS rflag, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM long_ GROUP BY 1, 2)
+        |SELECT measure, rflag, CAST(n AS BIGINT) AS n, total,
+        |  round(percent_rank() OVER (PARTITION BY measure ORDER BY total), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY measure ORDER BY total), 6) AS cd
+        |FROM agg ORDER BY measure, rflag""".stripMargin)),
+
+    // Market-basket association: part pairs co-purchased in >= 3 orders,
+    // scored by confidence and lift from exact basket counts — top-25 by
+    // lift. The "frequently bought together" mining primitive.
+    GraftQuery(
+      "q122_market_basket",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+          .distinct()
+        val totals = items.agg(countDistinct(col("k")).as("nb"))
+        val itemCounts = items.groupBy("p").agg(count(lit(1)).as("np"))
+        val a = items.select(col("k"), col("p").as("p1"))
+        val b = items.select(col("k"), col("p").as("p2"))
+        val pairs = a.join(b, "k").where(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("nab"))
+          .where(col("nab") >= 3)
+        pairs
+          .join(broadcast(itemCounts.withColumnRenamed("p", "p1")
+            .withColumnRenamed("np", "np1")), "p1")
+          .join(broadcast(itemCounts.withColumnRenamed("p", "p2")
+            .withColumnRenamed("np", "np2")), "p2")
+          .crossJoin(broadcast(totals))
+          .select(col("p1"), col("p2"), col("nab"),
+            round(col("nab").cast("double") / col("np1"), 4).as("confidence"),
+            round((col("nab") * col("nb")).cast("double")
+              / (col("np1") * col("np2")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+          .limit(25)
+      },
+      Some("""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |totals AS (SELECT count(DISTINCT k) AS nb FROM items),
+        |ic AS (SELECT p, count(*) AS np FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, count(*) AS nab
+        |  FROM items a JOIN items b ON a.k = b.k AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.p1, p.p2, CAST(p.nab AS BIGINT) AS nab,
+        |  round(CAST(p.nab AS DOUBLE) / i1.np, 4) AS confidence,
+        |  round(CAST(p.nab * t.nb AS DOUBLE) / (i1.np * i2.np), 4) AS lift
+        |FROM pairs p
+        |JOIN ic i1 ON p.p1 = i1.p JOIN ic i2 ON p.p2 = i2.p
+        |CROSS JOIN totals t
+        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin)))
+}
