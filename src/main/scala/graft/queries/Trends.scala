@@ -91,11 +91,15 @@ object Trends extends QueryPack {
         val tok = Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
           .filter(col("term") =!= "")
-        val stats = tok.groupBy("term")
-          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf_total"))
-        val pd = tok.select("term", "doc_id").distinct()
+        // one tokenize pass + one (term, doc) shuffle feeds BOTH outputs:
+        // stats and posting heads derive from the materialised pair frame
+        // instead of re-exploding the corpus per consumer
+        val perDoc = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val stats = perDoc.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
         val w = Window.partitionBy("term").orderBy("doc_id")
-        val post = pd.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        val post = perDoc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .groupBy("term")
           .agg(array_join(expr(
             "transform(array_sort(collect_list(doc_id)), x -> cast(x as string))"),
@@ -169,9 +173,12 @@ object Trends extends QueryPack {
     GraftQuery(
       "q122_market_basket",
       (s, dir) => {
+        // the distinct basket-item frame feeds four consumers (both pair
+        // sides, item counts, basket total) — materialise it once
         val items = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
           .distinct()
+          .localCheckpoint()
         val totals = items.agg(countDistinct(col("k")).as("nb"))
         val itemCounts = items.groupBy("p").agg(count(lit(1)).as("np"))
         val a = items.select(col("k"), col("p").as("p1"))
