@@ -30,7 +30,10 @@ object SparkEntry {
     packs.Mining,
     packs.Graph,
     packs.Quality,
-    packs.Trends)
+    packs.Trends,
+    packs.Storage,
+    packs.Stats,
+    packs.Sketches)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

@@ -50,6 +50,20 @@ object BpeTrainer {
     out.result()
   }
 
+  /** Tokenize one word with a trained merge table: start from characters,
+    * apply merges in rank order (the classic greedy BPE encode — each
+    * learned merge rewrites all its non-overlapping occurrences before the
+    * next rank applies). Deterministic for a fixed merge table.
+    */
+  def encode(word: String, ranked: Seq[(String, String)]): Seq[String] = {
+    // same symbolization as training: characters plus the </w> end marker
+    var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+    ranked.foreach { case (l, r) =>
+      if (syms.length > 1) syms = mergePair(syms, l, r)
+    }
+    syms
+  }
+
   /** Train `nMerges` merges over a weighted vocab of (word, weight).
     *
     * The merge loop runs in one of two modes, chosen by vocab size:

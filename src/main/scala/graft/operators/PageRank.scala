@@ -52,19 +52,28 @@ object PageRank {
       .persist()
     try {
       val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct().persist()
-      val outw = e.groupBy("src").agg(sum(col("w")).as("ow")).persist()
+        .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+      // out-weight is loop-INVARIANT: fold it into the edge table once so
+      // the iteration body joins a single prepared relation instead of
+      // re-joining outw every pass
+      val ew = e.join(
+          e.groupBy(col("src")).agg(sum(col("w")).as("ow")), Seq("src"))
+        .select(col("src"), col("dst"), col("w"), col("ow"))
+        .persist()
       try {
+        ew.count() // materialize once; e's cache is released in finally
         var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
         for (_ <- 1 to iters) {
-          val contrib = e
+          // one shuffle per iteration: per-edge contributions UNIONed with a
+          // zero row per node (so rankless sinks survive), then partial+final
+          // sum — no separate left join against the node table
+          val contrib = ew
             .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-            .join(outw, Seq("src"))
             .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+          ranks = nodes.withColumn("c", lit(0L)).unionByName(contrib)
             .groupBy("node").agg(sum(col("c")).as("contrib"))
-          ranks = nodes.join(contrib, Seq("node"), "left")
             .select(col("node"),
-              expr("CAST(150000 + (850000 * coalesce(contrib, 0L)) div 1000000 AS BIGINT)")
+              expr("CAST(150000 + (850000 * contrib) div 1000000 AS BIGINT)")
                 .as("r"))
             .localCheckpoint()
         }
@@ -73,7 +82,7 @@ object PageRank {
         ranks.select(col("node"), col("r").as("rank_micros"))
       } finally {
         nodes.unpersist()
-        outw.unpersist()
+        ew.unpersist()
       }
     } finally {
       e.unpersist()

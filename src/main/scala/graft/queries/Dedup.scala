@@ -229,6 +229,56 @@ object Dedup extends QueryPack {
           maxDist = 5)
           .orderBy("d1", "d2")
       },
-      None)
+      None),
+
+    // Substring-level duplication (the Lee et al. '22 "Deduplicating
+    // Training Data" problem shape): fixed 48-char windows at stride 16
+    // over every document; two documents sharing ANY window share a ≥48-char
+    // verbatim span. Pairs ranked by how many distinct windows they share.
+    // Scale shape: the window table shuffles once on the window string
+    // (hash-partitioned); a doc-frequency cap (df ≤ 100, mirrored in the
+    // oracle) bounds the hot-window group blowup exactly like the stop-token
+    // prune in AllPairs — boilerplate shared by thousands of docs is layout,
+    // not plagiarism, and would otherwise 100²-explode the pair join.
+    GraftQuery(
+      "q132_substring_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .where(length(col("text")) >= 48)
+          .select(col("doc_id"), col("text"))
+        val wins = docs
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, length(text) - 47, 16), " +
+              "p -> substring(text, p, 48))")).as("win"))
+          .distinct()
+        val bounded = wins
+          .groupBy(col("win")).agg(collect_list(col("doc_id")).as("ds"),
+            count(lit(1)).as("df"))
+          .where(col("df").between(2, 100))
+        bounded
+          .select(explode(expr(
+            "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a AS d1, b AS d2)))), " +
+              "p -> p.d1 < p.d2)")).as("p"))
+          .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderBy(col("n_shared_windows").desc, col("d1"), col("d2"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 48),
+        |w AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 48) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 47, 16)) AS i
+        |        FROM d)),
+        |b AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 100),
+        |p AS (
+        |  SELECT w1.doc_id AS d1, w2.doc_id AS d2
+        |  FROM w w1 JOIN w w2 ON w1.win = w2.win AND w1.doc_id < w2.doc_id
+        |  JOIN b ON w1.win = b.win)
+        |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_shared_windows
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_shared_windows DESC, d1, d2 LIMIT 20""".stripMargin))
   )
 }

@@ -165,6 +165,42 @@ object Events extends QueryPack {
         |  CAST(week_idx - cohort_week AS BIGINT) AS week_offset,
         |  CAST(COUNT(*) AS BIGINT) AS n_active_users
         |FROM w JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Click → purchase attribution: the BATCH TWIN of
+    // [[graft.streaming.StreamingOps.streamStreamJoin]] (same key + time-
+    // bound predicate; the streaming variant with watermark state bounds is
+    // pinned equal in StreamingOpsSpec). Every purchase within 10 minutes
+    // after a same-user click is attributed to that click. Scale shape:
+    // both sides hash-partition on user_id (one shuffle each), the range
+    // predicate evaluates inside the join — state is bounded per user, and
+    // in the streaming form by the watermark.
+    GraftQuery(
+      "q134_attribution_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        clicks.join(buys,
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + lit(600000000000L))
+          .groupBy(expr("c_ts div 86400000000000").as("click_day"))
+          .agg(count(lit(1)).as("n_attributed"),
+            dsum2(col("value")).as("attributed_value"))
+          .orderBy("click_day")
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, value FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(c.c_us // 86400000000 AS BIGINT) AS click_day,
+        |  CAST(count(*) AS BIGINT) AS n_attributed,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000
+        |GROUP BY 1 ORDER BY click_day""".stripMargin))
   )
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.functions.QuantileSketchAgg
+import org.apache.spark.sql.functions._
+
+/** Round-7 surface: mergeable summary sketches — the re-aggregation story
+  * that makes 100 TB analytics cheap. A per-group KLL-style quantile sketch
+  * (one partial+final aggregate instead of a per-group sort) and HLL
+  * distinct-count sketches that union across slices (build once per
+  * (type, day), answer per-type and global distincts by MERGING sketches —
+  * never re-scanning the raw data; the cube/rollup pattern for distinct
+  * counts, which plain COUNT(DISTINCT) cannot re-aggregate).
+  *
+  * Scale notes:
+  *   - q130: the shuffle carries one O(k·log(n/k)) sketch per (group,
+  *     task); group size never matters. While n ≤ k per group the sketch is
+  *     EXACT (no compaction) — the oracle pins that contract with explicit
+  *     row_number rank selection; the compaction path's error bound is
+  *     pinned in QuantileSketchSpec.
+  *   - q131: daily sketches are 4 KB each regardless of cardinality; the
+  *     per-type and global rollups union 30 and 150 sketches respectively.
+  *     Rows-only by design (estimates are sketch-internal; DuckDB has no
+  *     datasketches) — SketchesSpec pins estimate-vs-exact error and the
+  *     union-of-parts == sketch-of-whole mergeability identity.
+  */
+object Sketches extends QueryPack {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Per-nation account-balance quantiles via the mergeable sketch.
+    // k=2048 ≥ any nation's customer count at verify SFs ⇒ exact mode;
+    // the oracle computes the same lower quantiles by integer rank.
+    GraftQuery(
+      "q130_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((25, 100), (50, 100), (75, 100), (90, 100))
+        val sketch = udaf(QuantileSketchAgg(2048, qs))
+        Tables(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(sketch(col("c_acctbal")).as("q"))
+          .select(col("nation").cast("long").as("nation"),
+            col("q")(0).as("p25"), col("q")(1).as("p50"),
+            col("q")(2).as("p75"), col("q")(3).as("p90"))
+          .orderBy("nation")
+      },
+      Some("""WITH r AS (
+        |  SELECT c_nationkey AS nation, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer)
+        |SELECT CAST(nation AS BIGINT) AS nation,
+        |  MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN c_acctbal END) AS p25,
+        |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN c_acctbal END) AS p50,
+        |  MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN c_acctbal END) AS p75,
+        |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN c_acctbal END) AS p90
+        |FROM r GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    // HLL distinct-user sketches built once per (event_type, day), then
+    // re-aggregated by UNION into per-type totals — plus the exact
+    // count for the error audit. The point: the daily sketch layer is
+    // built ONCE and every coarser rollup merges sketches, not data.
+    GraftQuery(
+      "q131_hll_union_rollup",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          // events.ts is BIGINT nanoseconds (graft.Tables) — integer day bucket
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+            countDistinct(col("user_id")).as("exact_day"))
+        daily
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_raw"),
+            max(col("exact_day")).as("max_daily_exact"))
+          .join(
+            Tables(s, dir, "events").groupBy(col("event_type"))
+              .agg(countDistinct(col("user_id")).as("exact_total")),
+            "event_type")
+          .select(col("event_type"), col("n_days"),
+            round(col("est_raw"), 2).as("est_unique"),
+            col("exact_total"), col("max_daily_exact"))
+          .orderBy("event_type")
+      },
+      None))
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 surface: statistical profiling and principled sampling — the
+  * pairwise correlation matrix (feature redundancy screening before a
+  * training run), a chi-square independence audit between two categorical
+  * dimensions (the workhorse drift / association test), and deterministic
+  * weighted sampling without replacement (Efraimidis–Spirakis exponential
+  * keys over a content-derived uniform — the reproducible "sample 20 docs
+  * proportional to length" a curation pipeline needs).
+  *
+  * Determinism playbook (same as q117): every cross-row moment is an exact
+  * BIGINT / DECIMAL sum; floating point enters only in per-row or per-group
+  * scalar arithmetic over those exact sums, which both engines evaluate as
+  * the same IEEE-754 operations on the same inputs. The E-S sample key is
+  * derived from md5 hex digits via instr arithmetic (the q73/q92 portable
+  * subset) — no RNG, both engines draw the identical "uniform".
+  *
+  * Scale notes:
+  *   - q127: ONE scan computes all 4 column moments + 6 pairwise product
+  *     sums (partial+final aggregate, 15 numbers per task through the
+  *     shuffle); the 6-row matrix never touches row-level data again.
+  *   - q128: the contingency table is one groupBy; marginals re-aggregate
+  *     the 15-cell table (no second scan); per-cell contributions are
+  *     emitted as rows — there is no cross-row float sum anywhere.
+  *   - q129: the key is computed in a narrow projection and the top-20 is
+  *     a TakeOrderedAndProject — k rows per task reach the driver-side
+  *     merge, the corpus never collects or fully sorts.
+  */
+object Stats extends QueryPack {
+
+  private val hexpos = graft.queries.hexDigitVal _
+
+  /** Exact decimal sum of a double column at scale 4 (order-independent). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4)))
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Pairwise Pearson correlation among the 4 lineitem measures, from
+    // exact decimal moments combined in double at the end. Single scan.
+    GraftQuery(
+      "q127_correlation_matrix",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
+        val momentAggs =
+          cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+            cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+            cols.combinations(2).map { case Seq(a, b) =>
+              dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+            }.toSeq
+        val m = li.agg(count(lit(1)).as("n"), momentAggs: _*)
+        // corr(a,b) = (n·sab − sa·sb) / sqrt((n·saa − sa²) · (n·sbb − sb²)),
+        // all in double over the exact moments — bit-identical cross-engine
+        val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+          val n = col("n").cast("double")
+          val sa = col(s"s_$a").cast("double")
+          val sb = col(s"s_$b").cast("double")
+          val num = n * col(s"sp_${a}_$b").cast("double") - sa * sb
+          val den = sqrt((n * col(s"ss_$a").cast("double") - sa * sa) *
+            (n * col(s"ss_$b").cast("double") - sb * sb))
+          struct(lit(a).as("var_a"), lit(b).as("var_b"),
+            round(num / den, 6).as("corr_r"))
+        }.toSeq
+        m.select(explode(array(pairRows: _*)).as("p"))
+          .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+            col("p.corr_r").as("corr_r"))
+          .orderBy("var_a", "var_b")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val moments =
+          cols.map(c => s"SUM(CAST($c AS DECIMAL(28,4))) AS s_$c") ++
+            cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(28,4))) AS ss_$c") ++
+            cols.combinations(2).map { case Seq(a, b) =>
+              s"SUM(CAST($a * $b AS DECIMAL(28,4))) AS sp_${a}_$b"
+            }
+        val selects = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS var_a, '$b' AS var_b,
+             round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+                    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+                           - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+                             - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+               AS corr_r FROM m"""
+        }
+        s"""WITH m AS (
+           SELECT count(*) AS n, ${moments.mkString(", ")} FROM lineitem)
+           SELECT var_a, var_b, corr_r FROM (${selects.mkString(" UNION ALL ")})
+           ORDER BY var_a, var_b"""
+      }),
+
+    // Chi-square independence audit: order status × priority contingency
+    // cells with observed counts, expected counts, and per-cell chi²
+    // contributions. Marginals come from re-aggregating the 15-cell table.
+    GraftQuery(
+      "q128_chi2_cells",
+      (s, dir) => {
+        val obs = Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("o"))
+        val rowTot = obs.groupBy("status").agg(sum(col("o")).as("r"))
+        val colTot = obs.groupBy("prio").agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("t"))
+        val e = col("r").cast("double") * col("c").cast("double") / col("t").cast("double")
+        obs.join(broadcast(rowTot), "status")
+          .join(broadcast(colTot), "prio")
+          .crossJoin(broadcast(tot))
+          .select(col("status"), col("prio"), col("o"),
+            round(e, 4).as("expected"),
+            round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 6)
+              .as("chi2_contrib"))
+          .orderBy("status", "prio")
+      },
+      Some("""WITH obs AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS prio, count(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT status, SUM(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT prio, SUM(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT SUM(o) AS t FROM obs)
+        |SELECT obs.status, obs.prio, CAST(obs.o AS BIGINT) AS o,
+        |  round(CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(t.t AS DOUBLE), 4)
+        |    AS expected,
+        |  round((CAST(obs.o AS DOUBLE)
+        |          - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |        * (CAST(obs.o AS DOUBLE)
+        |          - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |        / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(t.t AS DOUBLE)), 6)
+        |    AS chi2_contrib
+        |FROM obs JOIN rt ON obs.status = rt.status
+        |JOIN ct ON obs.prio = ct.prio CROSS JOIN t
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis '06):
+    // key = −ln(u)/w with u a content-derived uniform from 6 md5 hex
+    // digits; the 20 smallest keys are the sample, drawn ∝ n_chars.
+    // Fully deterministic and engine-portable — no RNG.
+    GraftQuery(
+      "q129_weighted_sample",
+      (s, dir) => {
+        val h = md5(concat(lit("ws:"), col("doc_id").cast("string")))
+        val hv = (1 to 6).map(i => hexpos(substring(h, i, 1)) *
+          lit(math.pow(16, 6 - i).toLong)).reduce(_ + _)
+        val u = (hv.cast("double") + lit(0.5)) / lit(16777216.0) // 16^6
+        val key = -log(u) / col("n_chars").cast("double")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(key, 10).as("es_key"))
+          .orderBy(col("es_key"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(-ln((
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576 +
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536 +
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096 +
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256 +
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16 +
+        |      (instr('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+        |      + 0.5) / 16777216.0) / CAST(n_chars AS DOUBLE), 10) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, es_key
+        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin)))
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 surface: storage-format and physical-layout operators — the ORC
+  * source/sink round-trip (completing the format matrix next to parquet,
+  * csv/json in q104, and text in the logfile sink), and a Hive-style
+  * partitioned write whose read-back filter prunes directories instead of
+  * rows (the data-layout half of "don't read 100 TB to answer a 1-partition
+  * question").
+  *
+  * Scale notes:
+  *   - q125: the round-trip rewrites only the projected 3 columns; ORC's
+  *     dictionary + RLE make the priority column ~free, and read-back
+  *     pushes the aggregation below the exchange exactly as parquet does.
+  *   - q126: `partitionBy(o_orderpriority)` shards the write by the filter
+  *     column, so the read-back `WHERE o_orderpriority IN (...)` resolves
+  *     at the DIRECTORY listing — `PartitionFilters` in the scan node, zero
+  *     bytes of the other partitions touched. `StorageSpec` pins the
+  *     pruning by counting the files the executed plan actually read.
+  */
+object Storage extends QueryPack {
+
+  private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // ORC sink + source round-trip: a 3-column orders slice written as ORC,
+    // read back through an explicit schema, must aggregate identically to
+    // the parquet originals (exactly what the oracle computes).
+    GraftQuery(
+      "q125_orc_roundtrip",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .where(col("o_orderkey") % 2 === 0)
+        // per-invocation directory: concurrent drivers (verify + bench)
+        // must not overwrite each other's files mid-read
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_orc_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        try {
+          base.coalesce(4).write.orc(root)
+          val back = s.read
+            .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+            .orc(root)
+          // materialize the ~3-row rollup so the round-trip files can be
+          // deleted before returning (nothing lazy reads them afterwards)
+          materializeSmall(back
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+            .orderBy("o_orderstatus"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Hive-style partitioned layout: write orders partitioned by priority,
+    // read back with a partition-column predicate that prunes at the
+    // directory level (PartitionFilters, not data filters), and aggregate
+    // the two surviving partitions. The oracle computes the same filter
+    // over the unpartitioned originals — identical by round-trip fidelity.
+    GraftQuery(
+      "q126_partitioned_prune",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_part_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        try {
+          base.write.partitionBy("o_orderpriority").parquet(root)
+          val back = s.read.parquet(root)
+            .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          materializeSmall(back
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              dsum2(col("o_totalprice")).as("total"),
+              max(col("o_orderkey")).as("max_key"))
+            .orderBy("o_orderpriority"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
+}

@@ -48,4 +48,19 @@ class BpeTrainerSpec extends SparkTestBase {
     // non-derived pairs is NOT guaranteed by BPE; only rank density is
     assert(a.map(_.rank) == a.indices)
   }
+
+  test("encode applies the trained merges greedily in rank order (q133 contract)") {
+    // Sennrich corpus merges (pinned above): (e,s) (es,t) (est,</w>) (l,o) (lo,w)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "weight")
+    val ranked = BpeTrainer.train(words, "word", "weight", nMerges = 5)
+      .map(m => (m.left, m.right))
+    // training words tokenize with the learned units
+    assert(BpeTrainer.encode("newest", ranked) == Seq("n", "e", "w", "est</w>"))
+    assert(BpeTrainer.encode("low", ranked) == Seq("low", "</w>"))
+    assert(BpeTrainer.encode("lower", ranked) == Seq("low", "e", "r", "</w>"))
+    // an unseen word falls back to partial merges, never fails
+    assert(BpeTrainer.encode("lowest", ranked) == Seq("low", "est</w>"))
+    assert(BpeTrainer.encode("", ranked) == Seq("</w>"))
+  }
 }

@@ -401,6 +401,46 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join equals the q134 batch twin on the same data") {
+    import spark.implicits._
+    // (ts, user) pairs straddling the 10-minute attribution window
+    val clickRows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 2L),
+      (ts("2024-01-01 01:00:00"), 1L))
+    val buyRows = Seq(
+      (ts("2024-01-01 00:04:00"), 1L),  // 4m after click 1 → match
+      (ts("2024-01-01 00:20:00"), 2L),  // 15m after click 2 → outside
+      (ts("2024-01-01 01:09:00"), 1L),  // 9m after click 3 → match
+      (ts("2023-12-31 23:59:00"), 1L))  // before any click → no match
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      clicks.toDF.toDF("c_ts", "c_user"), "c_ts", "c_user",
+      buys.toDF.toDF("b_ts", "b_user"), "b_ts", "b_user",
+      watermark = "10 minutes", joinWindow = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssbatchtwin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(clickRows: _*)
+      buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssbatchtwin")
+        .select("c_ts", "c_user", "b_ts").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getTimestamp(2))).toSet
+      // batch twin: plain join with the identical key + interval predicate
+      val c = clickRows.toDF("c_ts", "c_user")
+      val b = buyRows.toDF("b_ts", "b_user")
+      val batch = c.join(b,
+          col("c_user") === col("b_user") &&
+            col("b_ts") >= col("c_ts") &&
+            col("b_ts") <= col("c_ts") + org.apache.spark.sql.functions.expr("INTERVAL 10 minutes"))
+        .select("c_ts", "c_user", "b_ts").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.size == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream join works when both sides share column names") {
     val a = MemoryStream[(Timestamp, Long)](spark)
     val b = MemoryStream[(Timestamp, Long)](spark)
