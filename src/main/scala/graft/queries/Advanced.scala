@@ -331,5 +331,73 @@ object Advanced extends QueryPack {
         |    PARTITION BY event_type ORDER BY m
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS v_filled,
         |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
-        |FROM j ORDER BY event_type, minute_idx""".stripMargin)))
+        |FROM j ORDER BY event_type, minute_idx""".stripMargin)),
+
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // "stored" per-status partials over the pre-1997 base are MERGED with
+    // freshly-computed partials over the post-1997 delta — count/sum/min/max
+    // re-aggregate associatively, avg derives from the merged sums. The
+    // oracle recomputes from scratch; equality IS the maintenance-correctness
+    // proof. At 100 TB the base partials are a k-row stored table — a
+    // refresh scans only the delta, never the historical corpus.
+    GraftQuery(
+      "q135_incremental_agg",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+              min(col("o_totalprice")).as("min_price"),
+              max(col("o_totalprice")).as("max_price"))
+        val base = partials(orders.where(year(col("o_orderdate")) < 1997))
+        val delta = partials(orders.where(year(col("o_orderdate")) >= 1997))
+        base.unionByName(delta)
+          .groupBy("status")
+          .agg(sum(col("n")).as("n"),
+            sum(col("total")).as("total_d"),
+            min(col("min_price")).as("min_price"),
+            max(col("max_price")).as("max_price"))
+          .select(col("status"), col("n"),
+            col("total_d").cast("double").as("total"),
+            col("min_price"), col("max_price"),
+            round(col("total_d").cast("double") / col("n").cast("double"), 4)
+              .as("avg_price"))
+          .orderBy("status")
+      },
+      Some("""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // Pure-SQL entry point (the TPC-H Q3 shape on this schema): top-10
+    // urgent orders by discounted lineitem revenue, straight through
+    // spark.sql over registered views — the engine's SQL-first API surface,
+    // planned by Catalyst identically to the DataFrame builders.
+    GraftQuery(
+      "q136_sql_topn_revenue",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("g_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT o.o_orderkey,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            CAST(datediff(o.o_orderdate, DATE '1970-01-01') AS BIGINT) AS order_day
+          FROM g_orders o JOIN g_lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderpriority = '1-URGENT'
+          GROUP BY o.o_orderkey, o.o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+      },
+      Some("""SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(date_diff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT)
+        |    AS order_day
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)))
 }

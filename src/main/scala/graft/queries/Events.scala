@@ -201,6 +201,47 @@ object Events extends QueryPack {
         |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000
-        |GROUP BY 1 ORDER BY click_day""".stripMargin))
+        |GROUP BY 1 ORDER BY click_day""".stripMargin)),
+
+    // Watermark late-data accounting, batch twin: replay each event stream
+    // in arrival order (event_id is the synthetic arrival sequence) with a
+    // 10-minute watermark per event_type — an event is LATE iff its event
+    // time trails the running max event time seen so far by more than the
+    // delay (exactly the Structured Streaming drop rule the q30–q32
+    // watermarked aggregations run under). Per-type watermarks keep the
+    // running-max window partitioned — no single global sequential pass.
+    GraftQuery(
+      "q138_late_data_accounting",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val lateNs = 600000000000L // 10 minutes
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"))
+          .withColumn("hwm", max(col("ts")).over(w))
+          .withColumn("late",
+            col("hwm").isNotNull && col("ts") < col("hwm") - lit(lateNs))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+            max(when(col("late"), expr("(hwm - ts) div 1000000000"))
+              .otherwise(lit(0L))).as("max_lateness_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    (hwm IS NOT NULL AND us < hwm - 600000000) AS late, hwm, us
+        |  FROM a)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(MAX(CASE WHEN late THEN (hwm - us) // 1000000 ELSE 0 END) AS BIGINT)
+        |    AS max_lateness_s
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -35,34 +35,42 @@ object Stats extends QueryPack {
 
   private val hexpos = graft.queries.hexDigitVal _
 
-  /** Exact decimal sum of a double column at scale 4 (order-independent). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4)))
-
   def queries: Seq[GraftQuery] = Seq(
 
-    // Pairwise Pearson correlation among the 4 lineitem measures, from
-    // exact decimal moments combined in double at the end. Single scan.
+    // Pairwise Pearson correlation among the 4 lineitem measures. The
+    // measures are exactly 2-decimal, so the scan projects them to cent
+    // LONGs and every moment is a plain Long sum (codegen'd) — product
+    // sums are split hi/lo around 10⁹ so Σ(a·b) stays overflow-free to
+    // ~10⁹ rows per aggregation (div/mod are exact; the halves reassemble
+    // in DECIMAL(38,0) afterwards). Correlation is scale-invariant, and
+    // the reassembled moments are bit-identical to the oracle's HUGEINT
+    // sums, so the final double arithmetic agrees exactly. ONE scan, 25
+    // Long aggregates through the shuffle.
     GraftQuery(
       "q127_correlation_matrix",
       (s, dir) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val li = Tables(s, dir, "lineitem").select(cols.map(col): _*)
+        val pairs = (cols.map(c => (c, c)) ++
+          cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq)
+        val li = Tables(s, dir, "lineitem").select(
+          cols.map(c => expr(s"CAST(round($c * 100) AS BIGINT)").as(c)): _*)
         val momentAggs =
-          cols.map(c => dsum(col(c)).as(s"s_$c")) ++
-            cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
-            cols.combinations(2).map { case Seq(a, b) =>
-              dsum(col(a) * col(b)).as(s"sp_${a}_$b")
-            }.toSeq
+          cols.map(c => sum(col(c)).as(s"s_$c")) ++
+            pairs.flatMap { case (a, b) =>
+              Seq(sum(expr(s"($a * $b) div 1000000000")).as(s"hi_${a}_$b"),
+                sum(expr(s"($a * $b) % 1000000000")).as(s"lo_${a}_$b"))
+            }
         val m = li.agg(count(lit(1)).as("n"), momentAggs: _*)
-        // corr(a,b) = (n·sab − sa·sb) / sqrt((n·saa − sa²) · (n·sbb − sb²)),
-        // all in double over the exact moments — bit-identical cross-engine
+        def mom(a: String, b: String) = expr(
+          s"CAST(CAST(hi_${a}_$b AS DECIMAL(38,0)) * 1000000000 + lo_${a}_$b AS DOUBLE)")
+        // corr(a,b) = (n·sab − sa·sb) / sqrt((n·saa − sa²)(n·sbb − sb²)),
+        // double ops over the exact moments — bit-identical cross-engine
         val pairRows = cols.combinations(2).map { case Seq(a, b) =>
           val n = col("n").cast("double")
           val sa = col(s"s_$a").cast("double")
           val sb = col(s"s_$b").cast("double")
-          val num = n * col(s"sp_${a}_$b").cast("double") - sa * sb
-          val den = sqrt((n * col(s"ss_$a").cast("double") - sa * sa) *
-            (n * col(s"ss_$b").cast("double") - sb * sb))
+          val num = n * mom(a, b) - sa * sb
+          val den = sqrt((n * mom(a, a) - sa * sa) * (n * mom(b, b) - sb * sb))
           struct(lit(a).as("var_a"), lit(b).as("var_b"),
             round(num / den, 6).as("corr_r"))
         }.toSeq
@@ -73,24 +81,22 @@ object Stats extends QueryPack {
       },
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val scaled = cols.map(c => s"CAST(round($c * 100) AS BIGINT) AS $c")
         val moments =
-          cols.map(c => s"SUM(CAST($c AS DECIMAL(28,4))) AS s_$c") ++
-            cols.map(c => s"SUM(CAST($c * $c AS DECIMAL(28,4))) AS ss_$c") ++
+          cols.map(c => s"CAST(SUM($c) AS DOUBLE) AS s_$c") ++
+            cols.map(c => s"CAST(SUM(CAST($c AS HUGEINT) * $c) AS DOUBLE) AS ss_$c") ++
             cols.combinations(2).map { case Seq(a, b) =>
-              s"SUM(CAST($a * $b AS DECIMAL(28,4))) AS sp_${a}_$b"
+              s"CAST(SUM(CAST($a AS HUGEINT) * $b) AS DOUBLE) AS sp_${a}_$b"
             }
         val selects = cols.combinations(2).map { case Seq(a, b) =>
           s"""SELECT '$a' AS var_a, '$b' AS var_b,
-             round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
-                    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
-                   / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
-                           - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
-                          * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
-                             - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+             round((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+                   / sqrt((CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+                          * (CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)), 6)
                AS corr_r FROM m"""
         }
-        s"""WITH m AS (
-           SELECT count(*) AS n, ${moments.mkString(", ")} FROM lineitem)
+        s"""WITH sc AS (SELECT ${scaled.mkString(", ")} FROM lineitem),
+           m AS (SELECT count(*) AS n, ${moments.mkString(", ")} FROM sc)
            SELECT var_a, var_b, corr_r FROM (${selects.mkString(" UNION ALL ")})
            ORDER BY var_a, var_b"""
       }),

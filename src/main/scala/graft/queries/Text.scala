@@ -296,6 +296,71 @@ object Text extends QueryPack {
         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM f GROUP BY word
         |HAVING COUNT(*) > 0.03 * (SELECT n_total FROM t)
-        |ORDER BY word""".stripMargin))
+        |ORDER BY word""".stripMargin)),
+
+    // Containment-fraction decontamination (the metric variant of q75's
+    // membership test): for each EVAL document, what fraction of its
+    // distinct 4-grams appear anywhere in the train split — the number an
+    // eval-suite owner actually thresholds on. Severity buckets aggregate
+    // exact integer hit/total counts (the rate is a ratio of summed
+    // BIGINTs, never a cross-row float sum). Scale shape: one gram explode,
+    // one distinct train-gram shuffle, one semi-join — the eval side is
+    // tiny by construction, the train side shuffles once.
+    GraftQuery(
+      "q137_ngram_containment",
+      (s, dir) => {
+        val g = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(0, size(ws) - 4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
+            .as("gram"))
+        val trainGrams = g.filter(col("doc_id") % 10 =!= 0)
+          .select(col("gram")).distinct()
+        val perDoc = g.filter(col("doc_id") % 10 === 0)
+          .join(trainGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        val frac = col("n_hit").cast("double") / col("n_grams").cast("double")
+        perDoc
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            when(frac >= 0.5, "high").when(frac >= 0.1, "partial")
+              .when(frac > 0.0, "trace").otherwise("clean").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_hit")).as("total_hits"),
+            sum(col("n_grams")).as("total_grams"))
+          .select(col("bucket"), col("n_docs"), col("total_hits"), col("total_grams"),
+            round(col("total_hits").cast("double") / col("total_grams").cast("double"), 6)
+              .as("hit_rate"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [list_aggregate(ws[i:i+3], 'string_agg', ' ') FOR i IN generate_series(1, len(ws)-3)])) AS gram
+        |  FROM t),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+        |pd AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM g LEFT JOIN tg ON g.gram = tg.gram WHERE g.doc_id % 10 = 0
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id, n_grams, n_hit,
+        |    CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5 THEN 'high'
+        |         WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.1 THEN 'partial'
+        |         WHEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.0 THEN 'trace'
+        |         ELSE 'clean' END AS bucket
+        |  FROM pd)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+        |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+        |  round(CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6)
+        |    AS hit_rate
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

@@ -33,4 +33,28 @@ class PlanPropertiesSpec extends SparkTestBase {
     val scanLine = p.linesIterator.find(_.contains("LogfileScan")).getOrElse("")
     assert(scanLine.contains("columns=file,record"), scanLine)
   }
+
+  test("join strategy hints pick the requested physical join, same results") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val big = (1 to 2000).map(i => (i.toLong, i % 50)).toDF("k", "v")
+    val dim = (0 until 50).map(i => (i, s"g$i")).toDF("v", "name")
+    def physical(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // let AQE finalize
+      df.queryExecution.executedPlan.toString()
+    }
+    val broadcastP = physical(big.join(dim.hint("broadcast"), "v"))
+    val shuffleHashP = physical(big.join(dim.hint("shuffle_hash"), "v"))
+    val mergeP = physical(big.join(dim.hint("merge"), "v"))
+    assert(broadcastP.contains("BroadcastHashJoin"), broadcastP)
+    assert(shuffleHashP.contains("ShuffledHashJoin"), shuffleHashP)
+    assert(mergeP.contains("SortMergeJoin"), mergeP)
+    // identical results under every strategy
+    val expect = big.join(dim, "v").agg(count(lit(1)), sum("k")).collect().toSeq
+    Seq("broadcast", "shuffle_hash", "merge").foreach { h =>
+      val got = big.join(dim.hint(h), "v").agg(count(lit(1)), sum("k")).collect().toSeq
+      assert(got.map(_.toString) == expect.map(_.toString), s"hint $h diverged")
+    }
+  }
 }

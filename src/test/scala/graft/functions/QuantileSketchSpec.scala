@@ -78,6 +78,33 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(agg.finish(one) === Seq(42.0, 42.0, 42.0, 42.0))
   }
 
+  test("property: random streams, random partitionings — error stays bounded") {
+    // seeded LCG over varied sizes/skews; merged-partition result must obey
+    // the same rank-error bound as the single-pass sketch
+    var seed = 0x9e3779b97f4a7c15L
+    def nextLong(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    for (trial <- 1 to 5) {
+      val n = 5000 + (math.abs(nextLong()) % 45000).toInt
+      val skew = 1 + (math.abs(nextLong()) % 3).toInt
+      val data = (0 until n).map { _ =>
+        val u = (math.abs(nextLong()) % 1000000) / 1000000.0
+        math.pow(u, skew) * 1e6 // skew>1 piles mass near 0
+      }
+      val agg = QuantileSketchAgg(128, qs)
+      val chunk = 1000 + (math.abs(nextLong()) % 9000).toInt
+      val merged = data.grouped(chunk).map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      val sorted = data.sorted
+      qs.zip(agg.finish(merged)).foreach { case ((num, den), est) =>
+        // translate the value estimate back to a rank via binary search
+        val rank = sorted.search(est).insertionPoint
+        val target = num.toDouble / den * n
+        assert(math.abs(rank - target) / n <= 0.06,
+          s"trial $trial n=$n skew=$skew q=$num/$den: rank $rank vs $target")
+      }
+    }
+  }
+
   test("works through Spark udaf partial+final aggregation") {
     val s = spark
     import s.implicits._
