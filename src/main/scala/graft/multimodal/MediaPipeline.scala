@@ -85,24 +85,49 @@ object MediaPipeline {
     }
   }
 
-  /** STUB resize: a real implementation rescales decoded pixels; the stub
-    * deterministically downsamples payload bytes to `target²` samples so the
-    * batch shape (one fixed-size output per record, partition-streamed) is
-    * exercised for real.
+  /** REAL image rescale for decodable payloads (headless AWT bilinear →
+    * PNG re-encode, no external deps); other kinds and undecodable
+    * payloads take the documented deterministic byte-downsample stub so
+    * the batch shape (one fixed-size output per record, partition-
+    * streamed) is exercised either way.
     */
+  private[multimodal] def resizeImage(payload: Array[Byte], target: Int): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          target, target, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, target, target, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
   def resize(ds: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     val n = target * target
     ds.mapPartitions { it =>
       it.map { rec =>
-        val src = rec.payload
-        val out = new Array[Byte](math.min(n, math.max(src.length, 1)))
-        var i = 0
-        while (i < out.length) {
-          out(i) = if (src.isEmpty) 0 else src((i.toLong * src.length / out.length).toInt)
-          i += 1
-        }
-        rec.copy(payload = out, declared_format = s"${rec.declared_format}@${target}x$target")
+        val resized =
+          (if (rec.kind == "image") resizeImage(rec.payload, target) else None)
+            .getOrElse {
+              // stub path: deterministic byte downsample to target² samples
+              val src = rec.payload
+              val out = new Array[Byte](math.min(n, math.max(src.length, 1)))
+              var i = 0
+              while (i < out.length) {
+                out(i) = if (src.isEmpty) 0 else src((i.toLong * src.length / out.length).toInt)
+                i += 1
+              }
+              out
+            }
+        rec.copy(payload = resized,
+          declared_format = s"${rec.declared_format}@${target}x$target")
       }
     }
   }

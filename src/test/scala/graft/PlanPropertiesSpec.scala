@@ -34,6 +34,20 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(scanLine.contains("columns=file,record"), scanLine)
   }
 
+  test("q129: weighted sample is scan → TakeOrderedAndProject, zero shuffles") {
+    val p = plan("q129_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), "top-k must not shuffle or globally sort:\n" + p)
+  }
+
+  test("q127: correlation matrix is one scan, one partial+final aggregation") {
+    val p = plan("q127_correlation_matrix")
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    // exactly one shuffle: the partial→final aggregate exchange
+    assert("Exchange".r.findAllIn(p).size <= 2, s"too many exchanges:\n$p")
+    assert(!p.toLowerCase.contains("decimal(28"), "moments must stay Long-backed")
+  }
+
   test("join strategy hints pick the requested physical join, same results") {
     import org.apache.spark.sql.functions._
     val s = spark

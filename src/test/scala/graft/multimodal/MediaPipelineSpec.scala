@@ -56,6 +56,33 @@ class MediaPipelineSpec extends SparkTestBase {
     assert((feats(2).width, feats(2).height, feats(2).channels) == stub3)
   }
 
+  test("resize really rescales a decodable image; stub path for the rest") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    implicit val s = spark
+    import s.implicits._
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, (x * 8) << 16 | (y * 8))
+    val baos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val ds = Seq(
+      MediaRecord(1L, "image", png, "PNG"),
+      MediaRecord(2L, "audio", png, "PNG")).toDS()
+    val out = MediaPipeline.resize(ds, 16).collect().sortBy(_.media_id)
+    // the image record's payload is a REAL 16x16 PNG
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out(0).payload))
+    assert(back != null && back.getWidth == 16 && back.getHeight == 16,
+      s"expected a decodable 16x16 PNG, got ${out(0).payload.length} bytes")
+    // the audio record took the byte-downsample stub (16² samples)
+    assert(out(1).payload.length == 256)
+    assert(out.forall(_.declared_format.endsWith("@16x16")))
+    // deterministic re-encode: same input, same bytes
+    val again = MediaPipeline.resize(ds, 16).collect().sortBy(_.media_id)
+    assert(out(0).payload.toSeq == again(0).payload.toSeq)
+  }
+
   test("typed logfile facade returns Dataset[LogRecord]") {
     import graft.sources.logfile.{LogfileFixture, LogfileReader}
     val dir = java.nio.file.Files.createTempDirectory("typed-facade").toFile.getAbsolutePath
