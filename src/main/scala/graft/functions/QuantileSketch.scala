@@ -30,20 +30,17 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final case class QSketch(n: Long, levels: Seq[Seq[Double]])
 
-final case class QuantileSketchAgg(k: Int, quantiles: Seq[(Int, Int)])
-    extends Aggregator[Double, QSketch, Seq[Double]] {
-  require(k >= 8, s"k must be >= 8, got $k")
-  require(quantiles.nonEmpty, "need at least one quantile")
-  quantiles.foreach { case (num, den) =>
-    require(num >= 0 && den > 0 && num <= den, s"bad quantile $num/$den")
-  }
+/** The sketch algebra, shared by the one-shot aggregator and the
+  * build/merge pair that re-aggregates stored sketches (q139).
+  */
+object QSketchOps {
 
-  override def zero: QSketch = QSketch(0L, Seq(Vector.empty))
+  def zero: QSketch = QSketch(0L, Seq(Vector.empty))
 
   /** Promote overfull levels upward: sort, keep the odd-indexed half at
     * double weight. Deterministic — no coin flip.
     */
-  private def compact(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+  def compact(levels: Seq[Seq[Double]], k: Int): Seq[Seq[Double]] = {
     val out = levels.toBuffer
     var i = 0
     while (i < out.length) {
@@ -59,26 +56,26 @@ final case class QuantileSketchAgg(k: Int, quantiles: Seq[(Int, Int)])
     out.toSeq
   }
 
-  override def reduce(b: QSketch, x: Double): QSketch = {
+  def insert(b: QSketch, x: Double, k: Int): QSketch = {
     val l0 = b.levels.head :+ x
     val next = b.levels.updated(0, l0)
-    QSketch(b.n + 1, if (l0.length > k) compact(next) else next)
+    QSketch(b.n + 1, if (l0.length > k) compact(next, k) else next)
   }
 
-  override def merge(b1: QSketch, b2: QSketch): QSketch = {
+  def merge(b1: QSketch, b2: QSketch, k: Int): QSketch = {
     val depth = math.max(b1.levels.length, b2.levels.length)
     val joined = (0 until depth).map { i =>
       val a = if (i < b1.levels.length) b1.levels(i) else Vector.empty
       val b = if (i < b2.levels.length) b2.levels(i) else Vector.empty
       a ++ b
     }
-    QSketch(b1.n + b2.n, compact(joined))
+    QSketch(b1.n + b2.n, compact(joined, k))
   }
 
   /** Lower weighted quantile per requested (num, den): the smallest value
     * whose cumulative weight reaches ceil(num·n/den) — integer rank math.
     */
-  override def finish(b: QSketch): Seq[Double] = {
+  def quantilesOf(b: QSketch, quantiles: Seq[(Int, Int)]): Seq[Double] = {
     if (b.n == 0L) return quantiles.map(_ => Double.NaN)
     val weighted = b.levels.zipWithIndex.flatMap { case (vs, i) =>
       val w = 1L << i
@@ -103,6 +100,57 @@ final case class QuantileSketchAgg(k: Int, quantiles: Seq[(Int, Int)])
       ans
     }
   }
+
+  def validate(k: Int, quantiles: Seq[(Int, Int)]): Unit = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"bad quantile $num/$den")
+    }
+  }
+}
+
+final case class QuantileSketchAgg(k: Int, quantiles: Seq[(Int, Int)])
+    extends Aggregator[Double, QSketch, Seq[Double]] {
+  QSketchOps.validate(k, quantiles)
+
+  override def zero: QSketch = QSketchOps.zero
+  override def reduce(b: QSketch, x: Double): QSketch = QSketchOps.insert(b, x, k)
+  override def merge(b1: QSketch, b2: QSketch): QSketch = QSketchOps.merge(b1, b2, k)
+  override def finish(b: QSketch): Seq[Double] = QSketchOps.quantilesOf(b, quantiles)
+
+  override def bufferEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}
+
+/** Stage 1 of the stored-sketch lifecycle: aggregate raw values into a
+  * sketch VALUE (per day, per shard, …) that a table can persist.
+  */
+final case class QuantileSketchBuildAgg(k: Int)
+    extends Aggregator[Double, QSketch, QSketch] {
+  QSketchOps.validate(k, Seq((50, 100)))
+
+  override def zero: QSketch = QSketchOps.zero
+  override def reduce(b: QSketch, x: Double): QSketch = QSketchOps.insert(b, x, k)
+  override def merge(b1: QSketch, b2: QSketch): QSketch = QSketchOps.merge(b1, b2, k)
+  override def finish(b: QSketch): QSketch = b
+
+  override def bufferEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
+  override def outputEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
+}
+
+/** Stage 2: MERGE stored sketches into coarser rollups and answer
+  * quantiles — the corpus is never rescanned (the q131 HLL pattern, for
+  * percentiles).
+  */
+final case class QuantileSketchMergeAgg(k: Int, quantiles: Seq[(Int, Int)])
+    extends Aggregator[QSketch, QSketch, Seq[Double]] {
+  QSketchOps.validate(k, quantiles)
+
+  override def zero: QSketch = QSketchOps.zero
+  override def reduce(b: QSketch, s: QSketch): QSketch = QSketchOps.merge(b, s, k)
+  override def merge(b1: QSketch, b2: QSketch): QSketch = QSketchOps.merge(b1, b2, k)
+  override def finish(b: QSketch): Seq[Double] = QSketchOps.quantilesOf(b, quantiles)
 
   override def bufferEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()

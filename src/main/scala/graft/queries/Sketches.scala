@@ -83,5 +83,50 @@ object Sketches extends QueryPack {
             col("exact_total"), col("max_daily_exact"))
           .orderBy("event_type")
       },
-      None))
+      None),
+
+    // Quantile-sketch RE-AGGREGATION (the q131 pattern, for percentiles,
+    // with an EXACT oracle): build one value-sketch per (event_type, day) —
+    // the layer a telemetry table would persist — then answer per-type
+    // monthly p50/p90 by MERGING the stored sketches, never rescanning the
+    // events. Build k=2048 ≥ any single day's row count and merge
+    // k=32768 ≥ any type's month total at verify SFs, and merging exact
+    // sketches concatenates their multisets — so the rollup is exact and
+    // the oracle pins it by integer rank over raw values (compaction-mode
+    // error bounds are QuantileSketchSpec's job).
+    GraftQuery(
+      "q139_quantile_reagg",
+      (s, dir) => {
+        import graft.functions.{QSketch, QuantileSketchBuildAgg, QuantileSketchMergeAgg}
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        val build = udaf(QuantileSketchBuildAgg(2048))
+        val mergeQ = udaf(QuantileSketchMergeAgg(32768, Seq((50, 100), (90, 100))),
+          ExpressionEncoder[QSketch]())
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(build(col("value")).as("sk"), count(lit(1)).as("n"))
+        daily
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+            // a Product-typed udaf input binds one column per field
+            mergeQ(col("sk.n"), col("sk.levels")).as("q"))
+          .select(col("event_type"), col("n_days"), col("n_events"),
+            col("q")(0).as("p50"), col("q")(1).as("p90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events),
+        |nd AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d)
+        |SELECT r.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+        |  CAST(MAX(r.n) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90
+        |FROM r JOIN nd ON r.event_type = nd.event_type
+        |GROUP BY r.event_type, nd.n_days ORDER BY 1""".stripMargin)))
 }

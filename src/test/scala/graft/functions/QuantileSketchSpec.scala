@@ -105,6 +105,29 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("build-then-merge (stored sketch lifecycle) equals the one-shot sketch") {
+    val k = 128
+    val oneShot = QuantileSketchAgg(k, qs)
+    val build = QuantileSketchBuildAgg(k)
+    val mergeA = QuantileSketchMergeAgg(k, qs)
+    val n = 30000
+    val data = (0 until n).map(i => ((i.toLong * 104729) % n).toDouble) // permutation
+    // 30 "daily" sketches built independently, then merged — vs one pass.
+    // Identical fold order ⇒ identical deterministic compactions ⇒ identical
+    // levels, so the quantiles agree exactly.
+    val daily = data.grouped(1000).map(_.foldLeft(build.zero)(build.reduce)).toSeq
+    val merged = daily.foldLeft(mergeA.zero)(mergeA.reduce)
+    val direct = data.grouped(1000).map(_.foldLeft(oneShot.zero)(oneShot.reduce))
+      .reduce(oneShot.merge)
+    assert(mergeA.finish(merged) === oneShot.finish(direct))
+    assert(merged.n === n.toLong)
+    // and the merged estimate still obeys the rank-error bound
+    qs.zip(mergeA.finish(merged)).foreach { case ((num, den), est) =>
+      val target = num.toDouble / den * n
+      assert(math.abs(est - target) / n <= 0.05, s"q=$num/$den est=$est")
+    }
+  }
+
   test("works through Spark udaf partial+final aggregation") {
     val s = spark
     import s.implicits._
