@@ -33,7 +33,8 @@ object SparkEntry {
     packs.Trends,
     packs.Storage,
     packs.Stats,
-    packs.Sketches)
+    packs.Sketches,
+    packs.Semantics)
 
   private lazy val all: Seq[GraftQuery] = {
     val qs = allPacks.flatMap(_.queries)

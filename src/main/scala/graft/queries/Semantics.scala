@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 surface: engine-semantics completeness — the type-system and
+  * evolution behaviors a user silently depends on when they switch engines:
+  * schema evolution across parquet batches (mergeSchema + absent-column
+  * nulls), nested array-of-struct round-trips, MapType aggregation, and
+  * explicit NULL ordering/equality semantics (Spark and ANSI SQL disagree
+  * on defaults — the queries pin the portable explicit forms).
+  *
+  * Scale notes:
+  *   - q140: schema merge happens at footer-listing time (O(files), not
+  *     O(rows)); the old-batch scan materializes the missing column as a
+  *     null literal — no rewrite of historical data.
+  *   - q141: collect_list(struct(...)) is bounded per group by the k-cap
+  *     applied BEFORE aggregation (row_number ≤ 3) — no unbounded per-group
+  *     state; the explode returns to flat rows in the same task.
+  *   - q142: map_from_entries over a k-bounded entry list; map lookups are
+  *     row-local.
+  *   - q143: one scan; the orderings are windows over a 25-row rollup.
+  */
+object Semantics extends QueryPack {
+
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Schema evolution: batch 1 writes (key, price), batch 2 adds a
+    // status column; a mergeSchema read sees the union schema with nulls
+    // for the old batch — aggregated per status including the NULL bucket.
+    GraftQuery(
+      "q140_schema_evolution",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_evo_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        try {
+          orders.where(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.parquet(s"$root/batch=1")
+          orders.where(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+            .write.parquet(s"$root/batch=2")
+          val merged = s.read.option("mergeSchema", "true").parquet(root)
+          materializeSmall(merged
+            .groupBy(coalesce(col("o_orderstatus"), lit("<pre-evolution>")).as("status"))
+            .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+            .orderBy("status"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
+      Some("""WITH m AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |  FROM orders)
+        |SELECT COALESCE(o_orderstatus, '<pre-evolution>') AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // Nested array-of-structs round-trip: top-3 orders per nation packed
+    // into a sorted array of (orderkey, price) structs, then exploded back
+    // with positions. The oracle computes the flat equivalent directly —
+    // identity through the nested type IS the check.
+    GraftQuery(
+      "q141_nested_structs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val top = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+        val nested = top
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(sort_array(collect_list(struct(
+            col("rk"), col("o_orderkey").as("okey"),
+            col("o_totalprice").as("price")))).as("top3"))
+        nested
+          .select(col("nation"), posexplode(col("top3")).as(Seq("pos", "t")))
+          .select(col("nation").cast("long").as("nation"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("t.okey").as("okey"), col("t.price").as("price"))
+          .orderBy("nation", "rank")
+      },
+      Some("""WITH r AS (
+        |  SELECT c.c_nationkey AS nation, o.o_orderkey AS okey,
+        |    o.o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY c.c_nationkey
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT CAST(nation AS BIGINT) AS nation, CAST(rank AS BIGINT) AS rank,
+        |  okey, price
+        |FROM r WHERE rank <= 3 ORDER BY nation, rank""".stripMargin)),
+
+    // MapType aggregation: per nation a status→count map built with
+    // map_from_entries, consumed by row-local lookups. The flat oracle
+    // computes the same three lookups directly.
+    GraftQuery(
+      "q142_map_aggregation",
+      (s, dir) => {
+        val counts = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"), col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .groupBy(col("nation"))
+          .agg(map_from_entries(sort_array(collect_list(struct(col("st"), col("n")))))
+            .as("by_status"))
+          .select(col("nation").cast("long").as("nation"),
+            coalesce(col("by_status")("F"), lit(0L)).as("n_f"),
+            coalesce(col("by_status")("O"), lit(0L)).as("n_o"),
+            coalesce(col("by_status")("P"), lit(0L)).as("n_p"))
+          .orderBy("nation")
+      },
+      Some("""SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |  CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // NULL semantics, pinned portably: Spark orders NULLS FIRST ascending
+    // by default, ANSI engines NULLS LAST — both sides say it explicitly;
+    // plus null-safe equality (<=> / IS NOT DISTINCT FROM) versus plain =
+    // over an injected-null column.
+    GraftQuery(
+      "q143_null_semantics",
+      (s, dir) => {
+        val d = Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("c_nationkey")).as("nk"))
+        val stats = d.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("nk")).as("n_nonnull"),
+          sum(when(col("nk").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("nk") <=> lit(null).cast("long"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq_null"),
+          sum(when(col("nk") === lit(null).cast("long"), 1L).otherwise(0L))
+            .as("n_plain_eq_null"))
+        val headNullsLast = d.orderBy(col("nk").asc_nulls_last, col("c_custkey"))
+          .limit(1).select(col("c_custkey").as("first_nulls_last"))
+        val headNullsFirst = d.orderBy(col("nk").asc_nulls_first, col("c_custkey"))
+          .limit(1).select(col("c_custkey").as("first_nulls_first"))
+        stats.crossJoin(headNullsLast).crossJoin(headNullsFirst)
+      },
+      Some("""WITH d AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows,
+        |  (SELECT CAST(count(nk) AS BIGINT) FROM d) AS n_nonnull,
+        |  (SELECT CAST(SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_null,
+        |  (SELECT CAST(SUM(CASE WHEN nk IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_nullsafe_eq_null,
+        |  (SELECT CAST(SUM(CASE WHEN nk = NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_plain_eq_null,
+        |  (SELECT c_custkey FROM d ORDER BY nk ASC NULLS LAST, c_custkey LIMIT 1) AS first_nulls_last,
+        |  (SELECT c_custkey FROM d ORDER BY nk ASC NULLS FIRST, c_custkey LIMIT 1) AS first_nulls_first""".stripMargin)))
+}
