@@ -361,6 +361,32 @@ object Text extends QueryPack {
         |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
         |  round(CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6)
         |    AS hit_rate
-        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin))
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Lexicon tagging via the Aho–Corasick automaton: all keywords matched
+    // against every document in ONE text pass (broadcast automaton,
+    // mapPartitions — see operators.KeywordMatcher). The oracle counts the
+    // same substring occurrences by replace-length arithmetic, exact for
+    // these border-free keywords (no self-overlap possible; overlap
+    // semantics pinned separately in KeywordMatcherSpec).
+    GraftQuery(
+      "q144_keyword_tagging",
+      (s, dir) => {
+        val kws = Seq("merge", "scan", "spark", "stream", "table", "vector")
+        graft.operators.KeywordMatcher
+          .tagCounts(s, Tables(s, dir, "documents"), "doc_id", "text", kws)
+          .orderBy("keyword")
+      },
+      Some {
+        val kws = Seq("merge", "scan", "spark", "stream", "table", "vector")
+        val arms = kws.map { kw =>
+          s"""SELECT '$kw' AS keyword,
+             CAST(SUM(CASE WHEN contains(text, '$kw') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+             CAST(SUM((length(text) - length(replace(text, '$kw', ''))) // ${kw.length}) AS BIGINT)
+               AS n_occurrences
+             FROM documents"""
+        }
+        arms.mkString(" UNION ALL ") + " ORDER BY keyword"
+      })
   )
 }
