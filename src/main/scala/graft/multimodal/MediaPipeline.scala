@@ -41,7 +41,7 @@ object MediaPipeline {
     * decodable image, None otherwise — callers fall back to the stub, so a
     * corpus of synthesized text-byte payloads still flows end-to-end.
     */
-  private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map(img => (img.getWidth.toLong, img.getHeight.toLong,

@@ -242,6 +242,51 @@ object Events extends QueryPack {
         |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         |  CAST(MAX(CASE WHEN late THEN (hwm - us) // 1000000 ELSE 0 END) AS BIGINT)
         |    AS max_lateness_s
-        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Multi-touch LINEAR attribution (q134's single-touch sibling): every
+    // click in the 10 minutes before a same-user purchase splits that
+    // purchase's value equally. Shares are integer micro-cents floor-divided
+    // by the click count — exact, order-independent, and identical in both
+    // engines (no 1/n float arithmetic crosses rows).
+    GraftQuery(
+      "q146_multitouch_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val pairs = buys.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - lit(600000000000L))
+        val w = Window.partitionBy("p_id")
+        pairs
+          .withColumn("n_touch", count(lit(1)).over(w))
+          .withColumn("share_ucents", expr("(cents * 1000000) div n_touch"))
+          .groupBy(expr("c_ts div 86400000000000").as("click_day"))
+          .agg(count(lit(1)).as("n_shares"),
+            sum(col("share_ucents")).as("attributed_ucents"))
+          .orderBy("click_day")
+      },
+      Some("""WITH b AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT b.p_id, b.cents, c.c_us,
+        |    count(*) OVER (PARTITION BY b.p_id) AS n_touch
+        |  FROM b JOIN c ON b.user_id = c.user_id
+        |    AND c.c_us <= b.p_us AND c.c_us >= b.p_us - 600000000)
+        |SELECT CAST(c_us // 86400000000 AS BIGINT) AS click_day,
+        |  CAST(count(*) AS BIGINT) AS n_shares,
+        |  CAST(SUM((cents * 1000000) // n_touch) AS BIGINT) AS attributed_ucents
+        |FROM p GROUP BY 1 ORDER BY click_day""".stripMargin))
   )
 }

@@ -48,6 +48,55 @@ object Multimodal extends QueryPack {
           .withColumn("mean_byte", round(col("mean_byte"), 4))
           .orderBy("media_id")
       },
+      None),
+
+    // File-based media ingestion: author real PNGs, read them back with
+    // Spark's built-in `binaryFile` source (path/length/content rows — the
+    // ingestion format every image-corpus pipeline starts from), and REALLY
+    // decode dimensions via MediaPipeline.decodeImage. Deterministic
+    // (authored fixtures) but file-based → rows-only; the decode truth is
+    // pinned in MediaPipelineSpec and the PNG bytes are authored in-query.
+    GraftQuery(
+      "q145_binaryfile_ingest",
+      (s, dir) => {
+        import org.apache.hadoop.fs.Path
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_bin_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        new java.io.File(root).mkdirs()
+        try {
+          // author deterministic PNG fixtures: sizes derived from index
+          (1 to 6).foreach { i =>
+            val w = 8 * i
+            val h = 4 * i
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) { img.setRGB(x, y, (x * 37 + y * 11) & 0xffffff); y += 1 }
+              x += 1
+            }
+            javax.imageio.ImageIO.write(img, "png", new java.io.File(root, f"img$i%02d.png"))
+          }
+          val bin = s.read.format("binaryFile").load(root)
+          import s.implicits._
+          val decoded = bin
+            .select(element_at(split(col("path"), "/"), -1).as("name"),
+              col("length"), col("content"))
+            .as[(String, Long, Array[Byte])]
+            .map { case (name, len, bytes) =>
+              val (w, h, c) = MediaPipeline.decodeImage(bytes)
+                .getOrElse((-1L, -1L, -1L))
+              (name, len, w, h, c)
+            }
+            .toDF("name", "n_bytes", "width", "height", "channels")
+          materializeSmall(decoded.orderBy("name"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
       None)
   )
 }

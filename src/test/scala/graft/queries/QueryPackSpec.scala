@@ -135,4 +135,40 @@ class QueryPackSpec extends SparkTestBase {
     assert(df.columns.contains("sum_qty"))
     assert(df.count() > 0)
   }
+
+  test("q145 binaryFile ingest decodes the authored PNG dimensions exactly") {
+    val rows = SparkEntry.queries("q145_binaryfile_ingest")(spark, sf)
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 6)
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val i = idx + 1
+      assert(r.getString(0) == f"img$i%02d.png")
+      assert(r.getLong(1) > 0, "file length recorded by the binaryFile source")
+      assert(r.getLong(2) == 8L * i && r.getLong(3) == 4L * i,
+        s"decoded dims for img$i: ${r.getLong(2)}x${r.getLong(3)}")
+      assert(r.getLong(4) == 3L, "RGB channel count from the real decoder")
+    }
+  }
+
+  test("q146 linear attribution conserves purchase value up to floor remainders") {
+    val ev = Tables(spark, sf, "events")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val touched = buys.join(clicks,
+        col("p_user") === col("c_user") && col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - lit(600000000000L))
+      .groupBy("p_id").agg(first("cents").as("cents"), count(lit(1)).as("n"))
+      .collect()
+    val expected = touched.map(r => (r.getLong(1) * 1000000L / r.getLong(2)) * r.getLong(2)).sum
+    val got = SparkEntry.queries("q146_multitouch_attribution")(spark, sf)
+      .agg(sum("attributed_ucents")).collect().head.getLong(0)
+    assert(got == expected,
+      s"floor-share totals must reassemble exactly: got $got expected $expected")
+    // and floors lose strictly less than one cent (1e6 ucents) per touch
+    val full = touched.map(r => r.getLong(1) * 1000000L).sum
+    assert(full - got < touched.map(_.getLong(2)).sum)
+  }
 }
