@@ -21,29 +21,52 @@ object Relational extends QueryPack {
   private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
   def queries: Seq[GraftQuery] = Seq(
+    // The measures are exactly 2-decimal, so the scan projects them to cent
+    // LONGs and every sum stays on the codegen'd Long path (a DECIMAL(18,2)
+    // sum would promote to DECIMAL(28,2) — the ~6× slower BigDecimal path;
+    // same lesson as q127). The discounted-price product sum is split hi/lo
+    // around 10⁹ so it stays overflow-free to ~10⁹ rows per group, then
+    // reassembles in DECIMAL(38,0) — bit-identical to the oracle's HUGEINT
+    // sums after the shared int→double→÷ tail.
     GraftQuery(
       "q01_agg_pricing_summary",
       (s, dir) => {
         Tables(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_c"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum2(col("l_quantity")).as("sum_qty"),
-            dsum2(col("l_extendedprice")).as("sum_base_price"),
-            dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-            (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            sum(col("qty_c")).as("sq"),
+            sum(col("price_c")).as("sp"),
+            sum(expr("(price_c * (100 - disc_c)) div 1000000000")).as("hi"),
+            sum(expr("(price_c * (100 - disc_c)) % 1000000000")).as("lo"),
             count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (col("sq").cast("double") / 100.0).as("sum_qty"),
+            (col("sp").cast("double") / 100.0).as("sum_base_price"),
+            (expr("CAST(CAST(hi AS DECIMAL(38,0)) * 1000000000 + lo AS DOUBLE)") / 10000.0)
+              .as("sum_disc_price"),
+            (col("sq").cast("double") / 100.0 / col("count_order")).as("avg_qty"),
+            col("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      Some("""WITH sc AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(qty_c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
+        |FROM sc GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     GraftQuery(
