@@ -32,6 +32,7 @@ object GraftSession {
         .exists(_.isInstanceOf[graft.plans.RewriteSingletonRepartition]))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.RewriteSingletonRepartition(spark))
+    graft.plans.TopKPerGroup.ensureStrategy(spark)
     tablesDir.foreach(Tables.registerAll(spark, _))
     spark
   }

@@ -73,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session =>
       graft.plans.RewriteSingletonRepartition(session))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

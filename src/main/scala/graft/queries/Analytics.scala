@@ -57,6 +57,31 @@ object Analytics extends QueryPack {
         |      FROM part) t
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin)),
 
+    // q15's semantics a THIRD way: the custom physical operator
+    // (plans.TopKPerGroupExec — bounded per-partition heaps around the group
+    // exchange, tier-(c) LogicalPlan+Strategy+SparkPlan). The shuffle carries
+    // ≤ k rows per (group, map partition) and nothing is ever sorted beyond
+    // the k survivors; rnk is reconstructed by a window over the tiny
+    // (k·groups)-row result. Shares q15's oracle; must be bit-identical.
+    GraftQuery(
+      "q147_topk_custom_plan",
+      (s, dir) => {
+        val base = Tables(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        val top = graft.plans.TopKPerGroup(
+          base, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        top.withColumn("rnk", row_number().over(w).cast("long"))
+          .orderBy("p_brand", "rnk")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin)),
+
     GraftQuery(
       "q16_window_running_revenue",
       (s, dir) => {

@@ -71,4 +71,36 @@ class PlanPropertiesSpec extends SparkTestBase {
       assert(got.map(_.toString) == expect.map(_.toString), s"hint $h diverged")
     }
   }
+
+  test("q147: custom TopKPerGroupExec plans partial+final around one exchange") {
+    val df = SparkEntry.queries("q147_topk_custom_plan")(spark, sf)
+    df.collect() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString()
+    val nodes = p.linesIterator.filter(_.contains("TopKPerGroup [")).toSeq
+    assert(nodes.size >= 2, s"expected partial+final TopKPerGroupExec:\n$p")
+    assert(nodes.exists(_.endsWith(", true")) && nodes.exists(_.endsWith(", false")),
+      s"one partial (true) and one final (false) node expected: $nodes")
+    assert(p.contains("Exchange hashpartitioning(p_brand"),
+      s"group exchange between partial and final expected:\n$p")
+  }
+
+  test("custom top-k operator is exact under any partitioning and equals q15") {
+    import org.apache.spark.sql.functions._
+    val expect = SparkEntry.queries("q15_window_rank_top3_per_brand")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val got = SparkEntry.queries("q147_topk_custom_plan")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == expect, "custom plan must be bit-identical to the window rank")
+    // partial heaps cap map-side state: force many input partitions, stay exact
+    val base = Tables(spark, sf, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .repartition(17)
+    val scattered = graft.plans.TopKPerGroup(
+        base, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaWindow = SparkEntry.queries("q15_window_rank_top3_per_brand")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scattered == viaWindow, "17-partition scatter changed the top-k result")
+  }
 }
