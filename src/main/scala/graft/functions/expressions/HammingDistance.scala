@@ -74,5 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session =>
       graft.plans.RewriteSingletonRepartition(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }
 }

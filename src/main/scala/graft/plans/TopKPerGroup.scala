@@ -167,7 +167,10 @@ object TopKPerGroup {
   /** Idempotently add the strategy to a live session (extension-injected
     * sessions already have it; `getOrCreate` may reuse one that doesn't).
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies ++= Seq(TopKPerGroupStrategy)
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+      spark.experimental.extraOptimizations ++= Seq(PushFilterThroughTopK)
+  }
 }

@@ -103,4 +103,40 @@ class PlanPropertiesSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(scattered == viaWindow, "17-partition scatter changed the top-k result")
   }
+
+  test("group-column filter pushes through TopKPerGroup to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val top = graft.plans.TopKPerGroup(
+      base, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+
+    // group-only predicate: commutes, must reach the scan as a pushed filter
+    val pruned = top.filter(col("p_brand") === "Brand#11")
+    val p = pruned.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#11)]"),
+      s"filter must reach the scan below the top-k:\n$p")
+    val expect = SparkEntry.queries("q15_window_rank_top3_per_brand")(spark, sf)
+      .filter(col("p_brand") === "Brand#11")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = pruned
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+
+    // non-group predicate: must NOT move (would change which rows survive)
+    val above = top.filter(col("p_retailprice") < 1500.0)
+    val pa = above.queryExecution.optimizedPlan.toString()
+    val filterLine = pa.linesIterator.indexWhere(_.contains("Filter"))
+    val topkLine = pa.linesIterator.indexWhere(_.contains("TopKPerGroup"))
+    assert(filterLine >= 0 && topkLine >= 0 && filterLine < topkLine,
+      s"non-group filter must stay above the operator:\n$pa")
+    // and semantics: filter-after-topk ≠ topk-after-filter on this data
+    val afterCount = above.count()
+    val beforeCount = graft.plans.TopKPerGroup(
+      base.filter(col("p_retailprice") < 1500.0),
+      Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3).count()
+    assert(afterCount <= beforeCount,
+      "filter-above keeps a subset of per-group winners; filter-below refills heaps")
+  }
 }
