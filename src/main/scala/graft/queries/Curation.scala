@@ -167,6 +167,33 @@ object Curation extends QueryPack {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
         |  min(skey) AS first_key, max(skey) AS last_key
-        |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin))
+        |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Curriculum deciles: per-language NTILE(10) over (length, doc_id) — the
+    // shortest-to-longest schedule a curriculum-learning loader consumes.
+    // The tile boundary semantics (earlier tiles get the remainder rows) are
+    // identical in Spark and DuckDB, and the total order makes assignment
+    // deterministic; the per-decile manifest is what the loader reads.
+    GraftQuery(
+      "q151_curriculum_deciles",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+        Tables(s, dir, "documents")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("decile_chars"))
+          .orderBy("lang", "decile")
+      },
+      Some("""WITH d AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS decile
+        |  FROM documents)
+        |SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS decile_chars
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin))
   )
 }

@@ -172,5 +172,44 @@ object Stats extends QueryPack {
         |      + 0.5) / 16777216.0) / CAST(n_chars AS DOUBLE), 10) AS es_key
         |  FROM documents)
         |SELECT doc_id, source, n_chars, es_key
-        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin)))
+        |FROM k ORDER BY es_key, doc_id LIMIT 20""".stripMargin)),
+
+    // Monthly VWAP (volume-weighted average price) on lineitem — the
+    // time-bucketed weighted mean every market/metering pipeline runs. Both
+    // measures are exactly 2-decimal, so the weighted sum Σ(price·qty) runs
+    // as cent-Long products split hi/lo around 10⁹ (q127's recipe — exact
+    // and overflow-safe to ~10⁹ rows per month) and the final divide is the
+    // only float op, over bit-identical exact moments.
+    GraftQuery(
+      "q150_vwap_monthly",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .select(
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
+          .groupBy(col("ship_month"))
+          .agg(
+            sum(expr("(price_c * qty_c) div 1000000000")).as("hi"),
+            sum(expr("(price_c * qty_c) % 1000000000")).as("lo"),
+            sum(col("qty_c")).as("sq"),
+            count(lit(1)).as("n_lines"))
+          .select(col("ship_month"),
+            round(expr("CAST(CAST(hi AS DECIMAL(38,0)) * 1000000000 + lo AS DOUBLE)")
+              / lit(100.0) / col("sq").cast("double"), 6).as("vwap"),
+            (col("sq").cast("double") / 100.0).as("volume"),
+            col("n_lines"))
+          .orderBy("ship_month")
+      },
+      Some("""WITH sc AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem)
+        |SELECT ship_month,
+        |  round(CAST(SUM(CAST(price_c AS HUGEINT) * qty_c) AS DOUBLE)
+        |        / 100.0 / CAST(SUM(qty_c) AS DOUBLE), 6) AS vwap,
+        |  CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS volume,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM sc GROUP BY ship_month ORDER BY ship_month""".stripMargin)))
 }

@@ -96,5 +96,39 @@ object Storage extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Compaction planner — the small-files problem at 100 TB: given a file
+    // inventory (documents stands in: doc_id = file, n_chars = bytes),
+    // bin-pack per source directory into ~64 KiB output groups by running
+    // prefix-sum. The plan is pure window arithmetic (one shuffle by
+    // source), deterministic, and emits per-bin manifests a rewrite job
+    // would consume. Greedy cumsum÷target is the industry-standard
+    // compaction heuristic (bins can exceed target by at most one file).
+    GraftQuery(
+      "q149_compaction_planner",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 65536L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"before div $target"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM documents)
+        |SELECT source, CAST(before // 65536 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin)))
 }

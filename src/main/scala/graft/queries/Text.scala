@@ -387,6 +387,36 @@ object Text extends QueryPack {
              FROM documents"""
         }
         arms.mkString(" UNION ALL ") + " ORDER BY keyword"
-      })
+      }),
+
+    // Per-group heavy hitters — q77's global Misra–Gries made group-local,
+    // and a second exercise of the custom TopKPerGroup physical operator on
+    // a different type shape (string group key, (count desc, word asc)
+    // order). The shuffle above the word-count agg carries ≤ 3 rows per
+    // (lang, map partition); rank is rebuilt over the 3·langs-row result.
+    GraftQuery(
+      "q148_heavy_hitters_per_lang",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("n"))
+        val top = graft.plans.TopKPerGroup(
+          counts, Seq("lang"), Seq(("n", false), ("word", true)), 3)
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+        top.withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("lang"), col("word"), col("n"), col("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT lang, word, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+        |      FROM (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |                  FROM documents) t
+        |            WHERE word <> '' GROUP BY lang, word) c) r
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin))
   )
 }
