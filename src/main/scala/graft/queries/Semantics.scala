@@ -167,5 +167,78 @@ object Semantics extends QueryPack {
         |  (SELECT CAST(SUM(CASE WHEN nk IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_nullsafe_eq_null,
         |  (SELECT CAST(SUM(CASE WHEN nk = NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_plain_eq_null,
         |  (SELECT c_custkey FROM d ORDER BY nk ASC NULLS LAST, c_custkey LIMIT 1) AS first_nulls_last,
-        |  (SELECT c_custkey FROM d ORDER BY nk ASC NULLS FIRST, c_custkey LIMIT 1) AS first_nulls_first""".stripMargin)))
+        |  (SELECT c_custkey FROM d ORDER BY nk ASC NULLS FIRST, c_custkey LIMIT 1) AS first_nulls_first""".stripMargin)),
+
+    // Order-independent table checksum — the anti-entropy primitive for
+    // comparing two 100 TB replicas without sorting either: per-row md5 over
+    // the canonical int/string columns, two 24-bit hex windows summed as
+    // plain Longs (commutative ⇒ partition-order-free; Σ < 2^24·n stays
+    // exact to ~10¹⁴ rows). One row per table, O(1) output; q121's row-level
+    // snapshot diff is the drill-down companion.
+    GraftQuery(
+      "q152_table_checksum",
+      (s, dir) => {
+        def hex6(h: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+          (0 until 6).map { i =>
+            (instr(lit("0123456789abcdef"), substring(h, off + i, 1)) - 1) *
+              lit(1L << (4 * (5 - i)))
+          }.reduce(_ + _)
+        def one(name: String, keyExpr: String): org.apache.spark.sql.DataFrame = {
+          val h = md5(expr(keyExpr))
+          Tables(s, dir, name)
+            .select(hex6(h, 1).as("v_hi"), hex6(h, 7).as("v_lo"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("v_hi")).as("sum_hi"), sum(col("v_lo")).as("sum_lo"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("sum_hi"), col("sum_lo"))
+        }
+        one("customer", "concat_ws('|', c_custkey, c_nationkey, c_name, c_mktsegment)")
+          .unionAll(one("orders",
+            "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)"))
+          .unionAll(one("part", "concat_ws('|', p_partkey, p_brand, p_type, p_size)"))
+          .orderBy("tbl")
+      },
+      Some {
+        def hex6(off: Int): String =
+          (0 until 6).map { i =>
+            s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+          }.mkString(" + ")
+        def one(name: String, keyExpr: String): String =
+          s"""SELECT '$name' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(SUM(${hex6(1)}) AS BIGINT) AS sum_hi,
+             CAST(SUM(${hex6(7)}) AS BIGINT) AS sum_lo
+             FROM (SELECT md5($keyExpr) AS h FROM $name)"""
+        Seq(
+          one("customer", "concat_ws('|', c_custkey, c_nationkey, c_name, c_mktsegment)"),
+          one("orders", "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)"),
+          one("part", "concat_ws('|', p_partkey, p_brand, p_type, p_size)"))
+          .mkString(" UNION ALL ") + " ORDER BY tbl"
+      }),
+
+    // Signed integer division — the cross-engine trap pinned explicitly:
+    // Spark `div` and `%` truncate toward zero / follow the dividend sign,
+    // EXACTLY like DuckDB `//` and `%` (both probed, not assumed); `pmod`
+    // has no DuckDB twin and maps to ((a%b)+b)%b; floor-division differs
+    // from both and is pinned via floor(a/b). A mis-mapped `div` on negative
+    // keys silently shifts every bucket boundary left of zero.
+    GraftQuery(
+      "q153_signed_intdiv",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .filter(col("o_orderkey") < 600)
+          .select(col("o_orderkey"), (col("o_custkey") - 1500L).as("k"))
+          .select(col("o_orderkey"), col("k"),
+            expr("k div 7").as("trunc_div"),
+            expr("k % 7").as("c_mod"),
+            expr("pmod(k, 7)").as("pos_mod"),
+            expr("CAST(floor(k / 7.0) AS BIGINT)").as("floor_div"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, k,
+        |  k // 7 AS trunc_div,
+        |  k % 7 AS c_mod,
+        |  ((k % 7) + 7) % 7 AS pos_mod,
+        |  CAST(floor(k / 7.0) AS BIGINT) AS floor_div
+        |FROM (SELECT o_orderkey, CAST(o_custkey - 1500 AS BIGINT) AS k
+        |      FROM orders WHERE o_orderkey < 600) t
+        |ORDER BY o_orderkey""".stripMargin)))
 }
