@@ -509,6 +509,44 @@ object Extended extends QueryPack {
         |  CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  CAST(SUM(CAST(l2 AS DECIMAL(28,8))) AS DOUBLE) AS sum_l2,
         |  round(CAST(SUM(CAST(l2 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) AS avg_l2
-        |FROM n""".stripMargin))
+        |FROM n""".stripMargin)),
+
+    // Winsorized robust mean — outlier-resistant per-group statistics: clamp
+    // o_totalprice into its group's exact [p05, p95] band (q57's
+    // interpolation parity), then average the clamped CENTS as Longs so the
+    // only cross-row float influence is the two percentile cut points
+    // themselves (identical in both engines). Two passes over the group:
+    // percentile agg + broadcast-back join of 5 cut-point rows.
+    GraftQuery(
+      "q155_winsorized_mean",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val cuts = o.groupBy(col("o_orderpriority").as("pr"))
+          .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+            expr("percentile(o_totalprice, 0.95)").as("p95"))
+        o.join(broadcast(cuts), col("o_orderpriority") === col("pr"))
+          .select(col("o_orderpriority"),
+            expr("CAST(round(greatest(least(o_totalprice, p95), p05) * 100) AS BIGINT)")
+              .as("w_c"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("w_c")).as("sw"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            round(col("sw").cast("double") / 100.0 / col("n_orders").cast("double"), 6)
+              .as("winsorized_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH cuts AS (
+        |  SELECT o_orderpriority AS pr,
+        |    quantile_cont(o_totalprice, 0.05) AS p05,
+        |    quantile_cont(o_totalprice, 0.95) AS p95
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(greatest(least(o_totalprice, p95), p05) * 100) AS BIGINT) AS w_c
+        |  FROM orders JOIN cuts ON o_orderpriority = pr)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(CAST(SUM(w_c) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS winsorized_mean
+        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

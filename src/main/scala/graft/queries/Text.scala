@@ -417,6 +417,37 @@ object Text extends QueryPack {
         |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
         |                  FROM documents) t
         |            WHERE word <> '' GROUP BY lang, word) c) r
-        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin))
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin)),
+
+    // RAG-style chunking: every document sliced into 500-char windows with
+    // 100-char overlap (stride 400) — the retrieval-corpus preparation step.
+    // Offsets come from `sequence`/`generate_series` (no UDF, fully
+    // vectorized), chunk content is pinned by md5 so the substring
+    // arithmetic must agree byte-for-byte cross-engine; q88's packing is the
+    // whole-doc concatenate-and-split sibling.
+    GraftQuery(
+      "q154_rag_chunking",
+      (s, dir) => {
+        val size = 500
+        val stride = 400
+        Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"), col("text"),
+            explode(expr(s"sequence(0L, greatest(n_chars - 1, 0L), ${stride}L)")).as("off"))
+          .select(col("doc_id"), expr(s"off div $stride").as("chunk_idx"), col("off"),
+            expr(s"substring(text, CAST(off + 1 AS INT), $size)").as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"), col("off"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id, off // 400 AS chunk_idx, off,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, greatest(n_chars - 1, 0), 400)) AS off,
+        |    text
+        |  FROM documents) t,
+        |LATERAL (SELECT substr(text, CAST(off + 1 AS BIGINT), 500) AS chunk) c
+        |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }
