@@ -139,4 +139,30 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(afterCount <= beforeCount,
       "filter-above keeps a subset of per-group winners; filter-below refills heaps")
   }
+
+  test("q150: VWAP is ONE hash aggregate on the Long path — no decimal sums") {
+    val p = plan("q150_vwap_monthly")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    assert(!p.toLowerCase.contains("decimal(28"),
+      "wide-decimal sum would leave the codegen Long path:\n" + p)
+    assert(!p.contains("l_orderkey"), "unused columns must not reach the scan")
+  }
+
+  test("q152: table checksum plans no joins and no wide shuffle per table") {
+    val p = plan("q152_table_checksum")
+    assert(!p.contains("Join"), "checksum is scan+agg per table, no join:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "commutative sums must partial-aggregate map-side:\n" + p)
+  }
+
+  test("q154: chunk explode is narrow — no shuffle before the final sort") {
+    val df = SparkEntry.queries("q154_rag_chunking")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    // one rangepartitioning for the final orderBy and the deliberate
+    // Tables.spread roundrobin; nothing else may shuffle
+    assert(exchanges <= 4, s"chunking must stay narrow:\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
 }
