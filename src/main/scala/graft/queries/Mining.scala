@@ -313,5 +313,69 @@ object Mining extends QueryPack {
         |  FROM pairs)
         |SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel, neighbor_id,
         |  CAST(nlabel AS BIGINT) AS nlabel, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)))
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // SCD2 point-in-time lookup — q111's state intervals consumed the way a
+    // warehouse consumes them: each PURCHASE resolves the behavioral state
+    // (the run of non-purchase activity) that was valid at purchase time.
+    // Intervals per user are contiguous and non-overlapping, so the lookup
+    // is exactly a backward as-of join on valid_from (operators.AsOfJoin:
+    // per-key window, one shuffle per side, no interval blow-up); purchases
+    // before a user's first non-purchase event report state 'none'.
+    GraftQuery(
+      "q156_scd2_pointintime",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val runW = w.rowsBetween(Window.unboundedPreceding, 0)
+        val iv = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("grp", sum(col("chg")).over(runW))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("event_type")).as("state"), min(col("us")).as("valid_from"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("us").as("t_us"))
+        graft.operators.AsOfJoin(
+          left = buys, leftKey = col("p_user"), leftTime = col("t_us"),
+          right = iv, rightKey = col("user_id"), rightTime = col("valid_from"),
+          tiebreak = col("grp"), payload = Seq("state"))
+          .groupBy(coalesce(col("state"), lit("none")).as("state_at_purchase"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("p_user")).as("n_users"))
+          .orderBy("state_at_purchase")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |m AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |iv AS (
+        |  SELECT user_id, grp, min(event_type) AS state, min(us) AS valid_from
+        |  FROM g GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_id AS p_id, user_id AS p_user, us AS t_us
+        |  FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT b.p_user, l.state
+        |  FROM b LEFT JOIN LATERAL (
+        |    SELECT state FROM iv
+        |    WHERE iv.user_id = b.p_user AND iv.valid_from <= b.t_us
+        |    ORDER BY iv.valid_from DESC, iv.grp DESC LIMIT 1
+        |  ) l ON true)
+        |SELECT COALESCE(state, 'none') AS state_at_purchase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(DISTINCT p_user) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY state_at_purchase""".stripMargin)))
 }
