@@ -211,5 +211,50 @@ object Stats extends QueryPack {
         |        / 100.0 / CAST(SUM(qty_c) AS DOUBLE), 6) AS vwap,
         |  CAST(SUM(qty_c) AS DOUBLE) / 100.0 AS volume,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines
-        |FROM sc GROUP BY ship_month ORDER BY ship_month""".stripMargin)))
+        |FROM sc GROUP BY ship_month ORDER BY ship_month""".stripMargin)),
+
+    // Join-skew audit — the diagnosis a 100 TB self-join runs FIRST: exact
+    // per-key output cardinality (Σ n² for a self equi-join) from the
+    // key-count frame alone (never materializing the join), the 5 heaviest
+    // keys, and the salt factor q85's SaltedJoin would need to cap ~1000
+    // rows per (key, shard). One row per hot key plus a 'total' row; all
+    // arithmetic on Longs.
+    GraftQuery(
+      "q157_selfjoin_skew_audit",
+      (s, dir) => {
+        val c = Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+          .select(col("user_id"), col("n_rows"),
+            (col("n_rows") * col("n_rows")).as("self_pairs"),
+            expr("(n_rows + 999) div 1000").as("salt_factor"))
+        val top5 = c.orderBy(col("self_pairs").desc, col("user_id"))
+          .limit(5).withColumn("scope", lit("key"))
+        val total = c.agg(
+            sum(col("n_rows")).as("n_rows"),
+            sum(col("self_pairs")).as("self_pairs"),
+            max(col("salt_factor")).as("salt_factor"))
+          .select(lit(null).cast("long").as("user_id"), col("n_rows"),
+            col("self_pairs"), col("salt_factor"), lit("total").as("scope"))
+        top5.unionAll(total)
+          .select(col("scope"), col("user_id"), col("n_rows"),
+            col("self_pairs"), col("salt_factor"))
+          .orderBy(col("scope"), col("self_pairs").desc, col("user_id"))
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) * CAST(COUNT(*) AS BIGINT) AS self_pairs,
+        |    (CAST(COUNT(*) AS BIGINT) + 999) // 1000 AS salt_factor
+        |  FROM events GROUP BY user_id),
+        |t5 AS (
+        |  SELECT 'key' AS scope, user_id, n_rows, self_pairs, salt_factor
+        |  FROM c ORDER BY self_pairs DESC, user_id LIMIT 5),
+        |tot AS (
+        |  SELECT 'total' AS scope, CAST(NULL AS BIGINT) AS user_id,
+        |    CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(SUM(self_pairs) AS BIGINT) AS self_pairs,
+        |    CAST(MAX(salt_factor) AS BIGINT) AS salt_factor
+        |  FROM c)
+        |SELECT scope, user_id, n_rows, self_pairs, salt_factor
+        |FROM (SELECT * FROM t5 UNION ALL SELECT * FROM tot)
+        |ORDER BY scope, self_pairs DESC, user_id""".stripMargin)))
 }
