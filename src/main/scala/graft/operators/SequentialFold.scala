@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Per-key ordered sequential fold — the engine primitive for recurrences a
+  * window function cannot express (EMA, compound interest, any
+  * `state_t = f(state_{t-1}, x_t)`).
+  *
+  * The scalable layout is the classic secondary-sort idiom: ONE shuffle
+  * (`repartition(key)`) + partition-local `sortWithinPartitions(key, order…)`
+  * + a single forward pass holding O(1) state per key — a billion-event user
+  * history folds in constant memory, where the window/`collect_list`
+  * composition (the only pure-SQL alternative, used by the DuckDB oracle and
+  * the cross-check spec) materializes each key's full sequence.
+  *
+  * The caller's order columns must total-order rows within a key (include a
+  * unique tie-breaker) — then the fold visits rows in exactly one order and
+  * the float recurrence is bit-deterministic under any partitioning.
+  */
+object SequentialFold {
+
+  /** Exponential moving average per key: `ema = alpha·x + (1−alpha)·ema`,
+    * seeded with the key's first value in `(order…)` position. Returns one
+    * row per key: (key, n_rows, ema).
+    */
+  def ema(df: DataFrame, key: String, order: Seq[String], value: String,
+      alpha: Double): DataFrame = {
+    val sorted = df
+      .select((key +: order :+ value).map(col): _*)
+      .repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+    val schema = sorted.schema
+    val keyIdx = schema.fieldIndex(key)
+    val valIdx = schema.fieldIndex(value)
+    val outSchema = StructType(Seq(
+      StructField(key, LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("ema", DoubleType, nullable = false)))
+    val folded = sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Row = {
+          val first = it.next()
+          val k = first.getLong(keyIdx)
+          var n = 1L
+          var acc = first.getDouble(valIdx)
+          while (it.hasNext && it.head.getLong(keyIdx) == k) {
+            val cur = it.next()
+            n += 1
+            acc = alpha * cur.getDouble(valIdx) + (1.0 - alpha) * acc
+          }
+          Row(k, n, acc)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    folded.toDF()
+  }
+}

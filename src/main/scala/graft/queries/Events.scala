@@ -287,6 +287,73 @@ object Events extends QueryPack {
         |SELECT CAST(c_us // 86400000000 AS BIGINT) AS click_day,
         |  CAST(count(*) AS BIGINT) AS n_shares,
         |  CAST(SUM((cents * 1000000) // n_touch) AS BIGINT) AS attributed_ucents
-        |FROM p GROUP BY 1 ORDER BY click_day""".stripMargin))
+        |FROM p GROUP BY 1 ORDER BY click_day""".stripMargin)),
+
+    // Per-user EMA — a sequential recurrence no window frame expresses,
+    // run through operators.SequentialFold: one shuffle, secondary sort,
+    // O(1) state per key (the 100 TB path for billion-event histories).
+    // The oracle folds DuckDB's ordered list with the SAME IEEE expression
+    // `0.2·x + 0.8·acc`, so the doubles match bit-for-bit before the final
+    // round(6); the window/collect_list twin is cross-checked in ScalaTest.
+    GraftQuery(
+      "q158_ema_sequential_fold",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("value"))
+        graft.operators.SequentialFold
+          .ema(ev, "user_id", Seq("us", "event_id"), "value", alpha = 0.2)
+          .select(col("user_id"), col("n_rows"), round(col("ema"), 6).as("ema"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    list(v ORDER BY us, event_id) AS xs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_rows,
+        |  round(list_reduce(xs, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ema
+        |FROM l ORDER BY user_id""".stripMargin)),
+
+    // Longest daily-activity streak per user — gaps-and-islands: day minus
+    // dense_rank over distinct active days is constant within a consecutive
+    // run, so the streak is a count per (user, island). Two windows, no
+    // self-join — the pattern that scales where `day = prev_day + 1`
+    // iterative joins do not.
+    GraftQuery(
+      "q159_longest_streak",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("rn", row_number().over(w))
+          .withColumn("island", col("day") - col("rn"))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("streak"), min(col("day")).as("streak_start"))
+          .groupBy(col("user_id"))
+          .agg(max(col("streak")).as("longest_streak"),
+            count(lit(1)).as("n_islands"),
+            min(col("streak_start")).as("first_active_day"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak,
+        |    min(day) AS streak_start
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(MIN(streak_start) AS BIGINT) AS first_active_day
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
