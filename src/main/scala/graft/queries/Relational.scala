@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   * (reference `cli/Test.java:119-133`) collapsed into Catalyst-native
   * groupBy/agg, widened to the declared engine surface (SURVEY.md §2.2).
   *
-  * Money sums run through DECIMAL(18,2|4) then cast to double so Spark and
-  * the DuckDB oracle produce bit-identical values regardless of
-  * float-accumulation order.
+  * Money sums are exact cross-engine two ways: full-scan aggregations
+  * (q01/q05/q12/q13/q14) project the 2-decimal measures to cent LONGs so
+  * the sums stay on the codegen'd Long path (DECIMAL(18,2) sums promote to
+  * DECIMAL(28,2) — the ~6× slower BigDecimal path); join-reduced
+  * aggregations keep the simpler DECIMAL(18,2|4)-then-double form where
+  * the decimal agg is off the critical path.
   */
 object Relational extends QueryPack {
 
@@ -136,12 +139,14 @@ object Relational extends QueryPack {
         o.join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .withColumn("price_c", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(dsum2(col("o_totalprice")).as("turnover"), count(lit(1)).as("n_orders"))
+          .agg((sum(col("price_c")).cast("double") / 100.0).as("turnover"),
+            count(lit(1)).as("n_orders"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS turnover,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -364,8 +369,10 @@ object Relational extends QueryPack {
         val n = Tables(s, dir, "nation")
         o.join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .withColumn("price_c", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
-          .agg(dsum2(col("o_totalprice")).as("turnover"), count(lit(1)).as("n_orders"))
+          .agg((sum(col("price_c")).cast("double") / 100.0).as("turnover"),
+            count(lit(1)).as("n_orders"))
           .select(
             coalesce(col("n_name"), lit("ALL")).as("nation"),
             coalesce(col("o_year"), lit(-1)).cast("long").as("o_year"),
@@ -374,7 +381,7 @@ object Relational extends QueryPack {
       },
       Some("""SELECT COALESCE(n_name, 'ALL') AS nation,
         |  CAST(COALESCE(YEAR(o_orderdate), -1) AS BIGINT) AS o_year,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS turnover,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS turnover,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -385,8 +392,11 @@ object Relational extends QueryPack {
       "q13_cube_flag_status",
       (s, dir) => {
         Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+          .agg((sum(col("qty_c")).cast("double") / 100.0).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -395,7 +405,7 @@ object Relational extends QueryPack {
       },
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin)),
@@ -406,7 +416,7 @@ object Relational extends QueryPack {
         Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
           |  COALESCE(l_linestatus, 'ALL') AS ls,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
           |  COUNT(*) AS n_rows
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -414,7 +424,7 @@ object Relational extends QueryPack {
       },
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
