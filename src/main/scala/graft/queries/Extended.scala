@@ -266,14 +266,21 @@ object Extended extends QueryPack {
       "q67_outliers_zscore",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
-        val moments = li.groupBy(col("l_returnflag"))
+        // exact moments on the Long path: cent-scaled price, squared sum
+        // split hi/lo around 10⁹ (overflow-free to ~10⁹ rows per group),
+        // reassembled in DECIMAL(38,0) — bit-identical to HUGEINT sums
+        val moments = li
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+          .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
-              .cast("double").as("s1"),
-            sum((col("l_extendedprice") * col("l_extendedprice"))
-              .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
-              .cast("double").as("s2"))
+            sum(col("price_c")).as("sc"),
+            sum(expr("(price_c * price_c) div 1000000000")).as("hi"),
+            sum(expr("(price_c * price_c) % 1000000000")).as("lo"))
+          .withColumn("s1", expr("CAST(sc AS DOUBLE) / 100.0"))
+          .withColumn("s2",
+            expr("CAST(CAST(hi AS DECIMAL(38,0)) * 1000000000 + lo AS DOUBLE) / 10000.0"))
           .withColumn("mean", col("s1") / col("n"))
           .withColumn("var", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
         li.join(broadcast(moments), Seq("l_returnflag"))
@@ -286,9 +293,11 @@ object Extended extends QueryPack {
       },
       Some("""WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s2
-        |  FROM lineitem GROUP BY 1),
+        |    CAST(SUM(price_c) AS DOUBLE) / 100.0 AS s1,
+        |    CAST(SUM(CAST(price_c AS HUGEINT) * price_c) AS DOUBLE) / 10000.0 AS s2
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |        FROM lineitem) GROUP BY 1),
         |z AS (
         |  SELECT l.l_returnflag,
         |    (l.l_extendedprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
