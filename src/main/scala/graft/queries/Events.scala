@@ -354,6 +354,79 @@ object Events extends QueryPack {
         |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak,
         |  CAST(COUNT(*) AS BIGINT) AS n_islands,
         |  CAST(MIN(streak_start) AS BIGINT) AS first_active_day
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Rolling 7-day distinct users — EXACT via the day-grid expansion:
+    // each (user, day) pair fans out to the ≤7 window anchors it serves
+    // (a bounded explode, NOT a range self-join), then one distinct-count
+    // per anchor day. The approximate sibling at unbounded windows is
+    // q131's mergeable-HLL rollup; this is the exact-small / sketch-large
+    // pairing on the metric every DAU/WAU dashboard runs.
+    GraftQuery(
+      "q160_rolling_distinct_users",
+      (s, dir) => {
+        val days = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val bounds = days.agg(min("day").as("d0"), max("day").as("d1"))
+        days.crossJoin(broadcast(bounds))
+          .select(col("user_id"), col("day"),
+            explode(expr("sequence(day, least(day + 6, d1))")).as("anchor"))
+          .groupBy(col("anchor"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .select(col("anchor").as("day"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT max(day) AS d1 FROM d),
+        |x AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(day, least(day + 6, (SELECT d1 FROM b)))) AS anchor
+        |  FROM d)
+        |SELECT CAST(anchor AS BIGINT) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM x GROUP BY anchor ORDER BY day""".stripMargin)),
+
+    // Temporal anti-join — abandonment: clicks with NO same-user purchase
+    // inside the following 10 minutes. The scalable plan is a left as-of
+    // join forward over purchases then a null/window filter (one shuffle
+    // pair), here composed as left join + aggregate-none; counted per day.
+    GraftQuery(
+      "q161_abandoned_clicks",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks.join(buys,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + lit(600000000000L),
+            "left")
+          .groupBy(col("c_id"), col("c_user"), col("c_ts"))
+          .agg(count(col("p_ts")).as("n_follow"))
+          .groupBy(expr("c_ts div 86400000000000").as("click_day"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("n_follow") === 0, 1L).otherwise(0L)).as("n_abandoned"))
+          .orderBy("click_day")
+      },
+      Some("""WITH c AS (
+        |  SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.c_id, c.c_user, c.c_us, count(p.p_us) AS n_follow
+        |  FROM c LEFT JOIN p ON c.c_user = p.p_user
+        |    AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(c_us // 86400000000 AS BIGINT) AS click_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CASE WHEN n_follow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+        |FROM j GROUP BY 1 ORDER BY click_day""".stripMargin))
   )
 }
