@@ -448,6 +448,66 @@ object Text extends QueryPack {
         |    text
         |  FROM documents) t,
         |LATERAL (SELECT substr(text, CAST(off + 1 AS BIGINT), 500) AS chunk) c
-        |ORDER BY doc_id, chunk_idx""".stripMargin))
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Collocation mining: pointwise mutual information over co-occurring
+    // vocabulary tokens — PMI = ln(P(a,b)/(P(a)·P(b))) at document grain,
+    // the association score behind phrase detection and word2vec negative
+    // sampling. Counts are exact integers; the single ln over a rational
+    // runs once per surviving pair and rounds to 6 (q62's proven-green
+    // idiom). Vocabulary capped at the top 40 tokens so the pair space is
+    // bounded (≤ 780 candidates) regardless of corpus size.
+    GraftQuery(
+      "q162_token_pmi",
+      (s, dir) => {
+        val docs = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+        val words = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(40)
+          .select(col("word"))
+        val dt = words.join(broadcast(vocab), "word")
+          .select(col("doc_id"), col("word")).distinct()
+        val ca = dt.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val nDocs = Tables(s, dir, "documents").count()
+        val pairs = dt.as("x").join(dt.as("y"), col("x.doc_id") === col("y.doc_id"))
+          .filter(col("x.word") < col("y.word"))
+          .groupBy(col("x.word").as("w1"), col("y.word").as("w2"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        pairs
+          .join(broadcast(ca.withColumnRenamed("word", "w1").withColumnRenamed("c", "c_a")), "w1")
+          .join(broadcast(ca.withColumnRenamed("word", "w2").withColumnRenamed("c", "c_b")), "w2")
+          .select(col("w1"), col("w2"), col("c_ab"),
+            round(log(col("c_ab").cast("double") * lit(nDocs.toDouble)
+              / (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH words AS (
+        |  SELECT doc_id, word
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |vocab AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(*) AS n FROM words GROUP BY word
+        |    ORDER BY n DESC, word LIMIT 40)),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, word FROM words
+        |  WHERE word IN (SELECT word FROM vocab)),
+        |ca AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY word),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |pairs AS (
+        |  SELECT x.word AS w1, y.word AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.word < y.word
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |FROM pairs, nd
+        |JOIN ca a ON a.word = w1
+        |JOIN ca b ON b.word = w2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
   )
 }
