@@ -242,5 +242,83 @@ object Quality extends QueryPack {
         |SELECT k.key AS part, CAST(k.n AS BIGINT) AS exact_n,
         |  CAST(e.est AS BIGINT) AS est_n, CAST(e.est - k.n AS BIGINT) AS overcount
         |FROM kc k JOIN est e ON k.key = e.key
-        |ORDER BY exact_n DESC, part LIMIT 10""".stripMargin)))
+        |ORDER BY exact_n DESC, part LIMIT 10""".stripMargin)),
+
+    // Referential-integrity audit across the whole star — orphaned
+    // foreign keys per edge (lineitem→orders, lineitem→part,
+    // orders→customer, customer→nation), each edge one left-anti
+    // aggregate against the distinct parent key set. The cross-table DQ
+    // sweep every warehouse load gate runs; broadcast where the parent
+    // side is small, shuffle where it is not — Spark picks per edge.
+    GraftQuery(
+      "q163_referential_integrity",
+      (s, dir) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame, fk: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.select(col(fk)).join(
+            parent.select(col(pk)).distinct(), col(fk) === col(pk), "left_anti")
+          child.select(count(lit(1)).as("n_child")).crossJoin(
+            orphans.select(count(lit(1)).as("n_orphans")))
+            .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+        }
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = Tables(s, dir, "nation")
+        val p = Tables(s, dir, "part")
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey")
+          .unionAll(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+          .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+          .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+          .orderBy("edge")
+      },
+      Some {
+        def edge(name: String, child: String, fk: String, parent: String, pk: String) =
+          s"""SELECT '$name' AS edge,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+              WHERE $fk NOT IN (SELECT DISTINCT $pk FROM $parent)) AS n_orphans"""
+        Seq(
+          edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString(" UNION ALL ") + " ORDER BY edge"
+      }),
+
+    // First-order Markov transition matrix over per-user event sequences —
+    // P(next event type | current) with exact transition counts (lead
+    // window, one shuffle) and the probability as the only float, round 6.
+    // The sequence model behind session simulation and anomaly scoring.
+    GraftQuery(
+      "q164_markov_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val tr = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val w2 = Window.partitionBy("cur")
+        tr.withColumn("row_total", sum(col("n")).over(w2))
+          .select(col("cur"), col("nxt"), col("n"),
+            round(col("n").cast("double") / col("row_total").cast("double"), 6).as("p"))
+          .orderBy("cur", "nxt")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |t AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e),
+        |c AS (
+        |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY cur, nxt""".stripMargin)))
 }
