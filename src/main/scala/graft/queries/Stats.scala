@@ -256,5 +256,124 @@ object Stats extends QueryPack {
         |  FROM c)
         |SELECT scope, user_id, n_rows, self_pairs, salt_factor
         |FROM (SELECT * FROM t5 UNION ALL SELECT * FROM tot)
-        |ORDER BY scope, self_pairs DESC, user_id""".stripMargin)))
+        |ORDER BY scope, self_pairs DESC, user_id""".stripMargin)),
+
+    // QQ comparison grid — distribution drift between two segments without
+    // assuming a family: paired quantiles of o_totalprice for URGENT vs LOW
+    // priority at a 5%-step grid (q57's interpolation parity), plus the
+    // gap. The two-sample check a curation pipeline runs when a source
+    // changes upstream.
+    GraftQuery(
+      "q165_qq_grid",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val grid = (1 to 19).map(_ * 0.05)
+        def qs(pri: String, alias: String) = o
+          .filter(col("o_orderpriority") === pri)
+          .agg(expr(s"percentile(o_totalprice, array(${grid.mkString(",")}))").as("qv"))
+          .select(posexplode(col("qv")).as(Seq("i", alias)))
+        qs("1-URGENT", "q_urgent").join(qs("5-LOW", "q_low"), "i")
+          .select(((col("i") + 1).cast("long") * 5).as("pct"),
+            round(col("q_urgent"), 4).as("q_urgent"),
+            round(col("q_low"), 4).as("q_low"),
+            round(col("q_urgent") - col("q_low"), 4).as("gap"))
+          .orderBy("pct")
+      },
+      Some {
+        val grid = (1 to 19).map(_ * 0.05)
+        s"""WITH u AS (
+           SELECT unnest(quantile_cont(o_totalprice, [${grid.mkString(",")}])) AS q,
+             generate_subscripts(quantile_cont(o_totalprice, [${grid.mkString(",")}]), 1) AS i
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+           l AS (
+           SELECT unnest(quantile_cont(o_totalprice, [${grid.mkString(",")}])) AS q,
+             generate_subscripts(quantile_cont(o_totalprice, [${grid.mkString(",")}]), 1) AS i
+           FROM orders WHERE o_orderpriority = '5-LOW')
+           SELECT CAST(u.i * 5 AS BIGINT) AS pct,
+             round(u.q, 4) AS q_urgent, round(l.q, 4) AS q_low,
+             round(u.q - l.q, 4) AS gap
+           FROM u JOIN l ON u.i = l.i ORDER BY pct"""
+      }),
+
+    // Per-label embedding separation — cluster quality without k-means:
+    // per-dimension centroids from EXACT scaled-integer sums (round(x·10⁶)
+    // as Long through the explode shuffle — float summation never crosses
+    // rows), centroids rebuilt as broadcast ARRAYS, then each vector's
+    // squared distance to its own label centroid vs the global centroid is
+    // a ROW-LOCAL zip_with fold in fixed array order (q84's discipline).
+    // Cross-row averaging of the distances runs in DECIMAL(28,8).
+    GraftQuery(
+      "q166_label_separation",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(expr(
+              "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+              .as(Seq("dim", "v")))
+        def centroid(df: org.apache.spark.sql.DataFrame, keys: Seq[String], out: String) = df
+          .groupBy((keys.map(col) :+ col("dim")): _*)
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .withColumn("c", col("sv").cast("double") / col("n") / 1e6)
+          .groupBy(keys.map(col): _*)
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as(out))
+        val byLabel = centroid(e, Seq("label"), "cent_lab")
+        val global = centroid(e.withColumn("g", lit(1)), Seq("g"), "cent_all")
+        def sqdist(emb: String, cent: String) = expr(
+          s"""aggregate(zip_with($emb, $cent, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+             CAST(0.0 AS DOUBLE), (a, y) -> a + y)""")
+        val dists = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+          .join(broadcast(byLabel), Seq("label"))
+          .crossJoin(broadcast(global.select(col("cent_all"))))
+          .select(col("label"),
+            sqdist("embedding", "cent_lab").as("d_within"),
+            sqdist("embedding", "cent_all").as("d_between"))
+        dists.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(col("d_within").cast("decimal(28,8)")).cast("double")
+              / count(lit(1)), 6).as("avg_within"),
+            round(sum(col("d_between").cast("decimal(28,8)")).cast("double")
+              / count(lit(1)), 6).as("avg_between"),
+            round((sum(col("d_between").cast("decimal(28,8)")).cast("double") / count(lit(1)))
+              / (sum(col("d_within").cast("decimal(28,8)")).cast("double") / count(lit(1))), 6)
+              .as("separation"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(u.i AS INT) AS dim,
+        |    CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS i) u),
+        |bl AS (
+        |  SELECT label, list(c ORDER BY dim) AS cent_lab FROM (
+        |    SELECT label, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1e6 AS c
+        |    FROM e GROUP BY 1, 2) GROUP BY label),
+        |g AS (
+        |  SELECT list(c ORDER BY dim) AS cent_all FROM (
+        |    SELECT dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1e6 AS c
+        |    FROM e GROUP BY 1) ),
+        |d AS (
+        |  SELECT em.label,
+        |    list_reduce(list_transform(generate_series(1, len(em.embedding)),
+        |      i -> (CAST(em.embedding[i] AS DOUBLE) - bl.cent_lab[i])
+        |         * (CAST(em.embedding[i] AS DOUBLE) - bl.cent_lab[i])),
+        |      (a, y) -> a + y) AS d_within,
+        |    list_reduce(list_transform(generate_series(1, len(em.embedding)),
+        |      i -> (CAST(em.embedding[i] AS DOUBLE) - g.cent_all[i])
+        |         * (CAST(em.embedding[i] AS DOUBLE) - g.cent_all[i])),
+        |      (a, y) -> a + y) AS d_between
+        |  FROM (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        |        FROM embeddings) em
+        |  JOIN bl ON em.label = bl.label CROSS JOIN g)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(SUM(CAST(d_within AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_within,
+        |  round(CAST(SUM(CAST(d_between AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_between,
+        |  round((CAST(SUM(CAST(d_between AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*))
+        |      / (CAST(SUM(CAST(d_within AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)), 6)
+        |    AS separation
+        |FROM d GROUP BY label ORDER BY label""".stripMargin)))
 }
