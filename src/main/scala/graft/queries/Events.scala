@@ -427,6 +427,53 @@ object Events extends QueryPack {
         |SELECT CAST(c_us // 86400000000 AS BIGINT) AS click_day,
         |  CAST(COUNT(*) AS BIGINT) AS n_clicks,
         |  CAST(SUM(CASE WHEN n_follow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
-        |FROM j GROUP BY 1 ORDER BY click_day""".stripMargin))
+        |FROM j GROUP BY 1 ORDER BY click_day""".stripMargin)),
+
+    // Time-to-convert — q161's converting complement: for each click with a
+    // same-user purchase inside the next 10 minutes, the delay to the FIRST
+    // such purchase (forward as-of via min-over-range), then p50/p90 delay
+    // seconds per day (q57 interpolation parity). The latency-funnel metric
+    // every growth dashboard tracks.
+    GraftQuery(
+      "q167_time_to_convert",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        clicks.join(buys,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + lit(600000000000L))
+          .groupBy(col("c_id"), col("c_ts"))
+          .agg(min(col("p_ts")).as("first_buy"))
+          .withColumn("delay_s",
+            expr("CAST((first_buy - c_ts) div 1000000000 AS DOUBLE)"))
+          .groupBy(expr("c_ts div 86400000000000").as("click_day"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(delay_s, 0.5)"), 4).as("p50_delay_s"),
+            round(expr("percentile(delay_s, 0.9)"), 4).as("p90_delay_s"))
+          .orderBy("click_day")
+      },
+      Some("""WITH c AS (
+        |  SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT c.c_id, c.c_us, min(p.p_us) AS first_buy
+        |  FROM c JOIN p ON c.c_user = p.p_user
+        |    AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000
+        |  GROUP BY 1, 2)
+        |SELECT CAST(c_us // 86400000000 AS BIGINT) AS click_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(CAST((first_buy - c_us) // 1000000 AS DOUBLE), 0.5), 4)
+        |    AS p50_delay_s,
+        |  round(quantile_cont(CAST((first_buy - c_us) // 1000000 AS DOUBLE), 0.9), 4)
+        |    AS p90_delay_s
+        |FROM f GROUP BY 1 ORDER BY click_day""".stripMargin))
   )
 }

@@ -240,5 +240,41 @@ object Semantics extends QueryPack {
         |  CAST(floor(k / 7.0) AS BIGINT) AS floor_div
         |FROM (SELECT o_orderkey, CAST(o_custkey - 1500 AS BIGINT) AS k
         |      FROM orders WHERE o_orderkey < 600) t
-        |ORDER BY o_orderkey""".stripMargin)))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Window default-frame semantics — the classic trap pinned: with only
+    // ORDER BY, the frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW in
+    // BOTH engines, so last_value is the CURRENT row (not the partition
+    // max) and nth_value(2) is NULL until two rows are in frame;
+    // last_value over the explicit full frame is the partition tail. A
+    // mis-assumed default silently corrupts every "latest per key so far"
+    // metric.
+    GraftQuery(
+      "q168_window_frame_pins",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 15)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            first(col("value")).over(w).as("fv"),
+            last(col("value")).over(w).as("lv_default"),
+            last(col("value")).over(wFull).as("lv_full"),
+            nth_value(col("value"), 2).over(w).as("nv2"),
+            lag(col("value"), 1).over(w).as("prev_v"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+        |  first_value(value) OVER w AS fv,
+        |  last_value(value) OVER w AS lv_default,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full,
+        |  nth_value(value, 2) OVER w AS nv2,
+        |  lag(value) OVER w AS prev_v
+        |FROM events WHERE user_id < 15
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin)))
 }
