@@ -140,6 +140,31 @@ class PlanPropertiesSpec extends SparkTestBase {
       "filter-above keeps a subset of per-group winners; filter-below refills heaps")
   }
 
+  test("TopKPerGroup edges: empty input, k larger than groups, null group keys") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(graft.plans.TopKPerGroup(
+      empty, Seq("g"), Seq(("v", false), ("id", true)), 3).count() == 0)
+
+    val tiny = Seq(("a", 1L, 5.0), ("a", 2L, 7.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val all = graft.plans.TopKPerGroup(
+        tiny, Seq("g"), Seq(("v", false), ("id", true)), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(all.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 3L)),
+      "k beyond group size keeps every row exactly once")
+
+    val withNull = Seq((Some("a"), 1L, 5.0), (None, 2L, 7.0), (None, 3L, 9.0),
+        (None, 4L, 1.0)).toDF("g", "id", "v")
+    val got = graft.plans.TopKPerGroup(
+        withNull, Seq("g"), Seq(("v", false), ("id", true)), 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._2)
+    assert(got.toSeq == Seq((Some("a"), 1L), (None, 2L), (None, 3L)),
+      s"null is one group, top-2 by v desc kept: ${got.toSeq}")
+  }
+
   test("q150: VWAP is ONE hash aggregate on the Long path — no decimal sums") {
     val p = plan("q150_vwap_monthly")
     assert(p.contains("partial_sum"), "map-side partial aggregation expected")
