@@ -320,5 +320,46 @@ object Quality extends QueryPack {
         |SELECT cur, nxt, n,
         |  round(CAST(n AS DOUBLE)
         |        / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
-        |FROM c ORDER BY cur, nxt""".stripMargin)))
+        |FROM c ORDER BY cur, nxt""".stripMargin)),
+
+    // A/B exposure analysis — the experimentation read-out: users assigned
+    // to arms by a salted content hash (q73's md5-bucket idiom — stable
+    // under re-runs, balanced, no RNG), outcome = purchase conversion per
+    // arm with exact counts; rate and lift are the only floats. The same
+    // query shape at 100 TB: one distinct + two aggregations.
+    GraftQuery(
+      "q169_ab_exposure",
+      (s, dir) => {
+        val hexpos = graft.queries.hexDigitVal _
+        val h = md5(concat(lit("exp1:"), col("user_id").cast("string")))
+        val users = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"))
+          .withColumn("arm",
+            when(hexpos(substring(h, 1, 1)) < 8, "control").otherwise("treatment"))
+        val exposure = users.select(col("user_id"), col("arm")).distinct()
+        val converted = users.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        exposure.join(converted.withColumn("c", lit(1L)), Seq("user_id"), "left")
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(coalesce(col("c"), lit(0L))).as("n_converted"))
+          .withColumn("rate",
+            round(col("n_converted").cast("double") / col("n_users").cast("double"), 6))
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN (instr('0123456789abcdef',
+        |           substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8
+        |         THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events),
+        |c AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  round(CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS rate
+        |FROM u LEFT JOIN c USING (user_id)
+        |GROUP BY arm ORDER BY arm""".stripMargin)))
 }
