@@ -399,5 +399,29 @@ object Advanced extends QueryPack {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY o.o_orderkey, o.o_orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)))
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // SQL-defined functions (Spark 4 `CREATE TEMPORARY FUNCTION … RETURN`)
+    // — reusable macros resolved at analysis time and inlined into the
+    // plan: zero UDF boxing, full codegen, pushdown-transparent. The same
+    // cent-Long discipline packaged as a shared definition instead of
+    // copy-pasted expressions; the oracle inlines the equivalent.
+    GraftQuery(
+      "q170_sql_function_macros",
+      (s, dir) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_cents(x DOUBLE)
+                 RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_band5k(c BIGINT)
+                 RETURNS BIGINT RETURN c div 500000""")
+        Tables(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""SELECT g_band5k(g_cents(o_totalprice)) AS band,
+          |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |  CAST(SUM(g_cents(o_totalprice)) AS DOUBLE) / 100.0 AS band_total
+          |FROM g_orders GROUP BY 1 ORDER BY band""".stripMargin)
+      },
+      Some("""SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS band_total
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin)))
 }
