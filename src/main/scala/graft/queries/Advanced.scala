@@ -423,5 +423,31 @@ object Advanced extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
         |    AS band_total
-        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin)))
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    // Top-k-then-fetch — the wide-row retrieval pattern: rank on the
+    // NARROW projection (key + measure through TakeOrderedAndProject, k
+    // rows reach the driver-side merge), then a broadcast semi-join pulls
+    // the wide detail rows. At 100 TB the wide columns never enter the
+    // sort; sorting them directly would shuffle every byte of the table.
+    GraftQuery(
+      "q171_topk_then_fetch",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val topKeys = o.select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey").as("k"))
+        o.join(broadcast(topKeys), col("o_orderkey") === col("k"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)))
 }
