@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *
   * The caller's order columns must total-order rows within a key (include a
   * unique tie-breaker) — then the fold visits rows in exactly one order and
-  * the float recurrence is bit-deterministic under any partitioning.
+  * the float recurrence is bit-deterministic under any partitioning. Key and
+  * value columns must be non-null (LongType key, numeric value).
   */
 object SequentialFold {
 

@@ -180,6 +180,15 @@ class PlanPropertiesSpec extends SparkTestBase {
       "commutative sums must partial-aggregate map-side:\n" + p)
   }
 
+  test("q171: narrow rank is TakeOrderedAndProject; fetch is a broadcast semi-join") {
+    val df = SparkEntry.queries("q171_topk_then_fetch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"), s"narrow top-k must not full-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"wide fetch must be a broadcast semi-join:\n$p")
+  }
+
   test("q154: chunk explode is narrow — no shuffle before the final sort") {
     val df = SparkEntry.queries("q154_rag_chunking")(spark, sf)
     df.collect()
