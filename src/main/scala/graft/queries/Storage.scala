@@ -130,5 +130,95 @@ object Storage extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_files,
         |  CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin)))
+        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
+    // Dynamic partition overwrite — the idempotent daily-reload primitive:
+    // with partitionOverwriteMode=dynamic, an Overwrite write replaces ONLY
+    // the partitions present in the incoming frame; untouched partitions
+    // keep their rows byte-for-byte. Here the URGENT partition is reloaded
+    // with doubled prices; every other priority must survive at its
+    // original total. The deterministic expected state is what the oracle
+    // recomputes from the immutable source table.
+    GraftQuery(
+      "q172_dynamic_partition_overwrite",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dpo_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        try {
+          base.write.partitionBy("o_orderpriority").parquet(root)
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          base.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("price_c", col("price_c") * 2)
+            .write.mode("overwrite").partitionBy("o_orderpriority").parquet(root)
+          val back = s.read
+            .schema("o_orderkey BIGINT, price_c BIGINT, o_orderpriority STRING")
+            .parquet(root)
+          materializeSmall(back
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_orders"),
+              (sum(col("price_c")).cast("double") / 100.0).as("total"))
+            .orderBy("o_orderpriority"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |       AS DOUBLE) / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Dynamic partition pruning — Catalyst's runtime partition filter: a
+    // selective dim-side predicate prunes fact partitions at EXECUTION
+    // time via an injected subquery filter (the 100 TB star-join saver;
+    // `PlanPropertiesSpec` pins the `dynamicpruning` plan shape). The
+    // fact is written partitioned by custkey band; the dim filter selects
+    // 2 of 15 nations, so only matching bands are scanned.
+    GraftQuery(
+      "q173_dynamic_partition_pruning",
+      (s, dir) => {
+        val rootFile = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dpp_${java.util.UUID.randomUUID()}")
+        val root = rootFile.getAbsolutePath
+        try {
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+              expr("o_custkey % 25").as("cust_band"))
+            .write.partitionBy("cust_band").parquet(root)
+          val fact = s.read.parquet(root)
+          val dim = Tables(s, dir, "customer")
+            .filter(col("c_nationkey").isin(3, 7))
+            .select(col("c_custkey"), col("c_nationkey"),
+              expr("c_custkey % 25").as("cust_band"))
+          materializeSmall(fact
+            .join(dim, Seq("cust_band"))
+            .filter(col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              (sum(col("price_c")).cast("double") / 100.0).as("total"))
+            .orderBy("nationkey"))
+        } finally {
+          val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new Path(root), true)
+        }
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey IN (3, 7)
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin)))
 }

@@ -189,6 +189,33 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"wide fetch must be a broadcast semi-join:\n$p")
   }
 
+  test("q173 shape: selective dim filter injects dynamicpruning into the fact scan") {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dpp_spec_${java.util.UUID.randomUUID()}").getAbsolutePath
+    try {
+      Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("o_custkey % 25").as("cust_band"))
+        .write.partitionBy("cust_band").parquet(root)
+      val fact = spark.read.parquet(root)
+      val dim = Tables(spark, sf, "customer")
+        .filter(col("c_nationkey").isin(3, 7))
+        .select(col("c_custkey"), expr("c_custkey % 25").as("cust_band"))
+      val joined = fact.join(dim, Seq("cust_band"))
+        .filter(col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("dynamicpruning"),
+        s"fact scan must carry a runtime partition filter:\n$p")
+      joined.collect() // and it executes
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    }
+  }
+
   test("q154: chunk explode is narrow — no shuffle before the final sort") {
     val df = SparkEntry.queries("q154_rag_chunking")(spark, sf)
     df.collect()
