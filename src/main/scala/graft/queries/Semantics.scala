@@ -276,5 +276,33 @@ object Semantics extends QueryPack {
         |  lag(value) OVER w AS prev_v
         |FROM events WHERE user_id < 15
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |ORDER BY user_id, event_id""".stripMargin)))
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Schema-drift union — `unionByName(allowMissingColumns)` matches by
+    // NAME and null-fills gaps, where positional UNION ALL silently pairs
+    // mismatched columns (the drift trap when a source adds a field).
+    // DuckDB's `UNION ALL BY NAME` pins the identical semantics.
+    GraftQuery(
+      "q174_union_by_name",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val v1 = o.filter(col("o_orderkey") < 300)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val v2 = o.filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("price_c"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority, price_c
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey < 300
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600)
+        |ORDER BY o_orderkey""".stripMargin)))
 }

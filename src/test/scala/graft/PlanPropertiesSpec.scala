@@ -189,6 +189,29 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"wide fetch must be a broadcast semi-join:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB") {
+      // one hot key (0) with 200k rows vs 200 cold keys with 100 each
+      val big = spark.range(0, 220000).select(
+        when(col("id") < 200000, 0L).otherwise(col("id") % 200 + 1).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 201).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = big.join(right, "k").agg(count(lit(1)), sum("payload"), sum("w"))
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) == 220000L, "every row must join exactly once")
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin") && p.contains("skew=true"),
+        s"AQE must mark the skewed SMJ partition for splitting:\n$p")
+    }
+  }
+
   test("q173 shape: selective dim filter injects dynamicpruning into the fact scan") {
     import org.apache.spark.sql.functions._
     val root = new java.io.File(sys.props("java.io.tmpdir"),

@@ -8,6 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
 
+  /** Run `body` with the given SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   override def afterAll(): Unit = () // keep the shared session alive
 }
 
