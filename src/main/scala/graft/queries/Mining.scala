@@ -106,9 +106,10 @@ object Mining extends QueryPack {
         val a = names.select(col("noun"), col("name").as("n1"))
         val b = names.select(col("noun"), col("name").as("n2"))
         a.join(b, "noun")
-          .where(col("n1") < col("n2") && levenshtein(col("n1"), col("n2")) <= 3)
-          .select(col("noun"), col("n1"), col("n2"),
-            levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+          .where(col("n1") < col("n2"))
+          .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+          .where(col("dist") <= 3)
+          .select(col("noun"), col("n1"), col("n2"), col("dist"))
           .orderBy("noun", "n1", "n2")
       },
       Some("""WITH names AS (
