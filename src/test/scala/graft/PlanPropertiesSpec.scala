@@ -212,6 +212,38 @@ class PlanPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bloom_spec_${java.util.UUID.randomUUID()}").getAbsolutePath
+    try {
+      withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+        spark.range(0, 500000).selectExpr("id AS k", "id * 2 AS payload")
+          .write.parquet(dir + "/fact")
+        spark.range(0, 500000).selectExpr("id AS k", "CAST(id % 100 AS INT) AS tag")
+          .write.parquet(dir + "/dim")
+        val fact = spark.read.parquet(dir + "/fact")
+        val dim = spark.read.parquet(dir + "/dim").filter(col("tag") === 5)
+        val j = fact.join(dim, "k").agg(count(lit(1)), sum("payload"))
+        val rows = j.collect()
+        assert(rows.head.getLong(0) == 5000L, "exactly the dim-selected keys join")
+        val p = j.queryExecution.executedPlan.toString()
+        assert(p.contains("bloom_filter_agg"),
+          s"build side must aggregate a runtime bloom filter:\n$p")
+        assert(p.contains("might_contain"),
+          s"probe side must apply the bloom filter before the shuffle:\n$p")
+      }
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("q173 shape: selective dim filter injects dynamicpruning into the fact scan") {
     import org.apache.spark.sql.functions._
     val root = new java.io.File(sys.props("java.io.tmpdir"),
