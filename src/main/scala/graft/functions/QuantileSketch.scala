@@ -85,9 +85,12 @@ object QSketchOps {
     quantiles.map { case (num, den) =>
       // target rank over TRUE n, rescaled onto the sketch's weight mass so
       // post-compaction drift in total weight cannot push the rank past the
-      // end: ceil(num*n/den) in Long math, then clamp to [1, totalW]
+      // end: ceil(num*n/den), then ceil(rankN*totalW/n). rankN*totalW can
+      // reach n² ≈ 10¹⁹ past ~3·10⁹ values — BigInt for that one product
+      // (per-quantile at finalization, not per-row)
       val rankN = (num.toLong * b.n + den - 1) / den
-      val target = math.max(1L, math.min(totalW, (rankN * totalW + b.n - 1) / b.n))
+      val rescaled = ((BigInt(rankN) * totalW + b.n - 1) / b.n).toLong
+      val target = math.max(1L, math.min(totalW, rescaled))
       var cum = 0L
       var ans = weighted.last._1
       val it = weighted.iterator

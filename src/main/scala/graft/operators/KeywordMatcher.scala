@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object KeywordMatcher {
 
-  /** Immutable, serialization-friendly automaton: flat arrays indexed by
-    * state (goto as sorted parallel arrays per state for binary search).
+  /** Immutable, serialization-friendly automaton: arrays indexed by state;
+    * goto is a per-state immutable Char→state map (lexicon alphabets are
+    * small, so map lookup beats maintaining sorted parallel arrays).
     */
   final case class Automaton(
       next: Array[Map[Char, Int]],
@@ -62,8 +63,9 @@ object KeywordMatcher {
         queue.enqueue(t)
         var f = fail(s)
         while (f != 0 && !next(f).contains(ch)) f = fail(f)
-        fail(t) = if (f != s) next(f).getOrElse(ch, 0) else next(f).getOrElse(ch, 0)
-        if (fail(t) == t) fail(t) = 0
+        // next(f)(ch) is strictly shallower than t, so this can never
+        // self-reference
+        fail(t) = next(f).getOrElse(ch, 0)
         out(t) = out(t) ++ out(fail(t))
       }
     }
@@ -104,7 +106,13 @@ object KeywordMatcher {
         }
       }
       .toDF("keyword", "doc_id", "n")
-    hits.groupBy(col("keyword"))
+    val agg = hits.groupBy(col("keyword"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), sum(col("n")).as("n_occurrences"))
+    // a keyword with zero corpus hits must still report (0, 0) — consumers
+    // (and the q144 oracle, one SELECT arm per keyword) expect k rows always
+    keywords.toDF("keyword").join(agg, Seq("keyword"), "left")
+      .select(col("keyword"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -14,13 +14,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Predicates that touch non-group columns must NOT move: filtering rows
   * before the top-k changes which rows survive (classic limit-pushdown
-  * trap), so they stay above the operator.
+  * trap), so they stay above the operator. Two further soundness guards
+  * (mirroring Catalyst's own PushPredicateThroughNonJoin): the predicate
+  * must be deterministic (a pushed rand() would evaluate per input row
+  * instead of per surviving row), and the group expressions must be bare
+  * attributes — with a computed group key like `g % 10`, a predicate over
+  * `g` references only group-expr inputs yet is NOT constant within a
+  * group, so pushing it would change which rows win.
   */
 object PushFilterThroughTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, topk: TopKPerGroup)
-        if f.references.nonEmpty &&
-          f.references.subsetOf(AttributeSet(topk.groupExprs.flatMap(_.references))) =>
+        if cond.deterministic &&
+          topk.groupExprs.forall(_.isInstanceOf[Attribute]) &&
+          f.references.nonEmpty &&
+          f.references.subsetOf(AttributeSet(topk.groupExprs)) =>
       topk.copy(child = Filter(cond, topk.child))
   }
 }

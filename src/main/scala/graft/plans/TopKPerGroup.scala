@@ -164,13 +164,20 @@ object TopKPerGroup {
     GraftPlanBridge.ofRows(spark, TopKPerGroup(groupCols.map(attr), order, k, plan))
   }
 
-  /** Idempotently add the strategy to a live session (extension-injected
-    * sessions already have it; `getOrCreate` may reuse one that doesn't).
+  /** Idempotently add the strategy to a live session (`getOrCreate` may
+    * reuse a session built without GraftExtensions). Checks the PLANNER's
+    * assembled strategy list, not just `experimental` — an
+    * extension-injected copy lives in `extraPlanningStrategies`, and adding
+    * a second one would make every TopKPerGroup plan twice per query.
     */
   def ensureStrategy(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+    val planned = spark.sessionState.planner.strategies
+    if (!planned.contains(TopKPerGroupStrategy) &&
+        !spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies ++= Seq(TopKPerGroupStrategy)
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+    val optimized = spark.sessionState.optimizer.batches.flatMap(_.rules)
+    if (!optimized.contains(PushFilterThroughTopK) &&
+        !spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
       spark.experimental.extraOptimizations ++= Seq(PushFilterThroughTopK)
   }
 }

@@ -406,13 +406,13 @@ object Training extends QueryPack {
 
     // BPE APPLY — the other half of the tokenizer lifecycle: encode the
     // corpus vocabulary with the trained merge table and report the 20
-    // most frequent emitted tokens (weighted by word frequency) plus the
-    // corpus tokens-per-word compression. Encoding runs over the DISTINCT
-    // word table (not the corpus): the 100 TB corpus is touched once by
-    // wordCounts, and the merge table is a broadcast-sized driver value
-    // folded into a typed map — the standard tokenize-at-scale shape.
-    // Rows-only by design (greedy merge application is not ANSI);
-    // BpeTrainerSpec pins encode() against hand-computed tokenizations.
+    // most frequent emitted tokens (weighted by word frequency). Encoding
+    // runs over the DISTINCT word table (not the corpus): the 100 TB
+    // corpus is touched once by wordCounts, and the merge table is a
+    // broadcast-sized driver value folded into a typed map — the standard
+    // tokenize-at-scale shape. Rows-only by design (greedy merge
+    // application is not ANSI); BpeTrainerSpec pins encode() against
+    // hand-computed tokenizations.
     GraftQuery(
       "q133_bpe_apply",
       (s, dir) => {
@@ -422,11 +422,8 @@ object Training extends QueryPack {
         val ranked = BpeTrainer.train(wc, "word", "weight", nMerges = 12)
           .sortBy(_.rank).map(m => (m.left, m.right))
         val enc = wc.select(col("word").as[String], col("weight").as[Long])
-          .map { case (w, n) =>
-            val toks = BpeTrainer.encode(w, ranked)
-            (toks, toks.length.toLong, n)
-          }
-          .toDF("tokens", "n_tokens", "weight")
+          .map { case (w, n) => (BpeTrainer.encode(w, ranked), n) }
+          .toDF("tokens", "weight")
         enc.select(explode(col("tokens")).as("token"), col("weight"))
           .groupBy("token")
           .agg(sum(col("weight")).as("n_occurrences"))
