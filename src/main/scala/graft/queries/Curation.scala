@@ -194,6 +194,57 @@ object Curation extends QueryPack {
         |SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  CAST(SUM(n_chars) AS BIGINT) AS decile_chars
-        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin))
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin)),
+
+    // Curation funnel — the per-source survival report every C4/RefinedWeb-
+    // style pipeline publishes: raw docs → length gate (≥ 100 chars) →
+    // exact dedup (first doc_id per md5(text) wins) → repetition gate
+    // (most frequent space-token < 30% of tokens). Stages are CUMULATIVE
+    // and every count is exact; the whole funnel is one scan plus a
+    // dedup-rank window. Survival rate is the only float.
+    GraftQuery(
+      "q175_curation_funnel",
+      (s, dir) => {
+        val staged = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .withColumn("len_ok", (col("n_chars") >= 100).cast("int").cast("long"))
+          .withColumn("dup_rank", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_toks", expr("size(filter(toks, t -> t <> ''))"))
+          .withColumn("top_tok", expr(
+            """array_max(transform(array_distinct(filter(toks, t -> t <> '')),
+               t -> size(filter(toks, x -> x = t))))"""))
+          .withColumn("rep_ok",
+            (col("top_tok") * 100 < col("n_toks") * 30).cast("int").cast("long"))
+        staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("len_ok")).as("n_len"),
+            sum(when(col("len_ok") === 1 && col("dup_rank") === 1, 1L)
+              .otherwise(0L)).as("n_dedup"),
+            sum(when(col("len_ok") === 1 && col("dup_rank") === 1
+              && col("rep_ok") === 1, 1L).otherwise(0L)).as("n_final"))
+          .withColumn("survival",
+            round(col("n_final").cast("double") / col("n_raw").cast("double"), 6))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id, n_chars, text,
+        |    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS len_ok,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks,
+        |    list_max(list_transform(
+        |      list_distinct(list_filter(string_split(text, ' '), t -> t <> '')),
+        |      t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS top_tok
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |  CAST(SUM(len_ok) AS BIGINT) AS n_len,
+        |  CAST(SUM(CASE WHEN len_ok = 1 AND dup_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dedup,
+        |  CAST(SUM(CASE WHEN len_ok = 1 AND dup_rank = 1
+        |       AND top_tok * 100 < n_toks * 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  round(CAST(SUM(CASE WHEN len_ok = 1 AND dup_rank = 1
+        |       AND top_tok * 100 < n_toks * 30 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*), 6) AS survival
+        |FROM d GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -140,6 +140,23 @@ class PlanPropertiesSpec extends SparkTestBase {
       "filter-above keeps a subset of per-group winners; filter-below refills heaps")
   }
 
+  test("nondeterministic predicates are NOT pushed through TopKPerGroup") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val top = graft.plans.TopKPerGroup(
+      base, Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+    // rand() references nothing, but a group-col + rand predicate references
+    // only group columns — the determinism guard must still block the push
+    val filtered = top.filter(col("p_brand") > concat(lit("Brand#"),
+      (rand(7) * 0).cast("int").cast("string")))
+    val opt = filtered.queryExecution.optimizedPlan.toString()
+    val fLine = opt.linesIterator.indexWhere(_.contains("Filter"))
+    val tLine = opt.linesIterator.indexWhere(_.contains("TopKPerGroup"))
+    assert(fLine >= 0 && tLine >= 0 && fLine < tLine,
+      s"nondeterministic filter must stay above the operator:\n$opt")
+  }
+
   test("TopKPerGroup edges: empty input, k larger than groups, null group keys") {
     import org.apache.spark.sql.functions._
     val s = spark
