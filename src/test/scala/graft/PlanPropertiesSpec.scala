@@ -140,6 +140,50 @@ class PlanPropertiesSpec extends SparkTestBase {
       "filter-above keeps a subset of per-group winners; filter-below refills heaps")
   }
 
+  test("property: TopKPerGroup equals window-rank on seeded random data (5 shapes)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(20)
+      val n = 50 + rnd.nextInt(5000)
+      val k = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map { i =>
+        (s"g${rnd.nextInt(nGroups)}", i.toLong, rnd.nextInt(100).toDouble)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(8))
+      val got = graft.plans.TopKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val expect = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+      assert(got == expect, s"seed=$seed nGroups=$nGroups n=$n k=$k diverged")
+    }
+  }
+
+  test("property: SequentialFold EMA equals the HOF twin on seeded random data") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 100 + rnd.nextInt(3000)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(25).toLong, i.toLong, math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val df = rows.toDF("k", "o", "v").repartition(1 + rnd.nextInt(6))
+      val got = graft.operators.SequentialFold.ema(df, "k", Seq("o"), "v", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val expect = rows.groupBy(_._1).map { case (key, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3)
+        (key, rs.size.toLong, vs.tail.foldLeft(vs.head)((acc, x) => 0.3 * x + 0.7 * acc))
+      }.toSeq.sortBy(_._1)
+      assert(got == expect, s"seed=$seed n=$n diverged")
+    }
+  }
+
   test("nondeterministic predicates are NOT pushed through TopKPerGroup") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sf, "part")
