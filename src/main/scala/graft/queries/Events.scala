@@ -474,6 +474,52 @@ object Events extends QueryPack {
         |    AS p50_delay_s,
         |  round(quantile_cont(CAST((first_buy - c_us) // 1000000 AS DOUBLE), 0.9), 4)
         |    AS p90_delay_s
-        |FROM f GROUP BY 1 ORDER BY click_day""".stripMargin))
+        |FROM f GROUP BY 1 ORDER BY click_day""".stripMargin)),
+
+    // Cohort LTV — q81's value sibling: cohort = a user's first active
+    // epoch-week; CUMULATIVE purchase cents per (cohort, week offset) via
+    // a running window over the exact per-cell sums. The
+    // lifetime-value-by-acquisition-week curve, all integer until the
+    // final /100.
+    GraftQuery(
+      "q177_cohort_ltv",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 604800000000000").as("week"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+        val cells = ev.filter(col("event_type") === "purchase")
+          .join(cohort, Seq("user_id"))
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+          .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_purchases"))
+        val w = Window.partitionBy("cohort").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cells
+          .withColumn("cum_cents", sum(col("cents")).over(w))
+          .select(col("cohort"), col("week_offset"), col("n_purchases"),
+            (col("cents").cast("double") / 100.0).as("week_value"),
+            (col("cum_cents").cast("double") / 100.0).as("ltv"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort, e.week - c.cohort AS week_offset,
+        |    SUM(e.cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  n_purchases,
+        |  CAST(cents AS DOUBLE) / 100.0 AS week_value,
+        |  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |    AS ltv
+        |FROM cells ORDER BY cohort, week_offset""".stripMargin))
   )
 }

@@ -375,5 +375,55 @@ object Stats extends QueryPack {
         |  round((CAST(SUM(CAST(d_between AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*))
         |      / (CAST(SUM(CAST(d_within AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)), 6)
         |    AS separation
-        |FROM d GROUP BY label ORDER BY label""".stripMargin)))
+        |FROM d GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Pareto concentration — revenue 80/20 report: customers ranked by
+    // exact cent totals, and the "how many customers cover 50% / 80%"
+    // cutoffs decided by INTEGER cross-multiplication (cum·5 ≥ total·4),
+    // so no float ever picks a boundary; only the reported top-1% share
+    // is a rounded double. One agg + one window + one re-agg.
+    GraftQuery(
+      "q176_pareto_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val totals = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+        val ranked = totals
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        ranked.agg(
+            count(lit(1)).as("n_customers"),
+            max(col("cum")).as("total_cents"),
+            min(when(col("cum") * 2 >= col("total"), col("rnk"))).as("k50"),
+            min(when(col("cum") * 5 >= col("total") * 4, col("rnk"))).as("k80"))
+          .select(col("n_customers"),
+            (col("total_cents").cast("double") / 100.0).as("revenue"),
+            col("k50"), col("k80"),
+            round(col("k50").cast("double") / col("n_customers"), 6).as("k50_frac"),
+            round(col("k80").cast("double") / col("n_customers"), 6).as("k80_frac"))
+      },
+      Some("""WITH t AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey, cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rnk,
+        |    SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cents) OVER () AS total
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(MAX(cum) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(MIN(CASE WHEN cum * 2 >= total THEN rnk END) AS BIGINT) AS k50,
+        |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rnk END) AS BIGINT) AS k80,
+        |  round(CAST(MIN(CASE WHEN cum * 2 >= total THEN rnk END) AS DOUBLE)
+        |        / COUNT(*), 6) AS k50_frac,
+        |  round(CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rnk END) AS DOUBLE)
+        |        / COUNT(*), 6) AS k80_frac
+        |FROM r""".stripMargin)))
 }
