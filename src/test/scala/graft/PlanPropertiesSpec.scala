@@ -273,6 +273,27 @@ class PlanPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE re-plans a sort-merge join into broadcast when runtime stats shrink") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    withSQLConf(
+      // static threshold high enough that the POST-FILTER runtime size
+      // qualifies, while the planner's static estimate (pre-filter) doesn't
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val big = spark.range(0, 200000).select(col("id").as("k"), col("id").as("p"))
+      val right = spark.range(0, 200000).select(col("id").as("k"), (col("id") % 97).as("t"))
+        .filter(col("t") === 13) // runtime output: ~2k rows, well under 1MB
+      val j = big.join(right, "k").agg(count(lit(1)))
+      assert(j.collect().head.getLong(0) > 0)
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("BroadcastHashJoin"),
+        s"AQE must convert the shuffle join to broadcast at runtime:\n$p")
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
