@@ -430,5 +430,95 @@ object Training extends QueryPack {
           .orderBy(col("n_occurrences").desc, col("token"))
           .limit(20)
       },
-      None))
+      None),
+
+    // Negative-sampling table — word2vec's unigram^(3/4) distribution as a
+    // deterministic integer table: per-token weight = floor(count^0.75 ·
+    // 10⁴) (one pow per DISTINCT token, rounded to an integer so the
+    // cross-engine float surface is a single row-local op), cumulative
+    // thresholds by a running window, and each token's expected share of a
+    // 10⁶-draw table by integer division. Top-30 by weight.
+    GraftQuery(
+      "q178_negative_sampling_table",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        val weighted = counts.withColumn("w",
+          expr("CAST(floor(pow(CAST(n AS DOUBLE), 0.75) * 10000) AS BIGINT)"))
+        val wWin = Window.orderBy(col("w").desc, col("word"))
+        weighted
+          .withColumn("rnk", row_number().over(wWin).cast("long"))
+          .withColumn("cum_w", sum(col("w"))
+            .over(wWin.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total_w", sum(col("w")).over(Window.partitionBy()))
+          .filter(col("rnk") <= 30)
+          .select(col("rnk"), col("word"), col("n"), col("w"), col("cum_w"),
+            expr("(w * 1000000) div total_w").as("table_slots"))
+          .orderBy("rnk")
+      },
+      Some("""WITH c AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |w AS (
+        |  SELECT word, n,
+        |    CAST(floor(pow(CAST(n AS DOUBLE), 0.75) * 10000) AS BIGINT) AS w
+        |  FROM c),
+        |r AS (
+        |  SELECT word, n, w,
+        |    CAST(row_number() OVER (ORDER BY w DESC, word) AS BIGINT) AS rnk,
+        |    SUM(w) OVER (ORDER BY w DESC, word
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |    SUM(w) OVER () AS total_w
+        |  FROM w)
+        |SELECT rnk, word, n, w, CAST(cum_w AS BIGINT) AS cum_w,
+        |  CAST((w * 1000000) // total_w AS BIGINT) AS table_slots
+        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin)),
+
+    // Feature-hash collision audit — the hashing-trick health check: tokens
+    // hashed into 4096 buckets via 3 md5 hex digits (portable both
+    // engines), then occupancy stats vs the balls-in-bins expectation —
+    // exact integer counts; only the expected-load comparison is float.
+    GraftQuery(
+      "q179_feature_hash_audit",
+      (s, dir) => {
+        val hexpos = graft.queries.hexDigitVal _
+        val tokens = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "").distinct()
+        val h = md5(concat(lit("fh:"), col("word")))
+        val bucketed = tokens.withColumn("bucket",
+          (hexpos(substring(h, 1, 1)) * 256 + hexpos(substring(h, 2, 1)) * 16 +
+            hexpos(substring(h, 3, 1))).cast("long"))
+        val occ = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("load"))
+        occ.agg(
+            sum(col("load")).as("n_tokens"),
+            count(lit(1)).as("n_buckets_used"),
+            max(col("load")).as("max_load"),
+            sum(when(col("load") > 1, col("load") - 1).otherwise(0L)).as("n_collisions"))
+          .select(col("n_tokens"), col("n_buckets_used"), col("max_load"),
+            col("n_collisions"),
+            round(col("n_tokens").cast("double") / 4096.0, 6).as("expected_load"))
+      },
+      Some("""WITH t AS (
+        |  SELECT DISTINCT word
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> ''),
+        |b AS (
+        |  SELECT word,
+        |    (instr('0123456789abcdef', substr(md5('fh:' || word), 1, 1)) - 1) * 256 +
+        |    (instr('0123456789abcdef', substr(md5('fh:' || word), 2, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(md5('fh:' || word), 3, 1)) - 1) AS bucket
+        |  FROM t),
+        |o AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS load FROM b GROUP BY 1)
+        |SELECT CAST(SUM(load) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+        |  CAST(MAX(load) AS BIGINT) AS max_load,
+        |  CAST(SUM(CASE WHEN load > 1 THEN load - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_collisions,
+        |  round(CAST(SUM(load) AS DOUBLE) / 4096.0, 6) AS expected_load
+        |FROM o""".stripMargin)))
 }
