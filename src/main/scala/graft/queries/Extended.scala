@@ -556,6 +556,53 @@ object Extended extends QueryPack {
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  round(CAST(SUM(w_c) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS winsorized_mean
-        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Salted hot-key AGGREGATION — q85's skew tool applied to groupBy: the
+    // partial phase groups by (key, salt) so one hot key's rows spread
+    // over 8 reducers, the final phase re-aggregates 8 sub-rows per key.
+    // Sum/count re-associate exactly (cent Longs), so the oracle is the
+    // PLAIN aggregation — the semantics-preservation proof for the 100 TB
+    // hot-key case.
+    GraftQuery(
+      "q180_salted_aggregation",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+          .withColumn("salt", expr("pmod(hash(monotonically_increasing_id()), 8)"))
+        li.groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("price_c")).as("pc"), count(lit(1)).as("n"))
+          .groupBy(col("l_returnflag"))
+          .agg((sum(col("pc")).cast("double") / 100.0).as("revenue"),
+            sum(col("n")).as("n_items"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Distinct-aggregation rewrite — COUNT(DISTINCT x) at scale as two
+    // plain aggregations (dedup by (group, x), then count), avoiding the
+    // Expand replication a multi-distinct plan needs. The oracle is the
+    // direct COUNT(DISTINCT): the rewrite must be invisible in results.
+    GraftQuery(
+      "q181_distinct_rewrite",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val pairs = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        val viaRewrite = pairs.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_parts"))
+        val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+        viaRewrite.join(rows, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_parts"), col("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
   )
 }

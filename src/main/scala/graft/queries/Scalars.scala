@@ -138,6 +138,34 @@ object Scalars extends QueryPack {
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // VARIANT ingestion — Spark 4's semi-structured type: props parsed ONCE
+    // into a binary variant (shredded, no per-access re-parse — the
+    // at-scale JSON answer), then typed `variant_get` paths. Same
+    // aggregates as q29's string-path extraction, so the variant path is
+    // provably result-identical to the classic one.
+    GraftQuery(
+      "q182_variant_json",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"), expr("parse_json(props)").as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'long')").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            count(col("k")).as("n_with_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(COUNT(k) AS BIGINT) AS n_with_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
