@@ -245,6 +245,75 @@ object Curation extends QueryPack {
         |  round(CAST(SUM(CASE WHEN len_ok = 1 AND dup_rank = 1
         |       AND top_tok * 100 < n_toks * 30 THEN 1 ELSE 0 END) AS DOUBLE)
         |      / COUNT(*), 6) AS survival
-        |FROM d GROUP BY source ORDER BY source""".stripMargin))
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Rank-normalize a feature per group — percent_rank is the exact
+    // rational (rank−1)/(n−1), so the transform is deterministic given the
+    // total order; summarized per (lang, quartile-of-rank) so the output
+    // stays bounded. The distribution-free feature scaling ML prep uses
+    // when magnitudes drift across groups.
+    GraftQuery(
+      "q183_rank_normalize",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+        Tables(s, dir, "documents")
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("quartile", least(floor(col("pr") * 4) + 1, lit(4)).cast("long"))
+          .groupBy(col("lang"), col("quartile"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("pr")), 6).as("min_pr"),
+            round(max(col("pr")), 6).as("max_pr"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "quartile")
+      },
+      Some("""WITH p AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT lang, CAST(least(floor(pr * 4) + 1, 4) AS BIGINT) AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(MIN(pr), 6) AS min_pr, round(MAX(pr), 6) AS max_pr,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM p GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin)),
+
+    // Largest-remainder apportionment — EXACT-size stratified allocation:
+    // distribute a 1000-doc budget across sources proportionally, floors
+    // first, then the k largest fractional remainders (tie → source asc)
+    // get +1. Pure integer arithmetic start to finish — the allocator
+    // behind "sample exactly N with source proportions preserved".
+    GraftQuery(
+      "q185_largest_remainder",
+      (s, dir) => {
+        val budget = 1000L
+        val counts = Tables(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total"))
+        val based = counts.crossJoin(broadcast(total))
+          .withColumn("base", expr(s"(n * $budget) div total"))
+          .withColumn("rem", expr(s"(n * $budget) % total"))
+        val w = Window.orderBy(col("rem").desc, col("source"))
+        val deficit = based
+          .withColumn("short", expr(s"$budget") - sum(col("base")).over(Window.partitionBy()))
+          .withColumn("rrank", row_number().over(w).cast("long"))
+        deficit
+          .withColumn("alloc",
+            col("base") + when(col("rrank") <= col("short"), 1L).otherwise(0L))
+          .select(col("source"), col("n"), col("base"), col("rem"), col("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c),
+        |b AS (
+        |  SELECT source, n, (n * 1000) // total AS base, (n * 1000) % total AS rem
+        |  FROM c, t),
+        |d AS (
+        |  SELECT *, 1000 - SUM(base) OVER () AS short,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrank
+        |  FROM b)
+        |SELECT source, n, CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+        |  CAST(base + CASE WHEN rrank <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM d ORDER BY source""".stripMargin))
   )
 }

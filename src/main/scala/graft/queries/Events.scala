@@ -520,6 +520,40 @@ object Events extends QueryPack {
         |  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY week_offset
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
         |    AS ltv
-        |FROM cells ORDER BY cohort, week_offset""".stripMargin))
+        |FROM cells ORDER BY cohort, week_offset""".stripMargin)),
+
+    // Seasonality profile — the hour-of-day × day-of-week activity matrix
+    // every ops dashboard draws: pure integer bucket arithmetic on epoch
+    // nanos (no calendar/timezone semantics to disagree on), exact counts
+    // plus each cell's share of its weekday, one scan.
+    GraftQuery(
+      "q184_seasonality_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables(s, dir, "events")
+          .select(expr("(ts div 3600000000000) % 24").as("hour_utc"),
+            expr("((ts div 86400000000000) + 4) % 7").as("dow")) // epoch day 0 = Thursday
+          .groupBy(col("dow"), col("hour_utc"))
+          .agg(count(lit(1)).as("n_events"))
+        cells
+          .withColumn("day_total", sum(col("n_events")).over(Window.partitionBy("dow")))
+          .select(col("dow"), col("hour_utc"), col("n_events"),
+            round(col("n_events").cast("double") / col("day_total").cast("double"), 6)
+              .as("share_of_day"))
+          .orderBy("dow", "hour_utc")
+      },
+      Some("""WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |  FROM events),
+        |g AS (
+        |  SELECT dow, hour_utc, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM c GROUP BY 1, 2)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour_utc AS BIGINT) AS hour_utc,
+        |  n_events,
+        |  round(CAST(n_events AS DOUBLE)
+        |        / CAST(SUM(n_events) OVER (PARTITION BY dow) AS DOUBLE), 6)
+        |    AS share_of_day
+        |FROM g ORDER BY dow, hour_utc""".stripMargin))
   )
 }
