@@ -279,6 +279,113 @@ object Dedup extends QueryPack {
         |  JOIN b ON w1.win = b.win)
         |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_shared_windows
         |FROM p GROUP BY 1, 2
-        |ORDER BY n_shared_windows DESC, d1, d2 LIMIT 20""".stripMargin))
+        |ORDER BY n_shared_windows DESC, d1, d2 LIMIT 20""".stripMargin)),
+
+    // Dataset card — the one-row corpus summary a data release publishes:
+    // sizes, language/source diversity, exact duplicate rate (md5 groups),
+    // and central length stats. Everything integer-exact except the two
+    // rounded ratios and the q57-parity median.
+    GraftQuery(
+      "q186_dataset_card",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val dups = d.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") - 1).as("n_dup_docs"), count(lit(1)).as("n_unique"))
+        d.agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"))
+          .crossJoin(dups)
+          .select(col("n_docs"), col("total_chars"), col("n_langs"),
+            col("n_sources"), col("p50_chars"), col("n_unique"),
+            col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+            round(col("total_chars").cast("double") / col("n_docs"), 6)
+              .as("mean_chars"))
+      },
+      Some("""WITH dups AS (
+        |  SELECT CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_unique
+        |  FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars
+        |  FROM documents)
+        |SELECT n_docs, total_chars, n_langs, n_sources, p50_chars, n_unique,
+        |  n_dup_docs,
+        |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS mean_chars
+        |FROM base, dups""".stripMargin)),
+
+    // Duplicate-cluster size histogram — dedup diagnostics: how many md5
+    // groups have exactly 1, 2, 3… members, plus the rows each size class
+    // would delete. Exact; the long tail's shape decides whether exact
+    // dedup suffices or near-dup is needed.
+    GraftQuery(
+      "q187_dup_cluster_histogram",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            (sum(col("sz")) - count(lit(1))).as("rows_removable"))
+          .orderBy("sz")
+      },
+      Some("""SELECT CAST(sz AS BIGINT) AS sz,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) - COUNT(*) AS BIGINT) AS rows_removable
+        |FROM (SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY 1)
+        |GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // Source-overlap matrix — exact Jaccard of the md5-hash sets between
+    // every source pair: which feeds are re-crawls of each other. The
+    // distinct (source, hash) frame self-joins on hash (bounded by true
+    // duplicate mass, not |A|·|B|), unions per-source set sizes once.
+    GraftQuery(
+      "q188_source_overlap",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h")).distinct()
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"), Seq("h"))
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("n_common"))
+        // every source pair appears, zero-overlap included — the report must
+        // say "no overlap" explicitly (and stay non-empty at tiny SFs)
+        val pairs = sizes.select(col("source").as("s1"), col("sz").as("sz1"))
+          .crossJoin(sizes.select(col("source").as("s2"), col("sz").as("sz2")))
+          .filter(col("s1") < col("s2"))
+        pairs.join(inter, Seq("s1", "s2"), "left")
+          .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+          .select(col("s1"), col("s2"), col("n_common"), col("sz1"), col("sz2"),
+            round(col("n_common").cast("double")
+              / (col("sz1") + col("sz2") - col("n_common")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(15)
+      },
+      Some("""WITH sh AS (
+        |  SELECT DISTINCT source, md5(text) AS h FROM documents),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT x.source AS s1, y.source AS s2,
+        |  CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+        |  x.sz AS sz1, y.sz AS sz2,
+        |  round(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+        |        / CAST(x.sz + y.sz - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN i ON i.s1 = x.source AND i.s2 = y.source
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 15""".stripMargin))
   )
 }
