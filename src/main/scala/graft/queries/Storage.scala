@@ -220,5 +220,49 @@ object Storage extends QueryPack {
         |    AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey IN (3, 7)
-        |GROUP BY 1 ORDER BY nationkey""".stripMargin)))
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin)),
+
+    // Prefix-compression estimate — what delta/front encoding would save on
+    // a SORTED string key column (the layout decision parquet dictionaries
+    // and LSM SSTables make): common-prefix length between consecutive
+    // sorted part names via a lag window, exact byte accounting. The
+    // sort-then-lag shape is the at-scale way to measure it — no pairwise
+    // comparison ever materializes.
+    GraftQuery(
+      "q189_prefix_compression",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("p_name")
+        val names = Tables(s, dir, "part").select(col("p_name")).distinct()
+        names
+          .withColumn("prev", lag(col("p_name"), 1).over(w))
+          // prefix property: the i where substr(a,1,i)=substr(b,1,i) are
+          // exactly 1..cpl, so cpl = how many prefix lengths match
+          .withColumn("cpl", when(col("prev").isNull, 0L).otherwise(expr(
+            """CAST(size(filter(sequence(1, least(length(p_name), length(prev))),
+               i -> substring(p_name, 1, i) = substring(prev, 1, i))) AS BIGINT)""")))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(length(col("p_name"))).cast("long").as("raw_bytes"),
+            sum(col("cpl")).as("saved_bytes"))
+          .select(col("n_keys"), col("raw_bytes"), col("saved_bytes"),
+            round(col("saved_bytes").cast("double") / col("raw_bytes"), 6)
+              .as("compression_frac"))
+      },
+      Some("""WITH s AS (
+        |  SELECT DISTINCT p_name FROM part),
+        |l AS (
+        |  SELECT p_name, lag(p_name) OVER (ORDER BY p_name) AS prev FROM s),
+        |c AS (
+        |  SELECT p_name,
+        |    CASE WHEN prev IS NULL THEN 0 ELSE
+        |      len(list_filter(generate_series(1, least(length(p_name), length(prev))),
+        |          i -> substr(p_name, 1, CAST(i AS BIGINT))
+        |             = substr(prev, 1, CAST(i AS BIGINT)))) END AS cpl
+        |  FROM l)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(length(p_name)) AS BIGINT) AS raw_bytes,
+        |  CAST(SUM(cpl) AS BIGINT) AS saved_bytes,
+        |  round(CAST(SUM(cpl) AS DOUBLE) / SUM(length(p_name)), 6)
+        |    AS compression_frac
+        |FROM c""".stripMargin)))
 }
