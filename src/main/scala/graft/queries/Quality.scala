@@ -361,5 +361,97 @@ object Quality extends QueryPack {
         |  round(CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 6) AS rate
         |FROM u LEFT JOIN c USING (user_id)
-        |GROUP BY arm ORDER BY arm""".stripMargin)))
+        |GROUP BY arm ORDER BY arm""".stripMargin)),
+
+    // Erasure cascade audit — the right-to-be-forgotten dry run: given a
+    // deterministic tombstone list (every 37th customer), count the rows
+    // each table would lose (customer → orders → lineitem via the order
+    // keys) and what survives. Pure anti-join arithmetic; the multi-table
+    // cascade accounting every privacy pipeline runs before the real
+    // delete.
+    GraftQuery(
+      "q190_erasure_cascade",
+      (s, dir) => {
+        val tomb = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 37 === 0).select(col("c_custkey"))
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        val doomedOrders = o.join(broadcast(tomb),
+          col("o_custkey") === col("c_custkey")).select(col("o_orderkey"))
+        def row(tbl: String, total: org.apache.spark.sql.DataFrame,
+            doomed: org.apache.spark.sql.DataFrame) =
+          total.agg(count(lit(1)).as("n_rows")).crossJoin(
+            doomed.agg(count(lit(1)).as("n_erased")))
+            .select(lit(tbl).as("tbl"), col("n_rows"), col("n_erased"),
+              (col("n_rows") - col("n_erased")).as("n_surviving"))
+        row("customer", Tables(s, dir, "customer"),
+            Tables(s, dir, "customer").join(broadcast(tomb), Seq("c_custkey")))
+          .unionAll(row("lineitem", li,
+            li.join(doomedOrders, col("l_orderkey") === col("o_orderkey"))))
+          .unionAll(row("orders", o, doomedOrders))
+          .orderBy("tbl")
+      },
+      Some("""WITH tomb AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+        |doomed_o AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+        |SELECT 'customer' AS tbl,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tomb) AS n_erased,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM tomb) AS n_surviving
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o))
+        |UNION ALL SELECT 'orders',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM doomed_o),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM doomed_o)
+        |ORDER BY tbl""".stripMargin)),
+
+    // Exact Gini coefficient on customer revenue — inequality as the
+    // closed-form over the sorted cumulative: G = 2·Σ(i·xᵢ)/(n·Σx) −
+    // (n+1)/n. Σ(i·xᵢ) runs as rank·cents Long products split hi/lo
+    // (overflow-free to ~10⁹ customers); the two divisions at the end are
+    // the only floats. Pairs with q176's Pareto cutoffs.
+    GraftQuery(
+      "q191_gini_revenue",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val w = Window.orderBy(col("cents").asc, col("o_custkey"))
+        t.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sx"),
+            sum(expr("(i * cents) div 1000000000")).as("hi"),
+            sum(expr("(i * cents) % 1000000000")).as("lo"))
+          .select(col("n"), (col("sx").cast("double") / 100.0).as("revenue"),
+            round(
+              expr("CAST(CAST(hi AS DECIMAL(38,0)) * 1000000000 + lo AS DOUBLE)")
+                * 2.0 / (col("n").cast("double") * col("sx").cast("double"))
+                - (col("n") + 1).cast("double") / col("n").cast("double"),
+              6).as("gini"))
+      },
+      Some("""WITH t AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE) * 2.0
+        |        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+        |      - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        |FROM r""".stripMargin)))
 }
