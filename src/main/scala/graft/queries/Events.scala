@@ -554,6 +554,44 @@ object Events extends QueryPack {
         |  round(CAST(n_events AS DOUBLE)
         |        / CAST(SUM(n_events) OVER (PARTITION BY dow) AS DOUBLE), 6)
         |    AS share_of_day
-        |FROM g ORDER BY dow, hour_utc""".stripMargin))
+        |FROM g ORDER BY dow, hour_utc""".stripMargin)),
+
+    // Burstiness (Fano factor) per event type — variance/mean of per-hour
+    // arrival counts: 1 ≈ Poisson, higher = bursty (bot traffic, incident
+    // spikes). Per-hour counts are exact integers, so Σc and Σc² run as
+    // plain Longs and the index is computed once per type from exact
+    // moments — the dispersion diagnostic behind rate-limit tuning.
+    GraftQuery(
+      "q193_fano_burstiness",
+      (s, dir) => {
+        val hourly = Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("event_type"), col("n_hours"), col("sc").as("n_events"),
+            round(
+              (col("scc").cast("double")
+                - col("sc").cast("double") * col("sc").cast("double")
+                  / col("n_hours").cast("double"))
+                / (col("n_hours") - 1).cast("double")
+                / (col("sc").cast("double") / col("n_hours").cast("double")),
+              6).as("fano"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  round((CAST(SUM(c * c) AS DOUBLE)
+        |         - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE))
+        |        / CAST(COUNT(*) - 1 AS DOUBLE)
+        |        / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS fano
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -508,6 +508,48 @@ object Text extends QueryPack {
         |FROM pairs, nd
         |JOIN ca a ON a.word = w1
         |JOIN ca b ON b.word = w2
-        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Character entropy per language — the information-density curation
+    // signal (gibberish and boilerplate both move it): exact char counts
+    // through the shuffle, then H = −Σ p·ln p folded over the per-language
+    // char list in SORTED order on both engines, so the float sum order is
+    // pinned (the alphabet is small; the corpus never re-flows through a
+    // float).
+    GraftQuery(
+      "q192_char_entropy",
+      (s, dir) => {
+        val chars = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy(col("lang"), col("ch")).agg(count(lit(1)).as("n"))
+        chars.groupBy(col("lang"))
+          .agg(sum(col("n")).as("total"),
+            count(lit(1)).as("n_chars_distinct"),
+            expr("transform(array_sort(collect_list(struct(ch, n))), s -> s.n)")
+              .as("ns"))
+          .select(col("lang"), col("total"), col("n_chars_distinct"),
+            round(expr(
+              """aggregate(ns, CAST(0.0 AS DOUBLE),
+                 (acc, x) -> acc - (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+                   * ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE)))"""), 6)
+              .as("entropy_nats"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+        |  SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT lang, unnest(string_split_regex(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_chars_distinct,
+        |    list(n ORDER BY ch) AS ns
+        |  FROM c GROUP BY lang)
+        |SELECT lang, total, n_chars_distinct,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ns, x -> CAST(x AS DOUBLE))),
+        |    (acc, x) -> acc - (x / total) * ln(x / total)), 6) AS entropy_nats
+        |FROM g ORDER BY lang""".stripMargin))
   )
 }
