@@ -386,6 +386,50 @@ object Dedup extends QueryPack {
         |        / CAST(x.sz + y.sz - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard
         |FROM sz x JOIN sz y ON x.source < y.source
         |LEFT JOIN i ON i.s1 = x.source AND i.s2 = y.source
-        |ORDER BY jaccard DESC, s1, s2 LIMIT 15""".stripMargin))
+        |ORDER BY jaccard DESC, s1, s2 LIMIT 15""".stripMargin)),
+
+    // Capture-recapture corpus-size estimate — treat two deterministic
+    // half-samples of the doc-hash universe (md5 parity split) as two
+    // "captures"; the Chapman estimator Ñ = (n1+1)(n2+1)/(m+1) − 1 then
+    // estimates the TRUE distinct count, compared against the exact one.
+    // The estimator every crawl-frontier sizing exercise uses when the
+    // universe can't be enumerated; here its error is measurable because
+    // the universe CAN be (integer arithmetic, one division).
+    GraftQuery(
+      "q194_capture_recapture",
+      (s, dir) => {
+        val hexpos = graft.queries.hexDigitVal _
+        val h = Tables(s, dir, "documents")
+          .select(md5(col("text")).as("h")).distinct()
+          // two overlapping deterministic captures from independent digits
+          .withColumn("in1", (hexpos(substring(col("h"), 1, 1)) < 12).cast("int"))
+          .withColumn("in2", (hexpos(substring(col("h"), 2, 1)) < 12).cast("int"))
+        h.agg(count(lit(1)).as("n_true"),
+            sum(col("in1")).cast("long").as("n1"),
+            sum(col("in2")).cast("long").as("n2"),
+            sum(col("in1") * col("in2")).cast("long").as("m"))
+          .select(col("n_true"), col("n1"), col("n2"), col("m"),
+            expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_chapman"),
+            (expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1") - col("n_true"))
+              .as("est_error"))
+      },
+      Some("""WITH u AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents),
+        |f AS (
+        |  SELECT h,
+        |    CASE WHEN instr('0123456789abcdef', substr(h, 1, 1)) - 1 < 12
+        |         THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN instr('0123456789abcdef', substr(h, 2, 1)) - 1 < 12
+        |         THEN 1 ELSE 0 END AS in2
+        |  FROM u)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |  CAST(SUM(in1) AS BIGINT) AS n1,
+        |  CAST(SUM(in2) AS BIGINT) AS n2,
+        |  CAST(SUM(in1 * in2) AS BIGINT) AS m,
+        |  CAST(((SUM(in1) + 1) * (SUM(in2) + 1)) // (SUM(in1 * in2) + 1) - 1
+        |    AS BIGINT) AS n_chapman,
+        |  CAST(((SUM(in1) + 1) * (SUM(in2) + 1)) // (SUM(in1 * in2) + 1) - 1
+        |    - COUNT(*) AS BIGINT) AS est_error
+        |FROM f""".stripMargin))
   )
 }
