@@ -592,6 +592,41 @@ object Events extends QueryPack {
         |           / CAST(COUNT(*) AS DOUBLE))
         |        / CAST(COUNT(*) - 1 AS DOUBLE)
         |        / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS fano
-        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Inter-event dwell percentiles — per event type, the gap to the SAME
+    // user's previous event of that type (lag window over exact micros),
+    // then p50/p90 per type. The engagement-cadence metric behind churn
+    // prediction features; q167 is the cross-type sibling.
+    GraftQuery(
+      "q195_dwell_percentiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"), col("event_id"))
+          .withColumn("gap_s",
+            expr("CAST((us - lag(us, 1) OVER (PARTITION BY user_id, event_type " +
+              "ORDER BY us, event_id)) div 1000000 AS DOUBLE)"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+            round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST((us - lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id)) // 1000000 AS DOUBLE) AS gap_s
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

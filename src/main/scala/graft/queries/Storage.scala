@@ -264,5 +264,43 @@ object Storage extends QueryPack {
         |  CAST(SUM(cpl) AS BIGINT) AS saved_bytes,
         |  round(CAST(SUM(cpl) AS DOUBLE) / SUM(length(p_name)), 6)
         |    AS compression_frac
-        |FROM c""".stripMargin)))
+        |FROM c""".stripMargin)),
+
+    // Run-length encoding estimate — q189's sibling for LOW-CARDINALITY
+    // sorted columns: runs = positions where the value changes (lag
+    // window), so RLE would store `runs` (value, count) pairs instead of n
+    // values. Per column, over the clustered sort order a layout job would
+    // choose. Decides dictionary-vs-RLE encodings the way a format writer
+    // does.
+    GraftQuery(
+      "q197_rle_estimate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def runsOf(colName: String) = {
+          val w = Window.orderBy(col("v"), col("o_orderkey")) // clustered layout
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col(colName).cast("string").as("v"))
+            .withColumn("prev", lag(col("v"), 1).over(w))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+                .otherwise(0L)).as("n_runs"))
+            .select(lit(colName).as("column"), col("n_rows"), col("n_runs"),
+              round(col("n_runs").cast("double") / col("n_rows"), 6).as("run_frac"))
+        }
+        runsOf("o_orderpriority").unionAll(runsOf("o_orderstatus"))
+          .orderBy("column")
+      },
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_runs,
+             round(CAST(SUM(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS run_frac
+             FROM (SELECT CAST($c AS VARCHAR) AS v,
+                     lag(CAST($c AS VARCHAR)) OVER (ORDER BY $c, o_orderkey) AS prev
+                   FROM orders)"""
+        one("o_orderpriority") + " UNION ALL " + one("o_orderstatus") +
+          " ORDER BY \"column\""
+      }))
 }

@@ -550,6 +550,46 @@ object Text extends QueryPack {
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(ns, x -> CAST(x AS DOUBLE))),
         |    (acc, x) -> acc - (x / total) * ln(x / total)), 6) AS entropy_nats
-        |FROM g ORDER BY lang""".stripMargin))
+        |FROM g ORDER BY lang""".stripMargin)),
+
+    // Charset audit — the encoding/PII gate an ingestion front door runs:
+    // per source, exact counts of characters outside printable ASCII and
+    // of control characters, via regexp_replace length arithmetic
+    // (identical regex class semantics both engines, probed). A corrupted
+    // feed shows up here before it poisons tokenizers downstream.
+    GraftQuery(
+      "q196_charset_audit",
+      (s, dir) => {
+        Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("source"),
+            length(col("text")).cast("long").as("n"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^ -~]", ""))).cast("long")
+              .as("n_nonascii"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[\\x00-\\x1f]", ""))).cast("long")
+              .as("n_control"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_chars"),
+            sum(col("n_nonascii")).as("n_nonascii"),
+            sum(col("n_control")).as("n_control"),
+            round(sum(col("n_nonascii")).cast("double")
+              / sum(col("n")).cast("double"), 6).as("nonascii_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[^ -~]', '', 'g'))
+        |      AS n_nonascii,
+        |    length(text) - length(regexp_replace(text, '[\x00-\x1f]', '', 'g'))
+        |      AS n_control
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_nonascii) AS BIGINT) AS n_nonascii,
+        |  CAST(SUM(n_control) AS BIGINT) AS n_control,
+        |  round(CAST(SUM(n_nonascii) AS DOUBLE) / SUM(n), 6) AS nonascii_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin))
   )
 }
