@@ -453,5 +453,128 @@ object Quality extends QueryPack {
         |  round(CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE) * 2.0
         |        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
         |      - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+
+    // Percentile envelope over time — p10/p50/p90 of order value per ship
+    // YEAR: the control-chart view that distinguishes level drift from
+    // spread drift (q110/q165 are its categorical siblings). q57
+    // interpolation parity; one shuffle by year.
+    GraftQuery(
+      "q198_percentile_envelope",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(expr("percentile(o_totalprice, 0.1)"), 4).as("p10"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy("yr")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(quantile_cont(o_totalprice, 0.1), 4) AS p10,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    // Functional-dependency audit — schema inference's yes/no question:
+    // does X determine Y in the data? Violations = keys whose dependent
+    // column takes >1 value. Checked for a TRUE dependency
+    // (orderkey→custkey) and a FALSE one (custkey→priority) so both
+    // answers are pinned; countDistinct per key then one rollup.
+    GraftQuery(
+      "q199_functional_dependency",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        def audit(name: String, kCol: String, vCol: String) = o
+          .groupBy(col(kCol)).agg(countDistinct(col(vCol)).as("nv"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("dependency"), col("n_keys"), col("n_violations"),
+            (col("n_violations") === 0).cast("boolean").as("holds"))
+        audit("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+          .unionAll(audit("o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
+          .orderBy("dependency")
+      },
+      Some {
+        def one(name: String, k: String, v: String) =
+          s"""SELECT '$name' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             FROM (SELECT $k, COUNT(DISTINCT $v) AS nv FROM orders GROUP BY $k)"""
+        one("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority") +
+          " UNION ALL " + one("o_orderkey->o_custkey", "o_orderkey", "o_custkey") +
+          " ORDER BY dependency"
+      }),
+
+    // Pipeline readiness report — the single green/red row a data release
+    // gate prints: referential orphans, exact duplicate rate, non-ASCII
+    // fraction, and split balance, each recomputed inline from its gate's
+    // exact definition (q163/q186/q196/q73 shapes condensed). One row,
+    // every number integer-derived.
+    GraftQuery(
+      "q200_readiness_report",
+      (s, dir) => {
+        val hexpos = graft.queries.hexDigitVal _
+        val orphans = Tables(s, dir, "customer")
+          .join(Tables(s, dir, "nation").select(col("n_nationkey")),
+            col("c_nationkey") === col("n_nationkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val docs = Tables(s, dir, "documents")
+        val dups = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") - 1).as("n_dups"), sum(col("n")).as("n_docs"))
+        val ascii = docs.select(
+            length(col("text")).cast("long").as("n"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^ -~]", ""))).cast("long")
+              .as("na"))
+          .agg(sum(col("n")).as("n_chars"), sum(col("na")).as("n_nonascii"))
+        val h = md5(col("doc_id").cast("string"))
+        val split = docs
+          .withColumn("bucket",
+            (hexpos(substring(h, 1, 1)) * 16 + hexpos(substring(h, 2, 1))).cast("long"))
+          .agg(sum(when(col("bucket") < 205, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("bucket") >= 205 && col("bucket") < 230, 1L).otherwise(0L))
+              .as("n_val"),
+            sum(when(col("bucket") >= 230, 1L).otherwise(0L)).as("n_test"))
+        orphans.crossJoin(dups).crossJoin(ascii).crossJoin(split)
+          .select(col("n_orphans"),
+            round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
+            round(col("n_nonascii").cast("double") / col("n_chars"), 6)
+              .as("nonascii_frac"),
+            col("n_train"), col("n_val"), col("n_test"),
+            (col("n_orphans") === 0 && col("n_train") > col("n_val")
+              && col("n_val") > 0 && col("n_test") > 0).as("ready"))
+      },
+      Some("""WITH orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM customer
+        |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+        |dups AS (
+        |  SELECT CAST(SUM(n - 1) AS BIGINT) AS n_dups,
+        |    CAST(SUM(n) AS BIGINT) AS n_docs
+        |  FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)),
+        |a AS (
+        |  SELECT CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(length(text)
+        |      - length(regexp_replace(text, '[^ -~]', '', 'g'))) AS BIGINT)
+        |      AS n_nonascii
+        |  FROM documents),
+        |sp AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN b < 205 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN b >= 205 AND b < 230 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_val,
+        |    CAST(SUM(CASE WHEN b >= 230 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM (SELECT
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+        |    FROM documents))
+        |SELECT n_orphans,
+        |  round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  round(CAST(n_nonascii AS DOUBLE) / n_chars, 6) AS nonascii_frac,
+        |  n_train, n_val, n_test,
+        |  (n_orphans = 0 AND n_train > n_val AND n_val > 0 AND n_test > 0) AS ready
+        |FROM orph, dups, a, sp""".stripMargin)))
 }
