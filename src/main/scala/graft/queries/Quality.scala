@@ -576,5 +576,94 @@ object Quality extends QueryPack {
         |  round(CAST(n_nonascii AS DOUBLE) / n_chars, 6) AS nonascii_frac,
         |  n_train, n_val, n_test,
         |  (n_orphans = 0 AND n_train > n_val AND n_val > 0 AND n_test > 0) AS ready
-        |FROM orph, dups, a, sp""".stripMargin)))
+        |FROM orph, dups, a, sp""".stripMargin)),
+
+    // Market-concentration HHI per nation — Herfindahl index of customer
+    // order shares: HHI = Σcᵢ²/(Σc)² from exact integer count moments
+    // (cᵢ² sums fit Long to ~3·10⁹ orders per customer), one division at
+    // the end. 1/n_customers = perfectly even; 1 = one customer owns the
+    // nation. The dependency-risk metric procurement teams track.
+    GraftQuery(
+      "q201_hhi_concentration",
+      (s, dir) => {
+        val counts = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("o_custkey"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c")).as("n_orders"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("nationkey"), col("n_customers"), col("n_orders"),
+            round(col("scc").cast("double")
+              / (col("n_orders").cast("double") * col("n_orders").cast("double")), 6)
+              .as("hhi"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH c AS (
+        |  SELECT c_nationkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(c) AS BIGINT) AS n_orders,
+        |  round(CAST(SUM(c * c) AS DOUBLE)
+        |        / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6) AS hhi
+        |FROM c GROUP BY 1 ORDER BY nationkey""".stripMargin)),
+
+    // Ranking stability across time halves — overlap@10 of brands by
+    // revenue between the early and late half of the ship-date range:
+    // stable rankings mean drift-free popularity features. Both top-10
+    // lists are exact (cent sums, total-order tiebreaks); the single
+    // output row counts the intersection.
+    GraftQuery(
+      "q202_rank_stability",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"))
+        val mid = li.agg(expr("(min(ship_us) + max(ship_us)) div 2").as("mid_us"))
+        val marked = li.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("ship_us") <= col("mid_us"), "early")
+            .otherwise("late"))
+        val ranked = marked.groupBy(col("half"), col("p_brand"))
+          .agg(sum(col("price_c")).as("cents"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("half").orderBy(col("cents").desc, col("p_brand"))))
+          .filter(col("rnk") <= 10)
+        val early = ranked.filter(col("half") === "early").select(col("p_brand"))
+        val late = ranked.filter(col("half") === "late").select(col("p_brand"))
+        early.join(late, Seq("p_brand"))
+          .agg(count(lit(1)).as("overlap_at_10"))
+          .select(col("overlap_at_10"),
+            round(col("overlap_at_10").cast("double") / 10.0, 6).as("stability"))
+      },
+      Some("""WITH li AS (
+        |  SELECT p_brand,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, l_shipdate
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT (min(epoch_us(l_shipdate)) + max(epoch_us(l_shipdate))) // 2
+        |        AS mid_us FROM li),
+        |h AS (
+        |  SELECT p_brand,
+        |    CASE WHEN epoch_us(l_shipdate) <= (SELECT mid_us FROM m)
+        |         THEN 'early' ELSE 'late' END AS half,
+        |    price_c
+        |  FROM li),
+        |r AS (
+        |  SELECT half, p_brand,
+        |    row_number() OVER (PARTITION BY half
+        |      ORDER BY SUM(price_c) DESC, p_brand) AS rnk
+        |  FROM h GROUP BY half, p_brand)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS overlap_at_10,
+        |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS stability
+        |FROM (SELECT p_brand FROM r WHERE half = 'early' AND rnk <= 10) e
+        |JOIN (SELECT p_brand FROM r WHERE half = 'late' AND rnk <= 10) l
+        |  USING (p_brand)""".stripMargin)))
 }
