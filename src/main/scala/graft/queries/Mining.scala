@@ -378,5 +378,130 @@ object Mining extends QueryPack {
         |SELECT COALESCE(state, 'none') AS state_at_purchase,
         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |  CAST(COUNT(DISTINCT p_user) AS BIGINT) AS n_users
-        |FROM j GROUP BY 1 ORDER BY state_at_purchase""".stripMargin)))
+        |FROM j GROUP BY 1 ORDER BY state_at_purchase""".stripMargin)),
+
+    // Basket-size distribution — lines-per-order histogram with each size
+    // class's share of orders AND of line volume: the fan-out profile that
+    // sizes the orders⋈lineitem join (skew lives here). Exact integers,
+    // two rounded shares.
+    GraftQuery(
+      "q203_basket_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sizes = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+        sizes.groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("total_orders", sum(col("n_orders")).over(Window.partitionBy()))
+          .withColumn("total_lines",
+            sum(col("sz") * col("n_orders")).over(Window.partitionBy()))
+          .select(col("sz"), col("n_orders"),
+            (col("sz") * col("n_orders")).as("n_lines"),
+            round(col("n_orders").cast("double") / col("total_orders"), 6)
+              .as("order_share"),
+            round((col("sz") * col("n_orders")).cast("double") / col("total_lines"), 6)
+              .as("line_share"))
+          .orderBy("sz")
+      },
+      Some("""WITH s AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_orders FROM s GROUP BY 1)
+        |SELECT sz, n_orders, CAST(sz * n_orders AS BIGINT) AS n_lines,
+        |  round(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6) AS order_share,
+        |  round(CAST(sz * n_orders AS DOUBLE) / SUM(sz * n_orders) OVER (), 6)
+        |    AS line_share
+        |FROM h ORDER BY sz""".stripMargin)),
+
+    // Return-rate deviations — per-brand return share vs the global rate,
+    // ranked by absolute deviation: the defect-attribution starting point.
+    // Counts exact; shares and deltas are two final rounded divisions.
+    GraftQuery(
+      "q204_return_deviations",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        val byBrand = li.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("ret")).as("n_returned"))
+        byBrand
+          .withColumn("g_lines", sum(col("n_lines")).over(Window.partitionBy()))
+          .withColumn("g_returned", sum(col("n_returned")).over(Window.partitionBy()))
+          .select(col("p_brand"), col("n_lines"), col("n_returned"),
+            round(col("n_returned").cast("double") / col("n_lines"), 6).as("rate"),
+            round(col("n_returned").cast("double") / col("n_lines")
+              - col("g_returned").cast("double") / col("g_lines"), 6).as("delta"))
+          .orderBy(abs(col("delta")).desc, col("p_brand"))
+          .limit(10)
+      },
+      Some("""WITH b AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_returned
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n_lines, n_returned,
+        |  round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS rate,
+        |  round(CAST(n_returned AS DOUBLE) / n_lines
+        |        - CAST(SUM(n_returned) OVER () AS DOUBLE) / SUM(n_lines) OVER (), 6)
+        |    AS delta
+        |FROM b
+        |ORDER BY abs(round(CAST(n_returned AS DOUBLE) / n_lines
+        |        - CAST(SUM(n_returned) OVER () AS DOUBLE) / SUM(n_lines) OVER (), 6))
+        |  DESC, p_brand
+        |LIMIT 10""".stripMargin)),
+
+    // Customer value-decile mobility — the transition matrix between a
+    // customer's early-half and late-half spend decile (NTILE over exact
+    // cent totals): diagonal mass = stable base, off-diagonal = churn/
+    // growth. The segmentation-drift analysis CRM teams run; customers
+    // active in only one half are excluded by the inner join.
+    GraftQuery(
+      "q205_decile_mobility",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            year(col("o_orderdate")).as("yr"))
+        val mid = o.agg(expr("(min(yr) + max(yr)) div 2").as("mid_yr"))
+        val marked = o.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("yr") <= col("mid_yr"), "early").otherwise("late"))
+        val totals = marked.groupBy(col("half"), col("o_custkey"))
+          .agg(sum(col("cents")).as("cents"))
+          .withColumn("dec", ntile(5).over(
+            Window.partitionBy("half").orderBy(col("cents").asc, col("o_custkey"))))
+        val e = totals.filter(col("half") === "early")
+          .select(col("o_custkey"), col("dec").cast("long").as("dec_early"))
+        val l = totals.filter(col("half") === "late")
+          .select(col("o_custkey"), col("dec").cast("long").as("dec_late"))
+        e.join(l, Seq("o_custkey"))
+          .groupBy(col("dec_early"), col("dec_late"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("dec_early", "dec_late")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    year(o_orderdate) AS yr
+        |  FROM orders),
+        |m AS (SELECT (min(yr) + max(yr)) // 2 AS mid_yr FROM o),
+        |t AS (
+        |  SELECT CASE WHEN yr <= (SELECT mid_yr FROM m) THEN 'early' ELSE 'late' END
+        |      AS half,
+        |    o_custkey, SUM(cents) AS cents
+        |  FROM o GROUP BY 1, 2),
+        |d AS (
+        |  SELECT half, o_custkey,
+        |    CAST(ntile(5) OVER (PARTITION BY half ORDER BY cents, o_custkey)
+        |      AS BIGINT) AS dec
+        |  FROM t)
+        |SELECT e.dec AS dec_early, l.dec AS dec_late,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM (SELECT o_custkey, dec FROM d WHERE half = 'early') e
+        |JOIN (SELECT o_custkey, dec FROM d WHERE half = 'late') l USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY dec_early, dec_late""".stripMargin)))
 }
