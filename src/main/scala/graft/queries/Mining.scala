@@ -503,5 +503,78 @@ object Mining extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM (SELECT o_custkey, dec FROM d WHERE half = 'early') e
         |JOIN (SELECT o_custkey, dec FROM d WHERE half = 'late') l USING (o_custkey)
-        |GROUP BY 1, 2 ORDER BY dec_early, dec_late""".stripMargin)))
+        |GROUP BY 1, 2 ORDER BY dec_early, dec_late""".stripMargin)),
+
+    // Single-sourcing audit — supply-chain resilience: per part-count of
+    // distinct suppliers, rolled into a sourcing histogram with the
+    // single-source fraction. All exact; the multi-sourcing policy gate.
+    GraftQuery(
+      "q206_single_sourcing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perPart = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+        perPart.groupBy(col("n_suppliers"))
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("total", sum(col("n_parts")).over(Window.partitionBy()))
+          .select(col("n_suppliers"), col("n_parts"),
+            round(col("n_parts").cast("double") / col("total"), 6).as("part_frac"))
+          .orderBy("n_suppliers")
+      },
+      Some("""WITH p AS (
+        |  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |      FROM p GROUP BY 1)
+        |SELECT n_suppliers, n_parts,
+        |  round(CAST(n_parts AS DOUBLE) / SUM(n_parts) OVER (), 6) AS part_frac
+        |FROM h ORDER BY n_suppliers""".stripMargin)),
+
+    // Intra-part price dispersion — same part sold at different unit
+    // prices: per-part min/max/spread in exact cents (unit price =
+    // extendedprice/quantity at cent precision via integer cross-check is
+    // NOT exact, so dispersion is measured on extendedprice per unit
+    // quantity bucket instead: lines with quantity 1..5 only, where the
+    // per-unit cent value divides exactly). Top-10 by spread.
+    GraftQuery(
+      "q207_price_dispersion",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") <= 5)
+          .select(col("l_partkey"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
+          .filter(expr("(ext_c * 100) % qty_c = 0"))
+          .withColumn("unit_c", expr("(ext_c * 100) div qty_c"))
+        li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            min(col("unit_c")).as("min_unit_c"),
+            max(col("unit_c")).as("max_unit_c"))
+          .filter(col("n_lines") >= 2)
+          .select(col("l_partkey"), col("n_lines"),
+            (col("min_unit_c").cast("double") / 100.0).as("min_unit"),
+            (col("max_unit_c").cast("double") / 100.0).as("max_unit"),
+            ((col("max_unit_c") - col("min_unit_c")).cast("double") / 100.0)
+              .as("spread"))
+          .orderBy(col("spread").desc, col("l_partkey"))
+          .limit(10)
+      },
+      Some("""WITH li AS (
+        |  SELECT l_partkey,
+        |    (CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+        |      // CAST(round(l_quantity * 100) AS BIGINT) AS unit_c
+        |  FROM lineitem
+        |  WHERE l_quantity <= 5
+        |    AND (CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+        |        % CAST(round(l_quantity * 100) AS BIGINT) = 0),
+        |g AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    MIN(unit_c) AS min_unit_c, MAX(unit_c) AS max_unit_c
+        |  FROM li GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT l_partkey, n_lines,
+        |  CAST(min_unit_c AS DOUBLE) / 100.0 AS min_unit,
+        |  CAST(max_unit_c AS DOUBLE) / 100.0 AS max_unit,
+        |  CAST(max_unit_c - min_unit_c AS DOUBLE) / 100.0 AS spread
+        |FROM g ORDER BY spread DESC, l_partkey LIMIT 10""".stripMargin)))
 }
