@@ -428,6 +428,99 @@ object Relational extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin))
+        |ORDER BY rf, ls""".stripMargin)),
+
+    // Relational DIVISION — universal quantification ("customers whose
+    // EVERY order is urgent", ≥1 order required): the FOR-ALL operator
+    // classic SQL lacks, expressed as the exact-count equality
+    // n_total = n_matching per key (one aggregation — no double anti-join
+    // pass over the big table). The last textbook-algebra operator the
+    // surface was missing.
+    GraftQuery(
+      "q208_relational_division",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+              .as("n_urgent"))
+          .filter(col("n_orders") === col("n_urgent"))
+          .select(col("o_custkey"), col("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) = SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                           THEN 1 ELSE 0 END)
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // Median absolute deviation — the robust spread companion to q155's
+    // winsorized mean: MAD = median(|x − median(x)|) per priority, two
+    // percentile passes with the group median broadcast back between them
+    // (q57 interpolation parity both times).
+    GraftQuery(
+      "q209_mad_robust_spread",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val med = o.groupBy(col("o_orderpriority").as("pr"))
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        o.join(broadcast(med), col("o_orderpriority") === col("pr"))
+          .withColumn("absdev", abs(col("o_totalprice") - col("med")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(first(col("med")), 4).as("median"),
+            round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+        |  SELECT o_orderpriority AS pr,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(ANY_VALUE(med), 4) AS median,
+        |  round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad
+        |FROM orders JOIN m ON o_orderpriority = pr
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Per-nation top customer — the argmax pattern as a THIRD exercise of
+    // the custom TopKPerGroup physical operator, at k = 1 over exact cent
+    // revenue (Long group key this time): the shuffle carries one row per
+    // (nation, map partition). Share-of-nation is the only float.
+    GraftQuery(
+      "q210_top_customer_per_nation",
+      (s, dir) => {
+        val rev = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val nationTotals = rev.groupBy(col("nationkey"))
+          .agg(sum(col("cents")).as("nation_cents"))
+        val top = graft.plans.TopKPerGroup(
+          rev, Seq("nationkey"), Seq(("cents", false), ("o_custkey", true)), 1)
+        top.join(broadcast(nationTotals), Seq("nationkey"))
+          .select(col("nationkey"), col("o_custkey").as("top_custkey"),
+            (col("cents").cast("double") / 100.0).as("top_revenue"),
+            round(col("cents").cast("double") / col("nation_cents").cast("double"), 6)
+              .as("nation_share"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH rev AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nationkey
+        |    ORDER BY cents DESC, o_custkey) AS rnk,
+        |    SUM(cents) OVER (PARTITION BY nationkey) AS nation_cents
+        |  FROM rev)
+        |SELECT nationkey, o_custkey AS top_custkey,
+        |  CAST(cents AS DOUBLE) / 100.0 AS top_revenue,
+        |  round(CAST(cents AS DOUBLE) / CAST(nation_cents AS DOUBLE), 6)
+        |    AS nation_share
+        |FROM r WHERE rnk = 1 ORDER BY nationkey""".stripMargin))
   )
 }
