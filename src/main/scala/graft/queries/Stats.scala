@@ -425,5 +425,113 @@ object Stats extends QueryPack {
         |        / COUNT(*), 6) AS k50_frac,
         |  round(CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rnk END) AS DOUBLE)
         |        / COUNT(*), 6) AS k80_frac
-        |FROM r""".stripMargin)))
+        |FROM r""".stripMargin)),
+
+    // Length–token correlation per source — q127's exact-moment Pearson
+    // machinery applied to two INTEGER text features (chars, whitespace
+    // tokens): hi/lo-split product sums keep everything Long-exact to
+    // ~10⁹ docs per source; one scan, five Long aggregates per source.
+    GraftQuery(
+      "q211_length_token_corr",
+      (s, dir) => {
+        val d = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("source"), col("n_chars").as("a"),
+            expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)")
+              .as("b"))
+        val m = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+            sum(expr("(a * a) div 1000000000")).as("haa"),
+            sum(expr("(a * a) % 1000000000")).as("laa"),
+            sum(expr("(b * b) div 1000000000")).as("hbb"),
+            sum(expr("(b * b) % 1000000000")).as("lbb"),
+            sum(expr("(a * b) div 1000000000")).as("hab"),
+            sum(expr("(a * b) % 1000000000")).as("lab"))
+        def mom(h: String, l: String) = expr(
+          s"CAST(CAST($h AS DECIMAL(38,0)) * 1000000000 + $l AS DOUBLE)")
+        val n = col("n").cast("double")
+        val sa = col("sa").cast("double")
+        val sb = col("sb").cast("double")
+        val num = n * mom("hab", "lab") - sa * sb
+        val den = sqrt((n * mom("haa", "laa") - sa * sa)
+          * (n * mom("hbb", "lbb") - sb * sb))
+        m.select(col("source"), col("n").as("n_docs"),
+            round(num / den, 6).as("corr_len_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+        |      AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab
+        |  FROM d GROUP BY 1)
+        |SELECT source, n AS n_docs,
+        |  round((CAST(n AS DOUBLE) * sab - sa * sb)
+        |        / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+        |               * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+        |    AS corr_len_tokens
+        |FROM m ORDER BY source""".stripMargin)),
+
+    // Exact CUSUM change-point — where the event-value level shifts: the
+    // centered cumulative sum max |Σ_{≤i}(x−mean)| located WITHOUT floats
+    // by cross-multiplying (n·prefix_i − i·total is exact cent-Longs,
+    // overflow-safe via DECIMAL(38,0) products). Per event type: the
+    // change position (event index) and normalized CUSUM height.
+    GraftQuery(
+      "q212_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"), expr("ts div 1000").as("us"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+        val marked = e
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("prefix", sum(col("cents"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("total", sum(col("cents")).over(Window.partitionBy("event_type")))
+          // dev_i = n·prefix_i − i·total (exact; DECIMAL(38,0) products)
+          .withColumn("dev", expr(
+            "CAST(n AS DECIMAL(38,0)) * prefix - CAST(i AS DECIMAL(38,0)) * total"))
+        marked
+          .withColumn("rnk", row_number().over(Window.partitionBy("event_type")
+            .orderBy(abs(col("dev")).desc, col("i"))))
+          .filter(col("rnk") === 1)
+          .select(col("event_type"), col("n").as("n_events"),
+            col("i").as("change_idx"),
+            round(abs(col("dev")).cast("double")
+              / (col("n").cast("double") * 100.0), 4).as("cusum_height"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, us, event_id, cents,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(cents) OVER (PARTITION BY event_type) AS total
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+        |d AS (
+        |  SELECT *, CAST(n AS HUGEINT) * prefix - CAST(i AS HUGEINT) * total AS dev
+        |  FROM m),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(dev) DESC, i) AS rnk
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(i AS BIGINT) AS change_idx,
+        |  round(CAST(abs(dev) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+        |    AS cusum_height
+        |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)))
 }
