@@ -444,16 +444,29 @@ object Relational extends QueryPack {
           .agg(count(lit(1)).as("n_orders"),
             sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
               .as("n_urgent"))
-          .filter(col("n_orders") === col("n_urgent"))
-          .select(col("o_custkey"), col("n_orders"))
-          .orderBy("o_custkey")
+          .select(
+            when(col("n_orders") === col("n_urgent"), "all_urgent")
+              .when(col("n_urgent") === 0, "none_urgent")
+              .otherwise("mixed").as("outcome"),
+            col("o_custkey"), col("n_orders"))
+          .groupBy(col("outcome"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("n_orders")).as("n_orders"),
+            min(col("o_custkey")).as("example_custkey"))
+          .orderBy("outcome")
       },
-      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
-        |FROM orders
-        |GROUP BY o_custkey
-        |HAVING COUNT(*) = SUM(CASE WHEN o_orderpriority = '1-URGENT'
-        |                           THEN 1 ELSE 0 END)
-        |ORDER BY o_custkey""".stripMargin)),
+      Some("""WITH per AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS n_urgent
+        |  FROM orders GROUP BY 1)
+        |SELECT CASE WHEN n_orders = n_urgent THEN 'all_urgent'
+        |            WHEN n_urgent = 0 THEN 'none_urgent'
+        |            ELSE 'mixed' END AS outcome,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        |  min(o_custkey) AS example_custkey
+        |FROM per GROUP BY 1 ORDER BY outcome""".stripMargin)),
 
     // Median absolute deviation — the robust spread companion to q155's
     // winsorized mean: MAD = median(|x − median(x)|) per priority, two
