@@ -627,6 +627,44 @@ object Events extends QueryPack {
         |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
         |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
         |FROM g WHERE gap_s IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // New-vs-returning growth accounting — per epoch week: active users
+    // split into first-ever-seen (new) and returning, the growth ledger
+    // every WAU chart decomposes into. One distinct frame, one first-seen
+    // aggregate joined back; all exact.
+    GraftQuery(
+      "q214_new_vs_returning",
+      (s, dir) => {
+        val active = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+          .distinct()
+        val firstSeen = active.groupBy(col("user_id"))
+          .agg(min(col("week")).as("first_week"))
+        active.join(firstSeen, Seq("user_id"))
+          .groupBy(col("week"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+              .as("n_new"),
+            sum(when(col("week") =!= col("first_week"), 1L).otherwise(0L))
+              .as("n_returning"))
+          .withColumn("returning_frac",
+            round(col("n_returning").cast("double") / col("n_active"), 6))
+          .orderBy("week")
+      },
+      Some("""WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS first_week FROM a GROUP BY 1)
+        |SELECT CAST(week AS BIGINT) AS week,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN week <> first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  round(CAST(SUM(CASE WHEN week <> first_week THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS returning_frac
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY week ORDER BY week""".stripMargin))
   )
 }

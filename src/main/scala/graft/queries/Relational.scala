@@ -534,6 +534,55 @@ object Relational extends QueryPack {
         |  CAST(cents AS DOUBLE) / 100.0 AS top_revenue,
         |  round(CAST(cents AS DOUBLE) / CAST(nation_cents AS DOUBLE), 6)
         |    AS nation_share
-        |FROM r WHERE rnk = 1 ORDER BY nationkey""".stripMargin))
+        |FROM r WHERE rnk = 1 ORDER BY nationkey""".stripMargin)),
+
+    // Percent-of-parent hierarchical rollup — region→nation revenue where
+    // each nation carries its share of the region and each region its
+    // share of the world: the drill-down presentation layer of every BI
+    // hierarchy, from exact cent sums and two window divisions.
+    GraftQuery(
+      "q213_percent_of_parent",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables(s, dir, "orders")
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        rev
+          .withColumn("region_cents", sum(col("cents")).over(Window.partitionBy("r_name")))
+          .withColumn("world_cents", sum(col("cents")).over(Window.partitionBy()))
+          .select(col("r_name"), col("n_name"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            round(col("cents").cast("double") / col("region_cents"), 6)
+              .as("share_of_region"),
+            round(col("region_cents").cast("double") / col("world_cents"), 6)
+              .as("region_share_of_world"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(cents AS DOUBLE)
+        |        / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  round(CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+        |        / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+        |    AS region_share_of_world
+        |FROM rev ORDER BY r_name, n_name""".stripMargin))
   )
 }
