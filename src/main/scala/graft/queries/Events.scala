@@ -665,6 +665,62 @@ object Events extends QueryPack {
         |  round(CAST(SUM(CASE WHEN week <> first_week THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 6) AS returning_frac
         |FROM a JOIN f USING (user_id)
-        |GROUP BY week ORDER BY week""".stripMargin))
+        |GROUP BY week ORDER BY week""".stripMargin)),
+
+    // Session depth vs conversion — q32's sessionization re-aggregated to
+    // the product question: do longer sessions convert more? Depth buckets
+    // (1, 2-4, 5-9, 10+) × contains-purchase rate, exact counts
+    // throughout; the engagement-funnel summary.
+    GraftQuery(
+      "q215_depth_conversion",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = Tables(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("depth"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("converted"))
+        sessions
+          .withColumn("depth_bucket",
+            when(col("depth") === 1, "1")
+              .when(col("depth") <= 4, "2-4")
+              .when(col("depth") <= 9, "5-9")
+              .otherwise("10+"))
+          .groupBy(col("depth_bucket"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("converted")).as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted").cast("double") / col("n_sessions"), 6))
+          .orderBy("depth_bucket")
+      },
+      Some("""WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, session_id, COUNT(*) AS depth,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CASE WHEN depth = 1 THEN '1' WHEN depth <= 4 THEN '2-4'
+        |            WHEN depth <= 9 THEN '5-9' ELSE '10+' END AS depth_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+        |FROM s GROUP BY 1 ORDER BY depth_bucket""".stripMargin))
   )
 }

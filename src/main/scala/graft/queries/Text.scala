@@ -590,6 +590,44 @@ object Text extends QueryPack {
         |  CAST(SUM(n_nonascii) AS BIGINT) AS n_nonascii,
         |  CAST(SUM(n_control) AS BIGINT) AS n_control,
         |  round(CAST(SUM(n_nonascii) AS DOUBLE) / SUM(n), 6) AS nonascii_frac
-        |FROM d GROUP BY source ORDER BY source""".stripMargin))
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Language-mix diversity per source — q192's ordered-fold entropy over
+    // each source's LANGUAGE shares (≤ a handful of terms, float order
+    // pinned by sorting on lang): monolingual feeds score 0, balanced
+    // multilingual feeds approach ln(n_langs). The mixture-drift metric a
+    // multilingual curation plan monitors.
+    GraftQuery(
+      "q216_source_lang_diversity",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        counts.groupBy(col("source"))
+          .agg(sum(col("n")).as("total"),
+            count(lit(1)).as("n_langs"),
+            expr("transform(array_sort(collect_list(struct(lang, n))), s -> s.n)")
+              .as("ns"))
+          .select(col("source"), col("total").as("n_docs"), col("n_langs"),
+            round(expr(
+              """aggregate(ns, CAST(0.0 AS DOUBLE),
+                 (acc, x) -> acc - (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+                   * ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE)))"""), 6)
+              .as("lang_entropy_nats"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |    list(n ORDER BY lang) AS ns
+        |  FROM c GROUP BY source)
+        |SELECT source, total AS n_docs, n_langs,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ns, x -> CAST(x AS DOUBLE))),
+        |    (acc, x) -> acc - (x / total) * ln(x / total)), 6)
+        |    AS lang_entropy_nats
+        |FROM g ORDER BY source""".stripMargin))
   )
 }
