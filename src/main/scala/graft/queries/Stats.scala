@@ -533,5 +533,182 @@ object Stats extends QueryPack {
         |  CAST(i AS BIGINT) AS change_idx,
         |  round(CAST(abs(dev) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
         |    AS cusum_height
-        |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)))
+        |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)),
+
+    // Benford first-digit audit — the classic forensic screen on monetary
+    // amounts: per order priority, the observed first-significant-digit
+    // distribution of o_totalprice vs Benford's law log10(1+1/d), with the
+    // per-digit chi-square contribution. Digit extraction is exact (first
+    // char of the cent-Long's decimal rendering); floats enter only in the
+    // final per-digit scalar arithmetic over exact counts. One scan, one
+    // 9×5-cell aggregate — nothing here grows with data volume.
+    GraftQuery(
+      "q217_benford_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
+              " AS STRING), 1, 1) AS INT)").as("digit"))
+        val agg = o.groupBy(col("priority"), col("digit"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy("priority")))
+        val expShare = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+        val expCnt = col("n").cast("double") * expShare
+        agg.select(col("priority"), col("digit"), col("cnt"),
+            round(col("cnt").cast("double") / col("n").cast("double"), 6)
+              .as("obs_share"),
+            round(expShare, 6).as("exp_share"),
+            round(pow(col("cnt").cast("double") - expCnt, 2) / expCnt, 4)
+              .as("chi2_term"))
+          .orderBy("priority", "digit")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |a AS (
+        |  SELECT priority, digit, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM o GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY priority) AS n FROM a)
+        |SELECT priority, digit, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+        |  round(pow(CAST(cnt AS DOUBLE)
+        |          - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+        |        / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
+        |    AS chi2_term
+        |FROM w ORDER BY priority, digit""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov — D = max_x |F_R(x) − F_A(x)|
+    // between returned (R) and accepted (A) line-item price distributions.
+    // The CDF scan runs on the DISTINCT-value level through
+    // [[graft.operators.DistributedPrefixSum]] — range-partitioned two-phase
+    // prefix sums, NOT a single-partition window — and the max deviation is
+    // integer-exact via the cross-product |r1·n2 − r2·n1| in DECIMAL(38,0)
+    // (no float CDFs compared). Argmax is a TakeOrderedAndProject (k=1).
+    GraftQuery(
+      "q218_ks_two_sample",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("f1"),
+            when(col("l_returnflag") === "A", 1L).otherwise(0L).as("f2"))
+        val byVal = li.groupBy(col("cents"))
+          .agg(sum(col("f1")).as("c1"), sum(col("f2")).as("c2"))
+        val scanned = graft.operators.DistributedPrefixSum
+          .scan(byVal, Seq("cents"), Seq("c1", "c2"))
+        val tot = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        scanned.crossJoin(broadcast(tot))
+          .withColumn("dev", expr(
+            "abs(CAST(run_c1 AS DECIMAL(38,0)) * n2 - CAST(run_c2 AS DECIMAL(38,0)) * n1)"))
+          .orderBy(col("dev").desc, col("cents").asc)
+          .limit(1)
+          .select(col("n1"), col("n2"),
+            round(col("dev").cast("double")
+              / (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks_d"),
+            (col("cents").cast("double") / 100.0).as("at_value"))
+      },
+      Some("""WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS f2
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |v AS (
+        |  SELECT cents, CAST(SUM(f1) AS BIGINT) AS c1,
+        |    CAST(SUM(f2) AS BIGINT) AS c2
+        |  FROM li GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    SUM(c1) OVER (ORDER BY cents) AS r1,
+        |    SUM(c2) OVER (ORDER BY cents) AS r2
+        |  FROM v),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM v),
+        |d AS (
+        |  SELECT cents,
+        |    abs(CAST(r1 AS HUGEINT) * n2 - CAST(r2 AS HUGEINT) * n1) AS dev
+        |  FROM r, t)
+        |SELECT t.n1, t.n2,
+        |  round(CAST(d.dev AS DOUBLE)
+        |        / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks_d,
+        |  CAST(d.cents AS DOUBLE) / 100.0 AS at_value
+        |FROM d, t ORDER BY d.dev DESC, d.cents LIMIT 1""".stripMargin)),
+
+    // Exact Mann–Whitney U with tie correction — rank-sum test on the
+    // (heavily tied, 50-value) quantity distributions of returned vs
+    // accepted lines. Average tie ranks are kept integer by working in
+    // DOUBLED rank units: a tied block of size t starting after `start`
+    // rows contributes 2·avgRank = 2·start + t + 1 per member. Everything
+    // through 2U₁ and the tie term Σ(t³−t) is an exact BIGINT/DECIMAL(38,0)
+    // aggregate at the distinct-VALUE level (≤50 rows here); the z-score is
+    // the single final float expression. Prefix sums over the value table
+    // again go through DistributedPrefixSum — no single-partition window.
+    GraftQuery(
+      "q219_mann_whitney",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(expr("CAST(l_quantity AS BIGINT)").as("qty"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("f1"),
+            when(col("l_returnflag") === "A", 1L).otherwise(0L).as("f2"))
+        val byVal = li.groupBy(col("qty"))
+          .agg(sum(col("f1")).as("c1"), sum(col("f2")).as("c2"))
+          .withColumn("t", col("c1") + col("c2"))
+        val scanned = graft.operators.DistributedPrefixSum
+          .scan(byVal, Seq("qty"), Seq("c1", "c2"))
+        val stats = scanned
+          .withColumn("start", col("run_c1") + col("run_c2") - col("t"))
+          .agg(
+            sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            // 2·R1 = Σ_values c1 · (2·start + t + 1), exact in DECIMAL(38,0)
+            sum(expr("CAST(c1 AS DECIMAL(38,0)) * (2 * start + t + 1)")).as("two_r1"),
+            sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_term"))
+        stats.select(col("n1"), col("n2"),
+            expr("CAST((two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS DOUBLE) / 2.0")
+              .as("u1"),
+            round(
+              expr("CAST((two_r1 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS DOUBLE)"
+                + " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)")
+                / (lit(2.0) * sqrt(
+                  expr("CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0")
+                    * (expr("CAST(n1 + n2 + 1 AS DOUBLE)")
+                       - expr("CAST(tie_term AS DOUBLE)")
+                         / expr("CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)")))),
+              4).as("z_score"))
+      },
+      Some("""WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS f2
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |v AS (
+        |  SELECT qty, CAST(SUM(f1) AS BIGINT) AS c1,
+        |    CAST(SUM(f2) AS BIGINT) AS c2,
+        |    CAST(SUM(f1) + SUM(f2) AS BIGINT) AS t
+        |  FROM li GROUP BY 1),
+        |r AS (
+        |  SELECT *, SUM(c1) OVER (ORDER BY qty) AS run_c1,
+        |    SUM(c2) OVER (ORDER BY qty) AS run_c2
+        |  FROM v),
+        |st AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    SUM(CAST(c1 AS HUGEINT)
+        |        * (2 * (run_c1 + run_c2 - t) + t + 1)) AS two_r1,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+        |  FROM r)
+        |SELECT n1, n2,
+        |  CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  round(
+        |    (CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+        |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |        * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |           - CAST(tie_term AS DOUBLE)
+        |             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))),
+        |    4) AS z_score
+        |FROM st""".stripMargin)))
 }
