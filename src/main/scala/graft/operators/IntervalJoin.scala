@@ -68,4 +68,46 @@ object IntervalJoin {
       .where(col(pCol) >= col(sCol) && col(pCol) <= col(eCol))
       .drop(BinCol)
   }
+
+  /** Interval-OVERLAP join: pairs `(a, b)` whose inclusive ranges intersect
+    * (`aS <= bE && bS <= aE`), optionally restricted to equal `equiKeys`
+    * pairs. Same binning idea as [[containment]], plus the standard
+    * first-shared-bin dedup: an overlapping pair co-occupies every bin the
+    * intersection touches, so it is emitted ONLY in the bin of
+    * `max(aS, bS)` — which equals `greatest(aS div W, bS div W)` because
+    * integer `div` is monotone — making the output duplicate-free without a
+    * `distinct`. With equi keys the hash join key is `(keys…, bin)`, so
+    * per-key density bounds the candidates; the same non-negative-domain
+    * contract as [[containment]] applies.
+    */
+  def overlap(
+      a: DataFrame, aS: String, aE: String,
+      b: DataFrame, bS: String, bE: String,
+      equiKeys: Seq[(String, String)],
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val clash = (a.columns ++ b.columns).contains(BinCol)
+    require(!clash, s"column name $BinCol is reserved by IntervalJoin")
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"a and b share column names ${shared.mkString(",")} — rename before joining")
+
+    def binned(df: DataFrame, s: String, e: String) = df
+      .where(col(s) >= 0 && col(e) >= col(s))
+      .withColumn(BinCol,
+        explode(sequence(
+          expr(s"CAST(`$s` AS BIGINT) div $binWidth"),
+          expr(s"CAST(`$e` AS BIGINT) div $binWidth"))))
+    val aB = binned(a, aS, aE)
+    val bB = binned(b, bS, bE).withColumnRenamed(BinCol, BinCol + "_b")
+    val cond = equiKeys
+      .map { case (ka, kb) => col(ka) === col(kb) }
+      .foldLeft(col(BinCol) === col(BinCol + "_b"))(_ && _)
+    aB.join(bB, cond)
+      .where(col(aS) <= col(bE) && col(bS) <= col(aE))
+      .where(col(BinCol) === greatest(
+        expr(s"CAST(`$aS` AS BIGINT) div $binWidth"),
+        expr(s"CAST(`$bS` AS BIGINT) div $binWidth")))
+      .drop(BinCol, BinCol + "_b")
+  }
 }

@@ -583,6 +583,143 @@ object Relational extends QueryPack {
         |  round(CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
         |        / CAST(SUM(cents) OVER () AS DOUBLE), 6)
         |    AS region_share_of_world
-        |FROM rev ORDER BY r_name, n_name""".stripMargin))
+        |FROM rev ORDER BY r_name, n_name""".stripMargin)),
+
+    // TPC-H Q21 shape — "sole blame": suppliers whose line is the ONLY
+    // returned ('R') line on a multi-supplier order. Two self-joins on the
+    // fact table, BOTH keyed on l_orderkey so they share one shuffle
+    // partitioning: a LEFT SEMI (some other supplier participated) and a
+    // LEFT ANTI (no other supplier's line was returned). The per-supplier
+    // count then joins the tiny supplier dim broadcast, and the top-20 is a
+    // TakeOrderedAndProject. Cites the reference's per-record filter model
+    // (`LogfileRecordReader.java:293-319` filters one record at a time —
+    // here the same predicate semantics are a set-level anti join).
+    GraftQuery(
+      "q220_sole_blame_suppliers",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val returned = li.filter(col("l_returnflag") === "R")
+        val others = li.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"))
+        val othersReturned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk"))
+        val blamed = returned
+          .join(others,
+            col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"),
+            "left_semi")
+          .join(othersReturned,
+            col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
+            "left_anti")
+        blamed.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""WITH blamed AS (
+        |  SELECT l1.l_suppkey
+        |  FROM lineitem l1
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R'))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q22 shape — "idle rich": customers with an account balance
+    // above the average positive balance who have placed NO urgent orders
+    // (this generator gives every customer at least one order, so the
+    // classic "no orders at all" predicate is degenerate), rolled up by
+    // nation. The global average is a scalar subquery (one row, broadcast
+    // via cross join — never a driver collect), the "none exists" predicate
+    // a LEFT ANTI join on the filtered orders key projection, and the money
+    // sum the exact cent-Long discipline.
+    GraftQuery(
+      "q221_idle_rich_customers",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        val avgPos = c.filter(col("bal_cents") > 0)
+          .agg((sum(col("bal_cents")).cast("double")
+            / count(lit(1)).cast("double")).as("avg_cents"))
+        val rich = c.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents").cast("double") > col("avg_cents"))
+        val idle = rich.join(
+          Tables(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        idle.join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("bal_cents")).cast("double") / 100.0).as("totacctbal"))
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |avg_pos AS (
+        |  SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_cents
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM c, avg_pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Interval-OVERLAP join — same-customer urgent-vs-low order activity
+    // windows ([orderdate, orderdate+7d]) that intersect, per urgent-order
+    // year. Runs through [[graft.operators.IntervalJoin.overlap]]: the join
+    // key is (customer, 8-day bin) — an EQUI hash join whose candidates are
+    // bounded by per-customer-per-bin density, not a BroadcastNestedLoop
+    // range join — and pairs dedup via the first-shared-bin rule rather
+    // than a distinct. The oracle states the same semantics directly as
+    // |d_urgent − d_low| ≤ 7 on the shared customer.
+    GraftQuery(
+      "q222_order_window_overlap",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        def side(prio: String, p: String) = o
+          .filter(col("o_orderpriority") === prio)
+          .select(col("o_custkey").as(p + "ck"), col("o_orderkey").as(p + "ok"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as(p + "s"))
+          .withColumn(p + "e", col(p + "s") + 7)
+        val pairs = graft.operators.IntervalJoin.overlap(
+          side("1-URGENT", "u"), "us", "ue",
+          side("5-LOW", "l"), "ls", "le",
+          Seq("uck" -> "lck"), binWidth = 8L)
+        pairs
+          .withColumn("yr", expr("year(date_add(DATE '1970-01-01', CAST(us AS INT)))"))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("uck")).as("n_customers"))
+          .orderBy("yr")
+      },
+      Some("""WITH u AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS ud
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |l AS (
+        |  SELECT o_custkey AS ck2, CAST(o_orderdate AS DATE) AS ld
+        |  FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT CAST(year(ud) AS INT) AS yr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers
+        |FROM u JOIN l ON ck = ck2 AND ld BETWEEN ud - 7 AND ud + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -710,5 +710,92 @@ object Stats extends QueryPack {
         |           - CAST(tie_term AS DOUBLE)
         |             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))),
         |    4) AS z_score
-        |FROM st""".stripMargin)))
+        |FROM st""".stripMargin)),
+
+    // Exact weighted median — quantity-weighted median extended price per
+    // return flag: the smallest price whose cumulative weight reaches half
+    // the total. The scan collapses to the distinct-(flag, price) level
+    // first (one hash aggregate), then a window PARTITIONED by flag (3
+    // partitions, each parallel-safe: per-flag distinct prices, not rows)
+    // does the cumulative weight; everything is exact Longs.
+    GraftQuery(
+      "q223_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+            expr("CAST(l_quantity AS BIGINT)").as("w"))
+          .groupBy(col("flag"), col("cents"))
+          .agg(sum(col("w")).as("w"))
+        val win = Window.partitionBy("flag").orderBy("cents")
+        v.withColumn("cumw",
+            sum(col("w")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("totw", sum(col("w")).over(Window.partitionBy("flag")))
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy(col("flag"))
+          .agg(min(col("cents")).as("med_cents"), max(col("totw")).as("total_weight"))
+          .select(col("flag"), col("total_weight"),
+            (col("med_cents").cast("double") / 100.0).as("weighted_median_price"))
+          .orderBy("flag")
+      },
+      Some("""WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cumw,
+        |    SUM(w) OVER (PARTITION BY flag) AS totw
+        |  FROM v)
+        |SELECT flag, CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS weighted_median_price
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // Mutual information between two categorical columns (return flag ×
+    // line status) — the feature-association screen: per-cell pointwise MI
+    // ln(p(x,y)/(p(x)p(y))) and the cell's MI contribution. The joint table
+    // is one groupBy (6 cells); marginals re-aggregate the CELL table via
+    // windows, never the rows; floats only in the per-cell final scalar
+    // over exact Long counts (ln is the round(6)-safe case).
+    GraftQuery(
+      "q224_mutual_information",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val joint = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+          .agg(count(lit(1)).as("n_xy"))
+        val withM = joint
+          .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy("flag")))
+          .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy("status")))
+          .withColumn("n", sum(col("n_xy")).over(Window.partitionBy()))
+        withM.select(col("flag"), col("status"), col("n_xy"),
+            round(log(col("n_xy").cast("double") * col("n").cast("double")
+              / (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+              .as("pmi_nats"),
+            round((col("n_xy").cast("double") / col("n").cast("double"))
+              * log(col("n_xy").cast("double") * col("n").cast("double")
+                / (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+              .as("mi_term"))
+          .orderBy("flag", "status")
+      },
+      Some("""WITH joint AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |    CAST(COUNT(*) AS BIGINT) AS n_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    SUM(n_xy) OVER (PARTITION BY flag) AS n_x,
+        |    SUM(n_xy) OVER (PARTITION BY status) AS n_y,
+        |    SUM(n_xy) OVER () AS n
+        |  FROM joint)
+        |SELECT flag, status, n_xy,
+        |  round(ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        |           / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi_nats,
+        |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        |             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS mi_term
+        |FROM m ORDER BY flag, status""".stripMargin)))
 }
