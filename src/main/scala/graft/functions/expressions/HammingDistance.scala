@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
       (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectOptimizerRule(session =>
       graft.plans.RewriteSingletonRepartition(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -449,5 +449,116 @@ object Advanced extends QueryPack {
         |WHERE o_orderkey IN (
         |  SELECT o_orderkey FROM orders
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
-        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)))
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // LATERAL correlated subquery (Spark 4 SQL surface) — top-3 customers
+    // by balance per nation, written as the ANSI `, LATERAL (...)` form on
+    // BOTH engines. Catalyst DECORRELATES the per-row subquery into a
+    // ranked window + join (DecorrelateInnerQuery) — the plan is the same
+    // shape as the window-rank twin (q15), so the per-outer-row re-scan the
+    // syntax implies never executes; the nation side is 25 rows, the
+    // customer side aggregates once.
+    GraftQuery(
+      "q226_lateral_topk_per_nation",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name, x.c_name,
+          |  CAST(round(x.c_acctbal * 100) AS BIGINT) AS bal_cents
+          |FROM nation, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 3) x
+          |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin)
+      },
+      Some("""SELECT n_name, x.c_name,
+        |  CAST(round(x.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) x
+        |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin)),
+
+    // Recursive CTE (Spark 4 SQL surface) — bounded-depth walk counting
+    // over the nation→nation trade graph (distinct supplier-nation →
+    // customer-nation pairs from co-traded orders): for each nation, how
+    // many distinct trade walks of length ≤ 3 start there. The SAME
+    // `WITH RECURSIVE ... UNION ALL` text runs on both engines; the
+    // recursion operates on the 25-node edge list AFTER one distinct
+    // aggregation, and the explicit depth bound keeps UNION ALL finite on
+    // a cyclic graph. The iterative operators (q103 PageRank, q115 BFS)
+    // remain the 100 TB fixpoint path; this is the declarative twin.
+    GraftQuery(
+      "q227_recursive_trade_walks",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(RecursiveWalksSql)
+      },
+      Some(RecursiveWalksSql)),
+
+    // Co-purchase brand affinity — item-item collaborative-filtering scores
+    // at the brand level: baskets = orders, items = the DISTINCT brands on
+    // the order (lineitem × broadcast part), affinity = cosine of the
+    // co-occurrence counts cooc/sqrt(n1·n2). The self-join runs on the
+    // (order, brand)-distinct frame keyed by order — per-basket fan-out is
+    // bounded by brands-per-order (≤ 25), never by catalog size — and the
+    // cosine denominator is exact Long counts with the single final float.
+    GraftQuery(
+      "q228_brand_copurchase",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val ob = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val n = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+        val a = ob.select(col("ok"), col("brand").as("b1"))
+        val b = ob.select(col("ok").as("ok2"), col("brand").as("b2"))
+        val cooc = a.join(b, col("ok") === col("ok2") && col("b1") < col("b2"))
+          .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("cooc"))
+        cooc
+          .join(broadcast(n.select(col("brand").as("b1"), col("n").as("n1"))), "b1")
+          .join(broadcast(n.select(col("brand").as("b2"), col("n").as("n2"))), "b2")
+          .select(col("b1"), col("b2"), col("cooc"), col("n1"), col("n2"),
+            round(col("cooc").cast("double")
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")), 6)
+              .as("affinity"))
+          .orderBy(col("affinity").desc, col("b1").asc, col("b2").asc)
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+        |cooc AS (
+        |  SELECT a.brand AS b1, b.brand AS b2, CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, cooc, n1.n AS n1, n2.n AS n2,
+        |  round(CAST(cooc AS DOUBLE) / sqrt(CAST(n1.n AS DOUBLE) * n2.n), 6)
+        |    AS affinity
+        |FROM cooc
+        |JOIN n n1 ON cooc.b1 = n1.brand
+        |JOIN n n2 ON cooc.b2 = n2.brand
+        |ORDER BY affinity DESC, b1, b2 LIMIT 20""".stripMargin)))
+
+  /** Shared Spark/DuckDB text for q227 — identical on both engines. */
+  private val RecursiveWalksSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT CAST(s.s_nationkey AS INT) AS src,
+      |    CAST(c.c_nationkey AS INT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE s.s_nationkey <> c.c_nationkey),
+      |walk(origin, node, depth) AS (
+      |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges)
+      |  UNION ALL
+      |  SELECT w.origin, e.dst, w.depth + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.depth < 3)
+      |SELECT origin, CAST(COUNT(*) AS BIGINT) AS n_walks,
+      |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable
+      |FROM walk WHERE depth > 0
+      |GROUP BY origin ORDER BY origin""".stripMargin
 }

@@ -576,5 +576,38 @@ object Mining extends QueryPack {
         |  CAST(min_unit_c AS DOUBLE) / 100.0 AS min_unit,
         |  CAST(max_unit_c AS DOUBLE) / 100.0 AS max_unit,
         |  CAST(max_unit_c - min_unit_c AS DOUBLE) / 100.0 AS spread
-        |FROM g ORDER BY spread DESC, l_partkey LIMIT 10""".stripMargin)))
+        |FROM g ORDER BY spread DESC, l_partkey LIMIT 10""".stripMargin)),
+
+    // Jaro–Winkler fuzzy pairs through the native codegen expression
+    // [[graft.functions.expressions.JaroWinkler]] — blocked self-join on
+    // (brand, size) so candidates are bounded per bucket (the same blocking
+    // discipline as q109's Levenshtein pairs), similarity evaluated inside
+    // whole-stage codegen, top-20 via TakeOrderedAndProject. The oracle is
+    // DuckDB's own jaro_winkler_similarity — the expression's semantics
+    // (boost threshold 0.7, prefix cap 4, empty → 0) are pinned both here
+    // and in JaroWinklerSpec.
+    GraftQuery(
+      "q225_jaro_winkler_pairs",
+      (s, dir) => {
+        graft.functions.expressions.JaroWinkler.register(s)
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+        val a = p.select(col("p_brand").as("ab"), col("p_size").as("as_"),
+          col("p_partkey").as("k1"), col("p_name").as("n1"))
+        val b = p.select(col("p_brand").as("bb"), col("p_size").as("bs"),
+          col("p_partkey").as("k2"), col("p_name").as("n2"))
+        a.join(b, col("ab") === col("bb") && col("as_") === col("bs")
+            && col("k1") < col("k2"))
+          .select(col("k1"), col("k2"), col("n1"), col("n2"),
+            round(expr("jaro_winkler(n1, n2)"), 6).as("jw"))
+          .orderBy(col("jw").desc, col("k1").asc, col("k2").asc)
+          .limit(20)
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS n1, b.p_name AS n2,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |ORDER BY jw DESC, k1, k2 LIMIT 20""".stripMargin)))
 }
