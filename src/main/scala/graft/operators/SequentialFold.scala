@@ -60,4 +60,52 @@ object SequentialFold {
     }(RowEncoder.encoderFor(outSchema))
     folded.toDF()
   }
+
+  /** Holt's linear-trend (double exponential) smoothing per key — a
+    * TWO-state recurrence no window function expresses:
+    * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, seeded `l₁ = x₁, b₁ = 0`.
+    * Same secondary-sort layout as [[ema]]: one shuffle, O(1) state per
+    * key, bit-deterministic because the fold visits each key's rows in
+    * exactly the caller's total order. Returns one row per key:
+    * (key, n_rows, level, trend, forecast₁ = level + trend).
+    */
+  def holt(df: DataFrame, key: String, order: Seq[String], value: String,
+      alpha: Double, beta: Double): DataFrame = {
+    val sorted = df
+      .select((key +: order :+ value).map(col): _*)
+      .repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+    val schema = sorted.schema
+    val keyIdx = schema.fieldIndex(key)
+    val valIdx = schema.fieldIndex(value)
+    val outSchema = StructType(Seq(
+      StructField(key, LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("forecast", DoubleType, nullable = false)))
+    val folded = sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Row = {
+          val first = it.next()
+          val k = first.getLong(keyIdx)
+          var n = 1L
+          var l = first.getDouble(valIdx)
+          var b = 0.0
+          while (it.hasNext && it.head.getLong(keyIdx) == k) {
+            val x = it.next().getDouble(valIdx)
+            n += 1
+            val lNext = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (lNext - l) + (1.0 - beta) * b
+            l = lNext
+          }
+          Row(k, n, l, b, l + b)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+    folded.toDF()
+  }
 }

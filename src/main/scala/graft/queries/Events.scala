@@ -721,6 +721,57 @@ object Events extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |  CAST(SUM(converted) AS BIGINT) AS n_converted,
         |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
-        |FROM s GROUP BY 1 ORDER BY depth_bucket""".stripMargin))
+        |FROM s GROUP BY 1 ORDER BY depth_bucket""".stripMargin)),
+
+    // Holt linear-trend smoothing per user — the TWO-state recurrence
+    // (level + trend) through [[graft.operators.SequentialFold.holt]]:
+    // secondary-sort layout, O(1) state per key, bit-deterministic fold
+    // order. The oracle steps the identical recurrence with a RECURSIVE
+    // CTE over per-user row indices (depth = rows-per-user, ≤99 here),
+    // evaluating the same IEEE expression sequence — so level/trend/
+    // one-step forecast agree to the bit before round(6). (DuckDB's
+    // list_reduce over STRUCT state is NOT usable: its per-field
+    // evaluation order over the accumulator is inconsistent — probed on
+    // v1.0.0 — so the oracle avoids it.)
+    GraftQuery(
+      "q230_holt_linear_trend",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("value"))
+        graft.operators.SequentialFold
+          .holt(ev, "user_id", Seq("us", "event_id"), "value",
+            alpha = 0.3, beta = 0.1)
+          .select(col("user_id"), col("n_rows"),
+            round(col("level"), 6).as("level"),
+            round(col("trend"), 6).as("trend"),
+            round(col("forecast"), 6).as("forecast"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, v,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS BIGINT) AS i,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |rec(user_id, i, l, b) AS (
+        |  SELECT user_id, i, v, CAST(0 AS DOUBLE) FROM x WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.i,
+        |    0.3 * x.v + 0.7 * (rec.l + rec.b),
+        |    0.1 * ((0.3 * x.v + 0.7 * (rec.l + rec.b)) - rec.l) + 0.9 * rec.b
+        |  FROM rec JOIN x ON x.user_id = rec.user_id AND x.i = rec.i + 1),
+        |fin AS (
+        |  SELECT user_id, i, l, b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY i DESC) AS rn
+        |  FROM rec)
+        |SELECT f.user_id, CAST(f.i AS BIGINT) AS n_rows,
+        |  round(f.l, 6) AS level, round(f.b, 6) AS trend,
+        |  round(f.l + f.b, 6) AS forecast
+        |FROM fin f WHERE f.rn = 1 ORDER BY f.user_id""".stripMargin))
   )
 }

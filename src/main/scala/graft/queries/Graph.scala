@@ -174,5 +174,26 @@ object Graph extends QueryPack {
         |SELECT entity, CAST(count(*) AS BIGINT) AS n_variants,
         |  string_agg(node, ';' ORDER BY node) AS members
         |FROM comp GROUP BY entity HAVING count(*) >= 2
-        |ORDER BY entity""".stripMargin)))
+        |ORDER BY entity""".stripMargin)),
+
+    // k-core decomposition of the co-purchase graph — coreness histogram
+    // via [[graft.operators.KCore]] iterative peeling (groupBy-degree +
+    // anti-join rounds, lineage cut per round). Coreness is the
+    // graph-strength signal a recommender or community pass filters on:
+    // high-core parts sit in dense co-purchase clusters, coreness-1 parts
+    // are incidental pairings. Iterative fixpoint → no single SQL oracle;
+    // peel semantics are pinned exactly in KCoreSpec (clique/triangle/
+    // path/ring fixtures), and the driver records the rows-only check.
+    GraftQuery(
+      "q232_kcore_copurchase",
+      (s, dir) => {
+        val pr = coPurchase(s, dir)
+        graft.operators.KCore
+          .decompose(pr.select(col("p1"), col("p2")))
+          .groupBy(col("coreness"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_part"), max(col("node")).as("max_part"))
+          .orderBy("coreness")
+      },
+      None))
 }

@@ -128,5 +128,44 @@ object Sketches extends QueryPack {
         |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
         |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90
         |FROM r JOIN nd ON r.event_type = nd.event_type
-        |GROUP BY r.event_type, nd.n_days ORDER BY 1""".stripMargin)))
+        |GROUP BY r.event_type, nd.n_days ORDER BY 1""".stripMargin)),
+
+    // Calendar-month activity bitmaps — each customer's 12 calendar months
+    // compressed to one BIGINT via the bit_or aggregate (bit i set ⟺ an
+    // order in month i+1), then a popcount histogram. The bitmap is the
+    // 64×-denser carrier for "active in which periods" rollups: the shuffle
+    // moves ONE long per customer instead of up to 12 (custkey, month)
+    // rows, and downstream predicates ("active every month", "Q4-only")
+    // are bitwise ops, not joins. Exact and portable: bit_or / bit_count
+    // evaluate identically on both engines.
+    GraftQuery(
+      "q229_activity_bitmap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val masks = Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(month(o_orderdate) AS INT) - 1)")
+              .as("bit"))
+          .groupBy(col("o_custkey"))
+          .agg(expr("bit_or(bit)").as("mask"))
+        masks
+          .select(col("o_custkey"), expr("CAST(bit_count(mask) AS INT)").as("months_active"))
+          .groupBy(col("months_active"))
+          .agg(count(lit(1)).as("n_customers"))
+          .withColumn("share", round(col("n_customers").cast("double")
+            / sum(col("n_customers")).over(Window.partitionBy()), 6))
+          .orderBy("months_active")
+      },
+      Some("""WITH m AS (
+        |  SELECT o_custkey,
+        |    bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)) AS mask
+        |  FROM orders GROUP BY 1),
+        |h AS (
+        |  SELECT CAST(bit_count(mask) AS INT) AS months_active,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM m GROUP BY 1)
+        |SELECT months_active, n_customers,
+        |  round(CAST(n_customers AS DOUBLE)
+        |        / CAST(SUM(n_customers) OVER () AS DOUBLE), 6) AS share
+        |FROM h ORDER BY months_active""".stripMargin)))
 }

@@ -213,5 +213,54 @@ object Trends extends QueryPack {
         |FROM pairs p
         |JOIN ic i1 ON p.p1 = i1.p JOIN ic i2 ON p.p2 = i2.p
         |CROSS JOIN totals t
-        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin)))
+        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin)),
+
+    // Theil–Sen robust trend — the median of all pairwise slopes between
+    // monthly revenue points (84 months → 3 486 pairs), immune to the
+    // outlier months that drag OLS (q117) around. The pair fan-out runs at
+    // the MONTH level (a 84-row frame after one scan's aggregation — the
+    // pairwise join never touches row-level data), the median is the exact
+    // middle element(s) picked by row_number (no percentile interpolation
+    // ambiguity), and slopes divide exact cent Longs only at the final
+    // per-pair step.
+    GraftQuery(
+      "q231_theil_sen_trend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables(s, dir, "orders")
+          .groupBy(expr("(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1")
+            .cast("long").as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val a = monthly.select(col("m").as("m1"), col("cents").as("c1"))
+        val b = monthly.select(col("m").as("m2"), col("cents").as("c2"))
+        val slopes = a.join(b, col("m1") < col("m2"))
+          .select(col("m1"), col("m2"),
+            ((col("c2") - col("c1")).cast("double")
+              / ((col("m2") - col("m1")).cast("double") * 100.0)).as("slope"))
+        val w = Window.orderBy(col("slope").asc, col("m1").asc, col("m2").asc)
+        slopes
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rnk") === expr("(n + 1) div 2")
+            || col("rnk") === expr("(n + 2) div 2"))
+          .agg(max(col("n")).as("n_pairs"),
+            round(avg(col("slope")), 6).as("median_slope"))
+      },
+      Some("""WITH monthly AS (
+        |  SELECT CAST((year(o_orderdate) - 1995) * 12
+        |              + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT a.m AS m1, b.m AS m2,
+        |    CAST(b.cents - a.cents AS DOUBLE)
+        |      / (CAST(b.m - a.m AS DOUBLE) * 100.0) AS slope
+        |  FROM monthly a JOIN monthly b ON a.m < b.m),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY slope, m1, m2) AS BIGINT) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM s)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  round(AVG(slope), 6) AS median_slope
+        |FROM r WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2""".stripMargin)))
 }

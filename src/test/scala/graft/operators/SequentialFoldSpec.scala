@@ -48,6 +48,29 @@ class SequentialFoldSpec extends SparkTestBase {
     assert(scattered.toSeq == viaFold.toSeq)
   }
 
+  test("holt matches a local two-state fold bit-identically, any partitioning") {
+    val rng = new scala.util.Random(19)
+    val rows = for (k <- 1L to 20L; i <- 1 to rng.nextInt(30) + 1)
+      yield (k, i.toLong, rng.nextDouble() * 100.0)
+    val df = spark.createDataFrame(rows).toDF("k", "ord", "v").repartition(9)
+    val got = SequentialFold.holt(df, "k", Seq("ord"), "v", alpha = 0.3, beta = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, g) =>
+      val xs = g.sortBy(_._2).map(_._3)
+      var l = xs.head
+      var b = 0.0
+      xs.tail.foreach { x =>
+        val ln = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * (ln - l) + 0.9 * b
+        l = ln
+      }
+      (k, xs.size.toLong, l, b, l + b)
+    }
+    assert(got.toSeq == want) // bit-identical, no tolerance
+  }
+
   test("plan: one exchange (the key repartition), sort stays partition-local") {
     val ev = Tables(spark, sf, "events")
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"), col("value"))
