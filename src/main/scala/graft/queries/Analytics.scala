@@ -244,6 +244,113 @@ object Analytics extends QueryPack {
             count(lit(1)).as("n_events"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // Clamped (non-negative) running stock — inventory semantics
+    // `s_t = max(0, s_{t−1} + δ_t)` WITHOUT a sequential fold, via the
+    // prefix-min identity `s_t = prefix_t − min(0, min_{j≤t} prefix_j)`:
+    // two per-key windows (running sum + running min) turn the non-linear
+    // recurrence into plain parallel scans. Deltas are exact quantity
+    // Longs (+qty on returned lines, −qty otherwise, in shipdate order);
+    // final stock even reduces to aggregates only (total − min(0, global
+    // min prefix)). Per-supplier partitions — no global window anywhere.
+    GraftQuery(
+      "q234_clamped_running_stock",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_suppkey").as("supp"),
+            expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("day"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            when(col("l_returnflag") === "R",
+              expr("CAST(l_quantity AS BIGINT)"))
+              .otherwise(expr("-CAST(l_quantity AS BIGINT)")).as("delta"))
+        val w = Window.partitionBy("supp").orderBy("day", "ok", "ln")
+        li
+          .withColumn("prefix",
+            sum(col("delta")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("runmin",
+            min(col("prefix")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("clamped", col("prefix") - least(lit(0L), col("runmin")))
+          .groupBy(col("supp"))
+          .agg(count(lit(1)).as("n_moves"),
+            (sum(col("delta")) - least(lit(0L), min(col("prefix"))))
+              .as("final_stock"),
+            max(col("clamped")).as("peak_stock"))
+          .orderBy("supp")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_suppkey AS supp,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    l_orderkey AS ok, l_linenumber AS ln,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
+        |  FROM lineitem),
+        |pre AS (
+        |  SELECT supp, day, ok, ln, delta,
+        |    SUM(delta) OVER (PARTITION BY supp ORDER BY day, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM li),
+        |p AS (
+        |  SELECT supp, delta, prefix,
+        |    MIN(prefix) OVER (PARTITION BY supp ORDER BY day, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        |  FROM pre)
+        |SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_moves,
+        |  CAST(SUM(delta) - LEAST(0, MIN(prefix)) AS BIGINT) AS final_stock,
+        |  CAST(MAX(prefix - LEAST(0, runmin)) AS BIGINT) AS peak_stock
+        |FROM p GROUP BY supp ORDER BY supp""".stripMargin)),
+
+    // Purchase-cadence histogram — customers bucketed by their average
+    // inter-order gap, compared EXACTLY: the bucket predicate cross-
+    // multiplies (Σgaps < bound·n_gaps) so no per-customer float average
+    // exists; the pooled average per bucket divides two exact Long totals
+    // once at the end. One lag window per customer + two aggregations.
+    GraftQuery(
+      "q235_purchase_cadence",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("ck").orderBy("day", "ok")
+        val gaps = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"))
+          .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("ck"))
+          .agg(sum(col("gap")).as("sg"), count(lit(1)).as("ng"))
+        gaps
+          .withColumn("bucket",
+            when(col("sg") < col("ng") * 60, "fast_lt60d")
+              .when(col("sg") < col("ng") * 120, "mid_60_120d")
+              .otherwise("slow_ge120d"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("sg")).as("total_gap_days"), sum(col("ng")).as("total_gaps"))
+          .select(col("bucket"), col("n_customers"),
+            round(col("total_gap_days").cast("double")
+              / col("total_gaps").cast("double"), 4).as("pooled_avg_gap_days"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT ck, day - lag(day) OVER (PARTITION BY ck ORDER BY day, ok) AS gap
+        |  FROM o),
+        |c AS (
+        |  SELECT ck, CAST(SUM(gap) AS BIGINT) AS sg,
+        |    CAST(COUNT(*) AS BIGINT) AS ng
+        |  FROM g WHERE gap IS NOT NULL GROUP BY ck),
+        |b AS (
+        |  SELECT CASE WHEN sg < ng * 60 THEN 'fast_lt60d'
+        |              WHEN sg < ng * 120 THEN 'mid_60_120d'
+        |              ELSE 'slow_ge120d' END AS bucket,
+        |    sg, ng
+        |  FROM c)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  round(CAST(SUM(sg) AS DOUBLE) / CAST(SUM(ng) AS DOUBLE), 4)
+        |    AS pooled_avg_gap_days
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

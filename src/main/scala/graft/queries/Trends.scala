@@ -262,5 +262,63 @@ object Trends extends QueryPack {
         |  FROM s)
         |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
         |  round(AVG(slope), 6) AS median_slope
-        |FROM r WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2""".stripMargin)))
+        |FROM r WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2""".stripMargin)),
+
+    // Log–log price elasticity per brand — corr(ln qty, ln unit-price),
+    // the economist's demand-curve slope screen. Determinism: each row's
+    // logs are SCALED TO BIGINT micro-nats (round(ln·10⁶)) so every
+    // cross-row moment is an exact integer sum (q211's hi/lo split); a
+    // 1-ULP libm difference between engines can flip one row's scaled
+    // value by ±1 at worst, perturbing corr by ~10⁻¹³ — invisible at
+    // round(6). No float ever crosses rows.
+    GraftQuery(
+      "q233_log_elasticity",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            expr("CAST(round(ln(l_quantity) * 1000000) AS BIGINT)").as("a"),
+            expr("CAST(round(ln(l_extendedprice / l_quantity) * 1000000) AS BIGINT)")
+              .as("b"))
+        val m = li.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+            sum(expr("(a * a) div 1000000000")).as("haa"),
+            sum(expr("(a * a) % 1000000000")).as("laa"),
+            sum(expr("(b * b) div 1000000000")).as("hbb"),
+            sum(expr("(b * b) % 1000000000")).as("lbb"),
+            sum(expr("(a * b) div 1000000000")).as("hab"),
+            sum(expr("(a * b) % 1000000000")).as("lab"))
+        def mom(h: String, l: String) = expr(
+          s"CAST(CAST($h AS DECIMAL(38,0)) * 1000000000 + $l AS DOUBLE)")
+        val n = col("n").cast("double")
+        val sa = col("sa").cast("double")
+        val sb = col("sb").cast("double")
+        val num = n * mom("hab", "lab") - sa * sb
+        val den = sqrt((n * mom("haa", "laa") - sa * sa)
+          * (n * mom("hbb", "lbb") - sb * sb))
+        m.select(col("brand"), col("n").as("n_lines"),
+            round(num / den, 6).as("elasticity_corr"))
+          .orderBy("brand")
+      },
+      Some("""WITH li AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS a,
+        |    CAST(round(ln(l_extendedprice / l_quantity) * 1000000) AS BIGINT) AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab
+        |  FROM li GROUP BY 1)
+        |SELECT brand, n AS n_lines,
+        |  round((CAST(n AS DOUBLE) * sab - sa * sb)
+        |        / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+        |               * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+        |    AS elasticity_corr
+        |FROM m ORDER BY brand""".stripMargin)))
 }

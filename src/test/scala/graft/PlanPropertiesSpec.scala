@@ -241,6 +241,24 @@ class PlanPropertiesSpec extends SparkTestBase {
       "commutative sums must partial-aggregate map-side:\n" + p)
   }
 
+  test("q218: KS CDF scan has no single-partition window exchange") {
+    // the global cumulative scan must run through DistributedPrefixSum's
+    // range repartition, never a Window.orderBy-with-no-partition (whose
+    // plan is Exchange SinglePartition + a one-task Window)
+    val df = SparkEntry.queries("q218_ks_two_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"),
+      s"prefix sums must not use a window at all:\n$p")
+    // (the scalar n1/n2 totals agg legally combines its 32 partial rows on
+    // one partition — only row-level data must never collapse, which the
+    // no-Window assertion above covers)
+    // the two-phase scan enters as an RDD boundary (its range exchange runs
+    // inside the RDD lineage); the argmax stays a TakeOrderedAndProject
+    assert(p.contains("Scan ExistingRDD"), s"expected the scan boundary:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"argmax must be top-k:\n$p")
+  }
+
   test("q171: narrow rank is TakeOrderedAndProject; fetch is a broadcast semi-join") {
     val df = SparkEntry.queries("q171_topk_then_fetch")(spark, sf)
     df.collect()
