@@ -772,6 +772,55 @@ object Events extends QueryPack {
         |SELECT f.user_id, CAST(f.i AS BIGINT) AS n_rows,
         |  round(f.l, 6) AS level, round(f.b, 6) AS trend,
         |  round(f.l + f.b, 6) AS forecast
-        |FROM fin f WHERE f.rn = 1 ORDER BY f.user_id""".stripMargin))
+        |FROM fin f WHERE f.rn = 1 ORDER BY f.user_id""".stripMargin)),
+
+    // Seasonally-adjusted anomaly days — each (event type, day)'s volume
+    // z-scored against its own DAY-OF-WEEK baseline, so weekend dips don't
+    // read as anomalies. Day-of-week is pure integer arithmetic on epoch
+    // days ((day+4) mod 7 — no calendar function drift between engines);
+    // mean/std come from exact Long moments per (type, dow); the top-10 is
+    // ranked on the rounded z with full tiebreakers.
+    GraftQuery(
+      "q236_dow_adjusted_anomalies",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("dow", expr("(day + 4) % 7"))
+        val base = daily.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .filter(col("n") >= 2 && col("n") * col("scc") > col("sc") * col("sc"))
+        daily.join(base, Seq("event_type", "dow"))
+          .withColumn("mean", col("sc").cast("double") / col("n").cast("double"))
+          .withColumn("sd", sqrt(
+            (col("n").cast("double") * col("scc").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .select(col("event_type"), col("day"), col("dow"), col("c"),
+            round((col("c").cast("double") - col("mean")) / col("sd"), 4).as("z"))
+          .orderBy(abs(col("z")).desc, col("event_type").asc, col("day").asc)
+          .limit(10)
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+        |base AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS scc
+        |  FROM d2 GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) * SUM(CAST(c AS HUGEINT) * c)
+        |         > SUM(c) * SUM(c))
+        |SELECT d2.event_type, CAST(d2.day AS BIGINT) AS day,
+        |  CAST(d2.dow AS BIGINT) AS dow, d2.c,
+        |  round((CAST(d2.c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+        |        / sqrt((CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+        |               / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
+        |FROM d2 JOIN base USING (event_type, dow)
+        |ORDER BY abs(z) DESC, event_type, day LIMIT 10""".stripMargin))
   )
 }

@@ -665,5 +665,94 @@ object Quality extends QueryPack {
         |  round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS stability
         |FROM (SELECT p_brand FROM r WHERE half = 'early' AND rnk <= 10) e
         |JOIN (SELECT p_brand FROM r WHERE half = 'late' AND rnk <= 10) l
-        |  USING (p_brand)""".stripMargin)))
+        |  USING (p_brand)""".stripMargin)),
+
+    // ABC revenue classification — parts ranked by revenue, split at the
+    // classic 80%/95% cumulative-share cuts. The global descending
+    // cumulative sum runs through DistributedPrefixSum (sort key = NEGATED
+    // cents so the range scan orders revenue-high-first; no
+    // single-partition window), and the class predicate cross-multiplies
+    // `run·100 ≤ cut·total` so the split is integer-exact. Part-level
+    // frame: one scan of lineitem feeds it.
+    GraftQuery(
+      "q237_abc_classification",
+      (s, dir) => {
+        val rev = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
+            " AS BIGINT)")).as("cents"))
+          .withColumn("negc", -col("cents"))
+        val scanned = graft.operators.DistributedPrefixSum
+          .scan(rev, Seq("negc", "l_partkey"), Seq("cents"))
+        val tot = rev.agg(sum(col("cents")).as("total"))
+        scanned.crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("run_cents") * 100 <= col("total") * 80, "A")
+              .when(col("run_cents") * 100 <= col("total") * 95, "B")
+              .otherwise("C"))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"),
+            round(sum(col("cents")).cast("double")
+              / max(col("total")).cast("double"), 6).as("share"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, cents,
+        |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS run,
+        |    SUM(cents) OVER () AS total
+        |  FROM rev),
+        |c AS (
+        |  SELECT CASE WHEN run * 100 <= total * 80 THEN 'A'
+        |              WHEN run * 100 <= total * 95 THEN 'B'
+        |              ELSE 'C' END AS cls,
+        |    cents, total
+        |  FROM r)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(SUM(cents) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+        |    AS share
+        |FROM c GROUP BY cls ORDER BY cls""".stripMargin)),
+
+    // FK fan-out profile — the cardinality histograms a 100 TB join plan
+    // is sized from: how many orders per customer, how many lines per
+    // order, as (relation, fanout, n_parents) rows in one result. Two
+    // hash aggregates per edge, unioned by name; the profile is what
+    // decides broadcast-vs-shuffle and salting thresholds before any big
+    // join runs.
+    GraftQuery(
+      "q238_fk_fanout_profile",
+      (s, dir) => {
+        def profile(df: org.apache.spark.sql.DataFrame, key: String,
+            rel: String) = df
+          .groupBy(col(key)).agg(count(lit(1)).as("fanout"))
+          .groupBy(col("fanout")).agg(count(lit(1)).as("n_parents"))
+          .withColumn("relation", lit(rel))
+        profile(Tables(s, dir, "orders").select(col("o_custkey")),
+            "o_custkey", "orders_per_customer")
+          .unionByName(
+            profile(Tables(s, dir, "lineitem").select(col("l_orderkey")),
+              "l_orderkey", "lines_per_order"))
+          .select(col("relation"), col("fanout"), col("n_parents"))
+          .orderBy("relation", "fanout")
+      },
+      Some("""WITH opc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS fanout
+        |  FROM orders GROUP BY o_custkey),
+        |lpo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS fanout
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT 'orders_per_customer' AS relation, fanout,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parents
+        |FROM opc GROUP BY 2
+        |UNION ALL
+        |SELECT 'lines_per_order' AS relation, fanout,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parents
+        |FROM lpo GROUP BY 2
+        |ORDER BY relation, fanout""".stripMargin)))
 }

@@ -320,5 +320,68 @@ object Trends extends QueryPack {
         |        / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
         |               * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
         |    AS elasticity_corr
-        |FROM m ORDER BY brand""".stripMargin)))
+        |FROM m ORDER BY brand""".stripMargin)),
+
+    // Month-over-month growth ledger on an EXPLICIT month spine — every
+    // (nation, month) cell exists (zero-filled via a generated series ×
+    // the 25-nation dim, then a left join), so lag() computes growth
+    // against the true previous calendar month, not the previous month
+    // WITH data — the distinction q106's gap-fill interpolates over and a
+    // growth report must not. Revenue stays exact cents until the single
+    // growth division; spine bounds derive from the data (broadcast 1-row
+    // max).
+    GraftQuery(
+      "q239_mom_growth_ledger",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            expr("CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+              .as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val bounds = rev.agg(max(col("m")).as("mmax"))
+        val spine = Tables(s, dir, "nation").select(col("n_name"))
+          .crossJoin(broadcast(bounds))
+          .select(col("n_name"), explode(expr("sequence(CAST(0 AS BIGINT), mmax)")).as("m"))
+        val filled = spine.join(rev, Seq("n_name", "m"), "left")
+          .withColumn("cents", coalesce(col("cents"), lit(0L)))
+        val w = Window.partitionBy("n_name").orderBy("m")
+        filled
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .select(col("n_name"), col("m"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            when(col("prev") > 0,
+              round((col("cents") - col("prev")).cast("double") * 100.0
+                / col("prev").cast("double"), 4)).as("growth_pct"))
+          .orderBy("n_name", "m")
+      },
+      Some("""WITH rev AS (
+        |  SELECT n_name,
+        |    CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT n_name, CAST(s.g AS BIGINT) AS m
+        |  FROM nation, (SELECT unnest(generate_series(0,
+        |    (SELECT MAX(m) FROM rev))) AS g) s),
+        |filled AS (
+        |  SELECT spine.n_name, spine.m, COALESCE(rev.cents, 0) AS cents
+        |  FROM spine LEFT JOIN rev USING (n_name, m)),
+        |l AS (
+        |  SELECT *, lag(cents) OVER (PARTITION BY n_name ORDER BY m) AS prev
+        |  FROM filled)
+        |SELECT n_name, m, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN prev > 0 THEN
+        |    round(CAST(cents - prev AS DOUBLE) * 100.0 / CAST(prev AS DOUBLE), 4)
+        |  END AS growth_pct
+        |FROM l ORDER BY n_name, m""".stripMargin)))
 }
