@@ -7,20 +7,24 @@ import org.apache.spark.sql.functions._
 /** k-core decomposition (coreness per node) by distributed peeling — the
   * standard degeneracy-ordering algorithm expressed as Spark aggregates:
   *
-  * repeat: compute degrees of the remaining graph (one groupBy); remove
-  * every node whose degree is below the current k (two anti joins), and
-  * record its coreness as k−1; when nothing is removable, raise k. A node's
-  * coreness is the largest k such that it survives in a subgraph of minimum
-  * degree k — the classic community-strength / graph-sparsification signal
-  * (a 25-core member sits in a dense cluster; coreness 1 is a tree fringe).
+  * repeat: compute degrees of the remaining graph (one groupBy); set
+  * `k = max(k, min degree)` and remove every node whose degree is ≤ k (two
+  * anti joins), recording coreness k. Jumping k to the running max of min
+  * degrees means EVERY round removes at least one node — no empty
+  * k-stepping rounds — which is the classic degeneracy-ordering invariant:
+  * when the min degree first reaches d the remaining graph is a d-core, so
+  * nodes peeled at level k have coreness exactly k. Coreness is the
+  * community-strength / graph-sparsification signal (a 25-core member sits
+  * in a dense cluster; coreness 1 is a tree fringe).
   *
   * Every round is a constant number of shuffles on the shrinking edge list,
   * and the edge frame + coreness accumulator are lineage-cut per round with
   * the same durability rules as [[ConnectedComponents]] (parquet round-trips
   * under a checkpoint dir when configured, `localCheckpoint` otherwise), so
-  * plan depth and retained disk stay O(1) in the iteration count. Rounds are
-  * bounded by (degeneracy + number of peel waves) — `maxIter` guards the
-  * pathological chain and failure is loud, never a silently-partial result.
+  * plan depth and retained disk stay O(1) in the iteration count. Rounds
+  * equal the number of peel waves (≤ node count, typically tiny) —
+  * `maxIter` guards the pathological chain and failure is loud, never a
+  * silently-partial result.
   *
   * Nodes without edges never appear (degree-0 convention shared with
   * ConnectedComponents: callers union isolated nodes at coreness 0 if they
@@ -66,46 +70,55 @@ object KCore {
     // membership in `active`, not presence in `remaining`, drives removal
     var (active, activePath) = cut(remaining.select(col("src").as("node")).distinct())
 
-    var core = active.where(lit(false)).withColumn("coreness", lit(0L))
-    var corePath: Option[Path] = None
-    var k = 1L
+    // peel by running-max of min degree: every round removes >= 1 node (no
+    // empty k-stepping rounds), and a removed node's coreness is the
+    // current k = max over rounds of the min degree seen so far.
+    // Per round exactly TWO cuts materialize: the small (node, deg) frame
+    // (dmin probe, removal set, and survivor set all derive from it with no
+    // recomputation) and the shrunken edge list. Removed sets are buffered
+    // and unioned ONCE at the end — re-cutting a growing coreness table
+    // every round would write O(n · rounds) bytes for nothing.
+    var k = 0L
     var iter = 0
     var done = active.isEmpty
+    val removedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val degPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (!done && iter < maxIter) {
       val deg = remaining.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val toRemove = active
+      val (wd, wdPath) = cut(active
         .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .where(coalesce(col("deg"), lit(0L)) < k)
-        .select(col("node"))
-      if (toRemove.isEmpty) {
-        k += 1
-      } else {
-        val (nextCore, nextCorePath) = cut(
-          core.union(toRemove.withColumn("coreness", lit(k - 1))))
-        val (nextRem, nextRemPath) = cut(
-          remaining
-            .join(toRemove.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
-            .join(toRemove.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
-            .select(col("src"), col("dst")))
-        val (nextActive, nextActivePath) = cut(
-          active.join(toRemove, Seq("node"), "left_anti"))
-        corePath.foreach(p => fs.foreach(_.delete(p, true)))
-        remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
-        activePath.foreach(p => fs.foreach(_.delete(p, true)))
-        core = nextCore
-        corePath = nextCorePath
-        remaining = nextRem
-        remainingPath = nextRemPath
-        active = nextActive
-        activePath = nextActivePath
-        done = active.isEmpty
-      }
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg")))
+      wdPath.foreach(degPaths += _) // backing files feed the final union
+      val dmin = wd.agg(min(col("deg"))).head().getLong(0)
+      k = math.max(k, dmin)
+      val toRemove = wd.where(col("deg") <= k).select(col("node"))
+      removedParts += toRemove.withColumn("coreness", lit(k))
+      val (nextRem, nextRemPath) = cut(
+        remaining
+          .join(toRemove.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+          .join(toRemove.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+      remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
+      // the initial active cut (if any) was consumed by this round's wd;
+      // later rounds derive active from the persisted wd cuts instead
+      activePath.foreach(p => fs.foreach(_.delete(p, true)))
+      activePath = None
+      remaining = nextRem
+      remainingPath = nextRemPath
+      active = wd.where(col("deg") > k).select(col("node"))
+      done = active.isEmpty
       iter += 1
     }
     if (!done)
       throw new IllegalStateException(
         s"k-core peeling did not finish in $maxIter rounds — raise maxIter " +
-          "(rounds are bounded by degeneracy + peel waves)")
+          "(every round peels the current min-degree wave)")
+    val result = removedParts.reduceOption(_ union _)
+      .getOrElse(active.withColumn("coreness", lit(0L)))
+    // materialize the union before the per-round deg files are deleted
+    val (core, _) = cut(result)
+    degPaths.foreach(p => fs.foreach(_.delete(p, true)))
+    remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
     core
   }
 }

@@ -797,5 +797,57 @@ object Stats extends QueryPack {
         |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
         |        * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
         |             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS mi_term
-        |FROM m ORDER BY flag, status""".stripMargin)))
+        |FROM m ORDER BY flag, status""".stripMargin)),
+
+    // Gini mean difference — the expected |price gap| between two random
+    // orders, via the sorted-index identity GMD = 2/(n(n−1))·Σ(2i−n−1)xᵢ:
+    // an O(n log n) global scan replaces the O(n²) pairwise join. The
+    // global index i comes from [[graft.operators.DistributedPrefixSum]]
+    // (no single-partition window); the weighted sum (2i−n−1)·cents is
+    // exact in DECIMAL(38,0) (the Long product would overflow near 10⁹
+    // rows); one float division at the end.
+    GraftQuery(
+      "q242_gini_mean_difference",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("ok"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val ranked = graft.operators.DistributedPrefixSum
+          .scan(o, Seq("cents", "ok"), Nil, idxName = "i")
+        ranked
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sx"),
+            sum(expr("CAST(2 * i - 1 AS DECIMAL(38,0)) * cents")).as("wsum_part"))
+          // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, so n needn't be known per-row
+          .select(col("n"),
+            (col("sx").cast("double") / 100.0).as("revenue"),
+            round(
+              expr("CAST(wsum_part - CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE)")
+                * 2.0
+                / (col("n").cast("double") * (col("n") - 1).cast("double") * 100.0),
+              4).as("gmd_dollars"),
+            round(
+              expr("CAST(wsum_part - CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE)")
+                / ((col("n") - 1).cast("double") * col("sx").cast("double")),
+              6).as("gini"))
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, ok) AS BIGINT) AS i
+        |  FROM o),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sx,
+        |    SUM(CAST(2 * i - 1 AS HUGEINT) * cents) AS wsum_part
+        |  FROM r)
+        |SELECT n, CAST(sx AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(wsum_part - CAST(n AS HUGEINT) * sx AS DOUBLE) * 2.0
+        |        / (CAST(n AS DOUBLE) * (n - 1) * 100.0), 4) AS gmd_dollars,
+        |  round(CAST(wsum_part - CAST(n AS HUGEINT) * sx AS DOUBLE)
+        |        / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+        |FROM m""".stripMargin)))
 }

@@ -302,5 +302,57 @@ object Storage extends QueryPack {
                    FROM orders)"""
         one("o_orderpriority") + " UNION ALL " + one("o_orderstatus") +
           " ORDER BY \"column\""
-      }))
+      }),
+
+    // Status run-lengths per customer — gaps-and-islands over each
+    // customer's order history: the island id is the difference of two
+    // row_numbers (overall vs per-status), both windows PARTITIONED by
+    // customer (parallel-safe). Output per status: runs, orders, and the
+    // pooled average run length from two exact Long totals — the
+    // sequential-pattern profile (how "sticky" a status is) that also
+    // bounds RLE gains for a status-sorted layout (q197's row-level twin).
+    GraftQuery(
+      "q241_status_run_lengths",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+            col("o_orderstatus").as("st"))
+        val wAll = Window.partitionBy("ck").orderBy("day", "ok")
+        val wSt = Window.partitionBy("ck", "st").orderBy("day", "ok")
+        o.withColumn("island",
+            row_number().over(wAll).cast("long")
+              - row_number().over(wSt).cast("long"))
+          .groupBy(col("ck"), col("st"), col("island"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n_runs"), sum(col("len")).as("n_orders"),
+            max(col("len")).as("longest_run"))
+          .select(col("st"), col("n_runs"), col("n_orders"), col("longest_run"),
+            round(col("n_orders").cast("double") / col("n_runs").cast("double"), 4)
+              .as("avg_run_len"))
+          .orderBy("st")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |i AS (
+        |  SELECT ck, st,
+        |    CAST(row_number() OVER (PARTITION BY ck ORDER BY day, ok) AS BIGINT)
+        |    - CAST(row_number() OVER (PARTITION BY ck, st ORDER BY day, ok)
+        |        AS BIGINT) AS island
+        |  FROM o),
+        |runs AS (
+        |  SELECT st, island, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i GROUP BY ck, st, island),
+        |x AS (
+        |  SELECT st, island, len FROM runs)
+        |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |  CAST(SUM(len) AS BIGINT) AS n_orders,
+        |  CAST(MAX(len) AS BIGINT) AS longest_run,
+        |  round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_run_len
+        |FROM x GROUP BY st ORDER BY st""".stripMargin)))
 }

@@ -628,6 +628,62 @@ object Text extends QueryPack {
         |      list_transform(ns, x -> CAST(x AS DOUBLE))),
         |    (acc, x) -> acc - (x / total) * ln(x / total)), 6)
         |    AS lang_entropy_nats
-        |FROM g ORDER BY source""".stripMargin))
+        |FROM g ORDER BY source""".stripMargin)),
+
+    // Zipf fit — the ln(freq)-on-ln(rank) OLS slope over the corpus
+    // vocabulary (a healthy natural-language corpus slopes ≈ −1; scraped
+    // boilerplate flattens it). Global frequency ranks come from
+    // [[graft.operators.DistributedPrefixSum]] (descending count order —
+    // no single-partition window over the vocabulary), both logs are
+    // scaled to BIGINT micro-nats, and the slope comes from exact integer
+    // moments (q233 discipline) — floats only in the final scalar.
+    GraftQuery(
+      "q240_zipf_slope",
+      (s, dir) => {
+        val freq = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(explode(expr("filter(split(lower(text), ' '), w -> w <> '')"))
+            .as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .withColumn("negc", -col("c"))
+        val ranked = graft.operators.DistributedPrefixSum
+          .scan(freq, Seq("negc", "w"), Nil, idxName = "rank")
+          .select(
+            expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)").as("a"),
+            expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)").as("b"))
+        val m = ranked.agg(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(expr("(a * a) div 1000000000")).as("haa"),
+          sum(expr("(a * a) % 1000000000")).as("laa"),
+          sum(expr("(a * b) div 1000000000")).as("hab"),
+          sum(expr("(a * b) % 1000000000")).as("lab"))
+        def mom(h: String, l: String) = expr(
+          s"CAST(CAST($h AS DECIMAL(38,0)) * 1000000000 + $l AS DOUBLE)")
+        val n = col("n").cast("double")
+        val sa = col("sa").cast("double")
+        val sb = col("sb").cast("double")
+        m.select(col("n").as("vocab_size"),
+          round((n * mom("hab", "lab") - sa * sb)
+            / (n * mom("haa", "laa") - sa * sa), 6).as("zipf_slope"))
+      },
+      Some("""WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        |ranked AS (
+        |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+        |      AS DOUBLE)) * 1000000) AS BIGINT) AS a,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS b
+        |  FROM freq),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab
+        |  FROM ranked)
+        |SELECT n AS vocab_size,
+        |  round((CAST(n AS DOUBLE) * sab - sa * sb)
+        |        / (CAST(n AS DOUBLE) * saa - sa * sa), 6) AS zipf_slope
+        |FROM m""".stripMargin))
   )
 }
