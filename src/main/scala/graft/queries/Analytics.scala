@@ -351,6 +351,42 @@ object Analytics extends QueryPack {
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_customers,
         |  round(CAST(SUM(sg) AS DOUBLE) / CAST(SUM(ng) AS DOUBLE), 4)
         |    AS pooled_avg_gap_days
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Fulfilment SLA per priority — ship-delay (line ship date minus order
+    // date, integer days) p50/p90 plus the exact within-60-days share.
+    // One orderkey-partitioned join feeds a grouped percentile aggregate
+    // (5 groups); the delay stays an exact integer until the interpolating
+    // percentile, and the SLA share is a cross-multiplied Long predicate.
+    GraftQuery(
+      "q243_fill_time_sla",
+      (s, dir) => {
+        val d = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("sd"))
+          .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+              expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("priority"), (col("sd") - col("od")).cast("double").as("delay"))
+        d.groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(expr("percentile(delay, 0.5)"), 4).as("p50_days"),
+            round(expr("percentile(delay, 0.9)"), 4).as("p90_days"),
+            round(sum(when(col("delay") <= 60, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)).cast("double"), 6).as("within_60d"))
+          .orderBy("priority")
+      },
+      Some("""WITH d AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS DOUBLE) AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  round(quantile_cont(delay, 0.5), 4) AS p50_days,
+        |  round(quantile_cont(delay, 0.9), 4) AS p90_days,
+        |  round(CAST(SUM(CASE WHEN delay <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS within_60d
+        |FROM d GROUP BY priority ORDER BY priority""".stripMargin))
   )
 }

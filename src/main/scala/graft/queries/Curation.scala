@@ -314,6 +314,57 @@ object Curation extends QueryPack {
         |  FROM b)
         |SELECT source, n, CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
         |  CAST(base + CASE WHEN rrank <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM d ORDER BY source""".stripMargin))
+        |FROM d ORDER BY source""".stripMargin)),
+
+    // Split-leakage audit — the gate that catches q73's id-hash split
+    // assignment leaking IDENTICAL CONTENT across train/val/test (distinct
+    // doc ids, same text): content sha256 grouped to (hash → distinct
+    // splits present), rolled up by how many splits each duplicate set
+    // touches. Any row with splits_present > 1 is evaluation contamination
+    // (the q75 decontamination concern applied to our OWN splits). Two
+    // hash aggregates; the only wide column (text) dies at the first
+    // projection.
+    GraftQuery(
+      "q245_split_leakage",
+      (s, dir) => {
+        val hexpos = graft.queries.hexDigitVal _
+        val h = md5(col("doc_id").cast("string"))
+        val assigned = Tables(s, dir, "documents")
+          .withColumn("bucket",
+            (hexpos(substring(h, 1, 1)) * 16 + hexpos(substring(h, 2, 1))).cast("long"))
+          .withColumn("split",
+            when(col("bucket") < 205, "train")
+              .when(col("bucket") < 230, "val")
+              .otherwise("test"))
+          .select(sha2(col("text"), 256).as("ch"), col("split"))
+        assigned
+          .groupBy(col("ch"))
+          .agg(countDistinct(col("split")).as("splits_present"),
+            count(lit(1)).as("n_docs"))
+          .groupBy(col("splits_present"))
+          .agg(count(lit(1)).as("n_content_hashes"), sum(col("n_docs")).as("n_docs"))
+          .orderBy("splits_present")
+      },
+      Some("""WITH b AS (
+        |  SELECT sha256(text) AS ch,
+        |    CASE WHEN (instr('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |          (instr('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+        |      THEN 'train'
+        |      WHEN (instr('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |          (instr('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT ch, CAST(COUNT(DISTINCT split) AS BIGINT) AS splits_present,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY ch)
+        |SELECT splits_present,
+        |  CAST(COUNT(*) AS BIGINT) AS n_content_hashes,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

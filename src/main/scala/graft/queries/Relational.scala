@@ -683,13 +683,13 @@ object Relational extends QueryPack {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // Interval-OVERLAP join — same-customer urgent-vs-low order activity
-    // windows ([orderdate, orderdate+7d]) that intersect, per urgent-order
+    // windows ([orderdate, orderdate+30d]) that intersect, per urgent-order
     // year. Runs through [[graft.operators.IntervalJoin.overlap]]: the join
     // key is (customer, 8-day bin) — an EQUI hash join whose candidates are
     // bounded by per-customer-per-bin density, not a BroadcastNestedLoop
     // range join — and pairs dedup via the first-shared-bin rule rather
     // than a distinct. The oracle states the same semantics directly as
-    // |d_urgent − d_low| ≤ 7 on the shared customer.
+    // |d_urgent − d_low| ≤ 30 on the shared customer.
     GraftQuery(
       "q222_order_window_overlap",
       (s, dir) => {
@@ -698,11 +698,11 @@ object Relational extends QueryPack {
           .filter(col("o_orderpriority") === prio)
           .select(col("o_custkey").as(p + "ck"), col("o_orderkey").as(p + "ok"),
             expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as(p + "s"))
-          .withColumn(p + "e", col(p + "s") + 7)
+          .withColumn(p + "e", col(p + "s") + 30)
         val pairs = graft.operators.IntervalJoin.overlap(
           side("1-URGENT", "u"), "us", "ue",
           side("5-LOW", "l"), "ls", "le",
-          Seq("uck" -> "lck"), binWidth = 8L)
+          Seq("uck" -> "lck"), binWidth = 31L)
         pairs
           .withColumn("yr", expr("year(date_add(DATE '1970-01-01', CAST(us AS INT)))"))
           .groupBy(col("yr"))
@@ -719,7 +719,7 @@ object Relational extends QueryPack {
         |SELECT CAST(year(ud) AS INT) AS yr,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers
-        |FROM u JOIN l ON ck = ck2 AND ld BETWEEN ud - 7 AND ud + 7
+        |FROM u JOIN l ON ck = ck2 AND ld BETWEEN ud - 30 AND ud + 30
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

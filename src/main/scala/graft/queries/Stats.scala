@@ -849,5 +849,94 @@ object Stats extends QueryPack {
         |        / (CAST(n AS DOUBLE) * (n - 1) * 100.0), 4) AS gmd_dollars,
         |  round(CAST(wsum_part - CAST(n AS HUGEINT) * sx AS DOUBLE)
         |        / (CAST(n - 1 AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
-        |FROM m""".stripMargin)))
+        |FROM m""".stripMargin)),
+
+    // Kaplan–Meier retention curve — customer lifetime in months (first to
+    // last order), churn observed only when the last order predates the
+    // data horizon minus 6 months (later customers are CENSORED, the
+    // distinction naive retention math gets wrong). The product-limit
+    // estimator Π(1 − dᵢ/nᵢ) is computed as exp of a RUNNING SUM of
+    // per-month ln-terms scaled to exact BIGINT micro-nats — the float
+    // product never crosses rows — with a saturation flag for the d = n
+    // (survival hits zero) edge. All windows run at the ≤84-row DURATION
+    // level.
+    GraftQuery(
+      "q244_kaplan_meier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val life = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            expr("min(CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT))")
+              .as("m0"),
+            expr("max(CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT))")
+              .as("m1"))
+          .select(col("o_custkey"), (col("m1") - col("m0") + 1).as("t"), col("m1"))
+        val horizon = life.agg((max(col("m1")) - 6).as("cutoff"))
+        val perT = life.crossJoin(broadcast(horizon))
+          .withColumn("event", when(col("m1") < col("cutoff"), 1L).otherwise(0L))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("leaving"), sum(col("event")).as("d"))
+        val w = Window.orderBy("t")
+        val grid = perT
+          .withColumn("gone_before",
+            coalesce(sum(col("leaving"))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_risk",
+            sum(col("leaving")).over(Window.partitionBy()) - col("gone_before"))
+          .withColumn("lnterm",
+            when(col("d") < col("n_risk"),
+              expr("CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+                + " * 1000000) AS BIGINT)")).otherwise(lit(0L)))
+          .withColumn("hit_zero",
+            max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("cumln",
+            sum(col("lnterm")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        grid.select(col("t").as("months"), col("n_risk"), col("d").as("churned"),
+            (col("leaving") - col("d")).as("censored"),
+            when(col("hit_zero") === 1, lit(0.0))
+              .otherwise(round(exp(col("cumln").cast("double") / 1e6), 6))
+              .as("survival"))
+          .orderBy("months")
+      },
+      Some("""WITH life AS (
+        |  SELECT o_custkey,
+        |    MIN(CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT)) AS m0,
+        |    MAX(CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT)) AS m1
+        |  FROM orders GROUP BY 1),
+        |l2 AS (SELECT m1 - m0 + 1 AS t, m1 FROM life),
+        |h AS (SELECT MAX(m1) - 6 AS cutoff FROM l2),
+        |pt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS leaving,
+        |    CAST(SUM(CASE WHEN m1 < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM l2, h GROUP BY t),
+        |g AS (
+        |  SELECT t, leaving, d,
+        |    COALESCE(SUM(leaving) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gone_before,
+        |    SUM(leaving) OVER () AS total
+        |  FROM pt),
+        |g2 AS (
+        |  SELECT t, leaving, d, total - gone_before AS n_risk,
+        |    CASE WHEN d < total - gone_before THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+        |        / CAST(total - gone_before AS DOUBLE)) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS lnterm,
+        |    CASE WHEN d = total - gone_before THEN 1 ELSE 0 END AS zero_here
+        |  FROM g),
+        |g3 AS (
+        |  SELECT t, leaving, d, n_risk,
+        |    MAX(zero_here) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero,
+        |    SUM(lnterm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumln
+        |  FROM g2)
+        |SELECT t AS months, CAST(n_risk AS BIGINT) AS n_risk, d AS churned,
+        |  CAST(leaving - d AS BIGINT) AS censored,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |       ELSE round(exp(CAST(cumln AS DOUBLE) / 1e6), 6) END AS survival
+        |FROM g3 ORDER BY months""".stripMargin)))
 }
