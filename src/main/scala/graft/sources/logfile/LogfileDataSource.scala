@@ -145,9 +145,20 @@ private object LogfileOptions {
 
 final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = LogfileTable.Schema
   private var fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: each partition reader stops assembling after
+    * `limit` records, so `df.limit(5)` on a 10 GB file reads a few KB
+    * instead of the whole file. Partial because partitions are independent
+    * (k partitions can emit up to k*limit rows) -- `isPartiallyPushed`
+    * keeps Spark's global limit above the scan for exactness.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared order; an empty projection (count(*)) is legal
@@ -171,7 +182,7 @@ final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = fileFilters
 
-  override def build(): Scan = new LogfileScan(options, required, fileFilters)
+  override def build(): Scan = new LogfileScan(options, required, fileFilters, limit)
 }
 
 /** Evaluates pushed `file`-column predicates against candidate paths. */
@@ -201,7 +212,8 @@ private[logfile] object LogfileFileFilter {
 }
 
 final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
-    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -212,7 +224,8 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
   override def description(): String =
     s"LogfileScan(paths=${LogfileOptions.paths(options).mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
-      s"PushedFileFilters=[${fileFilters.mkString(",")}])"
+      s"PushedFileFilters=[${fileFilters.mkString(",")}]" +
+      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
 
   /** Byte-size statistics from the (filter-pruned) file listing, so Catalyst
     * can pick a broadcast side when a logfile relation joins something.
@@ -262,7 +275,7 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
-    new LogfileReaderFactory(conf, required)
+    new LogfileReaderFactory(conf, required, limit)
   }
 
   /** Scan observability (bytes read, records assembled, boundary-spanning
@@ -336,10 +349,12 @@ private[logfile] object LogfileLocality {
   }
 }
 
-final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType)
+final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new LogfilePartitionReader(partition.asInstanceOf[LogfilePartition], conf.value, required)
+    new LogfilePartitionReader(partition.asInstanceOf[LogfilePartition], conf.value, required,
+      limit)
 }
 
 private[logfile] object LogfileCodec {

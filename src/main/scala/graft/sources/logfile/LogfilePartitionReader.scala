@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final class LogfilePartitionReader(
     split: LogfilePartition,
     conf: Configuration,
-    required: StructType)
+    required: StructType,
+    limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val headMatcher = Pattern.compile(split.pattern).matcher("")
@@ -126,6 +127,9 @@ final class LogfilePartitionReader(
   private val fileUtf8 = UTF8String.fromString(split.path)
 
   override def next(): Boolean = {
+    // pushed-down (partial) limit: stop assembling -- and stop READING the
+    // underlying stream -- once this partition has emitted `limit` records
+    if (limit.exists(recordsAssembled >= _)) return false
     if (pendingHead == null) return false
     curOffset = pendingHeadPos
     val sb = new java.lang.StringBuilder(pendingHead)

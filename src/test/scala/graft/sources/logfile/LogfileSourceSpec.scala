@@ -399,4 +399,49 @@ class LogfileSourceSpec extends SparkTestBase {
         s"partition $p missing local-FS block host")
     }
   }
+
+  // ---- limit pushdown: a peek must not read the whole corpus ----
+
+  test("pushed-down limit stops the partition reader early") {
+    val dir = tmpDir("logfile-limit")
+    val lines = (1 to 5000).map(i =>
+      f"2017-01-01 00:00:$i%02d,001 INFO record number $i").mkString("", "\n", "\n")
+    write(dir, "big.log", lines)
+
+    // direct reader: limit=3 emits exactly 3 records and then refuses,
+    // even though thousands more follow in the stream
+    val conf = spark.sessionState.newHadoopConf()
+    val split = LogfilePartition(new File(dir, "big.log").getAbsolutePath,
+      0L, Long.MaxValue, TsPat)
+    val reader = new LogfilePartitionReader(split, conf,
+      LogfileTable.Schema, limit = Some(3))
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n == 3, s"reader must stop at the pushed limit, emitted $n")
+
+    // end-to-end: the scan carries the limit (visible in its description)
+    // and the query still returns exactly `limit` correct records
+    val df = read(dir).limit(3)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("record").contains("record number")))
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("PushedLimit=3"),
+      s"limit must reach the scan: ${scan.scan.description()}")
+  }
+
+  test("limit pushdown is PARTIAL: multi-split plans still return exact rows") {
+    val dir = tmpDir("logfile-limit-splits")
+    LogfileFixture.ensure(dir, files = 2, recordsPerFile = 300, seed = 21L)
+    val full = read(dir, LogfileFixture.PatternA, maxSplit = 4096)
+    val total = full.count()
+    // global limit above the scan keeps exactness even though each of the
+    // many partitions may emit up to `limit` rows
+    assert(full.limit(7).count() == 7)
+    assert(full.limit(total.toInt + 50).count() == total,
+      "limit larger than the corpus returns every record exactly once")
+  }
 }
