@@ -821,6 +821,61 @@ object Events extends QueryPack {
         |        / sqrt((CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
         |               / (CAST(n AS DOUBLE) * (n - 1))), 4) AS z
         |FROM d2 JOIN base USING (event_type, dow)
-        |ORDER BY abs(z) DESC, event_type, day LIMIT 10""".stripMargin))
+        |ORDER BY abs(z) DESC, event_type, day LIMIT 10""".stripMargin)),
+
+    // Time-bounded conversion — clicks converting to a purchase by the
+    // SAME user within ONE HOUR, daily. The time-window join runs through
+    // [[graft.operators.IntervalJoin.overlap]] with the click's [t, t+1h]
+    // window against degenerate purchase points, keyed on (user, hour
+    // bin) — an equi hash join whose candidates are bounded by per-user-
+    // per-hour density, never a BroadcastNestedLoop time-range join. The
+    // strict "after the click" edge is one extra predicate post-join.
+    GraftQuery(
+      "q247_hour_conversion",
+      (s, dir) => {
+        val H = 3600000000L // one hour in microseconds
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("cid"),
+            col("us").as("cs"))
+          .withColumn("ce", col("cs") + H)
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("us").as("ps"))
+          .withColumn("pe", col("ps"))
+        val converted = graft.operators.IntervalJoin
+          .overlap(clicks, "cs", "ce", buys, "ps", "pe",
+            Seq("cu" -> "pu"), binWidth = H)
+          .where(col("ps") > col("cs"))
+          .select(col("cid")).distinct()
+        clicks
+          .join(converted.withColumnRenamed("cid", "conv_cid"),
+            col("cid") === col("conv_cid"), "left")
+          .groupBy(expr("cs div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("conv_cid").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+          .withColumn("conv_rate", round(col("n_converted").cast("double")
+            / col("n_clicks").cast("double"), 6))
+          .orderBy("day")
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id AS cu, event_id AS cid, epoch_us(ts) AS cs
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS pu, epoch_us(ts) AS ps
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT DISTINCT cid FROM c JOIN p
+        |  ON cu = pu AND ps > cs AND ps <= cs + 3600000000),
+        |d AS (
+        |  SELECT c.cs // 86400000000 AS day,
+        |    CASE WHEN conv.cid IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM c LEFT JOIN conv ON c.cid = conv.cid)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

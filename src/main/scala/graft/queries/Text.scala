@@ -684,6 +684,34 @@ object Text extends QueryPack {
         |SELECT n AS vocab_size,
         |  round((CAST(n AS DOUBLE) * sab - sa * sb)
         |        / (CAST(n AS DOUBLE) * saa - sa * sa), 6) AS zipf_slope
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // Top tokens per language through the CUSTOM physical operator
+    // [[graft.plans.TopKPerGroup]] (partial + final TopKPerGroupExec
+    // around one exchange — k rows per group per task cross the shuffle,
+    // never the full token table), here on STRING group keys — the fourth
+    // key-type shape the operator serves. Oracle is the window-rank twin;
+    // results must be bit-identical under the shared total order.
+    GraftQuery(
+      "q246_top_tokens_per_lang",
+      (s, dir) => {
+        val counts = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("lang"),
+            explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        graft.plans.TopKPerGroup(counts, Seq("lang"),
+            Seq(("c", false), ("w", true)), k = 5)
+          .orderBy(col("lang"), col("c").desc, col("w").asc)
+      },
+      Some("""WITH t AS (
+        |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+        |  FROM c)
+        |SELECT lang, w, c FROM r WHERE rnk <= 5
+        |ORDER BY lang, c DESC, w""".stripMargin))
   )
 }
