@@ -387,6 +387,104 @@ object Analytics extends QueryPack {
         |  round(quantile_cont(delay, 0.9), 4) AS p90_days,
         |  round(CAST(SUM(CASE WHEN delay <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 6) AS within_60d
-        |FROM d GROUP BY priority ORDER BY priority""".stripMargin))
+        |FROM d GROUP BY priority ORDER BY priority""".stripMargin)),
+
+    // Runner-up analysis — the SECOND-richest customer per nation via
+    // nth_value over the full partition frame, with their cume_dist in the
+    // nation's ascending balance order (how far up the distribution the
+    // runner-up sits). Completes the window-function surface (nth_value,
+    // cume_dist) the q15/q16/q60/q168 family doesn't exercise; every
+    // window is nation-partitioned, and the total order carries a name
+    // tiebreaker so peers are single rows and cume_dist = rank/n exactly.
+    GraftQuery(
+      "q249_runner_up_profile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables(s, dir, "customer")
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_name"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        val desc = Window.partitionBy("n_name")
+          .orderBy(col("bal_cents").desc, col("c_name").asc)
+        val asc = Window.partitionBy("n_name")
+          .orderBy(col("bal_cents").asc, col("c_name").desc)
+        c.withColumn("rn", row_number().over(desc))
+          .withColumn("cd", cume_dist().over(asc))
+          .withColumn("top_name", first(col("c_name")).over(
+            desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("rn") === 2)
+          .select(col("n_name"), col("top_name"),
+            col("c_name").as("runner_up"), col("bal_cents"),
+            round(col("cd"), 6).as("runner_up_cume_dist"))
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (
+        |  SELECT n_name, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |w AS (
+        |  SELECT n_name, c_name, bal_cents,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY bal_cents DESC, c_name) AS rn,
+        |    cume_dist() OVER (PARTITION BY n_name
+        |      ORDER BY bal_cents ASC, c_name DESC) AS cd,
+        |    first_value(c_name) OVER (PARTITION BY n_name
+        |      ORDER BY bal_cents DESC, c_name
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS top_name
+        |  FROM c)
+        |SELECT n_name, top_name, c_name AS runner_up, bal_cents,
+        |  round(cd, 6) AS runner_up_cume_dist
+        |FROM w WHERE rn = 2 ORDER BY n_name""".stripMargin)),
+
+    // Distribution-transfer bucketing — 1998+ orders classified against
+    // the quartile boundaries of the 1995–1997 baseline (the drift check
+    // "are this year's order values bigger than history's"). Boundaries
+    // are ONE interpolated-percentile aggregate (3 doubles, broadcast);
+    // the new cohort never sorts globally — each row compares against the
+    // broadcast scalars. Both engines interpolate percentiles with the
+    // same IEEE arithmetic on the same exact inputs.
+    GraftQuery(
+      "q250_quartile_transfer",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("v"),
+            expr("year(o_orderdate)").as("yr"))
+        val bounds = o.filter(col("yr") <= 1997)
+          .agg(expr("percentile(v, 0.25)").as("b1"),
+            expr("percentile(v, 0.5)").as("b2"),
+            expr("percentile(v, 0.75)").as("b3"))
+        o.filter(col("yr") >= 1998)
+          .crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("v") < col("b1"), "Q1_low")
+              .when(col("v") < col("b2"), "Q2")
+              .when(col("v") < col("b3"), "Q3")
+              .otherwise("Q4_high"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("share", round(col("n_orders").cast("double")
+            / sum(col("n_orders")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderkey, o_totalprice AS v, year(o_orderdate) AS yr
+        |  FROM orders),
+        |b AS (
+        |  SELECT quantile_cont(v, 0.25) AS b1, quantile_cont(v, 0.5) AS b2,
+        |    quantile_cont(v, 0.75) AS b3
+        |  FROM o WHERE yr <= 1997),
+        |n AS (
+        |  SELECT CASE WHEN v < b1 THEN 'Q1_low'
+        |              WHEN v < b2 THEN 'Q2'
+        |              WHEN v < b3 THEN 'Q3'
+        |              ELSE 'Q4_high' END AS bucket
+        |  FROM o, b WHERE yr >= 1998)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |        / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

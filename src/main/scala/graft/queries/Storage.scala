@@ -354,5 +354,71 @@ object Storage extends QueryPack {
         |  CAST(SUM(len) AS BIGINT) AS n_orders,
         |  CAST(MAX(len) AS BIGINT) AS longest_run,
         |  round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_run_len
-        |FROM x GROUP BY st ORDER BY st""".stripMargin)))
+        |FROM x GROUP BY st ORDER BY st""".stripMargin)),
+
+    // Zone-map skipping estimate — the data-skipping primitive parquet
+    // row-group pruning lives on: bucket the fact table into synthetic
+    // "files" (orderkey ranges, mirroring ingest order), record min/max
+    // ship-day per bucket, and measure what fraction of buckets a date
+    // predicate can skip WITHOUT opening them, under (a) natural layout
+    // and (b) a shipdate-sorted layout (every bucket's [min,max] tightens
+    // to a sliver — the q95 Z-order argument quantified on one axis).
+    // Both layouts' zone maps are one aggregation each; the verdict row
+    // compares skip fractions exactly.
+    GraftQuery(
+      "q248_zonemap_skipping",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("day"))
+        val cutLo = lit(9862L) // 1997-01-01
+        val cutHi = lit(10226L) // 1998-01-01 (exclusive)
+        def skipStats(bucketed: org.apache.spark.sql.DataFrame, layout: String) =
+          bucketed.groupBy(col("b"))
+            .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+            .agg(count(lit(1)).as("n_buckets"),
+              sum(when(col("hi") < cutLo || col("lo") >= cutHi, 1L).otherwise(0L))
+                .as("skippable"))
+            .withColumn("layout", lit(layout))
+        val natural = skipStats(
+          li.withColumn("b", expr("l_orderkey div 6000")), "natural")
+        // sorted layout: global shipdate order → contiguous 6000-row files;
+        // the global index comes from DistributedPrefixSum, not a
+        // single-partition window
+        val sorted = skipStats(
+          graft.operators.DistributedPrefixSum
+            .scan(li, Seq("day", "l_orderkey", "l_linenumber"), Nil, idxName = "idx")
+            .withColumn("b", expr("(idx - 1) div 6000")), "shipdate_sorted")
+        natural.unionByName(sorted)
+          .select(col("layout"), col("n_buckets"), col("skippable"),
+            round(col("skippable").cast("double") / col("n_buckets").cast("double"), 6)
+              .as("skip_frac"))
+          .orderBy("layout")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM lineitem),
+        |nat AS (
+        |  SELECT l_orderkey // 6000 AS b, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM li GROUP BY 1),
+        |srt AS (
+        |  SELECT (row_number() OVER (ORDER BY day, l_orderkey, l_linenumber) - 1)
+        |    // 6000 AS b, day
+        |  FROM li),
+        |srtz AS (SELECT b, MIN(day) AS lo, MAX(day) AS hi FROM srt GROUP BY 1),
+        |u AS (
+        |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(CASE WHEN hi < 9862 OR lo >= 10226 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS skippable
+        |  FROM nat
+        |  UNION ALL
+        |  SELECT 'shipdate_sorted', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hi < 9862 OR lo >= 10226 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM srtz)
+        |SELECT layout, n_buckets, skippable,
+        |  round(CAST(skippable AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+        |    AS skip_frac
+        |FROM u ORDER BY layout""".stripMargin)))
 }
