@@ -146,10 +146,12 @@ private object LogfileOptions {
 final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = LogfileTable.Schema
   private var fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
 
   /** PARTIAL limit pushdown: each partition reader stops assembling after
     * `limit` records, so `df.limit(5)` on a 10 GB file reads a few KB
@@ -159,6 +161,27 @@ final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** COUNT(*) pushdown (PARTIAL: one partial count per partition, Spark
+    * sums them). Record COUNTING still requires the multiline head-machine
+    * -- a record is "a line matching the pattern plus its continuations",
+    * so every line is still read and matched -- but the reader skips
+    * assembling record strings and rows entirely: no StringBuilder, no
+    * per-record InternalRow, just the counter the metrics already carry.
+    * Grouped or non-count aggregates don't push (return false ⇒ Spark
+    * plans the normal scan + aggregate).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared order; an empty projection (count(*)) is legal
@@ -182,7 +205,8 @@ final class LogfileScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = fileFilters
 
-  override def build(): Scan = new LogfileScan(options, required, fileFilters, limit)
+  override def build(): Scan =
+    new LogfileScan(options, required, fileFilters, limit, countPushed)
 }
 
 /** Evaluates pushed `file`-column predicates against candidate paths. */
@@ -213,10 +237,12 @@ private[logfile] object LogfileFileFilter {
 
 final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
     fileFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    countPushed: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countPushed) LogfileScan.CountSchema else required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -225,7 +251,8 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
     s"LogfileScan(paths=${LogfileOptions.paths(options).mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
       s"PushedFileFilters=[${fileFilters.mkString(",")}]" +
-      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
+      limit.map(l => s", PushedLimit=$l").getOrElse("") +
+      (if (countPushed) ", PushedAggregation=[COUNT(*)]" else "") + ")"
 
   /** Byte-size statistics from the (filter-pruned) file listing, so Catalyst
     * can pick a broadcast side when a logfile relation joins something.
@@ -275,7 +302,7 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
-    new LogfileReaderFactory(conf, required, limit)
+    new LogfileReaderFactory(conf, required, limit, countPushed)
   }
 
   /** Scan observability (bytes read, records assembled, boundary-spanning
@@ -349,12 +376,43 @@ private[logfile] object LogfileLocality {
   }
 }
 
+object LogfileScan {
+  /** Output schema when COUNT(*) is pushed: one partial count per split. */
+  val CountSchema: StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+}
+
 final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, countPushed: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new LogfilePartitionReader(partition.asInstanceOf[LogfilePartition], conf.value, required,
-      limit)
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = new LogfilePartitionReader(
+      partition.asInstanceOf[LogfilePartition], conf.value, required,
+      limit, countOnly = countPushed)
+    if (countPushed) new LogfileCountReader(inner) else inner
+  }
+}
+
+/** Drains the (string-skipping) inner reader and emits ONE row: this
+  * split's record count -- the partial side of pushed COUNT(*).
+  */
+final class LogfileCountReader(inner: LogfilePartitionReader)
+    extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  private var emitted = false
+  private var count = 0L
+  override def next(): Boolean = {
+    if (emitted) return false
+    while (inner.next()) {}
+    count = inner.assembledCount
+    emitted = true
+    true
+  }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count))
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
+  override def close(): Unit = inner.close()
 }
 
 private[logfile] object LogfileCodec {

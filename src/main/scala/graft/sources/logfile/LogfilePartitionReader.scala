@@ -37,7 +37,8 @@ final class LogfilePartitionReader(
     split: LogfilePartition,
     conf: Configuration,
     required: StructType,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    countOnly: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val headMatcher = Pattern.compile(split.pattern).matcher("")
@@ -132,7 +133,7 @@ final class LogfilePartitionReader(
     if (limit.exists(recordsAssembled >= _)) return false
     if (pendingHead == null) return false
     curOffset = pendingHeadPos
-    val sb = new java.lang.StringBuilder(pendingHead)
+    val sb = if (countOnly) null else new java.lang.StringBuilder(pendingHead)
     pendingHead = null
     var assembling = true
     var spanned = false
@@ -153,11 +154,11 @@ final class LogfilePartitionReader(
           // continuation at/past split end ⇒ this record spans the boundary
           // (invariant 3); MaxValue end (whole-file codec split) never spans
           if (lineStart >= end) spanned = true
-          sb.append('\n').append(s)
+          if (sb != null) sb.append('\n').append(s)
         }
       }
     }
-    curRecord = sb.toString
+    if (sb != null) curRecord = sb.toString
     recordsAssembled += 1
     if (spanned) recordsSpanning += 1
     true
@@ -177,6 +178,9 @@ final class LogfilePartitionReader(
   /** Task-level scan metrics, polled by Spark per-batch and on task end;
     * aggregated driver-side by [[LogfileMetrics.supported]].
     */
+  /** Records assembled so far -- the partial COUNT(*) LogfileCountReader emits. */
+  private[logfile] def assembledCount: Long = recordsAssembled
+
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
       LogfileMetrics.TaskMetric(LogfileMetrics.BytesRead, pos - basePos),

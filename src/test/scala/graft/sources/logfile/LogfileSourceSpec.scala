@@ -433,6 +433,37 @@ class LogfileSourceSpec extends SparkTestBase {
       s"limit must reach the scan: ${scan.scan.description()}")
   }
 
+  test("COUNT(*) pushes into the scan and matches the row-by-row count") {
+    val dir = tmpDir("logfile-countagg")
+    LogfileFixture.ensure(dir, files = 2, recordsPerFile = 250, seed = 33L)
+    val df = read(dir, LogfileFixture.PatternA, maxSplit = 4096)
+    val full = df.collect().length.toLong
+
+    val counted = df.groupBy().count()
+    assert(counted.collect().head.getLong(0) == full,
+      "pushed count must equal the assembled-record count")
+    // the aggregate sits under AQE — assert on the final executed plan text
+    val p = counted.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedAggregation=[COUNT(*)]"),
+      s"count must reach the scan:\n$p")
+    // multiline assembly semantics survive the pushdown: ERROR records with
+    // continuation lines count as ONE record, not one per line
+    assert(df.count() == full)
+  }
+
+  test("grouped and non-count aggregates do NOT push; results stay correct") {
+    val dir = tmpDir("logfile-countagg2")
+    LogfileFixture.ensure(dir, files = 1, recordsPerFile = 100, seed = 34L)
+    val df = read(dir, LogfileFixture.PatternA)
+    val grouped = df.groupBy(col("file")).count()
+    assert(grouped.collect().map(_.getLong(1)).sum == df.count())
+    val p = grouped.queryExecution.executedPlan.toString()
+    assert(!p.contains("PushedAggregation"),
+      s"grouped count must plan the normal scan:\n$p")
+    val maxOff = df.agg(max(col("offset"))).collect().head.getLong(0)
+    assert(maxOff > 0, "non-count aggregate computes over real rows")
+  }
+
   test("limit pushdown is PARTIAL: multi-split plans still return exact rows") {
     val dir = tmpDir("logfile-limit-splits")
     LogfileFixture.ensure(dir, files = 2, recordsPerFile = 300, seed = 21L)
