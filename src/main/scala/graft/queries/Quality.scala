@@ -754,5 +754,86 @@ object Quality extends QueryPack {
         |SELECT 'lines_per_order' AS relation, fanout,
         |  CAST(COUNT(*) AS BIGINT) AS n_parents
         |FROM lpo GROUP BY 2
-        |ORDER BY relation, fanout""".stripMargin)))
+        |ORDER BY relation, fanout""".stripMargin)),
+
+    // Value reconciliation — does each order's header total equal the sum
+    // of its line extended prices? Key-level referential integrity (q163)
+    // says the rows exist; THIS audit says the MONEY agrees. Exact cent
+    // comparison per order, mismatches bucketed by signed relative error.
+    // (In this generator headers and lines are drawn independently, so the
+    // audit quantifies systematic disagreement rather than asserting zero
+    // — which is exactly what a reconciliation report does.)
+    GraftQuery(
+      "q251_value_reconciliation",
+      (s, dir) => {
+        val lines = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("line_c"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("hdr_c"))
+        o.join(lines, col("o_orderkey") === col("l_orderkey"))
+          .withColumn("bucket",
+            when(col("line_c") === col("hdr_c"), "exact")
+              .when(col("line_c") * 10 < col("hdr_c") * 9, "lines_under_90pct")
+              .when(col("line_c") * 10 > col("hdr_c") * 11, "lines_over_110pct")
+              .otherwise("within_10pct"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(col("hdr_c") - col("line_c")).cast("double") / 100.0)
+              .as("total_gap"))
+          .orderBy("bucket")
+      },
+      Some("""WITH l AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_c
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_c
+        |  FROM orders),
+        |j AS (
+        |  SELECT CASE WHEN line_c = hdr_c THEN 'exact'
+        |              WHEN line_c * 10 < hdr_c * 9 THEN 'lines_under_90pct'
+        |              WHEN line_c * 10 > hdr_c * 11 THEN 'lines_over_110pct'
+        |              ELSE 'within_10pct' END AS bucket,
+        |    hdr_c, line_c
+        |  FROM o JOIN l ON o_orderkey = l_orderkey)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(hdr_c - line_c) AS DOUBLE) / 100.0 AS total_gap
+        |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Double-submit audit — customers placing MULTIPLE orders on the same
+    // calendar day (the classic dedup-at-ingest smell): per multiplicity,
+    // how many (customer, day) pairs and how much revenue rides on the
+    // possibly-duplicated submissions beyond the first (excess = all but
+    // the cheapest order per pair, exact cents via sum − min).
+    GraftQuery(
+      "q252_double_submit_audit",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        o.groupBy(col("o_custkey"), col("day"))
+          .agg(count(lit(1)).as("k"), sum(col("c")).as("sc"), min(col("c")).as("mc"))
+          .filter(col("k") >= 2)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            ((sum(col("sc")) - sum(col("mc"))).cast("double") / 100.0)
+              .as("excess_revenue"))
+          .orderBy("k")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, day, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(MIN(c) AS BIGINT) AS mc
+        |  FROM o GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(sc) - SUM(mc) AS DOUBLE) / 100.0 AS excess_revenue
+        |FROM g GROUP BY k ORDER BY k""".stripMargin)))
 }

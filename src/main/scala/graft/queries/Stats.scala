@@ -938,5 +938,38 @@ object Stats extends QueryPack {
         |  CAST(leaving - d AS BIGINT) AS censored,
         |  CASE WHEN hit_zero = 1 THEN 0.0
         |       ELSE round(exp(CAST(cumln AS DOUBLE) / 1e6), 6) END AS survival
-        |FROM g3 ORDER BY months""".stripMargin)))
+        |FROM g3 ORDER BY months""".stripMargin)),
+
+    // Discount × tax interaction grid — the two-factor pricing surface:
+    // per (discount%, tax%) cell, line count, exact revenue, and the
+    // cell's share of total revenue. Both factors are exactly 2-decimal
+    // in the data, so the cell keys are exact integer percents and every
+    // money number is an exact cent sum; one scan, ~99 cells.
+    GraftQuery(
+      "q254_discount_tax_grid",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir, "lineitem")
+          .groupBy(expr("CAST(round(l_discount * 100) AS INT)").as("disc_pct"),
+            expr("CAST(round(l_tax * 100) AS INT)").as("tax_pct"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+          .withColumn("share", round(col("cents").cast("double")
+            / sum(col("cents")).over(Window.partitionBy()), 6))
+          .select(col("disc_pct"), col("tax_pct"), col("n_lines"),
+            (col("cents").cast("double") / 100.0).as("revenue"), col("share"))
+          .orderBy("disc_pct", "tax_pct")
+      },
+      Some("""WITH g AS (
+        |  SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+        |    CAST(round(l_tax * 100) AS INT) AS tax_pct,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT disc_pct, tax_pct, n_lines,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+        |    AS share
+        |FROM g ORDER BY disc_pct, tax_pct""".stripMargin)))
 }

@@ -383,5 +383,81 @@ object Trends extends QueryPack {
         |  CASE WHEN prev > 0 THEN
         |    round(CAST(cents - prev AS DOUBLE) * 100.0 / CAST(prev AS DOUBLE), 4)
         |  END AS growth_pct
-        |FROM l ORDER BY n_name, m""".stripMargin)))
+        |FROM l ORDER BY n_name, m""".stripMargin)),
+
+    // Revenue by customer age — each order year's revenue split by WHEN
+    // the ordering customer was acquired (first-order year): the money
+    // complement of q214's user-count growth accounting. One first-seen
+    // aggregate joined back, exact cents, cohort share per cell.
+    GraftQuery(
+      "q253_revenue_by_customer_age",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"), expr("year(o_orderdate)").as("yr"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        val firstSeen = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("yr0"))
+        o.join(firstSeen, Seq("o_custkey"))
+          .withColumn("age", col("yr") - col("yr0"))
+          .groupBy(col("yr"), col("age"))
+          .agg(sum(col("c")).as("cents"), countDistinct(col("o_custkey")).as("n_customers"))
+          .withColumn("share", round(col("cents").cast("double")
+            / sum(col("cents")).over(Window.partitionBy("yr")), 6))
+          .select(col("yr"), col("age"), col("n_customers"),
+            (col("cents").cast("double") / 100.0).as("revenue"), col("share"))
+          .orderBy("yr", "age")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |fs AS (SELECT o_custkey, MIN(yr) AS yr0 FROM o GROUP BY 1),
+        |j AS (
+        |  SELECT o.yr, o.yr - fs.yr0 AS age, o.o_custkey, o.c
+        |  FROM o JOIN fs ON o.o_custkey = fs.o_custkey),
+        |g AS (
+        |  SELECT yr, age, CAST(SUM(c) AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |  FROM j GROUP BY 1, 2)
+        |SELECT CAST(yr AS INT) AS yr, CAST(age AS INT) AS age, n_customers,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(cents AS DOUBLE)
+        |        / CAST(SUM(cents) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+        |FROM g ORDER BY yr, age""".stripMargin)),
+
+    // Peak revenue day per year through the custom physical operator —
+    // TopKPerGroup at k=1 over (year → day, cents) finds each year's
+    // biggest single day without a rank window (k rows per group per task
+    // cross the shuffle), plus that day's share of its year from one
+    // broadcast year-total join.
+    GraftQuery(
+      "q255_peak_day_per_year",
+      (s, dir) => {
+        val daily = Tables(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate)").cast("int").as("yr"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val yearly = daily.groupBy(col("yr")).agg(sum(col("cents")).as("ytot"))
+        graft.plans.TopKPerGroup(daily, Seq("yr"),
+            Seq(("cents", false), ("day", true)), k = 1)
+          .join(broadcast(yearly), Seq("yr"))
+          .select(col("yr"), col("day"),
+            (col("cents").cast("double") / 100.0).as("peak_revenue"),
+            round(col("cents").cast("double") / col("ytot").cast("double"), 6)
+              .as("share_of_year"))
+          .orderBy("yr")
+      },
+      Some("""WITH daily AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY yr
+        |      ORDER BY cents DESC, day) AS rnk,
+        |    SUM(cents) OVER (PARTITION BY yr) AS ytot
+        |  FROM daily)
+        |SELECT yr, day, CAST(cents AS DOUBLE) / 100.0 AS peak_revenue,
+        |  round(CAST(cents AS DOUBLE) / CAST(ytot AS DOUBLE), 6) AS share_of_year
+        |FROM r WHERE rnk = 1 ORDER BY yr""".stripMargin)))
 }
