@@ -971,5 +971,57 @@ object Stats extends QueryPack {
         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
         |  round(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE), 6)
         |    AS share
-        |FROM g ORDER BY disc_pct, tax_pct""".stripMargin)))
+        |FROM g ORDER BY disc_pct, tax_pct""".stripMargin)),
+
+    // Median customer's median order — nested robust location: each
+    // customer's LOWER-median order value (rank (n+1) div 2 in their own
+    // history — exact, no interpolation), then the lower median ACROSS
+    // customers, located by DistributedPrefixSum's global index rather
+    // than a single-partition window. Doubly outlier-proof where
+    // mean-of-means is doubly fragile; everything integer until the final
+    // /100.
+    GraftQuery(
+      "q257_median_of_medians",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        val w = Window.partitionBy("ck").orderBy("c", "ok")
+        val perCust = o
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("ck")))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("ck"), col("c").as("med"))
+        val ranked = graft.operators.DistributedPrefixSum
+          .scan(perCust, Seq("med", "ck"), Nil, idxName = "idx")
+        val tot = perCust.agg(count(lit(1)).as("nc"), sum(col("med")).as("sm"))
+        ranked.crossJoin(broadcast(tot))
+          .filter(col("idx") === expr("(nc + 1) div 2"))
+          .select(col("nc").as("n_customers"),
+            (col("med").cast("double") / 100.0).as("median_customer_median"),
+            round(col("sm").cast("double") / col("nc").cast("double") / 100.0, 4)
+              .as("mean_customer_median"))
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (
+        |  SELECT ck, c,
+        |    CAST(row_number() OVER (PARTITION BY ck ORDER BY c, ok) AS BIGINT)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY ck) AS n
+        |  FROM o),
+        |pc AS (SELECT ck, c AS med FROM r WHERE rn = (n + 1) // 2),
+        |g AS (
+        |  SELECT ck, med,
+        |    CAST(row_number() OVER (ORDER BY med, ck) AS BIGINT) AS idx,
+        |    COUNT(*) OVER () AS nc, SUM(med) OVER () AS sm
+        |  FROM pc)
+        |SELECT CAST(nc AS BIGINT) AS n_customers,
+        |  CAST(med AS DOUBLE) / 100.0 AS median_customer_median,
+        |  round(CAST(sm AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0, 4)
+        |    AS mean_customer_median
+        |FROM g WHERE idx = (nc + 1) // 2""".stripMargin)))
 }

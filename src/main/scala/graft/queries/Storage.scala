@@ -420,5 +420,46 @@ object Storage extends QueryPack {
         |SELECT layout, n_buckets, skippable,
         |  round(CAST(skippable AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
         |    AS skip_frac
-        |FROM u ORDER BY layout""".stripMargin)))
+        |FROM u ORDER BY layout""".stripMargin)),
+
+    // Dictionary-encoding advisor — per string column: cardinality ratio
+    // and average byte length, with the encode verdict (dictionary when
+    // distinct/total < 10%, cross-multiplied exact). The q197 RLE
+    // estimate decides run encoding; THIS decides the dictionary page —
+    // together they're the layout advisor a columnar writer consults.
+    // One scan per source table, unioned by name.
+    GraftQuery(
+      "q260_dict_advisor",
+      (s, dir) => {
+        def profile(df: org.apache.spark.sql.DataFrame, table: String, c: String) =
+          df.select(col(c)).agg(
+              count(lit(1)).as("n"),
+              countDistinct(col(c)).as("n_distinct"),
+              sum(length(col(c)).cast("long")).as("total_len"))
+            .select(lit(s"$table.$c").as("column"), col("n"), col("n_distinct"),
+              round(col("total_len").cast("double") / col("n").cast("double"), 2)
+                .as("avg_len"),
+              when(col("n_distinct") * 10 < col("n"), lit("dictionary"))
+                .otherwise(lit("plain")).as("encoding"))
+        val o = Tables(s, dir, "orders")
+        val p = Tables(s, dir, "part")
+        profile(o, "orders", "o_orderstatus")
+          .unionByName(profile(o, "orders", "o_orderpriority"))
+          .unionByName(profile(p, "part", "p_brand"))
+          .unionByName(profile(p, "part", "p_type"))
+          .unionByName(profile(p, "part", "p_name"))
+          .orderBy("column")
+      },
+      Some {
+        def one(table: String, c: String) =
+          s"""SELECT '$table.$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             round(CAST(SUM(length($c)) AS DOUBLE) / COUNT(*), 2) AS avg_len,
+             CASE WHEN COUNT(DISTINCT $c) * 10 < COUNT(*) THEN 'dictionary'
+                  ELSE 'plain' END AS encoding
+             FROM $table"""
+        Seq(one("orders", "o_orderstatus"), one("orders", "o_orderpriority"),
+          one("part", "p_brand"), one("part", "p_type"), one("part", "p_name"))
+          .mkString("", " UNION ALL ", " ORDER BY \"column\"")
+      }))
 }

@@ -712,6 +712,49 @@ object Text extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
         |  FROM c)
         |SELECT lang, w, c FROM r WHERE rnk <= 5
-        |ORDER BY lang, c DESC, w""".stripMargin))
+        |ORDER BY lang, c DESC, w""".stripMargin)),
+
+    // Cross-language vocabulary overlap — Jaccard similarity of the
+    // DISTINCT token vocabularies per language pair: high overlap between
+    // supposedly different languages is the language-ID-contamination
+    // smell a multilingual curation plan checks first. One distinct
+    // (lang, token) frame; pair intersections via a token self-join at
+    // the VOCABULARY level (never row-level text); union by |A|+|B|−|A∩B|.
+    GraftQuery(
+      "q259_vocab_overlap",
+      (s, dir) => {
+        val vocab = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("lang"),
+            explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+          .distinct()
+          .localCheckpoint()
+        val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val inter = vocab.select(col("lang").as("l1"), col("w"))
+          .join(vocab.select(col("lang").as("l2"), col("w")), Seq("w"))
+          .filter(col("l1") < col("l2"))
+          .groupBy(col("l1"), col("l2")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("lang").as("l1"), col("n").as("n1"))), "l1")
+          .join(broadcast(sizes.select(col("lang").as("l2"), col("n").as("n2"))), "l2")
+          .select(col("l1"), col("l2"), col("n1"), col("n2"), col("inter"),
+            round(col("inter").cast("double")
+              / (col("n1") + col("n2") - col("inter")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy("l1", "l2")
+      },
+      Some("""WITH v AS (
+        |  SELECT DISTINCT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |i AS (
+        |  SELECT a.lang AS l1, b.lang AS l2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT l1, l2, s1.n AS n1, s2.n AS n2, inter,
+        |  round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM i JOIN sz s1 ON i.l1 = s1.lang JOIN sz s2 ON i.l2 = s2.lang
+        |ORDER BY l1, l2""".stripMargin))
   )
 }

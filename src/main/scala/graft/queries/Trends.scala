@@ -459,5 +459,119 @@ object Trends extends QueryPack {
         |  FROM daily)
         |SELECT yr, day, CAST(cents AS DOUBLE) / 100.0 AS peak_revenue,
         |  round(CAST(cents AS DOUBLE) / CAST(ytot AS DOUBLE), 6) AS share_of_year
-        |FROM r WHERE rnk = 1 ORDER BY yr""".stripMargin)))
+        |FROM r WHERE rnk = 1 ORDER BY yr""".stripMargin)),
+
+    // Frequent TRIPLES with a-priori pruning — q122's pairs extended one
+    // level: items below 0.3% support are pruned BEFORE any pair forms, and
+    // pair-level pruning gates the triple join (downward closure: a
+    // frequent triple's every sub-pair is frequent, so pruning cannot
+    // change the answer — the oracle counts triples directly and must
+    // agree). Brand-level baskets bound per-order fan-out at C(25,3).
+    GraftQuery(
+      "q256_apriori_triples",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("k"), col("p_brand").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val nb = items.agg(countDistinct(col("k")).as("nb"))
+        // L1: frequent items (support >= 0.3% of baskets, cross-multiplied)
+        val l1 = items.groupBy(col("b")).agg(count(lit(1)).as("c1"))
+          .crossJoin(broadcast(nb)).filter(col("c1") * 1000 >= col("nb") * 3)
+          .select(col("b"))
+        val i2 = items.join(broadcast(l1), Seq("b"), "left_semi")
+        // L2: frequent pairs among L1 items
+        val p12 = i2.select(col("k"), col("b").as("b1"))
+          .join(i2.select(col("k").as("k2"), col("b").as("b2")),
+            col("k") === col("k2") && col("b1") < col("b2"))
+        val l2 = p12.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
+          .crossJoin(broadcast(nb)).filter(col("c2") * 1000 >= col("nb") * 3)
+          .select(col("b1"), col("b2"))
+        // triples: extend L2-surviving pairs, gate the (b2, b3) edge on L2
+        val t = p12.join(broadcast(l2), Seq("b1", "b2"), "left_semi")
+          .join(i2.select(col("k").as("k3"), col("b").as("b3")),
+            col("k") === col("k3") && col("b2") < col("b3"))
+          .join(broadcast(l2.select(col("b1").as("b2"), col("b2").as("b3"))),
+            Seq("b2", "b3"), "left_semi")
+        t.groupBy(col("b1"), col("b2"), col("b3")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(nb)).filter(col("cnt") * 1000 >= col("nb") * 3)
+          .select(col("b1"), col("b2"), col("b3"), col("cnt"),
+            round(col("cnt").cast("double") / col("nb").cast("double"), 6)
+              .as("support"))
+          .orderBy(col("cnt").desc, col("b1"), col("b2"), col("b3"))
+          .limit(10)
+      },
+      Some("""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS nb FROM items),
+        |t AS (
+        |  SELECT a.b AS b1, c.b AS b2, d.b AS b3, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM items a
+        |  JOIN items c ON a.k = c.k AND a.b < c.b
+        |  JOIN items d ON a.k = d.k AND c.b < d.b
+        |  GROUP BY 1, 2, 3)
+        |SELECT b1, b2, b3, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support
+        |FROM t, tot WHERE cnt * 1000 >= nb * 3
+        |ORDER BY cnt DESC, b1, b2, b3 LIMIT 10""".stripMargin)),
+
+    // Autocorrelation of the monthly revenue series at lags 1–3 — the
+    // seasonality/persistence screen before any forecasting model. Pairing
+    // is a month-level self-join (84 rows), every moment is an exact
+    // DECIMAL(38,0) product sum over cents, and each lag's Pearson r is
+    // one final float expression.
+    GraftQuery(
+      "q258_revenue_autocorrelation",
+      (s, dir) => {
+        val monthly = Tables(s, dir, "orders")
+          .groupBy(expr("CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+            .as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+        val lags = Seq(1, 2, 3).map { k =>
+          monthly.select(col("m"), col("c").as("x"))
+            .join(monthly.select((col("m") + k).as("m"), col("c").as("y")), Seq("m"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+              sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+              sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+              sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+            .withColumn("lag", lit(k))
+        }.reduce(_ unionByName _)
+        lags.select(col("lag"), col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt((col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+                * (col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))), 6)
+              .as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH m AS (
+        |  SELECT CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+        |    AS BIGINT) AS m,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT k.lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+        |    SUM(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+        |    SUM(CAST(b.c AS HUGEINT) * b.c) AS syy
+        |  FROM (SELECT unnest([1, 2, 3]) AS lag) k
+        |  JOIN m a ON true
+        |  JOIN m b ON a.m = b.m + k.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * sy)
+        |        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * sx)
+        |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                  - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+        |FROM l ORDER BY lag""".stripMargin)))
 }
