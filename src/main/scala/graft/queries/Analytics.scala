@@ -485,6 +485,80 @@ object Analytics extends QueryPack {
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  round(CAST(COUNT(*) AS DOUBLE)
         |        / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
-        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin))
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Late-shipment trend — the share of lines shipping more than 90 days
+    // after their order, per ship month: the operational SLA trend line.
+    // One orderkey join, exact integer day gaps and cross-multiplied
+    // shares; the month rollup is a 84-row frame.
+    GraftQuery(
+      "q264_late_shipment_trend",
+      (s, dir) => {
+        val d = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS BIGINT)")
+              .as("m"),
+            expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("sd"))
+          .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"),
+              expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+        d.groupBy(col("m"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("sd") - col("od") > 90, 1L).otherwise(0L)).as("n_late"))
+          .withColumn("late_share", round(col("n_late").cast("double")
+            / col("n_lines").cast("double"), 6))
+          .orderBy("m")
+      },
+      Some("""WITH d AS (
+        |  SELECT CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)
+        |      AS gap
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(CAST(SUM(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS late_share
+        |FROM d GROUP BY m ORDER BY m""".stripMargin)),
+
+    // Chi-square uniformity test on the quantity distribution — is
+    // l_quantity uniform over 1..50 (as TPC-H specifies)? Expected count
+    // = n/50 per cell; per-cell chi² terms from exact Long counts with a
+    // single final float each, plus the grand statistic. q217's Benford
+    // screen tests a LAW, this tests a SPEC — both are the
+    // generator-regression gates a data platform runs on every refresh.
+    GraftQuery(
+      "q265_quantity_uniformity",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables(s, dir, "lineitem")
+          .groupBy(expr("CAST(l_quantity AS INT)").as("qty"))
+          .agg(count(lit(1)).as("obs"))
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+        val e = col("n").cast("double") / 50.0
+        // grand statistic via the exact-moment identity
+        // Σ(obs−n/50)²/(n/50) = 50·Σobs²/n − n — the float never sums
+        // across rows (Σobs² is an exact Long window sum)
+        g.withColumn("sumsq",
+            sum(col("obs") * col("obs")).over(Window.partitionBy()))
+          .select(col("qty"), col("obs"),
+            round(pow(col("obs").cast("double") - e, 2) / e, 4).as("chi2_term"),
+            round(lit(50.0) * col("sumsq").cast("double")
+              / col("n").cast("double") - col("n").cast("double"), 4)
+              .as("chi2_total"))
+          .orderBy("qty")
+      },
+      Some("""WITH g AS (
+        |  SELECT CAST(l_quantity AS INT) AS qty, CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT *, SUM(obs) OVER () AS n,
+        |        SUM(CAST(obs AS HUGEINT) * obs) OVER () AS sumsq FROM g)
+        |SELECT qty, obs,
+        |  round(pow(CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / 50.0, 2)
+        |        / (CAST(n AS DOUBLE) / 50.0), 4) AS chi2_term,
+        |  round(50.0 * CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE), 4) AS chi2_total
+        |FROM w ORDER BY qty""".stripMargin))
   )
 }

@@ -195,5 +195,58 @@ object Graph extends QueryPack {
             min(col("node")).as("min_part"), max(col("node")).as("max_part"))
           .orderBy("coreness")
       },
-      None))
+      None),
+
+    // Nation trade balance — the weighted in/out degree rollup of the
+    // q103/q227 trade graph: per nation, export revenue (its suppliers'
+    // lines), import revenue (its customers' orders' lines), and the net
+    // balance. One lineitem scan feeds both directions (supplier side
+    // directly, customer side through the orders key); exact cents; the
+    // nation dim broadcasts twice.
+    GraftQuery(
+      "q263_trade_balance",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("c"))
+        val sup = broadcast(Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val cust = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+        val exports = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk")).agg(sum(col("c")).as("exp_c"))
+        val imports = li.join(cust, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey").as("nk")).agg(sum(col("c")).as("imp_c"))
+        exports.join(imports, Seq("nk"), "full")
+          .join(broadcast(Tables(s, dir, "nation")), col("nk") === col("n_nationkey"))
+          .select(col("n_name"),
+            (coalesce(col("exp_c"), lit(0L)).cast("double") / 100.0).as("exports"),
+            (coalesce(col("imp_c"), lit(0L)).cast("double") / 100.0).as("imports"),
+            ((coalesce(col("exp_c"), lit(0L)) - coalesce(col("imp_c"), lit(0L)))
+              .cast("double") / 100.0).as("net_balance"))
+          .orderBy("n_name")
+      },
+      Some("""WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |exp_ AS (
+        |  SELECT s_nationkey AS nk, CAST(SUM(c) AS BIGINT) AS exp_c
+        |  FROM li JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+        |imp_ AS (
+        |  SELECT c_nationkey AS nk, CAST(SUM(c) AS BIGINT) AS imp_c
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT n_name,
+        |  CAST(COALESCE(exp_c, 0) AS DOUBLE) / 100.0 AS exports,
+        |  CAST(COALESCE(imp_c, 0) AS DOUBLE) / 100.0 AS imports,
+        |  CAST(COALESCE(exp_c, 0) - COALESCE(imp_c, 0) AS DOUBLE) / 100.0
+        |    AS net_balance
+        |FROM exp_ FULL JOIN imp_ USING (nk)
+        |JOIN nation ON nk = n_nationkey
+        |ORDER BY n_name""".stripMargin)))
 }

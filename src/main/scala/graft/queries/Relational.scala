@@ -720,6 +720,88 @@ object Relational extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers
         |FROM u JOIN l ON ck = ck2 AND ld BETWEEN ud - 30 AND ud + 30
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // What-if scenario — revenue under a 5% discount cap, per year: the
+    // counterfactual recompute a pricing team asks for before touching
+    // policy. Both the actual and scenario revenue are exact integer
+    // arithmetic on cent-Longs (price·(100−disc) in hi/lo-split sums, disc
+    // capped with least()), so the delta is exact to the cent at any
+    // scale; one scan, no joins.
+    GraftQuery(
+      "q261_discount_cap_scenario",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(expr("year(l_shipdate)").cast("int").as("yr"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+          .withColumn("dcap", least(col("dc"), lit(5L)))
+        def hiLo(e: String, name: String) = Seq(
+          sum(expr(s"($e) div 1000000000")).as(s"h_$name"),
+          sum(expr(s"($e) % 1000000000")).as(s"l_$name"))
+        val m = li.groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_lines"),
+            (hiLo("pc * (100 - dc)", "act") ++ hiLo("pc * (100 - dcap)", "cap")): _*)
+        def mom(n: String) = expr(
+          s"CAST(CAST(h_$n AS DECIMAL(38,0)) * 1000000000 + l_$n AS DOUBLE) / 10000.0")
+        m.select(col("yr"), col("n_lines"),
+            mom("act").as("actual_revenue"),
+            mom("cap").as("capped_revenue"),
+            round(mom("cap") - mom("act"), 2).as("uplift"))
+          .orderBy("yr")
+      },
+      Some("""WITH li AS (
+        |  SELECT year(l_shipdate) AS yr,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |    LEAST(CAST(round(l_discount * 100) AS BIGINT), 5) AS dcap
+        |  FROM lineitem)
+        |SELECT CAST(yr AS INT) AS yr, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(pc AS HUGEINT) * (100 - dc)) AS DOUBLE) / 10000.0
+        |    AS actual_revenue,
+        |  CAST(SUM(CAST(pc AS HUGEINT) * (100 - dcap)) AS DOUBLE) / 10000.0
+        |    AS capped_revenue,
+        |  round(CAST(SUM(CAST(pc AS HUGEINT) * (100 - dcap)) AS DOUBLE) / 10000.0
+        |        - CAST(SUM(CAST(pc AS HUGEINT) * (100 - dc)) AS DOUBLE) / 10000.0, 2)
+        |    AS uplift
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Priority-transition matrix — for consecutive orders of the SAME
+    // customer, the (previous priority → next priority) counts with row-
+    // conditional shares: does urgency persist or churn? One lag window
+    // per customer (q164's Markov idiom on the orders domain), exact
+    // counts, shares from cell/row-total Longs.
+    GraftQuery(
+      "q262_priority_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("ck").orderBy("day", "ok")
+        val t = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+            col("o_orderpriority").as("p"))
+          .withColumn("prev", lag(col("p"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        t.groupBy(col("prev"), col("p"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_share", round(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy("prev")), 6))
+          .orderBy("prev", "p")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    o_orderpriority AS p
+        |  FROM orders),
+        |t AS (
+        |  SELECT p, lag(p) OVER (PARTITION BY ck ORDER BY day, ok) AS prev
+        |  FROM o),
+        |g AS (
+        |  SELECT prev, p, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, p, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS row_share
+        |FROM g ORDER BY prev, p""".stripMargin))
   )
 }
