@@ -835,5 +835,48 @@ object Quality extends QueryPack {
         |  FROM o GROUP BY 1, 2 HAVING COUNT(*) >= 2)
         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(sc) - SUM(mc) AS DOUBLE) / 100.0 AS excess_revenue
-        |FROM g GROUP BY k ORDER BY k""".stripMargin)))
+        |FROM g GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Freshness audit — per time-bearing table: row count, latest event
+    // day, and staleness relative to the freshest table in the lake (the
+    // "did yesterday's load land everywhere" ops gate). Each table
+    // contributes one scan-and-max row; the cross-table max is a window
+    // over the 3-row frame. Epoch-day integers end to end.
+    GraftQuery(
+      "q270_freshness_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def probe(df: org.apache.spark.sql.DataFrame, table: String, dayExpr: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              max(expr(dayExpr)).cast("long").as("max_day"))
+            .withColumn("table", lit(table))
+        val rows = probe(Tables(s, dir, "orders"), "orders",
+            "datediff(o_orderdate, DATE '1970-01-01')")
+          .unionByName(probe(Tables(s, dir, "lineitem"), "lineitem",
+            "datediff(l_shipdate, DATE '1970-01-01')"))
+          .unionByName(probe(Tables(s, dir, "events"), "events",
+            "ts div 86400000000000"))
+        rows
+          .withColumn("lake_max", max(col("max_day")).over(Window.partitionBy()))
+          .select(col("table"), col("n_rows"), col("max_day"),
+            (col("lake_max") - col("max_day")).as("staleness_days"))
+          .orderBy("table")
+      },
+      Some("""WITH r AS (
+        |  SELECT 'orders' AS "table", CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS max_day
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |    CAST(MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+        |    CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT)
+        |  FROM events)
+        |SELECT "table", n_rows, max_day,
+        |  CAST(MAX(max_day) OVER () - max_day AS BIGINT) AS staleness_days
+        |FROM r ORDER BY "table"""".stripMargin))
+  )
 }

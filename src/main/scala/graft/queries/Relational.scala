@@ -802,6 +802,53 @@ object Relational extends QueryPack {
         |SELECT prev, p, n,
         |  round(CAST(n AS DOUBLE)
         |        / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS row_share
-        |FROM g ORDER BY prev, p""".stripMargin))
+        |FROM g ORDER BY prev, p""".stripMargin)),
+
+    // TPC-H Q2 shape — best-price supplier per part and the sourcing map
+    // it induces: which nation's suppliers win how many parts at the
+    // lowest offered line price. Winner selection is a per-part rank
+    // window over the (part, supplier) min-price frame (total order with
+    // suppkey tiebreak), then a broadcast nation rollup with exact share.
+    GraftQuery(
+      "q266_best_price_supplier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val offers = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("mc"))
+        val w = Window.partitionBy("l_partkey").orderBy(col("mc").asc, col("l_suppkey").asc)
+        val winners = offers.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        winners
+          .join(broadcast(Tables(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("parts_won"))
+          .withColumn("share", round(col("parts_won").cast("double")
+            / sum(col("parts_won")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+          .orderBy("n_name")
+      },
+      Some("""WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mc
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY mc, l_suppkey) AS rn
+        |  FROM offers),
+        |win AS (SELECT l_suppkey FROM w WHERE rn = 1),
+        |g AS (
+        |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS parts_won
+        |  FROM win JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, parts_won,
+        |  round(CAST(parts_won AS DOUBLE)
+        |        / CAST(SUM(parts_won) OVER () AS DOUBLE), 6) AS share
+        |FROM g ORDER BY n_name""".stripMargin))
   )
 }

@@ -1023,5 +1023,72 @@ object Stats extends QueryPack {
         |  CAST(med AS DOUBLE) / 100.0 AS median_customer_median,
         |  round(CAST(sm AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0, 4)
         |    AS mean_customer_median
-        |FROM g WHERE idx = (nc + 1) // 2""".stripMargin)))
+        |FROM g WHERE idx = (nc + 1) // 2""".stripMargin)),
+
+    // Spearman rank correlation (tie-corrected) between part size and
+    // retail price — the monotone-association screen Pearson (q127)
+    // can't give. Average tie ranks stay integer in DOUBLED units (the
+    // q219 trick) at the distinct-VALUE level — value tables come from
+    // one groupBy each, cumulative starts from DistributedPrefixSum, and
+    // Pearson on the doubled ranks uses DECIMAL(38,0) product sums. One
+    // float at the end.
+    GraftQuery(
+      "q268_spearman_size_price",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"),
+            col("p_size").cast("long").as("a"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("b"))
+        def doubledRanks(c: String) = {
+          val byVal = p.groupBy(col(c)).agg(count(lit(1)).as("t"))
+          graft.operators.DistributedPrefixSum
+            .scan(byVal, Seq(c), Seq("t"), idxName = s"__i_$c", runPrefix = s"run_${c}_")
+            // doubled average rank of a tied block: 2·start + t + 1
+            .select(col(c), (lit(2) * (col(s"run_${c}_t") - col("t"))
+              + col("t") + 1).as(s"r2_$c"))
+        }
+        val j = p.join(doubledRanks("a"), Seq("a")).join(doubledRanks("b"), Seq("b"))
+        val m = j.agg(count(lit(1)).as("n"),
+          sum(col("r2_a")).as("sa"), sum(col("r2_b")).as("sb"),
+          sum(expr("CAST(r2_a AS DECIMAL(38,0)) * r2_b")).as("sab"),
+          sum(expr("CAST(r2_a AS DECIMAL(38,0)) * r2_a")).as("saa"),
+          sum(expr("CAST(r2_b AS DECIMAL(38,0)) * r2_b")).as("sbb"))
+        m.select(col("n").as("n_parts"),
+          round((col("n").cast("double") * col("sab").cast("double")
+            - col("sa").cast("double") * col("sb").cast("double"))
+            / sqrt((col("n").cast("double") * col("saa").cast("double")
+              - col("sa").cast("double") * col("sa").cast("double"))
+              * (col("n").cast("double") * col("sbb").cast("double")
+                - col("sb").cast("double") * col("sb").cast("double"))), 6)
+            .as("spearman_rho"))
+      },
+      Some("""WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS a,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS b
+        |  FROM part),
+        |va AS (
+        |  SELECT a, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY 1),
+        |ra AS (
+        |  SELECT a, 2 * (SUM(t) OVER (ORDER BY a) - t) + t + 1 AS r2_a FROM va),
+        |vb AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM p GROUP BY 1),
+        |rb AS (
+        |  SELECT b, 2 * (SUM(t) OVER (ORDER BY b) - t) + t + 1 AS r2_b FROM vb),
+        |j AS (
+        |  SELECT r2_a, r2_b FROM p JOIN ra USING (a) JOIN rb USING (b)),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2_a) AS BIGINT) AS sa, CAST(SUM(r2_b) AS BIGINT) AS sb,
+        |    SUM(CAST(r2_a AS HUGEINT) * r2_b) AS sab,
+        |    SUM(CAST(r2_a AS HUGEINT) * r2_a) AS saa,
+        |    SUM(CAST(r2_b AS HUGEINT) * r2_b) AS sbb
+        |  FROM j)
+        |SELECT n AS n_parts,
+        |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |         - CAST(sa AS DOUBLE) * sb)
+        |        / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |                - CAST(sa AS DOUBLE) * sa)
+        |               * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |                  - CAST(sb AS DOUBLE) * sb)), 6) AS spearman_rho
+        |FROM m""".stripMargin)))
 }

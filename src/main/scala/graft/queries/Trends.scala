@@ -573,5 +573,118 @@ object Trends extends QueryPack {
         |                - CAST(sx AS DOUBLE) * sx)
         |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |                  - CAST(sy AS DOUBLE) * sy)), 6) AS acf
-        |FROM l ORDER BY lag""".stripMargin)))
+        |FROM l ORDER BY lag""".stripMargin)),
+
+    // Order-value trajectory per market segment — do customers spend more
+    // as their order SEQUENCE advances? The per-customer order index is a
+    // partitioned row_number; the OLS of cents on index pools exact
+    // moments PER SEGMENT (never a float average of per-customer slopes —
+    // that would sum floats across rows). Σxy stays Long-safe because the
+    // index is bounded by orders-per-customer (≤ ~40).
+    GraftQuery(
+      "q267_order_trajectory",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("ck").orderBy("day", "ok")
+        val seq0 = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+          .withColumn("x", row_number().over(w).cast("long"))
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+            col("ck") === col("c_custkey"))
+        val m = seq0.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        val num = col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        m.select(col("segment"), col("n").as("n_orders"),
+            round(num / den / 100.0, 4).as("slope_dollars_per_step"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |sq AS (
+        |  SELECT ck, y,
+        |    CAST(row_number() OVER (PARTITION BY ck ORDER BY day, ok) AS BIGINT)
+        |      AS x
+        |  FROM o),
+        |j AS (
+        |  SELECT c_mktsegment AS segment, x, y
+        |  FROM sq JOIN customer ON ck = c_custkey),
+        |m AS (
+        |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT segment, n AS n_orders,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * sy)
+        |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        / 100.0, 4) AS slope_dollars_per_step
+        |FROM m ORDER BY segment""".stripMargin)),
+
+    // Brand preference lift per nation — (nation, brand) revenue share
+    // over the brand's global share: where does a brand over-index? All
+    // shares are ratios of exact cent sums (three window totals over the
+    // ~625-cell frame); the top-20 ranks on the rounded lift with full
+    // tiebreakers.
+    GraftQuery(
+      "q269_brand_preference_lift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("p_brand"))
+          .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            + " AS BIGINT)")).as("c"))
+        cells
+          .withColumn("ntot", sum(col("c")).over(Window.partitionBy("n_name")))
+          .withColumn("btot", sum(col("c")).over(Window.partitionBy("p_brand")))
+          .withColumn("g", sum(col("c")).over(Window.partitionBy()))
+          .select(col("n_name"), col("p_brand"),
+            (col("c").cast("double") / 100.0).as("revenue"),
+            round((col("c").cast("double") / col("ntot").cast("double"))
+              / (col("btot").cast("double") / col("g").cast("double")), 4)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("n_name"), col("p_brand"))
+          .limit(20)
+      },
+      Some("""WITH cells AS (
+        |  SELECT n_name, p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY n_name) AS ntot,
+        |    SUM(c) OVER (PARTITION BY p_brand) AS btot,
+        |    SUM(c) OVER () AS g
+        |  FROM cells)
+        |SELECT n_name, p_brand, CAST(c AS DOUBLE) / 100.0 AS revenue,
+        |  round((CAST(c AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |        / (CAST(btot AS DOUBLE) / CAST(g AS DOUBLE)), 4) AS lift
+        |FROM w ORDER BY lift DESC, n_name, p_brand LIMIT 20""".stripMargin)))
 }

@@ -386,9 +386,12 @@ final class LogfileReaderFactory(conf: SerializableConfiguration, required: Stru
     limit: Option[Int] = None, countPushed: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    // a pushed limit must never cap a pushed COUNT(*): Spark doesn't plan
+    // both today (limit stays above the aggregate), but if it ever did,
+    // an early-stopped count would silently undercount
     val inner = new LogfilePartitionReader(
       partition.asInstanceOf[LogfilePartition], conf.value, required,
-      limit, countOnly = countPushed)
+      if (countPushed) None else limit, countOnly = countPushed)
     if (countPushed) new LogfileCountReader(inner) else inner
   }
 }
