@@ -876,6 +876,47 @@ object Events extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_clicks,
         |  CAST(SUM(converted) AS BIGINT) AS n_converted,
         |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Power-user concentration — what share of all events comes from the
+    // top 1% of users by activity (the engagement-skew number behind every
+    // infra-sizing and abuse-threshold decision). User ranks come from
+    // DistributedPrefixSum over the descending activity order; the 1% cut
+    // is integer (greatest(1, n div 100)); shares divide exact Longs once.
+    GraftQuery(
+      "q275_power_user_share",
+      (s, dir) => {
+        val perUser = Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .withColumn("negc", -col("c"))
+        val ranked = graft.operators.DistributedPrefixSum
+          .scan(perUser, Seq("negc", "user_id"), Seq("c"), idxName = "rnk")
+        val tot = perUser.agg(count(lit(1)).as("nu"), sum(col("c")).as("te"))
+        ranked.crossJoin(broadcast(tot))
+          .filter(col("rnk") <= greatest(lit(1L), expr("nu div 100")))
+          .agg(max(col("nu")).as("n_users"),
+            max(expr("greatest(CAST(1 AS BIGINT), nu div 100)")).as("top_users"),
+            max(col("run_c")).as("top_events"), max(col("te")).as("total_events"))
+          .select(col("n_users"), col("top_users"), col("top_events"),
+            col("total_events"),
+            round(col("top_events").cast("double")
+              / col("total_events").cast("double"), 6).as("top1pct_share"))
+      },
+      Some("""WITH pu AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rnk,
+        |    SUM(c) OVER (ORDER BY c DESC, user_id) AS run_c,
+        |    COUNT(*) OVER () AS nu, SUM(c) OVER () AS te
+        |  FROM pu)
+        |SELECT CAST(MAX(nu) AS BIGINT) AS n_users,
+        |  CAST(MAX(GREATEST(1, nu // 100)) AS BIGINT) AS top_users,
+        |  CAST(MAX(run_c) AS BIGINT) AS top_events,
+        |  CAST(MAX(te) AS BIGINT) AS total_events,
+        |  round(CAST(MAX(run_c) AS DOUBLE) / CAST(MAX(te) AS DOUBLE), 6)
+        |    AS top1pct_share
+        |FROM r WHERE rnk <= GREATEST(1, nu // 100)""".stripMargin))
   )
 }

@@ -755,6 +755,40 @@ object Text extends QueryPack {
         |  round(CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE), 6)
         |    AS jaccard
         |FROM i JOIN sz s1 ON i.l1 = s1.lang JOIN sz s2 ON i.l2 = s2.lang
-        |ORDER BY l1, l2""".stripMargin))
+        |ORDER BY l1, l2""".stripMargin)),
+
+    // Hapax legomena rate per source — the share of vocabulary appearing
+    // exactly once, the classic corpus-health number (natural text runs
+    // ~40–60%; templated or deduplicated-to-death corpora collapse it).
+    // One token aggregate per (source, token), one rollup; exact counts,
+    // final-float shares.
+    GraftQuery(
+      "q274_hapax_rate",
+      (s, dir) => {
+        val tf = Tables.spread(Tables(s, dir, "documents"), "doc_id")
+          .select(col("source"),
+            explode(expr("filter(split(lower(text), ' '), w -> w <> '')")).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        tf.groupBy(col("source"))
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(col("c")).as("tokens"))
+          .select(col("source"), col("tokens"), col("vocab"), col("hapax"),
+            round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+              .as("hapax_share"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS hapax_share
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -686,5 +686,144 @@ object Trends extends QueryPack {
         |SELECT n_name, p_brand, CAST(c AS DOUBLE) / 100.0 AS revenue,
         |  round((CAST(c AS DOUBLE) / CAST(ntot AS DOUBLE))
         |        / (CAST(btot AS DOUBLE) / CAST(g AS DOUBLE)), 4) AS lift
-        |FROM w ORDER BY lift DESC, n_name, p_brand LIMIT 20""".stripMargin)))
+        |FROM w ORDER BY lift DESC, n_name, p_brand LIMIT 20""".stripMargin)),
+
+    // Year-over-year same-month growth — each (year, month)'s revenue vs
+    // the SAME month one year earlier (the seasonality-free growth line
+    // q239's MoM cannot give). The lag is a month-key self-join on the
+    // ~84-row monthly frame; exact cents until the growth division.
+    GraftQuery(
+      "q271_yoy_same_month",
+      (s, dir) => {
+        val monthly = Tables(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate)").cast("int").as("yr"),
+            expr("month(o_orderdate)").cast("int").as("mo"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+        monthly.alias("cur")
+          .join(monthly.select((col("yr") + 1).as("yr"), col("mo"),
+            col("c").as("prev")).alias("pv"), Seq("yr", "mo"), "left")
+          .select(col("yr"), col("mo"),
+            (col("c").cast("double") / 100.0).as("revenue"),
+            when(col("prev") > 0,
+              round((col("c") - col("prev")).cast("double") * 100.0
+                / col("prev").cast("double"), 4)).as("yoy_pct"))
+          .orderBy("yr", "mo")
+      },
+      Some("""WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(month(o_orderdate) AS INT) AS mo,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT cur.yr, cur.mo, CAST(cur.c AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN pv.c > 0 THEN
+        |    round(CAST(cur.c - pv.c AS DOUBLE) * 100.0 / CAST(pv.c AS DOUBLE), 4)
+        |  END AS yoy_pct
+        |FROM m cur LEFT JOIN m pv ON cur.yr = pv.yr + 1 AND cur.mo = pv.mo
+        |ORDER BY cur.yr, cur.mo""".stripMargin)),
+
+    // Revenue waterfall 1997 → 1998 per brand — the FP&A decomposition:
+    // Δrevenue = volume effect (Δqty at old avg price) + price/mix effect
+    // (new qty at Δavg price). Per-brand qty and cent sums stay exact;
+    // the two effects are final float expressions over those sums and
+    // reconcile to the exact delta by construction.
+    GraftQuery(
+      "q272_revenue_waterfall",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .filter(expr("year(l_shipdate)").isin(1997, 1998))
+          .groupBy(col("p_brand"), expr("year(l_shipdate)").cast("int").as("yr"))
+          .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("c"))
+        val a = li.filter(col("yr") === 1997)
+          .select(col("p_brand"), col("q").as("q0"), col("c").as("c0"))
+        val b = li.filter(col("yr") === 1998)
+          .select(col("p_brand"), col("q").as("q1"), col("c").as("c1"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("q0") > 0 && col("q1") > 0)
+          .select(col("p_brand"),
+            ((col("c1") - col("c0")).cast("double") / 100.0).as("delta_revenue"),
+            round((col("q1") - col("q0")).cast("double")
+              * (col("c0").cast("double") / col("q0").cast("double")) / 100.0, 2)
+              .as("volume_effect"),
+            round(col("q1").cast("double")
+              * (col("c1").cast("double") / col("q1").cast("double")
+                - col("c0").cast("double") / col("q0").cast("double")) / 100.0, 2)
+              .as("price_mix_effect"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH li AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1997, 1998)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT p_brand, q AS q0, c AS c0 FROM li WHERE yr = 1997),
+        |b AS (SELECT p_brand, q AS q1, c AS c1 FROM li WHERE yr = 1998)
+        |SELECT p_brand,
+        |  CAST(c1 - c0 AS DOUBLE) / 100.0 AS delta_revenue,
+        |  round(CAST(q1 - q0 AS DOUBLE)
+        |        * (CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100.0, 2)
+        |    AS volume_effect,
+        |  round(CAST(q1 AS DOUBLE)
+        |        * (CAST(c1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+        |           - CAST(c0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100.0, 2)
+        |    AS price_mix_effect
+        |FROM a JOIN b USING (p_brand)
+        |WHERE q0 > 0 AND q1 > 0
+        |ORDER BY p_brand""".stripMargin)),
+
+    // Customer–brand relationship churn 1997 → 1998 — per brand: retained
+    // / new / lost distinct customer relationships between consecutive
+    // years (the B2B account-management ledger). Two distinct pair frames,
+    // one full outer join keyed (brand, customer), exact counts.
+    GraftQuery(
+      "q273_relationship_churn",
+      (s, dir) => {
+        def pairs(yr: Int) = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders")
+            .filter(expr(s"year(o_orderdate) = $yr"))
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("p_brand"), col("o_custkey")).distinct()
+        pairs(1997).withColumn("in0", lit(1L))
+          .join(pairs(1998).withColumn("in1", lit(1L)),
+            Seq("p_brand", "o_custkey"), "full")
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(when(col("in0").isNotNull && col("in1").isNotNull, 1L)
+              .otherwise(0L)).as("retained"),
+            sum(when(col("in0").isNull, 1L).otherwise(0L)).as("new_rel"),
+            sum(when(col("in1").isNull, 1L).otherwise(0L)).as("lost"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH p97 AS (
+        |  SELECT DISTINCT p_brand, o_custkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997),
+        |p98 AS (
+        |  SELECT DISTINCT p_brand, o_custkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1998),
+        |j AS (
+        |  SELECT COALESCE(p97.p_brand, p98.p_brand) AS p_brand,
+        |    CASE WHEN p97.p_brand IS NOT NULL THEN 1 END AS in0,
+        |    CASE WHEN p98.p_brand IS NOT NULL THEN 1 END AS in1
+        |  FROM p97 FULL JOIN p98
+        |    ON p97.p_brand = p98.p_brand AND p97.o_custkey = p98.o_custkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CASE WHEN in0 IS NOT NULL AND in1 IS NOT NULL THEN 1
+        |           ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(SUM(CASE WHEN in0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_rel,
+        |  CAST(SUM(CASE WHEN in1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost
+        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin)))
 }
