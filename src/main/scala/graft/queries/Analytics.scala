@@ -559,6 +559,57 @@ object Analytics extends QueryPack {
         |        / (CAST(n AS DOUBLE) / 50.0), 4) AS chi2_term,
         |  round(50.0 * CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE)
         |        - CAST(n AS DOUBLE), 4) AS chi2_total
-        |FROM w ORDER BY qty""".stripMargin))
+        |FROM w ORDER BY qty""".stripMargin)),
+
+    // RFM segmentation — recency / frequency / monetary terciles per
+    // customer (ntile over total orders, each with a custkey tiebreaker
+    // so the cut is deterministic), rolled up to the 27-cell segment
+    // grid with pooled exact monetary averages. The classic CRM
+    // propensity base table.
+    GraftQuery(
+      "q279_rfm_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        val per = o.groupBy(col("ck"))
+          .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+            sum(col("c")).as("money"))
+        val scored = per
+          .withColumn("r", ntile(3).over(Window.orderBy(col("last_day").desc, col("ck"))))
+          .withColumn("f", ntile(3).over(Window.orderBy(col("freq").desc, col("ck"))))
+          .withColumn("m", ntile(3).over(Window.orderBy(col("money").desc, col("ck"))))
+        scored.groupBy(concat(col("r"), lit("-"), col("f"), lit("-"), col("m"))
+            .as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("money")).as("mc"), sum(col("freq")).as("orders"))
+          .select(col("segment"), col("n_customers"), col("orders"),
+            round(col("mc").cast("double") / col("n_customers").cast("double")
+              / 100.0, 2).as("avg_monetary"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |p AS (
+        |  SELECT ck, MAX(day) AS last_day, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(c) AS BIGINT) AS money
+        |  FROM o GROUP BY 1),
+        |sc AS (
+        |  SELECT *,
+        |    ntile(3) OVER (ORDER BY last_day DESC, ck) AS r,
+        |    ntile(3) OVER (ORDER BY freq DESC, ck) AS f,
+        |    ntile(3) OVER (ORDER BY money DESC, ck) AS m
+        |  FROM p)
+        |SELECT r || '-' || f || '-' || m AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(freq) AS BIGINT) AS orders,
+        |  round(CAST(SUM(money) AS DOUBLE) / COUNT(*) / 100.0, 2)
+        |    AS avg_monetary
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }

@@ -917,6 +917,94 @@ object Events extends QueryPack {
         |  CAST(MAX(te) AS BIGINT) AS total_events,
         |  round(CAST(MAX(run_c) AS DOUBLE) / CAST(MAX(te) AS DOUBLE), 6)
         |    AS top1pct_share
-        |FROM r WHERE rnk <= GREATEST(1, nu // 100)""".stripMargin))
+        |FROM r WHERE rnk <= GREATEST(1, nu // 100)""".stripMargin)),
+
+    // JSON-parsed feature correlation — the props payload's `k` field vs
+    // the event value, per event type: the check that a logged property
+    // actually carries signal. JSON extraction on both engines, then the
+    // q211 exact-moment Pearson (value in cents, k integral; hi/lo-split
+    // Long products).
+    GraftQuery(
+      "q277_prop_value_correlation",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("a"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("b"))
+          .filter(col("a").isNotNull)
+        val m = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+            sum(expr("(a * a) div 1000000000")).as("haa"),
+            sum(expr("(a * a) % 1000000000")).as("laa"),
+            sum(expr("(b * b) div 1000000000")).as("hbb"),
+            sum(expr("(b * b) % 1000000000")).as("lbb"),
+            sum(expr("(a * b) div 1000000000")).as("hab"),
+            sum(expr("(a * b) % 1000000000")).as("lab"))
+        def mom(h: String, l: String) = expr(
+          s"CAST(CAST($h AS DECIMAL(38,0)) * 1000000000 + $l AS DOUBLE)")
+        val n = col("n").cast("double")
+        val sa = col("sa").cast("double")
+        val sb = col("sb").cast("double")
+        m.select(col("event_type"), col("n").as("n_events"),
+            round((n * mom("hab", "lab") - sa * sb)
+              / sqrt((n * mom("haa", "laa") - sa * sa)
+                * (n * mom("hbb", "lbb") - sb * sb)), 6).as("corr_k_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS b
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb,
+        |    CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        |  round((CAST(n AS DOUBLE) * sab - sa * sb)
+        |        / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+        |               * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+        |    AS corr_k_value
+        |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Diurnal activity profile — events per hour-of-day with value share
+    // and the peak hour flagged: the capacity-planning curve. Hour-of-day
+    // is integer arithmetic on epoch-microseconds (no timezone functions);
+    // exact counts/cents; shares final-float.
+    GraftQuery(
+      "q280_diurnal_profile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, dir, "events")
+          .select(expr("(ts div 3600000000000) % 24").as("hour"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        e.groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("vc"))
+          .withColumn("evt_share", round(col("n_events").cast("double")
+            / sum(col("n_events")).over(Window.partitionBy()), 6))
+          .withColumn("is_peak",
+            col("n_events") === max(col("n_events")).over(Window.partitionBy()))
+          .select(col("hour"), col("n_events"), col("evt_share"),
+            (col("vc").cast("double") / 100.0).as("total_value"), col("is_peak"))
+          .orderBy("hour")
+      },
+      Some("""WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |g AS (
+        |  SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(vc) AS BIGINT) AS vc
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(hour AS BIGINT) AS hour, n_events,
+        |  round(CAST(n_events AS DOUBLE)
+        |        / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS evt_share,
+        |  CAST(vc AS DOUBLE) / 100.0 AS total_value,
+        |  n_events = MAX(n_events) OVER () AS is_peak
+        |FROM g ORDER BY hour""".stripMargin))
   )
 }

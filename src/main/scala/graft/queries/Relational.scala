@@ -849,6 +849,45 @@ object Relational extends QueryPack {
         |SELECT n_name, parts_won,
         |  round(CAST(parts_won AS DOUBLE)
         |        / CAST(SUM(parts_won) OVER () AS DOUBLE), 6) AS share
-        |FROM g ORDER BY n_name""".stripMargin))
+        |FROM g ORDER BY n_name""".stripMargin)),
+
+    // Net revenue after returns, per ship year — gross, returned (flag
+    // 'R'), net, and the return rate: the revenue-recognition ledger in
+    // exact cents (one scan, conditional Long sums, final-float rate).
+    GraftQuery(
+      "q276_net_revenue",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(expr("year(l_shipdate)").cast("int").as("yr"),
+            expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+              .as("c"),
+            (col("l_returnflag") === "R").as("ret"))
+        li.groupBy(col("yr"))
+          .agg(sum(col("c")).as("gross_c"),
+            sum(when(col("ret"), col("c")).otherwise(0L)).as("ret_c"))
+          .select(col("yr"),
+            (col("gross_c").cast("double") / 100.0).as("gross"),
+            (col("ret_c").cast("double") / 100.0).as("returned"),
+            ((col("gross_c") - col("ret_c")).cast("double") / 100.0).as("net"),
+            round(col("ret_c").cast("double") / col("gross_c").cast("double"), 6)
+              .as("return_rate"))
+          .orderBy("yr")
+      },
+      Some("""WITH li AS (
+        |  SELECT year(l_shipdate) AS yr,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+        |    l_returnflag = 'R' AS ret
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT yr, CAST(SUM(c) AS BIGINT) AS gross_c,
+        |    CAST(SUM(CASE WHEN ret THEN c ELSE 0 END) AS BIGINT) AS ret_c
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(yr AS INT) AS yr,
+        |  CAST(gross_c AS DOUBLE) / 100.0 AS gross,
+        |  CAST(ret_c AS DOUBLE) / 100.0 AS returned,
+        |  CAST(gross_c - ret_c AS DOUBLE) / 100.0 AS net,
+        |  round(CAST(ret_c AS DOUBLE) / CAST(gross_c AS DOUBLE), 6)
+        |    AS return_rate
+        |FROM g ORDER BY yr""".stripMargin))
   )
 }

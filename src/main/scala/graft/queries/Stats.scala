@@ -1090,5 +1090,63 @@ object Stats extends QueryPack {
         |                - CAST(sa AS DOUBLE) * sa)
         |               * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
         |                  - CAST(sb AS DOUBLE) * sb)), 6) AS spearman_rho
-        |FROM m""".stripMargin)))
+        |FROM m""".stripMargin)),
+
+    // Revenue volatility across aggregation granularities — the same
+    // series summed daily / weekly / monthly, each with its coefficient
+    // of variation: how much apparent volatility is just aggregation
+    // level (the scale-of-fluctuation profile behind alerting
+    // thresholds). Period sums are exact cents; second moments go through
+    // DECIMAL(38,0) at the PERIOD level (a monthly cent sum squared
+    // overflows a Long); one float pair per granularity.
+    GraftQuery(
+      "q278_granularity_volatility",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long")
+            .as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        def level(bucket: String, name: String) = o
+          .groupBy(expr(bucket).as("p"))
+          .agg(sum(col("c")).as("pc"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pc")).as("s"),
+            sum(expr("CAST(pc AS DECIMAL(38,0)) * pc")).as("ss"))
+          .withColumn("granularity", lit(name))
+        val all = level("day", "1_daily")
+          .unionByName(level("day div 7", "2_weekly"))
+          .unionByName(level("day div 30", "3_monthly30"))
+        val n = col("n").cast("double")
+        val mean = col("s").cast("double") / n
+        val variance = (n * col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double")) / (n * (n - 1))
+        all.select(col("granularity"), col("n").as("n_periods"),
+            round(mean / 100.0, 2).as("mean_revenue"),
+            round(sqrt(variance) / mean, 6).as("cv"))
+          .orderBy("granularity")
+      },
+      Some("""WITH o AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |lv AS (
+        |  SELECT '1_daily' AS granularity, day AS p, SUM(c) AS pc
+        |  FROM o GROUP BY 2
+        |  UNION ALL
+        |  SELECT '2_weekly', day // 7, SUM(c) FROM o GROUP BY 2
+        |  UNION ALL
+        |  SELECT '3_monthly30', day // 30, SUM(c) FROM o GROUP BY 2),
+        |m AS (
+        |  SELECT granularity, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pc) AS BIGINT) AS s,
+        |    SUM(CAST(pc AS HUGEINT) * pc) AS ss
+        |  FROM lv GROUP BY 1)
+        |SELECT granularity, n AS n_periods,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
+        |    AS mean_revenue,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |              - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))
+        |        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+        |FROM m ORDER BY granularity""".stripMargin)))
 }
