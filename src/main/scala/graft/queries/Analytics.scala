@@ -610,6 +610,59 @@ object Analytics extends QueryPack {
         |  CAST(SUM(freq) AS BIGINT) AS orders,
         |  round(CAST(SUM(money) AS DOUBLE) / COUNT(*) / 100.0, 2)
         |    AS avg_monetary
-        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin))
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // Peak order concurrency — how many orders are simultaneously OPEN
+    // (order date through last line ship date) at the worst moment: the
+    // interval max-overlap problem by sweep line, NOT an interval join:
+    // ±1 deltas at start/end+1, one day-level aggregate, then a running
+    // sum through DistributedPrefixSum whose max is the peak. Exact, two
+    // shuffles, no pair blowup — the capacity number a fulfilment
+    // simulation starts from.
+    GraftQuery(
+      "q282_peak_open_orders",
+      (s, dir) => {
+        val span = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(expr("datediff(l_shipdate, DATE '1970-01-01')")).cast("long")
+            .as("close_day"))
+          .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey"),
+              expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long")
+                .as("open_day")),
+            col("l_orderkey") === col("o_orderkey"))
+        val deltas = span.select(col("open_day").as("day"), lit(1L).as("d"))
+          .unionByName(span.select((col("close_day") + 1).as("day"),
+            lit(-1L).as("d")))
+          .groupBy(col("day")).agg(sum(col("d")).as("d"))
+        val swept = graft.operators.DistributedPrefixSum
+          .scan(deltas, Seq("day"), Seq("d"))
+        val nOrders = span.agg(count(lit(1)).as("n_orders"))
+        swept.crossJoin(broadcast(nOrders))
+          .orderBy(col("run_d").desc, col("day").asc)
+          .limit(1)
+          .select(col("n_orders"), col("run_d").as("peak_open"),
+            col("day").as("peak_day"))
+      },
+      Some("""WITH span AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS open_day,
+        |    (SELECT CAST(MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+        |       AS BIGINT)
+        |     FROM lineitem WHERE l_orderkey = o_orderkey) AS close_day
+        |  FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+        |d AS (
+        |  SELECT day, CAST(SUM(dd) AS BIGINT) AS d FROM (
+        |    SELECT open_day AS day, 1 AS dd FROM span
+        |    UNION ALL
+        |    SELECT close_day + 1, -1 FROM span) GROUP BY 1),
+        |r AS (
+        |  SELECT day, SUM(d) OVER (ORDER BY day) AS run_d FROM d),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM span)
+        |SELECT n.n_orders, CAST(r.run_d AS BIGINT) AS peak_open,
+        |  CAST(r.day AS BIGINT) AS peak_day
+        |FROM r, n ORDER BY r.run_d DESC, r.day LIMIT 1""".stripMargin))
   )
 }

@@ -1005,6 +1005,50 @@ object Events extends QueryPack {
         |        / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS evt_share,
         |  CAST(vc AS DOUBLE) / 100.0 AS total_value,
         |  n_events = MAX(n_events) OVER () AS is_peak
-        |FROM g ORDER BY hour""".stripMargin))
+        |FROM g ORDER BY hour""".stripMargin)),
+
+    // SLO burn rate — error share per hour against a 5% error budget,
+    // with the 1h ("fast") and 6h ("slow") burn-rate pair every
+    // multiwindow alert policy compares. Hourly (errors, total) counts
+    // are one aggregate; the 6h trailing window is a RANGE frame over the
+    // hour index; rates are exact-Long ratios, burn = rate / budget.
+    GraftQuery(
+      "q281_slo_burn_rate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables(s, dir, "events")
+          .groupBy(expr("ts div 3600000000000").as("h"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+        val w6 = Window.orderBy("h").rangeBetween(-5, 0)
+        hourly
+          .withColumn("errs6", sum(col("errs")).over(w6))
+          .withColumn("total6", sum(col("total")).over(w6))
+          .select(col("h").as("hour_idx"), col("total"), col("errs"),
+            round(col("errs").cast("double") / col("total").cast("double")
+              / 0.05, 4).as("burn_1h"),
+            round(col("errs6").cast("double") / col("total6").cast("double")
+              / 0.05, 4).as("burn_6h"))
+          .orderBy("hour_idx")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS errs
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    SUM(errs) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+        |      AND CURRENT ROW) AS errs6,
+        |    SUM(total) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+        |      AND CURRENT ROW) AS total6
+        |  FROM hourly)
+        |SELECT CAST(h AS BIGINT) AS hour_idx, total, errs,
+        |  round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.05, 4)
+        |    AS burn_1h,
+        |  round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.05, 4)
+        |    AS burn_6h
+        |FROM w ORDER BY hour_idx""".stripMargin))
   )
 }

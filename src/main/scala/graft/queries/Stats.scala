@@ -1148,5 +1148,54 @@ object Stats extends QueryPack {
         |  round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
         |              - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))
         |        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
-        |FROM m ORDER BY granularity""".stripMargin)))
+        |FROM m ORDER BY granularity""".stripMargin)),
+
+    // Return-count overdispersion — do returns CLUSTER within customers
+    // (dissatisfied customers keep returning) or scatter like independent
+    // coin flips? The variance-to-mean dispersion index of per-customer
+    // return counts, with its z-score against the Poisson null
+    // (VMR−1 ≈ N(0, 2/(n−1))). All moments are exact Longs; two floats at
+    // the end. VMR ≫ 1 says churn-risk concentrates — the signal a
+    // retention model trains on.
+    GraftQuery(
+      "q284_return_overdispersion",
+      (s, dir) => {
+        val per = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+        val m = per.agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("ss"))
+        val n = col("n").cast("double")
+        val mean = col("s").cast("double") / n
+        val variance = (n * col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double")) / (n * (n - 1))
+        m.select(col("n").as("n_customers"),
+            round(mean, 4).as("mean_returns"),
+            round(variance / mean, 4).as("dispersion_index"),
+            round((variance / mean - 1.0) / sqrt(lit(2.0) / (n - 1)), 4)
+              .as("z_vs_poisson"))
+      },
+      Some("""WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s,
+        |    SUM(CAST(r AS HUGEINT) * r) AS ss
+        |  FROM per)
+        |SELECT n AS n_customers,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_returns,
+        |  round(((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))
+        |        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+        |    AS dispersion_index,
+        |  round((((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |           - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1)))
+        |         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+        |        / sqrt(2.0 / (CAST(n AS DOUBLE) - 1)), 4) AS z_vs_poisson
+        |FROM m""".stripMargin)))
 }

@@ -825,5 +825,61 @@ object Trends extends QueryPack {
         |  CAST(SUM(CASE WHEN in0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS new_rel,
         |  CAST(SUM(CASE WHEN in1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lost
-        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin)))
+        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Substitute-vs-complement brand pairs — brands the SAME customer
+    // buys but (almost) never in the same basket read as substitutes;
+    // basket co-occurrence (q122/q228) reads as complements. Customer-
+    // level and basket-level co-occurrence counts come from the same
+    // distinct frames; the substitution score is cust_co/(basket_co+1)
+    // on exact Longs, top-15 with tiebreakers.
+    GraftQuery(
+      "q283_substitute_brands",
+      (s, dir) => {
+        val ob = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("p_brand").as("b"))
+          .localCheckpoint()
+        def coPairs(df: org.apache.spark.sql.DataFrame, key: String) = {
+          val d = df.select(col(key), col("b")).distinct()
+          d.select(col(key), col("b").as("b1"))
+            .join(d.select(col(key).as("k2"), col("b").as("b2")),
+              col(key) === col("k2") && col("b1") < col("b2"))
+            .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("co"))
+        }
+        val custCo = coPairs(ob, "ck").withColumnRenamed("co", "cust_co")
+        val basketCo = coPairs(ob, "ok").withColumnRenamed("co", "basket_co")
+        custCo.join(basketCo, Seq("b1", "b2"), "left")
+          .withColumn("basket_co", coalesce(col("basket_co"), lit(0L)))
+          .withColumn("subst_score", round(col("cust_co").cast("double")
+            / (col("basket_co") + 1).cast("double"), 4))
+          .orderBy(col("subst_score").desc, col("b1"), col("b2"))
+          .limit(15)
+          .select(col("b1"), col("b2"), col("cust_co"), col("basket_co"),
+            col("subst_score"))
+      },
+      Some("""WITH ob AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |cu AS (SELECT DISTINCT ck, b FROM ob),
+        |cc AS (
+        |  SELECT a.b AS b1, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS cust_co
+        |  FROM cu a JOIN cu c ON a.ck = c.ck AND a.b < c.b GROUP BY 1, 2),
+        |ba AS (SELECT DISTINCT ok, b FROM ob),
+        |bc AS (
+        |  SELECT a.b AS b1, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS basket_co
+        |  FROM ba a JOIN ba c ON a.ok = c.ok AND a.b < c.b GROUP BY 1, 2)
+        |SELECT cc.b1, cc.b2, cc.cust_co,
+        |  CAST(COALESCE(bc.basket_co, 0) AS BIGINT) AS basket_co,
+        |  round(CAST(cc.cust_co AS DOUBLE)
+        |        / CAST(COALESCE(bc.basket_co, 0) + 1 AS DOUBLE), 4)
+        |    AS subst_score
+        |FROM cc LEFT JOIN bc USING (b1, b2)
+        |ORDER BY subst_score DESC, b1, b2 LIMIT 15""".stripMargin)))
 }
