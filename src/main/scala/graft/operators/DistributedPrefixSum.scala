@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global prefix scan — row index and running sums under a total
@@ -35,6 +35,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object DistributedPrefixSum {
 
+  /** [[scanWithTotals]] result: the scanned frame plus the grand totals the
+    * pass-1 driver collect already computed — `totalCount` rows and one
+    * `totalSums(c)` per value column. Callers that would otherwise run a
+    * separate global aggregate (ntile needs n; Pareto needs Σx) get both
+    * for free from the same single shuffle.
+    */
+  final case class ScanResult(
+      df: DataFrame, totalCount: Long, totalSums: Map[String, Long])
+
   /** Append `idxName` (1-based global row index in `sortKeys` order) and one
     * `runPrefix+c` inclusive running sum per value column `c`.
     */
@@ -43,7 +52,16 @@ object DistributedPrefixSum {
       sortKeys: Seq[String],
       valueCols: Seq[String],
       idxName: String = "global_idx",
-      runPrefix: String = "run_"): DataFrame = {
+      runPrefix: String = "run_"): DataFrame =
+    scanWithTotals(df, sortKeys, valueCols, idxName, runPrefix).df
+
+  /** [[scan]], also returning the grand totals from the pass-1 collect. */
+  def scanWithTotals(
+      df: DataFrame,
+      sortKeys: Seq[String],
+      valueCols: Seq[String],
+      idxName: String = "global_idx",
+      runPrefix: String = "run_"): ScanResult = {
     val spark = df.sparkSession
     val schema = df.schema
     valueCols.foreach { c =>
@@ -107,6 +125,97 @@ object DistributedPrefixSum {
     }
     val outSchema = StructType(
       schema.fields ++ outNames.map(StructField(_, LongType, nullable = false)))
+    val sums = valueCols.zipWithIndex.map { case (c, i) => c -> accS(i) }.toMap
+    ScanResult(spark.createDataFrame(out, outSchema), accC, sums)
+  }
+
+  /** Distributed sorted `lag(c, 1)` — the previous row's value of each
+    * `lagCols` column under the GLOBAL `sortKeys` order, WITHOUT a
+    * single-partition window. Same two-phase shape as [[scan]]: one range
+    * shuffle, then a boundary-row exchange — pass 1 collects each
+    * partition's LAST row values (`numPartitions` tiny tuples), pass 2
+    * hands partition `p` the last row of the nearest non-empty partition
+    * before it, so the first row of every partition lags across the
+    * boundary. First row of the total order lags to NULL.
+    *
+    * Appends one nullable `lagPrefix+c` column per lag column (same type).
+    * `sortKeys` must be a total order (unique tiebreaker), like [[scan]].
+    */
+  def lag(
+      df: DataFrame,
+      sortKeys: Seq[String],
+      lagCols: Seq[String],
+      lagPrefix: String = "lag_"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val lIdx = lagCols.map(schema.fieldIndex).toArray
+    val outNames = lagCols.map(lagPrefix + _)
+    outNames.foreach(n => require(!schema.fieldNames.contains(n),
+      s"output column $n clashes with an input column"))
+
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, sortKeys.map(col): _*)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+    // ONE RDD object for both jobs → range shuffle computed once (pass 2's
+    // map stage is skipped, shuffle files reused), exactly like scan().
+    val rdd = sorted.rdd
+
+    // pass 1: each partition's last-row lag values (null array if empty).
+    val lasts: Array[(Int, Array[Any])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var last: Array[Any] = null
+        it.foreach { r =>
+          if (last == null) last = new Array[Any](lIdx.length)
+          var i = 0
+          while (i < lIdx.length) { last(i) = r.get(lIdx(i)); i += 1 }
+        }
+        Iterator.single((pid, last))
+      }
+      .collect()
+      .sortBy(_._1)
+
+    // boundary for partition p = last row of the nearest non-empty p' < p.
+    val boundary = new Array[Array[Any]](parts)
+    var prev: Array[Any] = null
+    lasts.foreach { case (pid, last) =>
+      boundary(pid) = prev
+      if (last != null) prev = last
+    }
+
+    // pass 2: partition-local lag seeded with the boundary row.
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prevVals: Array[Any] = boundary(pid)
+      it.map { r =>
+        val lagged: Seq[Any] =
+          if (prevVals == null) Seq.fill(lIdx.length)(null) else prevVals.toSeq
+        val cur = new Array[Any](lIdx.length)
+        var i = 0
+        while (i < lIdx.length) { cur(i) = r.get(lIdx(i)); i += 1 }
+        prevVals = cur
+        Row.fromSeq(r.toSeq ++ lagged)
+      }
+    }
+    val outSchema = StructType(schema.fields ++ lagCols.zip(outNames).map {
+      case (c, n) => StructField(n, schema(c).dataType, nullable = true)
+    })
     spark.createDataFrame(out, outSchema)
+  }
+
+  /** SQL `ntile(k) OVER (ORDER BY …)` by rank arithmetic — no window at
+    * all: given the 1-based global index column from [[scan]] and the total
+    * row count `n` (from [[scanWithTotals]]), the bucket is closed-form.
+    * SQL semantics: the first `n mod k` buckets hold `n div k + 1` rows,
+    * the rest `n div k`. Exact integer `div` throughout; returns BIGINT.
+    */
+  def ntileFromIndex(k: Int, idxCol: String, n: Long): Column = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1)
+    if (q == 0) expr(s"CAST($idxCol AS BIGINT)")
+    else expr(
+      s"""CAST(CASE WHEN $idxCol <= $cut THEN ($idxCol - 1) DIV ${q + 1} + 1
+         |ELSE $r + ($idxCol - $cut - 1) DIV $q + 1 END AS BIGINT)""".stripMargin)
   }
 }

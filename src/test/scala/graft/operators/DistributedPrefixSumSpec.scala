@@ -51,6 +51,59 @@ class DistributedPrefixSumSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("lag matches the single-partition window lag on a seeded random frame") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, rng.nextInt(50).toLong, s"s${rng.nextInt(1000)}"))
+    val df = rows.toDF("id", "key", "s").repartition(9)
+    val got = DistributedPrefixSum
+      .lag(df, Seq("key", "id"), Seq("s", "key"))
+      .select($"id", $"lag_s", $"lag_key")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1)
+
+    val w = Window.orderBy($"key", $"id")
+    val want = rows.toDF("id", "key", "s")
+      .withColumn("lag_s", lag($"s", 1).over(w))
+      .withColumn("lag_key", lag($"key", 1).over(w))
+      .select($"id", $"lag_s", $"lag_key")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1)
+
+    assert(got.toSeq == want.toSeq)
+    assert(want.count(_._2.isEmpty) == 1) // exactly the global first row
+  }
+
+  test("lag on empty input keeps schema; single row lags to null") {
+    val empty = DistributedPrefixSum.lag(
+      Seq.empty[(Long, String)].toDF("k", "s"), Seq("k"), Seq("s"))
+    assert(empty.columns.toSeq == Seq("k", "s", "lag_s"))
+    assert(empty.count() == 0)
+    val one = DistributedPrefixSum.lag(
+      Seq((1L, "x")).toDF("k", "s"), Seq("k"), Seq("s"))
+      .select($"lag_s").as[Option[String]].collect()
+    assert(one.toSeq == Seq(None))
+  }
+
+  test("scanWithTotals reports grand totals; ntileFromIndex matches ntile()") {
+    for (n <- Seq(1, 9, 10, 11, 500); k <- Seq(1, 3, 10)) {
+      val rng = new scala.util.Random(n * 31 + k)
+      val rows = (1 to n).map(i => (i.toLong, rng.nextInt(100).toLong))
+      val df = rows.toDF("id", "v").repartition(5)
+      val res = DistributedPrefixSum.scanWithTotals(df, Seq("v", "id"), Seq("v"))
+      assert(res.totalCount == n.toLong)
+      assert(res.totalSums("v") == rows.map(_._2).sum)
+      val got = res.df
+        .select($"id",
+          DistributedPrefixSum.ntileFromIndex(k, "global_idx", res.totalCount)
+            .as("b"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val w = Window.orderBy($"v", $"id")
+      val want = rows.toDF("id", "v")
+        .withColumn("b", ntile(k).over(w).cast("long"))
+        .select($"id", $"b").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"n=$n k=$k")
+    }
+  }
+
   test("rejects non-BIGINT value columns and clashing output names") {
     val df = Seq((1L, 1.5)).toDF("k", "v")
     intercept[IllegalArgumentException] {
