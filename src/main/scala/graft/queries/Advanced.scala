@@ -264,14 +264,18 @@ object Advanced extends QueryPack {
 
     // Equi-DEPTH histogram (quantile buckets) — the partner of q68's
     // equi-width bins: ntile(10) over a total order, then per-bucket
-    // bounds + mass. Narrow buckets where the data is dense.
+    // bounds + mass. Narrow buckets where the data is dense. The bucket
+    // comes from rank arithmetic over DistributedPrefixSum's global index
+    // (one range shuffle), never a single-partition ntile window.
     GraftQuery(
       "q105_equidepth_histogram",
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-          .withColumn("bucket", ntile(10).over(w))
+        val res = graft.operators.DistributedPrefixSum.scanWithTotals(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq("o_totalprice", "o_orderkey"), Nil)
+        res.df
+          .withColumn("bucket", graft.operators.DistributedPrefixSum
+            .ntileFromIndex(10, "global_idx", res.totalCount))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
             min(col("o_totalprice")).as("lo"),

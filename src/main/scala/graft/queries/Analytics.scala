@@ -562,14 +562,16 @@ object Analytics extends QueryPack {
         |FROM w ORDER BY qty""".stripMargin)),
 
     // RFM segmentation — recency / frequency / monetary terciles per
-    // customer (ntile over total orders, each with a custkey tiebreaker
-    // so the cut is deterministic), rolled up to the 27-cell segment
-    // grid with pooled exact monetary averages. The classic CRM
-    // propensity base table.
+    // customer (each with a custkey tiebreaker so the cut is
+    // deterministic), rolled up to the 27-cell segment grid with pooled
+    // exact monetary averages. The classic CRM propensity base table.
+    // Each tercile is rank arithmetic over a DistributedPrefixSum global
+    // index (desc order via negated metric) — three range shuffles of the
+    // per-customer rollup, zero single-partition ntile windows.
     GraftQuery(
       "q279_rfm_segments",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.operators.DistributedPrefixSum
         val o = Tables(s, dir, "orders")
           .select(col("o_custkey").as("ck"),
             expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
@@ -577,10 +579,20 @@ object Analytics extends QueryPack {
         val per = o.groupBy(col("ck"))
           .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
             sum(col("c")).as("money"))
-        val scored = per
-          .withColumn("r", ntile(3).over(Window.orderBy(col("last_day").desc, col("ck"))))
-          .withColumn("f", ntile(3).over(Window.orderBy(col("freq").desc, col("ck"))))
-          .withColumn("m", ntile(3).over(Window.orderBy(col("money").desc, col("ck"))))
+          .withColumn("neg_last", -col("last_day"))
+          .withColumn("neg_freq", -col("freq"))
+          .withColumn("neg_money", -col("money"))
+        val byR = DistributedPrefixSum.scanWithTotals(
+          per, Seq("neg_last", "ck"), Nil, idxName = "ri")
+        val byF = DistributedPrefixSum.scan(
+          byR.df, Seq("neg_freq", "ck"), Nil, idxName = "fi")
+        val byM = DistributedPrefixSum.scan(
+          byF, Seq("neg_money", "ck"), Nil, idxName = "mi")
+        val n = byR.totalCount
+        val scored = byM
+          .withColumn("r", DistributedPrefixSum.ntileFromIndex(3, "ri", n))
+          .withColumn("f", DistributedPrefixSum.ntileFromIndex(3, "fi", n))
+          .withColumn("m", DistributedPrefixSum.ntileFromIndex(3, "mi", n))
         scored.groupBy(concat(col("r"), lit("-"), col("f"), lit("-"), col("m"))
             .as("segment"))
           .agg(count(lit(1)).as("n_customers"),

@@ -419,16 +419,17 @@ object Quality extends QueryPack {
     // closed-form over the sorted cumulative: G = 2·Σ(i·xᵢ)/(n·Σx) −
     // (n+1)/n. Σ(i·xᵢ) runs as rank·cents Long products split hi/lo
     // (overflow-free to ~10⁹ customers); the two divisions at the end are
-    // the only floats. Pairs with q176's Pareto cutoffs.
+    // the only floats. Pairs with q176's Pareto cutoffs. The rank is
+    // DistributedPrefixSum's global index (one range shuffle) — this is
+    // exactly the Gini/rank-statistics case that operator exists for.
     GraftQuery(
       "q191_gini_revenue",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val t = Tables(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-        val w = Window.orderBy(col("cents").asc, col("o_custkey"))
-        t.withColumn("i", row_number().over(w).cast("long"))
+        graft.operators.DistributedPrefixSum
+          .scan(t, Seq("cents", "o_custkey"), Nil, idxName = "i")
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).as("sx"),
             sum(expr("(i * cents) div 1000000000")).as("hi"),

@@ -381,21 +381,23 @@ object Stats extends QueryPack {
     // exact cent totals, and the "how many customers cover 50% / 80%"
     // cutoffs decided by INTEGER cross-multiplication (cum·5 ≥ total·4),
     // so no float ever picks a boundary; only the reported top-1% share
-    // is a rounded double. One agg + one window + one re-agg.
+    // is a rounded double. Rank + running sum + grand total all come from
+    // ONE DistributedPrefixSum range shuffle (desc order via negated
+    // cents) — no single-partition window anywhere.
     GraftQuery(
       "q176_pareto_concentration",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val totals = Tables(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-        val ranked = totals
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .withColumn("cum", sum(col("cents"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
-        ranked.agg(
+          .withColumn("neg_cents", -col("cents"))
+        val res = graft.operators.DistributedPrefixSum.scanWithTotals(
+          totals, Seq("neg_cents", "o_custkey"), Seq("cents"),
+          idxName = "rnk", runPrefix = "cum_")
+        res.df
+          .withColumn("cum", col("cum_cents"))
+          .withColumn("total", lit(res.totalSums("cents")))
+          .agg(
             count(lit(1)).as("n_customers"),
             max(col("cum")).as("total_cents"),
             min(when(col("cum") * 2 >= col("total"), col("rnk"))).as("k50"),

@@ -225,17 +225,17 @@ object Storage extends QueryPack {
     // Prefix-compression estimate — what delta/front encoding would save on
     // a SORTED string key column (the layout decision parquet dictionaries
     // and LSM SSTables make): common-prefix length between consecutive
-    // sorted part names via a lag window, exact byte accounting. The
-    // sort-then-lag shape is the at-scale way to measure it — no pairwise
+    // sorted part names via DistributedPrefixSum.lag (range shuffle +
+    // boundary-row exchange — the at-scale sorted-adjacency shape, never a
+    // single-partition window), exact byte accounting. No pairwise
     // comparison ever materializes.
     GraftQuery(
       "q189_prefix_compression",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy("p_name")
         val names = Tables(s, dir, "part").select(col("p_name")).distinct()
-        names
-          .withColumn("prev", lag(col("p_name"), 1).over(w))
+        graft.operators.DistributedPrefixSum
+          .lag(names, Seq("p_name"), Seq("p_name"))
+          .withColumn("prev", col("lag_p_name"))
           // prefix property: the i where substr(a,1,i)=substr(b,1,i) are
           // exactly 1..cpl, so cpl = how many prefix lengths match
           .withColumn("cpl", when(col("prev").isNull, 0L).otherwise(expr(
@@ -267,20 +267,21 @@ object Storage extends QueryPack {
         |FROM c""".stripMargin)),
 
     // Run-length encoding estimate — q189's sibling for LOW-CARDINALITY
-    // sorted columns: runs = positions where the value changes (lag
-    // window), so RLE would store `runs` (value, count) pairs instead of n
-    // values. Per column, over the clustered sort order a layout job would
-    // choose. Decides dictionary-vs-RLE encodings the way a format writer
-    // does.
+    // sorted columns: runs = positions where the value changes (sorted
+    // adjacency via DistributedPrefixSum.lag — range shuffle + boundary
+    // exchange, no single-partition window), so RLE would store `runs`
+    // (value, count) pairs instead of n values. Per column, over the
+    // clustered sort order a layout job would choose. Decides
+    // dictionary-vs-RLE encodings the way a format writer does.
     GraftQuery(
       "q197_rle_estimate",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         def runsOf(colName: String) = {
-          val w = Window.orderBy(col("v"), col("o_orderkey")) // clustered layout
-          Tables(s, dir, "orders")
+          val base = Tables(s, dir, "orders")
             .select(col("o_orderkey"), col(colName).cast("string").as("v"))
-            .withColumn("prev", lag(col("v"), 1).over(w))
+          graft.operators.DistributedPrefixSum
+            .lag(base, Seq("v", "o_orderkey"), Seq("v")) // clustered layout
+            .withColumn("prev", col("lag_v"))
             .agg(count(lit(1)).as("n_rows"),
               sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
                 .otherwise(0L)).as("n_runs"))

@@ -259,6 +259,61 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"argmax must be top-k:\n$p")
   }
 
+  test("q105/q176/q189/q191/q197/q279: no partition-less WindowExec anywhere") {
+    // These six formerly sorted an unbounded frame on ONE task (ntile /
+    // row_number / lag with Window.orderBy and no partitionBy). Now they
+    // route through DistributedPrefixSum (range shuffle + boundary
+    // exchange / rank arithmetic). Part of their lineage is RDD-backed, so
+    // a plan-string check can't see every inner QueryExecution — instead
+    // capture Spark's own "No Partition Defined" WindowExec warning, which
+    // fires at planning time for ANY single-partition window, inner plans
+    // included, while each query is built and fully executed.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+        "graft-singlepart-window-capture", null, null, false, null) {
+      override def append(e: LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("No Partition Defined")) hits.add(m)
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getRootLogger
+    root.addAppender(appender)
+    try {
+      // self-check: a deliberate partition-less window MUST be captured,
+      // otherwise a log-level change has made this whole test vacuous
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val s = spark
+        import s.implicits._
+        Seq(1L, 2L).toDF("x")
+          .withColumn("r", row_number().over(Window.orderBy("x"))).collect()
+      }
+      assert(!hits.isEmpty,
+        "capture mechanism is broken: the deliberate single-partition " +
+          "window was not observed — fix the test before trusting it")
+      hits.clear()
+      Seq("q105_equidepth_histogram", "q176_pareto_concentration",
+        "q189_prefix_compression", "q191_gini_revenue", "q197_rle_estimate",
+        "q279_rfm_segments").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        assert(!df.queryExecution.executedPlan.toString().contains("Window"),
+          s"$name outer plan must not contain a window")
+      }
+    } finally {
+      root.removeAppender(appender)
+      appender.stop()
+    }
+    assert(hits.isEmpty,
+      s"single-partition window detected:\n${hits.toArray.mkString("\n")}")
+  }
+
   test("q171: narrow rank is TakeOrderedAndProject; fetch is a broadcast semi-join") {
     val df = SparkEntry.queries("q171_topk_then_fetch")(spark, sf)
     df.collect()
