@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   * community-strength / graph-sparsification signal (a 25-core member sits
   * in a dense cluster; coreness 1 is a tree fringe).
   *
-  * Every round is a constant number of shuffles on the shrinking edge list,
-  * and the edge frame + coreness accumulator are lineage-cut per round with
-  * the same durability rules as [[ConnectedComponents]] (parquet round-trips
-  * under a checkpoint dir when configured, `localCheckpoint` otherwise), so
-  * plan depth and retained disk stay O(1) in the iteration count. Rounds
-  * equal the number of peel waves (≤ node count, typically tiny) —
+  * Every round is a constant number of shuffles on the shrinking edge list
+  * plus exactly ONE blocking driver probe (min degree and active count in a
+  * single aggregate — round latency is per-iteration job count, so probes
+  * are halved, not doubled up). Frames are lineage-cut per round with the
+  * same durability rules as [[ConnectedComponents]] (parquet round-trips
+  * under a checkpoint dir when configured, `localCheckpoint` otherwise):
+  * plan depth stays O(1) in the iteration count, and because each round
+  * persists its SMALL removal set while the previous round's (node, deg)
+  * cut is deleted as soon as the next is materialized, retained disk stays
+  * O(n) at any moment (removal cuts sum to O(n) across the whole run).
+  * Rounds equal the number of peel waves (≤ node count, typically tiny) —
   * `maxIter` guards the pathological chain and failure is loud, never a
   * silently-partial result.
   *
@@ -73,51 +78,65 @@ object KCore {
     // peel by running-max of min degree: every round removes >= 1 node (no
     // empty k-stepping rounds), and a removed node's coreness is the
     // current k = max over rounds of the min degree seen so far.
-    // Per round exactly TWO cuts materialize: the small (node, deg) frame
-    // (dmin probe, removal set, and survivor set all derive from it with no
-    // recomputation) and the shrunken edge list. Removed sets are buffered
-    // and unioned ONCE at the end — re-cutting a growing coreness table
-    // every round would write O(n · rounds) bytes for nothing.
+    // Per round: ONE driver probe (min degree + active count in a single
+    // head() — emptiness is derived from the count, so no separate
+    // isEmpty action) and THREE cuts — the (node, deg) frame, the SMALL
+    // removal set (O(removed) rows, summing to O(n) across all rounds),
+    // and the shrunken edge list. The previous round's (node, deg) cut is
+    // deleted as soon as the current one is materialized, so retained
+    // disk stays O(n) at any moment, never O(n · rounds).
     var k = 0L
     var iter = 0
-    var done = active.isEmpty
+    var finished = false
+    var prevWdPath: Option[Path] = None
     val removedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val degPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (!done && iter < maxIter) {
+    val removedPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (!finished) {
       val deg = remaining.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val (wd, wdPath) = cut(active
         .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg")))
-      wdPath.foreach(degPaths += _) // backing files feed the final union
-      val dmin = wd.agg(min(col("deg"))).head().getLong(0)
-      k = math.max(k, dmin)
-      val toRemove = wd.where(col("deg") <= k).select(col("node"))
-      removedParts += toRemove.withColumn("coreness", lit(k))
-      val (nextRem, nextRemPath) = cut(
-        remaining
-          .join(toRemove.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
-          .join(toRemove.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst")))
-      remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
-      // the initial active cut (if any) was consumed by this round's wd;
-      // later rounds derive active from the persisted wd cuts instead
+      // wd is materialized: the frames feeding it (previous wd via
+      // `active`, initial active cut) are no longer referenced — delete
+      prevWdPath.foreach(p => fs.foreach(_.delete(p, true)))
+      prevWdPath = wdPath
       activePath.foreach(p => fs.foreach(_.delete(p, true)))
       activePath = None
-      remaining = nextRem
-      remainingPath = nextRemPath
-      active = wd.where(col("deg") > k).select(col("node"))
-      done = active.isEmpty
-      iter += 1
+      // one probe: (min degree, active count); count first — min is NULL
+      // on an empty frame
+      val probe = wd.agg(min(col("deg")).as("dmin"), count(lit(1)).as("n")).head()
+      if (probe.getLong(1) == 0L) finished = true
+      else if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"k-core peeling did not finish in $maxIter rounds — raise maxIter " +
+            "(every round peels the current min-degree wave)")
+      else {
+        k = math.max(k, probe.getLong(0))
+        val toRemove = wd.where(col("deg") <= k).select(col("node"))
+        val (removedCut, removedPath) = cut(toRemove.withColumn("coreness", lit(k)))
+        removedParts += removedCut
+        removedPath.foreach(removedPaths += _)
+        val (nextRem, nextRemPath) = cut(
+          remaining
+            .join(toRemove.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+            .join(toRemove.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst")))
+        remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
+        remaining = nextRem
+        remainingPath = nextRemPath
+        active = wd.where(col("deg") > k).select(col("node"))
+        iter += 1
+      }
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"k-core peeling did not finish in $maxIter rounds — raise maxIter " +
-          "(every round peels the current min-degree wave)")
+    // empty-graph fallback reads NOTHING (limit 0 over the caller's frame):
+    // the initial active cut is already deleted by the first round's probe
     val result = removedParts.reduceOption(_ union _)
-      .getOrElse(active.withColumn("coreness", lit(0L)))
-    // materialize the union before the per-round deg files are deleted
+      .getOrElse(pairs.select(col(a).as("node")).limit(0)
+        .withColumn("coreness", lit(0L)))
+    // materialize the union before the per-round removal files are deleted
     val (core, _) = cut(result)
-    degPaths.foreach(p => fs.foreach(_.delete(p, true)))
+    removedPaths.foreach(p => fs.foreach(_.delete(p, true)))
+    prevWdPath.foreach(p => fs.foreach(_.delete(p, true)))
     remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
     core
   }
