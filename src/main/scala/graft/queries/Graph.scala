@@ -146,7 +146,11 @@ object Graph extends QueryPack {
         val a = names.select(col("noun"), col("name").as("n1"), col("id").as("id1"))
         val b = names.select(col("noun"), col("name").as("n2"), col("id").as("id2"))
         val pairs = a.join(b, "noun")
-          .where(col("n1") < col("n2") && levenshtein(col("n1"), col("n2")) <= 3)
+          // q109's band prune: |len diff| <= 3 is implied by dist <= 3 and
+          // costs O(1) per pair vs levenshtein's O(len²)
+          .where(col("n1") < col("n2") &&
+            abs(length(col("n1")) - length(col("n2"))) <= 3 &&
+            levenshtein(col("n1"), col("n2")) <= 3)
           .select("id1", "id2")
         val comp = ConnectedComponents.run(pairs, maxIter = 15)
         comp.join(names, comp("node") === names("id"))
@@ -163,7 +167,9 @@ object Graph extends QueryPack {
         |t AS (SELECT name, string_split(name, ' ')[-1] AS noun FROM names),
         |pr AS (
         |  SELECT a.name AS n1, b.name AS n2 FROM t a JOIN t b ON a.noun = b.noun
-        |  WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3),
+        |  WHERE a.name < b.name
+        |    AND abs(length(a.name) - length(b.name)) <= 3
+        |    AND levenshtein(a.name, b.name) <= 3),
         |e AS (SELECT n1 AS a, n2 AS b FROM pr UNION SELECT n2, n1 FROM pr),
         |nodes AS (SELECT DISTINCT a AS node FROM e),
         |reach(node, r) AS (

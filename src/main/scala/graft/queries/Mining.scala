@@ -107,6 +107,12 @@ object Mining extends QueryPack {
         val b = names.select(col("noun"), col("name").as("n2"))
         a.join(b, "noun")
           .where(col("n1") < col("n2"))
+          // free band prune BEFORE the quadratic work: dist <= 3 implies
+          // |len(n1) - len(n2)| <= 3, and length() is O(1) where
+          // levenshtein() is O(len²) — most intra-block pairs die here,
+          // which is what keeps the blocked pair space survivable as the
+          // catalog (and so each block) grows
+          .where(abs(length(col("n1")) - length(col("n2"))) <= 3)
           .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
           .where(col("dist") <= 3)
           .select(col("noun"), col("n1"), col("n2"), col("dist"))
@@ -119,7 +125,9 @@ object Mining extends QueryPack {
         |SELECT a.noun AS noun, a.name AS n1, b.name AS n2,
         |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.noun = b.noun
-        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 3
+        |WHERE a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 3
+        |  AND levenshtein(a.name, b.name) <= 3
         |ORDER BY noun, n1, n2""".stripMargin)),
 
     // Distribution drift between the first and second half of the time
