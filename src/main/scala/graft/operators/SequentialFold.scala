@@ -23,16 +23,32 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object SequentialFold {
 
+  /** Shared secondary-sort layout + input-type contract: the fold reads the
+    * key as Long and the value as Double positionally, so anything else
+    * (IntegerType key, DecimalType value) would die mid-job with an
+    * executor ClassCastException — reject the key loudly up front and cast
+    * the value explicitly instead.
+    */
+  private def sortedForFold(df: DataFrame, key: String, order: Seq[String],
+      value: String): DataFrame = {
+    require(df.schema(key).dataType == LongType,
+      s"fold key $key must be BIGINT, got ${df.schema(key).dataType}")
+    require(df.schema(value).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"fold value $value must be numeric, got ${df.schema(value).dataType}")
+    df.select((key +: order :+ value).map(col): _*)
+      .withColumn(value, col(value).cast(DoubleType)) // replaces in place
+      .repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+  }
+
   /** Exponential moving average per key: `ema = alpha·x + (1−alpha)·ema`,
     * seeded with the key's first value in `(order…)` position. Returns one
     * row per key: (key, n_rows, ema).
     */
   def ema(df: DataFrame, key: String, order: Seq[String], value: String,
       alpha: Double): DataFrame = {
-    val sorted = df
-      .select((key +: order :+ value).map(col): _*)
-      .repartition(col(key))
-      .sortWithinPartitions((key +: order).map(col): _*)
+    val sorted = sortedForFold(df, key, order, value)
     val schema = sorted.schema
     val keyIdx = schema.fieldIndex(key)
     val valIdx = schema.fieldIndex(value)
@@ -72,10 +88,7 @@ object SequentialFold {
     */
   def holt(df: DataFrame, key: String, order: Seq[String], value: String,
       alpha: Double, beta: Double): DataFrame = {
-    val sorted = df
-      .select((key +: order :+ value).map(col): _*)
-      .repartition(col(key))
-      .sortWithinPartitions((key +: order).map(col): _*)
+    val sorted = sortedForFold(df, key, order, value)
     val schema = sorted.schema
     val keyIdx = schema.fieldIndex(key)
     val valIdx = schema.fieldIndex(value)

@@ -170,14 +170,18 @@ object TopKPerGroup {
     * extension-injected copy lives in `extraPlanningStrategies`, and adding
     * a second one would make every TopKPerGroup plan twice per query.
     */
-  def ensureStrategy(spark: SparkSession): Unit = {
-    val planned = spark.sessionState.planner.strategies
-    if (!planned.contains(TopKPerGroupStrategy) &&
-        !spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies ++= Seq(TopKPerGroupStrategy)
-    val optimized = spark.sessionState.optimizer.batches.flatMap(_.rules)
-    if (!optimized.contains(PushFilterThroughTopK) &&
-        !spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
-      spark.experimental.extraOptimizations ++= Seq(PushFilterThroughTopK)
-  }
+  def ensureStrategy(spark: SparkSession): Unit =
+    // the check-then-append pair below is not atomic: two threads planning
+    // their first TopKPerGroup concurrently could each append, after which
+    // every TopKPerGroup plans twice per query — serialize on the session
+    spark.synchronized {
+      val planned = spark.sessionState.planner.strategies
+      if (!planned.contains(TopKPerGroupStrategy) &&
+          !spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies ++= Seq(TopKPerGroupStrategy)
+      val optimized = spark.sessionState.optimizer.batches.flatMap(_.rules)
+      if (!optimized.contains(PushFilterThroughTopK) &&
+          !spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+        spark.experimental.extraOptimizations ++= Seq(PushFilterThroughTopK)
+    }
 }
