@@ -84,7 +84,7 @@ final class LogfilePartitionReader(
 
   private val line = new Text
   private var finished = false
-  private var pendingHead: String = _
+  private var pendingHead: Array[Byte] = _ // head line's UTF-8 bytes
   private var pendingHeadPos: Long = 0L
 
   private var recordsAssembled = 0L
@@ -114,9 +114,8 @@ final class LogfilePartitionReader(
       if (n == 0) finished = true
       else {
         pos += n
-        val s = line.toString
-        if (headMatcher.reset(s).matches()) {
-          pendingHead = s
+        if (headMatcher.reset(line.toString).matches()) {
+          pendingHead = java.util.Arrays.copyOf(line.getBytes, line.getLength)
           pendingHeadPos = lineStart
         }
       }
@@ -124,8 +123,26 @@ final class LogfilePartitionReader(
   }
 
   private var curOffset = 0L
-  private var curRecord: String = _
   private val fileUtf8 = UTF8String.fromString(split.path)
+
+  // --- record assembly buffer: raw UTF-8 bytes appended straight from the
+  // line reader's Text, so the record column never round-trips through
+  // java.lang.String (decode + char copies + re-encode — the per-record CPU
+  // tax of the scan at 100 TB). Only the head-match still decodes each line
+  // (the regex needs chars). Reused across records; grows geometrically.
+  private var recBuf = new Array[Byte](1 << 16)
+  private var recLen = 0
+  private def appendLine(bytes: Array[Byte], len: Int, newline: Boolean): Unit = {
+    val extra = len + (if (newline) 1 else 0)
+    if (recLen + extra > recBuf.length) {
+      var cap = recBuf.length
+      while (recLen + extra > cap) cap <<= 1
+      recBuf = java.util.Arrays.copyOf(recBuf, cap)
+    }
+    if (newline) { recBuf(recLen) = '\n'; recLen += 1 }
+    System.arraycopy(bytes, 0, recBuf, recLen, len)
+    recLen += len
+  }
 
   override def next(): Boolean = {
     // pushed-down (partial) limit: stop assembling -- and stop READING the
@@ -133,7 +150,8 @@ final class LogfilePartitionReader(
     if (limit.exists(recordsAssembled >= _)) return false
     if (pendingHead == null) return false
     curOffset = pendingHeadPos
-    val sb = if (countOnly) null else new java.lang.StringBuilder(pendingHead)
+    recLen = 0
+    if (!countOnly) appendLine(pendingHead, pendingHead.length, newline = false)
     pendingHead = null
     var assembling = true
     var spanned = false
@@ -143,10 +161,9 @@ final class LogfilePartitionReader(
       if (n == 0) { finished = true; assembling = false }
       else {
         pos += n
-        val s = line.toString
-        if (headMatcher.reset(s).matches()) {
+        if (headMatcher.reset(line.toString).matches()) {
           if (lineStart < end) { // next record is ours
-            pendingHead = s
+            pendingHead = java.util.Arrays.copyOf(line.getBytes, line.getLength)
             pendingHeadPos = lineStart
           } else finished = true // head at/past end → next split emits it
           assembling = false
@@ -154,25 +171,38 @@ final class LogfilePartitionReader(
           // continuation at/past split end ⇒ this record spans the boundary
           // (invariant 3); MaxValue end (whole-file codec split) never spans
           if (lineStart >= end) spanned = true
-          if (sb != null) sb.append('\n').append(s)
+          if (!countOnly) appendLine(line.getBytes, line.getLength, newline = true)
         }
       }
     }
-    if (sb != null) curRecord = sb.toString
     recordsAssembled += 1
     if (spanned) recordsSpanning += 1
     true
   }
 
+  // row buffer reused across get() calls (standard DSv2 reader discipline:
+  // consumers that buffer copy); field VALUES are fresh immutable objects,
+  // the record bytes copied once out of the reused assembly buffer
+  private val rowKinds: Array[Int] = required.fields.map(_.name match {
+    case "file" => 0
+    case "offset" => 1
+    case "record" => 2
+  })
+  private val rowValues = new Array[Any](rowKinds.length)
+  private val row = new GenericInternalRow(rowValues)
+
   override def get(): InternalRow = {
-    val values = required.fields.map { f =>
-      f.name match {
-        case "file" => fileUtf8
-        case "offset" => java.lang.Long.valueOf(curOffset)
-        case "record" => UTF8String.fromString(curRecord)
+    var i = 0
+    while (i < rowKinds.length) {
+      rowValues(i) = rowKinds(i) match {
+        case 0 => fileUtf8
+        case 1 => java.lang.Long.valueOf(curOffset)
+        case 2 => UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(recBuf, 0, recLen))
       }
+      i += 1
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    row
   }
 
   /** Task-level scan metrics, polled by Spark per-batch and on task end;
