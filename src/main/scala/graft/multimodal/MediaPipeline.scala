@@ -25,11 +25,13 @@ final case class MediaFeatures(
 
 object MediaPipeline {
 
-  /** STUB decoder for audio/video — those codec libs aren't in this
-    * container. Deterministic fake: dimensions derived from payload size,
-    * "pixel" statistics from raw bytes. Swap this body for a real codec call
-    * (e.g. ffmpeg bindings) in production; the surrounding partition-wise
-    * pipeline does not change.
+  /** STUB decoder for video (and for payloads no real decoder accepts) —
+    * video codec libs aren't in this container. Deterministic fake:
+    * dimensions derived from payload size, "pixel" statistics from raw
+    * bytes. Swap this body for a real codec call (e.g. ffmpeg bindings) in
+    * production; the surrounding partition-wise pipeline does not change.
+    * Image (javax.imageio) and audio (javax.sound.sampled WAV/PCM) decodes
+    * are REAL.
     */
   private[multimodal] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val n = payload.length.toLong
@@ -46,6 +48,24 @@ object MediaPipeline {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map(img => (img.getWidth.toLong, img.getHeight.toLong,
           img.getColorModel.getNumComponents.toLong))
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode via the JDK's built-in javax.sound.sampled WAV/PCM
+    * reader (RIFF header + sample frames, no external deps). Feature
+    * mapping onto the (width, height, channels) triple: width = frame
+    * count, height = sample rate in Hz, channels = channel count — the
+    * duration/bandwidth facts an audio curation filter keys on. None when
+    * the payload is not a parseable WAV — callers fall back to the stub,
+    * so a corpus of synthesized text-byte payloads still flows end-to-end.
+    */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        Some((in.getFrameLength, fmt.getSampleRate.toLong, fmt.getChannels.toLong))
+      } finally in.close()
     } catch { case _: Exception => None }
 
   /** Synthesize a media table from `documents` (text bytes as payload). */
@@ -71,12 +91,15 @@ object MediaPipeline {
       // per-partition init of a real audio/video codec handle would go here;
       // ImageIO is stateless, so images need none
       it.map { rec =>
-        // images get the real decoder; non-images (and payloads that aren't
-        // actually decodable images, like the synthesized text-byte corpus)
-        // take the documented stub
+        // images and audio get real decoders; video (and payloads the real
+        // decoders reject, like the synthesized text-byte corpus) takes
+        // the documented stub
         val (w, h, c) =
-          (if (rec.kind == "image") decodeImage(rec.payload) else None)
-            .getOrElse(decodeStub(rec.payload))
+          (rec.kind match {
+            case "image" => decodeImage(rec.payload)
+            case "audio" => decodeAudio(rec.payload)
+            case _ => None
+          }).getOrElse(decodeStub(rec.payload))
         val mean =
           if (rec.payload.isEmpty) 0.0
           else rec.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / rec.payload.length

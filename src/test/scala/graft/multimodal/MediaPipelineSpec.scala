@@ -56,6 +56,42 @@ class MediaPipelineSpec extends SparkTestBase {
     assert((feats(2).width, feats(2).height, feats(2).channels) == stub3)
   }
 
+  test("audio kind decodes a genuine WAV via javax.sound; non-WAV keeps the stub") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    implicit val s = spark
+    import s.implicits._
+    // author a real 16-bit PCM WAV in memory: 1234 frames, 8 kHz, stereo —
+    // decoded features must be the header truth, not size-derived stubs
+    def wav(frames: Int, rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = ((i * 37) % 251 - 125).toByte; i += 1 }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val stereo = wav(1234, 8000f, 2)
+    val mono = wav(400, 44100f, 1)
+    val ds = Seq(
+      MediaRecord(1L, "audio", stereo, "WAV"),
+      MediaRecord(2L, "audio", mono, "WAV"),
+      MediaRecord(3L, "audio", "definitely not riff".getBytes, "WAV"),
+      MediaRecord(4L, "video", stereo, "WAV") // wrong kind → stub
+    ).toDS()
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    // (width, height, channels) = (frames, sample rate, channels) for audio
+    assert((feats(0).width, feats(0).height, feats(0).channels) == ((1234L, 8000L, 2L)),
+      s"real WAV decode expected, got ${feats(0)}")
+    assert((feats(1).width, feats(1).height, feats(1).channels) == ((400L, 44100L, 1L)))
+    val stub3 = MediaPipeline.decodeStub("definitely not riff".getBytes)
+    assert((feats(2).width, feats(2).height, feats(2).channels) == stub3)
+    val stub4 = MediaPipeline.decodeStub(stereo)
+    assert((feats(3).width, feats(3).height, feats(3).channels) == stub4)
+  }
+
   test("resize really rescales a decodable image; stub path for the rest") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
