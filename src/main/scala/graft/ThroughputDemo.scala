@@ -21,25 +21,36 @@ object ThroughputDemo {
     val gzBytes = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz")).map(_.length).sum
     println(f"TIMER corpus: plain ${plainBytes/1e9}%.2f GB, gz ${gzBytes/1e9}%.2f GB")
 
-    def read() = {
+    def read(vectorized: Boolean) = {
       var r = spark.read.format("logfile")
         .option("pattern", sources.logfile.LogfileFixture.PatternA)
+        .option("vectorized", vectorized.toString)
       for (i <- 1 until files by 2)
         r = r.option(s"pattern.*_$i.log*", sources.logfile.LogfileFixture.PatternB)
       r.load(dir)
     }
-    // reference Test pipeline: count by level over plain+gz, compare to truth
-    val t1 = System.nanoTime()
+    // reference Test pipeline: count by level over plain+gz, compare to truth;
+    // timed for both scan paths on the same corpus in the same JVM, each run
+    // twice — first pass is JIT/page-cache cold, second is warm; compare
+    // cold-to-cold and warm-to-warm
+    def runOnce(vectorized: Boolean, pass: String): Map[(String, String), Long] = {
+      val t1 = System.nanoTime()
+      val counts = read(vectorized)
+        .withColumn("kind", when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
+        .withColumn("level", regexp_extract(
+          substring_index(col("record"), "\n", 1), "\\b(INFO|WARN|ERROR)\\b", 1))
+        .groupBy("kind", "level").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val secs = (System.nanoTime()-t1)/1e9
+      val label = if (vectorized) "columnar" else "row"
+      println(f"TIMER read+count plain+gz [$label/$pass]: $secs%.1f s = ${2*truth.total/secs/1e6}%.2f M rec/s, ${(plainBytes*2)/1e6/secs}%.0f MB/s logical")
+      counts
+    }
     try {
-    val counts = read()
-      .withColumn("kind", when(col("file").endsWith(".gz"), "gz").otherwise("plain"))
-      .withColumn("level", regexp_extract(
-        substring_index(col("record"), "\n", 1), "\\b(INFO|WARN|ERROR)\\b", 1))
-      .groupBy("kind", "level").count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val secs = (System.nanoTime()-t1)/1e9
-    val totBytes = plainBytes + gzBytes // gz measured compressed on disk
-    println(f"TIMER read+count plain+gz: $secs%.1f s = ${2*truth.total/secs/1e6}%.2f M rec/s, ${(plainBytes*2)/1e6/secs}%.0f MB/s logical")
+    val counts = runOnce(vectorized = true, "cold")
+    runOnce(vectorized = false, "cold")
+    runOnce(vectorized = true, "warm")
+    runOnce(vectorized = false, "warm")
     def got(k: String, l: String): Long = counts.getOrElse((k, l), 0L)
     val ok = Seq("plain", "gz").forall { k =>
       got(k, "INFO") == truth.info && got(k, "WARN") == truth.warn &&

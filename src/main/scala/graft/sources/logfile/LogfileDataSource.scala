@@ -35,6 +35,9 @@ import org.apache.spark.util.SerializableConfiguration
   *     `LogfileInputFormat.java:85-101`). Keys are case-insensitive.
   *   - `maxsplitbytes`: target split size for uncompressed files (default
   *     `spark.sql.files.maxPartitionBytes`).
+  *   - `vectorized` (default true): emit `ColumnarBatch`es from the scan
+  *     instead of one `InternalRow` per record (same assembly core either
+  *     way; set false only to A/B the row path).
   *
   * Output schema: `file string, offset long, record string`; `offset` is the
   * byte offset of the record's first line in the (decompressed) stream.
@@ -302,7 +305,8 @@ final class LogfileScan(options: CaseInsensitiveStringMap, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
-    new LogfileReaderFactory(conf, required, limit, countPushed)
+    val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
+    new LogfileReaderFactory(conf, required, limit, countPushed, vectorized)
   }
 
   /** Scan observability (bytes read, records assembled, boundary-spanning
@@ -383,7 +387,7 @@ object LogfileScan {
 }
 
 final class LogfileReaderFactory(conf: SerializableConfiguration, required: StructType,
-    limit: Option[Int] = None, countPushed: Boolean = false)
+    limit: Option[Int] = None, countPushed: Boolean = false, vectorized: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     // a pushed limit must never cap a pushed COUNT(*): Spark doesn't plan
@@ -393,6 +397,20 @@ final class LogfileReaderFactory(conf: SerializableConfiguration, required: Stru
       partition.asInstanceOf[LogfilePartition], conf.value, required,
       if (countPushed) None else limit, countOnly = countPushed)
     if (countPushed) new LogfileCountReader(inner) else inner
+  }
+
+  /** Vectorized path (everything except the one-row COUNT(*) partial, where
+    * a batch is pointless): record bytes go straight from the assembly
+    * buffer into reused column vectors — no per-record row or UTF8String.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized && !countPushed
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[LogfilePartition]
+    val inner = new LogfilePartitionReader(p, conf.value, required, limit)
+    new LogfileColumnarReader(inner, required, p.path)
   }
 }
 

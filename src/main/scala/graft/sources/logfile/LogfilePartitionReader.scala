@@ -211,6 +211,14 @@ final class LogfilePartitionReader(
   /** Records assembled so far -- the partial COUNT(*) LogfileCountReader emits. */
   private[logfile] def assembledCount: Long = recordsAssembled
 
+  // --- raw access for the columnar reader: the current record's offset and
+  // assembly buffer (valid until the next next() call) — the batch filler
+  // copies bytes straight into its column vectors, no row or UTF8String
+  // object ever materializes on that path
+  private[logfile] def currentOffset: Long = curOffset
+  private[logfile] def recordBuffer: Array[Byte] = recBuf
+  private[logfile] def recordLength: Int = recLen
+
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
       LogfileMetrics.TaskMetric(LogfileMetrics.BytesRead, pos - basePos),

@@ -55,6 +55,31 @@ class LogfileSourceSpec extends SparkTestBase {
     assert(r2.length == 1 && r2(0).getAs[String]("record").contains("not-a-head"))
   }
 
+  test("scan is columnar by default; row path (vectorized=false) is bit-identical") {
+    val dir = tmpDir("logfile-columnar")
+    // >4096 records per split forces multiple ColumnarBatches from one reader
+    val truth = LogfileFixture.ensure(dir, files = 1, recordsPerFile = 6000, seed = 23L)
+    def load(vec: Boolean) = spark.read.format("logfile")
+      .option("pattern", LogfileFixture.PatternA)
+      .option("vectorized", vec.toString)
+      .load(dir)
+    // the vectorized reader path must actually engage (LogfileColumnarReader)
+    val colPlan = load(true).queryExecution.executedPlan.toString
+    assert(colPlan.contains("ColumnarToRow"),
+      s"expected a columnar scan (ColumnarToRow) in:\n$colPlan")
+    val rowPlan = load(false).queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"), "vectorized=false must use the row path")
+    // A/B: every (file, offset, record) triple identical across the two paths
+    def all(vec: Boolean) = load(vec).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("offset"), r.getAs[String]("record")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val (col, row) = (all(true), all(false))
+    assert(col.size == truth.total * 2, s"plain+gz twins: ${col.size} vs ${truth.total * 2}")
+    assert(col == row)
+    // COUNT(*) pushdown still bypasses the columnar path (single-row partial)
+    assert(load(true).count() == truth.total * 2)
+  }
+
   test("offsets are byte positions of the head line") {
     val dir = tmpDir("logfile-offsets")
     val l1 = "2017-01-01 00:00:00,001 INFO first"
