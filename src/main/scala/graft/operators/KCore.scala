@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * in a dense cluster; coreness 1 is a tree fringe).
   *
   * Every round is a constant number of shuffles on the shrinking edge list
-  * plus exactly ONE blocking driver probe (min degree and active count in a
-  * single aggregate — round latency is per-iteration job count, so probes
-  * are halved, not doubled up). Frames are lineage-cut per round with the
+  * plus exactly ONE blocking driver probe (min degree, active count, and
+  * remaining directed-edge count in a single aggregate — round latency is
+  * per-iteration job count, so probes are folded, never doubled up). Once
+  * the remaining graph fits `driverMaxEdges`, the peel finishes on the
+  * driver in one collect (exact Batagelj–Zaversnik, clamped to the running
+  * level — identical output, spec-pinned), replacing the long tail of
+  * tiny-wave rounds whose cost is pure scheduler latency. Frames are lineage-cut per round with the
   * same durability rules as [[ConnectedComponents]] (parquet round-trips
   * under a checkpoint dir when configured, `localCheckpoint` otherwise):
   * plan depth stays O(1) in the iteration count, and because each round
@@ -37,12 +41,26 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Directed-edge cap under which the peel finishes ON THE DRIVER with the
+    * exact Batagelj–Zaversnik bucket algorithm (O(E+N), ~16 bytes/edge ⇒
+    * ≤ ~32 MB at the default). Same threshold-switch discipline as
+    * [[BpeTrainer]]: the distributed rounds are the scale path and shrink
+    * the graph; once the tail fits the bound, one collect replaces the
+    * remaining O(waves) rounds of driver-probe latency. Equality of the two
+    * paths is pinned in KCoreSpec (`driverMaxEdges = 0` forces all-
+    * distributed).
+    */
+  val DefaultDriverMaxEdges = 1 << 21
+
   /** @param pairs two-column DataFrame of undirected edges (a, b);
     *   self-loops are dropped
+    * @param driverMaxEdges finish in-memory once the remaining DIRECTED edge
+    *   count is ≤ this bound (0 disables the driver tail entirely)
     * @return (node, coreness)
     */
   def decompose(pairs: DataFrame, maxIter: Int = 200,
-      reliable: Option[Boolean] = None): DataFrame = {
+      reliable: Option[Boolean] = None,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val useReliable = reliable.getOrElse(sc.getCheckpointDir.isDefined)
@@ -102,10 +120,26 @@ object KCore {
       prevWdPath = wdPath
       activePath.foreach(p => fs.foreach(_.delete(p, true)))
       activePath = None
-      // one probe: (min degree, active count); count first — min is NULL
-      // on an empty frame
-      val probe = wd.agg(min(col("deg")).as("dmin"), count(lit(1)).as("n")).head()
-      if (probe.getLong(1) == 0L) finished = true
+      // one probe: (min degree, active count, directed edge count = sum of
+      // degrees); count first — min/sum are NULL on an empty frame
+      val probe = wd.agg(min(col("deg")).as("dmin"), count(lit(1)).as("n"),
+        sum(col("deg")).as("m")).head()
+      val nActive = probe.getLong(1)
+      val mDirected = if (probe.isNullAt(2)) 0L else probe.getLong(2)
+      if (nActive == 0L) finished = true
+      else if (driverMaxEdges > 0 && mDirected <= driverMaxEdges &&
+          nActive <= driverMaxEdges) {
+        // driver tail: the remainder fits the hard bound — ONE collect of
+        // (node, deg) + the directed edge list replaces the remaining
+        // O(peel waves) rounds. Coreness = max(k, exact subgraph coreness):
+        // every removed node has coreness <= k, so the c-cores for c > k are
+        // untouched subgraphs of `remaining` (subgraph coreness = original
+        // coreness), and survivors whose original coreness is exactly k are
+        // clamped up to k — bit-identical to running the loop to completion
+        // (pinned against driverMaxEdges=0 in KCoreSpec).
+        removedParts += driverTail(spark, wd, remaining, k)
+        finished = true
+      }
       else if (iter >= maxIter)
         throw new IllegalStateException(
           s"k-core peeling did not finish in $maxIter rounds — raise maxIter " +
@@ -139,5 +173,93 @@ object KCore {
     prevWdPath.foreach(p => fs.foreach(_.delete(p, true)))
     remainingPath.foreach(p => fs.foreach(_.delete(p, true)))
     core
+  }
+
+  /** Exact Batagelj–Zaversnik bucket peel (public algorithm, "An O(m)
+    * Algorithm for Cores Decomposition of Networks", 2003) over the
+    * collected tail, clamped to the running peel level `kFloor`. Bounded by
+    * the caller's `driverMaxEdges` check; node values stay generic (`Any`).
+    */
+  private def driverTail(spark: org.apache.spark.sql.SparkSession,
+      wd: DataFrame, remaining: DataFrame, kFloor: Long): DataFrame = {
+    val nodeRows = wd.select(col("node"), col("deg")).collect()
+    val n = nodeRows.length
+    val idx = new java.util.HashMap[Any, Integer](n * 2)
+    val nodeOf = new Array[Any](n)
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      idx.put(nodeRows(i).get(0), i)
+      nodeOf(i) = nodeRows(i).get(0)
+      deg(i) = nodeRows(i).getLong(1).toInt
+      i += 1
+    }
+    // CSR adjacency from the (already symmetric) directed edge list; every
+    // endpoint is active by the loop invariant (edges are anti-joined on
+    // removal, nodes only leave `active` when removed)
+    val edgeRows = remaining.collect()
+    val m = edgeRows.length
+    val eSrc = new Array[Int](m)
+    val eDst = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      eSrc(i) = idx.get(edgeRows(i).get(0))
+      eDst(i) = idx.get(edgeRows(i).get(1))
+      i += 1
+    }
+    val adjStart = new Array[Int](n + 1)
+    i = 0; while (i < m) { adjStart(eSrc(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { adjStart(i + 1) += adjStart(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(adjStart, n)
+    i = 0; while (i < m) { adj(fill(eSrc(i))) = eDst(i); fill(eSrc(i)) += 1; i += 1 }
+
+    // bucket sort nodes by degree; peel in order, decrementing neighbors
+    val maxDeg = if (n == 0) 0 else deg.max
+    val binStart = new Array[Int](maxDeg + 2)
+    i = 0; while (i < n) { binStart(deg(i) + 1) += 1; i += 1 }
+    i = 0; while (i <= maxDeg) { binStart(i + 1) += binStart(i); i += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    val binFill = java.util.Arrays.copyOf(binStart, maxDeg + 1)
+    i = 0; while (i < n) { val d = deg(i); vert(binFill(d)) = i; pos(i) = binFill(d); binFill(d) += 1; i += 1 }
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var e = adjStart(v)
+      while (e < adjStart(v + 1)) {
+        val u = adj(e)
+        if (deg(u) > deg(v)) {
+          // swap u with the first vertex of its current degree bin, then
+          // shrink u's degree by one (u moves into the lower bin)
+          val du = deg(u)
+          val pu = pos(u)
+          val pw = binStart(du)
+          val w = vert(pw)
+          if (u != w) {
+            vert(pu) = w; pos(w) = pu
+            vert(pw) = u; pos(u) = pw
+          }
+          binStart(du) += 1
+          deg(u) = du - 1
+        }
+        e += 1
+      }
+      i += 1
+    }
+    // deg now holds exact subgraph core numbers; clamp to the running level
+    val out = new Array[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.Row(nodeOf(i), math.max(kFloor, deg(i).toLong))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      wd.schema("node"),
+      org.apache.spark.sql.types.StructField("coreness",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      .select(col("node"), col("coreness"))
   }
 }
