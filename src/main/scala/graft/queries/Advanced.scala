@@ -543,7 +543,65 @@ object Advanced extends QueryPack {
         |FROM cooc
         |JOIN n n1 ON cooc.b1 = n1.brand
         |JOIN n n2 ON cooc.b2 = n2.brand
-        |ORDER BY affinity DESC, b1, b2 LIMIT 20""".stripMargin)))
+        |ORDER BY affinity DESC, b1, b2 LIMIT 20""".stripMargin)),
+
+    // The transactional table layer end-to-end ([[graft.tables.GraftTable]]:
+    // versioned commit log on parquet, snapshot isolation, MERGE with
+    // footer-stats file pruning — the lakehouse surface q102/q111/q156
+    // emulate on raw parquet, here as a real log-backed table): create from
+    // the 7-residue orders subset, upsert the 3-residue subset, read the
+    // merged snapshot back. The oracle replays the same upsert in SQL;
+    // acid/time-travel/concurrency/pruning behaviors are pinned in
+    // GraftTableSpec.
+    GraftQuery(
+      "q285_table_layer_merge",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val base = orders.where(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+            col("o_orderstatus"))
+        val src = orders.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 1L).as("price_c"),
+            lit("M").as("o_orderstatus"))
+        // per-invocation location (same discipline as q104): concurrent
+        // drivers must not collide on the table root
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q285_${java.util.UUID.randomUUID()}")
+        val t = graft.tables.GraftTable.create(
+          s, root.getAbsolutePath, base, keyCol = Some("o_orderkey"))
+        t.merge(src)
+        val out = materializeSmall(t.snapshot()
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price_c")).as("sum_price_c"),
+            sum(when(col("o_orderstatus") === "M", 1L).otherwise(0L)).as("n_merged"))
+          .orderBy(col("bucket")))
+        // table consumed into a local relation — reclaim the temp dir
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(root)
+        out
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS price_c,
+        |    'M' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_merged
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

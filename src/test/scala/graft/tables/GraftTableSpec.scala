@@ -1,0 +1,122 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraftTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    new java.io.File(Files.createTempDirectory("graft-table").toFile, "t").getAbsolutePath
+
+  private def rows(t: GraftTable, asOf: Option[Long] = None): Set[(Long, String)] =
+    t.snapshot(asOf).as[(Long, String)].collect().toSet
+
+  test("create + snapshot round-trips rows and schema") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    assert(t.version == 1L)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    // reopen from disk: keyCol + schema come from the log, not the caller
+    val re = GraftTable.at(spark, loc)
+    assert(re.keyCol.contains("k"))
+    assert(rows(re) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("append adds, overwrite replaces, time travel sees every version") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    assert(t.version == 3L)
+    assert(rows(t) == Set((9L, "z")))
+    assert(rows(t, Some(1L)) == Set((1L, "a")))
+    assert(rows(t, Some(2L)) == Set((1L, "a"), (2L, "b")))
+    val hist = t.history
+    assert(hist.map(_.op) == Seq("create", "append", "overwrite"))
+    assert(hist.map(_.version) == Seq(1L, 2L, 3L))
+  }
+
+  test("merge upserts: matched keys replaced, new keys inserted, rest kept") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), keyCol = Some("k"))
+    t.merge(Seq((2L, "B"), (4L, "D")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // column order must not matter for the source
+    t.merge(Seq(("E", 5L)).toDF("v", "k"))
+    assert(rows(t).contains((5L, "E")))
+  }
+
+  test("merge with disjoint key range rewrites NO files (footer-stats prune)") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    val v = t.merge(Seq((100L, "x")).toDF("k", "v"))
+    // the commit must remove nothing: every pre-existing file survives
+    val hist = t.history
+    assert(hist.last.version == v && hist.last.op == "merge")
+    assert(hist.last.removed == 0,
+      s"disjoint merge rewrote ${hist.last.removed} files — pruning failed")
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (100L, "x")))
+  }
+
+  test("merge rejects duplicate source keys loudly") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq((2L, "x"), (2L, "y")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("deleteWhere removes matching rows; non-matching files untouched") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), keyCol = Some("k"))
+    t.deleteWhere(col("k") === 2L)
+    assert(rows(t) == Set((1L, "a"), (3L, "c")))
+    // no-match delete is a no-op commit-wise (version unchanged)
+    val v = t.version
+    assert(t.deleteWhere(col("k") === 999L) == v)
+    assert(t.version == v)
+  }
+
+  test("concurrent commit on the same version loses loudly") {
+    val loc = tmp()
+    val t1 = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    // both handles observe version 1; the second physical commit must fail
+    t1.append(Seq((2L, "b")).toDF("k", "v"))
+    // simulate t2's stale write by committing the same version number again:
+    // its next append would target version 2, which t1 just took — the
+    // create-new commit file must throw, leaving t1's commit intact
+    val before = rows(t1)
+    intercept[GraftTable.ConcurrentCommitException] {
+      // force the race: write the commit file for version 2 directly
+      val m = classOf[GraftTable].getDeclaredMethod(
+        "commit", classOf[Long], classOf[String], classOf[Seq[_]], classOf[Seq[_]])
+      m.setAccessible(true)
+      try m.invoke(t2, java.lang.Long.valueOf(1L), "append", Seq.empty, Seq.empty)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(rows(t1) == before)
+  }
+
+  test("vacuum reclaims only unreferenced files; current snapshot intact") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))
+    val deleted = t.vacuum()
+    assert(deleted.nonEmpty, "overwritten files should be reclaimable")
+    assert(rows(t) == Set((3L, "c")))
+    // second vacuum finds nothing
+    assert(t.vacuum().isEmpty)
+  }
+
+  test("schema mismatch is rejected before any data is written") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1L, "a", "extra")).toDF("k", "v", "w"))
+    }
+  }
+}
