@@ -106,6 +106,32 @@ final class GraftTable private (
     commit(v, "append", writeData(alignSchema(df)), Nil)
   }
 
+  /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
+    * `"<queryId>-batch-<batchId>"` from `foreachBatch`) is recorded in the
+    * commit metadata; re-delivering an already-committed transaction is a
+    * no-op, so a foreachBatch replay after a checkpoint restart writes each
+    * micro-batch exactly once. A concurrent retry that loses the version
+    * race observes the winner's txn on re-check and backs off — callers
+    * never see [[GraftTable.ConcurrentCommitException]] for their OWN txn.
+    */
+  def appendIfAbsent(txnId: String, df: DataFrame): Long = {
+    require(txnId.nonEmpty, "txnId must be non-empty")
+    if (committedTxns.contains(txnId)) version
+    else {
+      val v = version
+      try commit(v, "append", writeData(alignSchema(df)), Nil, Some(txnId))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (committedTxns.contains(txnId)) version else throw e
+      }
+    }
+  }
+
+  private def committedTxns: Set[String] =
+    listVersions(fs, logDir).flatMap { v =>
+      readCommit(fs, logDir, v)._1.get("txn").flatMap(Option(_)).map(_.toString)
+    }.toSet
+
   /** Replace the whole table contents (snapshot-atomic). */
   def overwrite(df: DataFrame): Long = {
     val v = version
@@ -250,10 +276,14 @@ final class GraftTable private (
     } finally reader.close()
   }
 
-  private def commit(expected: Long, op: String,
-      adds: Seq[AddFile], removes: Seq[String]): Long = {
+  // package-private: the spec drives a stale-version commit directly to
+  // pin the create-new collision guard (the public ops re-read the version,
+  // so the race window can't be staged from outside)
+  private[tables] def commit(expected: Long, op: String,
+      adds: Seq[AddFile], removes: Seq[String],
+      txn: Option[String] = None): Long = {
     val next = expected + 1
-    writeCommit(fs, logDir, next, metaMap(op, keyCol, schemaJson), adds, removes)
+    writeCommit(fs, logDir, next, metaMap(op, keyCol, schemaJson, txn), adds, removes)
     next
   }
 }
@@ -321,12 +351,14 @@ object GraftTable {
     new GraftTable(location, spark, key, meta("schema").toString)
   }
 
-  private def metaMap(op: String, keyCol: Option[String], schemaJson: String) = {
+  private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
+      txn: Option[String] = None) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
     m.put("keyCol", keyCol.orNull)
     m.put("schema", schemaJson)
+    txn.foreach(m.put("txn", _))
     m.asScala.toMap
   }
 

@@ -85,20 +85,15 @@ class GraftTableSpec extends SparkTestBase {
     val loc = tmp()
     val t1 = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
     val t2 = GraftTable.at(spark, loc)
-    // both handles observe version 1; the second physical commit must fail
+    // both writers observed version 1; t1 commits version 2 first, then
+    // t2's stale commit against expected-version 1 must hit the create-new
+    // guard and throw — never overwrite t1's commit
     t1.append(Seq((2L, "b")).toDF("k", "v"))
-    // simulate t2's stale write by committing the same version number again:
-    // its next append would target version 2, which t1 just took — the
-    // create-new commit file must throw, leaving t1's commit intact
     val before = rows(t1)
     intercept[GraftTable.ConcurrentCommitException] {
-      // force the race: write the commit file for version 2 directly
-      val m = classOf[GraftTable].getDeclaredMethod(
-        "commit", classOf[Long], classOf[String], classOf[Seq[_]], classOf[Seq[_]])
-      m.setAccessible(true)
-      try m.invoke(t2, java.lang.Long.valueOf(1L), "append", Seq.empty, Seq.empty)
-      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+      t2.commit(1L, "append", Seq.empty, Seq.empty)
     }
+    assert(t1.version == 2L)
     assert(rows(t1) == before)
   }
 
@@ -111,6 +106,46 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((3L, "c")))
     // second vacuum finds nothing
     assert(t.vacuum().isEmpty)
+  }
+
+  test("appendIfAbsent: replayed transaction is a no-op (exactly-once)") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    val v1 = t.appendIfAbsent("q-batch-0", Seq((2L, "b")).toDF("k", "v"))
+    // checkpoint-restart replay: same txn delivered again, possibly with
+    // identical content — must not double-write
+    val v2 = t.appendIfAbsent("q-batch-0", Seq((2L, "b")).toDF("k", "v"))
+    assert(v1 == v2 && t.version == v1)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    t.appendIfAbsent("q-batch-1", Seq((3L, "c")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("appendIfAbsent drives a foreachBatch sink exactly-once end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq.empty[(Long, String)].toDF("k", "v"))
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-table-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        GraftTable.at(spark, loc).appendIfAbsent(s"sink-batch-$batchId", batch)
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // simulate the restart replay of the last batch: exactly-once holds
+    GraftTable.at(spark, loc)
+      .appendIfAbsent("sink-batch-1", Seq((3L, "c")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
   test("schema mismatch is rejected before any data is written") {
