@@ -25,13 +25,14 @@ final case class MediaFeatures(
 
 object MediaPipeline {
 
-  /** STUB decoder for video (and for payloads no real decoder accepts) —
-    * video codec libs aren't in this container. Deterministic fake:
+  /** STUB decoder for payloads no real decoder accepts (the synthesized
+    * text-byte corpus, and video codecs beyond MJPEG — H.264 etc. need
+    * codec libs this container doesn't have). Deterministic fake:
     * dimensions derived from payload size, "pixel" statistics from raw
     * bytes. Swap this body for a real codec call (e.g. ffmpeg bindings) in
     * production; the surrounding partition-wise pipeline does not change.
-    * Image (javax.imageio) and audio (javax.sound.sampled WAV/PCM) decodes
-    * are REAL.
+    * Image (javax.imageio), audio (javax.sound.sampled WAV/PCM), and
+    * MJPEG-AVI video ([[decodeVideo]]) decodes are REAL.
     */
   private[multimodal] def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val n = payload.length.toLong
@@ -68,6 +69,53 @@ object MediaPipeline {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** REAL video parse for MJPEG-in-AVI — the RIFF container (a public
+    * format: 4-byte chunk id + little-endian size, `LIST`/`RIFF` nodes
+    * nest) carrying one JPEG per frame, the one video format the stock JDK
+    * can fully decode (frames via javax.imageio). Walks the chunk tree,
+    * collects the `##dc`/`##db` frame chunks, and sizes the video from its
+    * first decodable frame. Returns (width, height, frame_count); None for
+    * anything that isn't a well-formed AVI — callers fall back to the stub.
+    */
+  private[graft] def decodeVideo(payload: Array[Byte]): Option[(Long, Long, Long)] = {
+    val frames = aviFrames(payload)
+    if (frames.isEmpty) None
+    else frames.iterator.flatMap(decodeImage).buffered.headOption
+      .map { case (w, h, _) => (w, h, frames.length.toLong) }
+  }
+
+  /** The compressed frame chunks of an AVI payload, container order
+    * preserved; empty for non-AVI bytes. Malformed chunk sizes abort the
+    * walk (never throw) — partial containers yield the frames seen so far.
+    */
+  private[multimodal] def aviFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    def ascii(off: Int) = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Long =
+      (payload(off) & 0xffL) | (payload(off + 1) & 0xffL) << 8 |
+        (payload(off + 2) & 0xffL) << 16 | (payload(off + 3) & 0xffL) << 24
+    if (payload.length < 12 || ascii(0) != "RIFF" || ascii(8) != "AVI ")
+      return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = ascii(o)
+        val size = le32(o + 4)
+        val dataEnd = o + 8 + size
+        if (size < 0 || dataEnd > to) return // malformed: stop, keep what we have
+        if (id == "RIFF" || id == "LIST") walk(o + 12, dataEnd.toInt)
+        else if (isFrameId(id) && size > 0)
+          out += java.util.Arrays.copyOfRange(payload, o + 8, dataEnd.toInt)
+        o = (dataEnd + (size & 1)).toInt // chunks pad to even offsets
+      }
+    }
+    walk(12, payload.length)
+    out.result()
+  }
+
   /** Synthesize a media table from `documents` (text bytes as payload). */
   def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -91,13 +139,14 @@ object MediaPipeline {
       // per-partition init of a real audio/video codec handle would go here;
       // ImageIO is stateless, so images need none
       it.map { rec =>
-        // images and audio get real decoders; video (and payloads the real
-        // decoders reject, like the synthesized text-byte corpus) takes
-        // the documented stub
+        // images, audio, and MJPEG-AVI video get real decoders; payloads
+        // the real decoders reject (the synthesized text-byte corpus,
+        // non-MJPEG video codecs) take the documented stub
         val (w, h, c) =
           (rec.kind match {
             case "image" => decodeImage(rec.payload)
             case "audio" => decodeAudio(rec.payload)
+            case "video" => decodeVideo(rec.payload)
             case _ => None
           }).getOrElse(decodeStub(rec.payload))
         val mean =
@@ -155,20 +204,24 @@ object MediaPipeline {
     }
   }
 
-  /** STUB frame sampling: emits every `stride`-th fixed-size window of the
-    * payload as one "frame" record — the row-explosion shape (1 → N rows) a
-    * real video frame sampler has, with deterministic fake frame bytes.
+  /** Frame sampling, REAL for MJPEG-AVI payloads: every `stride`-th
+    * container frame becomes one record carrying its actual JPEG bytes.
+    * Non-AVI payloads take the documented stub (every `stride`-th
+    * fixed-size byte window) so the row-explosion shape (1 → N rows) is
+    * exercised by the synthesized corpus too.
     */
   def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int,
       stride: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
+    def meanByte(b: Array[Byte]): Double =
+      if (b.isEmpty) 0.0
+      else b.foldLeft(0L)((a, x) => a + (x & 0xff)).toDouble / b.length
     ds.flatMap { rec =>
-      val frames = rec.payload.grouped(frameBytes).toSeq
+      val real = aviFrames(rec.payload)
+      val frames = if (real.nonEmpty) real else rec.payload.grouped(frameBytes).toSeq
       frames.indices.collect {
         case i if i % stride == 0 =>
-          MediaFrame(rec.media_id, i.toLong, frames(i),
-            if (frames(i).isEmpty) 0.0
-            else frames(i).foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / frames(i).length)
+          MediaFrame(rec.media_id, i.toLong, frames(i), meanByte(frames(i)))
       }
     }
   }

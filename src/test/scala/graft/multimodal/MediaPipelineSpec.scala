@@ -119,6 +119,57 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(out(0).payload.toSeq == again(0).payload.toSeq)
   }
 
+  test("video kind decodes a genuine MJPEG-AVI; frames sample for real") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    implicit val s = spark
+    import s.implicits._
+    // author a real MJPEG AVI in memory: RIFF('AVI ') with an hdrl LIST and
+    // a movi LIST of three 00dc JPEG frames (11x5 each, distinct content)
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(11, 5, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 11; y <- 0 until 5) img.setRGB(x, y, (x * seed + y * 7) << 8)
+      val b = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    val frames = Seq(jpeg(17), jpeg(29), jpeg(43))
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    // container parse: exactly the three authored frames, byte-identical
+    val parsed = MediaPipeline.aviFrames(avi)
+    assert(parsed.length == 3)
+    assert(parsed.map(_.toSeq) == frames.map(_.toSeq))
+    assert(MediaPipeline.aviFrames("not a riff container".getBytes).isEmpty)
+
+    // extractFeatures: real dimensions from the first frame + frame count,
+    // NOT the size-derived stub triple
+    val ds = Seq(
+      MediaRecord(1L, "video", avi, "AVI"),
+      MediaRecord(2L, "video", "not a video".getBytes, "AVI")).toDS()
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height, feats(0).channels) == (11L, 5L, 3L))
+    val stub = MediaPipeline.decodeStub("not a video".getBytes)
+    assert((feats(1).width, feats(1).height, feats(1).channels) == stub)
+
+    // sampleFrames on an AVI: every 2nd CONTAINER frame (0 and 2), each a
+    // decodable JPEG with the authored dimensions
+    val sampled = MediaPipeline.sampleFrames(Seq(MediaRecord(1L, "video", avi, "AVI")).toDS(),
+      frameBytes = 64, stride = 2).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(sampled.forall(f => MediaPipeline.decodeImage(f.frame).contains((11L, 5L, 3L))))
+    assert(sampled(0).frame.toSeq == frames(0).toSeq && sampled(1).frame.toSeq == frames(2).toSeq)
+  }
+
   test("typed logfile facade returns Dataset[LogRecord]") {
     import graft.sources.logfile.{LogfileFixture, LogfileReader}
     val dir = java.nio.file.Files.createTempDirectory("typed-facade").toFile.getAbsolutePath
