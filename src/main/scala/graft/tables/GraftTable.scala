@@ -201,6 +201,28 @@ final class GraftTable private (
     commit(v, "delete", writeData(keep), rewritten.map(_.path))
   }
 
+  /** Coalesce small files — the operational fix for the small-files
+    * problem a streaming or high-frequency-merge table accumulates (1000s
+    * of KB-scale parquet files make every scan pay per-file open + footer
+    * costs). Active files under `smallFileBytes` are rewritten together
+    * into ~`targetBytes` outputs (shuffle-free `coalesce`) and swapped in
+    * one snapshot-atomic commit; rows are unchanged, large files are not
+    * touched, and time travel to pre-compaction versions keeps working
+    * until `vacuum()`. No-op (current version returned) when fewer than
+    * two small files exist.
+    */
+  def compact(smallFileBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Long = {
+    require(smallFileBytes > 0 && targetBytes > 0, "thresholds must be positive")
+    val v = version
+    val small = activeFiles(v).filter(_.bytes < smallFileBytes)
+    if (small.size < 2) return v
+    val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+    val merged = spark.read.schema(tableSchema)
+      .parquet(small.map(f => new Path(location, f.path).toString): _*)
+      .coalesce(nOut)
+    commit(v, "compact", writeData(merged), small.map(_.path))
+  }
+
   /** Physically delete data files no longer in the CURRENT snapshot.
     * Returns the deleted names. Time travel to versions that referenced
     * them stops working — the standard vacuum trade-off.
@@ -241,7 +263,7 @@ final class GraftTable private (
           val dest = new Path(location, name)
           require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
           val (rows, stats) = footerStats(dest)
-          AddFile(name, rows, stats)
+          AddFile(name, rows, stats, st.getLen)
         }
     } finally fs.delete(tmp, true)
   }
@@ -296,8 +318,12 @@ object GraftTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
-  /** One immutable data file plus optional key-range stats for pruning. */
-  final case class AddFile(path: String, rows: Long, stats: Option[KeyStats])
+  /** One immutable data file plus optional key-range stats for pruning.
+    * `bytes` is the on-disk size (0 in logs written before it was
+    * recorded — treated as "small" by compaction, which is safe).
+    */
+  final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
+    bytes: Long = 0L)
 
   final case class KeyStats(kind: String, min: String, max: String) {
     /** Closed-interval intersection with a [lo, hi] key bound (types come
@@ -386,7 +412,7 @@ object GraftTable {
         Map("meta" -> meta.asJava).asJava)).append('\n')
       adds.foreach { a =>
         val m = new java.util.LinkedHashMap[String, Any]()
-        m.put("path", a.path); m.put("rows", a.rows)
+        m.put("path", a.path); m.put("rows", a.rows); m.put("bytes", a.bytes)
         a.stats.foreach { s =>
           m.put("kind", s.kind); m.put("min", s.min); m.put("max", s.max)
         }
@@ -422,7 +448,8 @@ object GraftTable {
             Some(KeyStats(m.get("kind").toString, m.get("min").toString, m.get("max").toString))
           else None
         adds += AddFile(m.get("path").toString,
-          m.get("rows").asInstanceOf[Number].longValue, stats)
+          m.get("rows").asInstanceOf[Number].longValue, stats,
+          Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
       } else if (node.containsKey("remove"))
         removes += node.get("remove").toString
     }

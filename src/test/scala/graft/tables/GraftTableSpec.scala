@@ -148,6 +148,26 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("compact coalesces small files; rows, time travel, vacuum all hold") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    (2L to 6L).foreach(i => t.append(Seq((i, i.toString)).toDF("k", "v")))
+    val preVersion = t.version
+    val preRows = rows(t)
+    val preFiles = t.history.map(_.added).sum // every add so far is live
+    val v = t.compact()
+    assert(v == preVersion + 1)
+    assert(rows(t) == preRows, "compaction must not change table contents")
+    val hist = t.history.last
+    assert(hist.op == "compact" && hist.removed == preFiles && hist.added < preFiles,
+      s"expected >1 small files merged: added=${hist.added}, removed=${hist.removed}")
+    // pre-compaction version still readable until vacuum
+    assert(rows(t, Some(preVersion)) == preRows)
+    assert(t.vacuum().nonEmpty)
+    assert(rows(t) == preRows)
+    // second compact is a no-op (already one file)
+    assert(t.compact() == v)
+  }
+
   test("schema mismatch is rejected before any data is written") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException] {
