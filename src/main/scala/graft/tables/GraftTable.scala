@@ -55,8 +55,19 @@ final class GraftTable private (
 
   import GraftTable._
 
-  private val tableSchema: StructType =
-    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  /** The schema is versioned WITH the data: every commit's metadata carries
+    * the schema in force at that version, so time travel reads old versions
+    * with their own (pre-evolution) schema.
+    */
+  private def schemaAt(v: Long): StructType =
+    DataType.fromJson(readCommit(fs, logDir, v)._1
+      .get("schema").map(_.toString).getOrElse(schemaJson)).asInstanceOf[StructType]
+
+  // pre-first-commit (inside create) the log is empty: use the
+  // construction-time schema
+  private def tableSchema: StructType =
+    listVersions(fs, logDir).lastOption.map(schemaAt)
+      .getOrElse(DataType.fromJson(schemaJson).asInstanceOf[StructType])
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = new Path(location).getFileSystem(conf)
@@ -84,11 +95,13 @@ final class GraftTable private (
     * travel — valid until `vacuum()` reclaims the files it references).
     */
   def snapshot(versionAsOf: Option[Long] = None): DataFrame = {
-    val files = activeFiles(versionAsOf.getOrElse(version))
+    val asOf = versionAsOf.getOrElse(version)
+    val files = activeFiles(asOf)
+    val schema = schemaAt(asOf) // pre-evolution versions read with THEIR schema
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(tableSchema)
+      spark.read.schema(schema)
         .parquet(files.map(f => new Path(location, f.path).toString): _*)
   }
 
@@ -101,9 +114,18 @@ final class GraftTable private (
         adds.size, removes.size, adds.map(_.rows).sum)
     }
 
-  def append(df: DataFrame): Long = {
+  /** Append rows. With `mergeSchema = true` the schema may EVOLVE: new
+    * columns in `df` extend the table schema (old files read them as null
+    * via by-name parquet resolution), and columns `df` lacks are written as
+    * null. Same-name columns must keep their type — a conflict is loud,
+    * never a silent cast. The evolved schema is versioned with the commit,
+    * so time travel keeps each version's own schema.
+    */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     val v = version
-    commit(v, "append", writeData(alignSchema(df)), Nil)
+    val cur = schemaAt(v)
+    val (aligned, newSchema) = alignEvolving(df, cur, mergeSchema)
+    commit(v, "append", writeData(aligned), Nil, None, Some(newSchema))
   }
 
   /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
@@ -239,10 +261,37 @@ final class GraftTable private (
 
   /** Enforce identical column sets; reorder to table column order. */
   private def alignSchema(df: DataFrame): DataFrame = {
-    require(df.columns.toSet == tableSchema.fieldNames.toSet,
-      s"schema mismatch: table has ${tableSchema.fieldNames.mkString(",")}, " +
+    val schema = tableSchema
+    require(df.columns.toSet == schema.fieldNames.toSet,
+      s"schema mismatch: table has ${schema.fieldNames.mkString(",")}, " +
         s"got ${df.columns.mkString(",")}")
-    df.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Strict alignment, or (mergeSchema) the evolved (df', schema'):
+    * schema' = current fields ++ df-only fields; df' selects every schema'
+    * column, null-filling the ones `df` lacks. Type conflicts are loud.
+    */
+  private def alignEvolving(df: DataFrame, cur: StructType,
+      mergeSchema: Boolean): (DataFrame, StructType) = {
+    if (!mergeSchema) {
+      require(df.columns.toSet == cur.fieldNames.toSet,
+        s"schema mismatch: table has ${cur.fieldNames.mkString(",")}, " +
+          s"got ${df.columns.mkString(",")} (pass mergeSchema = true to evolve)")
+    }
+    val dfFields = df.schema.fields.map(f => f.name -> f).toMap
+    cur.fields.foreach { f =>
+      dfFields.get(f.name).foreach(g => require(g.dataType == f.dataType,
+        s"type conflict on '${f.name}': table ${f.dataType}, data ${g.dataType}"))
+    }
+    val newFields = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true)) // old files read the new column as null
+    val evolved = StructType(cur.fields.toIndexedSeq ++ newFields)
+    val aligned = df.select(evolved.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    (aligned, evolved)
   }
 
   /** Write `df` as immutable `part-<uuid>.parquet` files under the table
@@ -303,9 +352,10 @@ final class GraftTable private (
   // so the race window can't be staged from outside)
   private[tables] def commit(expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String],
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, newSchema: Option[StructType] = None): Long = {
     val next = expected + 1
-    writeCommit(fs, logDir, next, metaMap(op, keyCol, schemaJson, txn), adds, removes)
+    val schema = newSchema.map(_.json).getOrElse(schemaAt(expected).json)
+    writeCommit(fs, logDir, next, metaMap(op, keyCol, schema, txn), adds, removes)
     next
   }
 }

@@ -168,6 +168,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.compact() == v)
   }
 
+  test("mergeSchema append evolves: new column null-filled on old rows, versioned") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    val preVersion = t.version
+    // new column arrives
+    t.append(Seq((2L, "b", 7.5)).toDF("k", "v", "score"), mergeSchema = true)
+    val now = t.snapshot().orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(t.snapshot().columns.toSeq == Seq("k", "v", "score"))
+    assert(now.toSeq == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+    // a later append MISSING the evolved column null-fills it
+    t.append(Seq((3L, "c")).toDF("k", "v"), mergeSchema = true)
+    assert(t.snapshot().where(col("k") === 3L).select("score").head().isNullAt(0))
+    // time travel reads the pre-evolution version with ITS schema
+    assert(t.snapshot(Some(preVersion)).columns.toSeq == Seq("k", "v"))
+    // without the flag, a new column stays rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq((4L, "d", 1L)).toDF("k", "v", "other"))
+    }
+    // type conflicts are loud even when evolving
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((5L, 9L, 1.0)).toDF("k", "v", "score"), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
   test("schema mismatch is rejected before any data is written") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException] {
