@@ -59,8 +59,16 @@ final class GraftTable private (
     * the schema in force at that version, so time travel reads old versions
     * with their own (pre-evolution) schema.
     */
+  // commit files are immutable once written (vacuum never touches the
+  // log), so parsed commits memoize safely — snapshot assembly stays one
+  // file-read per NEW version instead of O(versions) re-reads per op
+  private val commitCache =
+    scala.collection.concurrent.TrieMap.empty[Long, (Map[String, Any], Seq[AddFile], Seq[String])]
+  private def cachedCommit(v: Long): (Map[String, Any], Seq[AddFile], Seq[String]) =
+    commitCache.getOrElseUpdate(v, readCommit(fs, logDir, v))
+
   private def schemaAt(v: Long): StructType =
-    DataType.fromJson(readCommit(fs, logDir, v)._1
+    DataType.fromJson(cachedCommit(v)._1
       .get("schema").map(_.toString).getOrElse(schemaJson)).asInstanceOf[StructType]
 
   // pre-first-commit (inside create) the log is empty: use the
@@ -84,7 +92,7 @@ final class GraftTable private (
       s"version $asOf does not exist under $logDir (have ${listVersions(fs, logDir).mkString(",")})")
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     versions.foreach { v =>
-      val (_, adds, removes) = readCommit(fs, logDir, v)
+      val (_, adds, removes) = cachedCommit(v)
       removes.foreach(active.remove)
       adds.foreach(a => active(a.path) = a)
     }
@@ -108,7 +116,7 @@ final class GraftTable private (
   /** Commit metadata for every version, oldest first. */
   def history: Seq[CommitInfo] =
     listVersions(fs, logDir).map { v =>
-      val (meta, adds, removes) = readCommit(fs, logDir, v)
+      val (meta, adds, removes) = cachedCommit(v)
       CommitInfo(v, meta.getOrElse("op", "?").toString,
         meta.get("ts").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
         adds.size, removes.size, adds.map(_.rows).sum)
@@ -151,7 +159,7 @@ final class GraftTable private (
 
   private def committedTxns: Set[String] =
     listVersions(fs, logDir).flatMap { v =>
-      readCommit(fs, logDir, v)._1.get("txn").flatMap(Option(_)).map(_.toString)
+      cachedCommit(v)._1.get("txn").flatMap(Option(_)).map(_.toString)
     }.toSet
 
   /** Replace the whole table contents (snapshot-atomic). */
@@ -336,9 +344,12 @@ final class GraftTable private (
                 mins.map(_.asInstanceOf[Number].longValue).min.toString,
                 maxs.map(_.asInstanceOf[Number].longValue).max.toString))
             case (_: org.apache.parquet.io.api.Binary, _) =>
+              // aggregate row-group bounds in parquet's own unsigned-bytes
+              // order, not Java's UTF-16 String order
+              val ord = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
               Some(KeyStats("string",
-                mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min,
-                maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max))
+                mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min(ord),
+                maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max(ord)))
             case _ => None // other key types: no pruning, still correct
           }
         }
@@ -377,21 +388,40 @@ object GraftTable {
 
   final case class KeyStats(kind: String, min: String, max: String) {
     /** Closed-interval intersection with a [lo, hi] key bound (types come
-      * from a Spark `min/max` aggregate over the key column).
+      * from a Spark `min/max` aggregate over the key column). Strings
+      * compare as unsigned UTF-8 BYTES — parquet's binary-stats order —
+      * not Java's UTF-16 order, which disagrees for supplementary-plane
+      * characters; comparing in the wrong order could prune a file that
+      * holds a match.
       */
     def intersects(lo: Any, hi: Any): Boolean = kind match {
       case "long" =>
         val (l, h) = (toLong(lo), toLong(hi))
         !(h < min.toLong || l > max.toLong)
       case "string" =>
-        val (l, h) = (lo.toString, hi.toString)
-        !(h < min || l > max)
+        !(utf8Cmp(hi.toString, min) < 0 || utf8Cmp(lo.toString, max) > 0)
       case _ => true
     }
     private def toLong(a: Any): Long = a match {
       case n: Number => n.longValue
       case other => other.toString.toLong
     }
+  }
+
+  /** Unsigned lexicographic comparison of the UTF-8 encodings (identical to
+    * UTF-8 code-point order and to parquet's unsigned binary comparator).
+    */
+  private[tables] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   final case class CommitInfo(version: Long, op: String, ts: Long,

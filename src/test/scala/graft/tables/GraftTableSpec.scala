@@ -193,6 +193,23 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("string key stats compare in UTF-8 byte order, not UTF-16") {
+    // U+FF61 (EF BD A1 in UTF-8, one char in UTF-16) vs U+10000 (F0 90 80 80,
+    // surrogate pair D800 DC00 in UTF-16): Java String order puts U+FF61
+    // ABOVE the surrogate pair, UTF-8/code-point order puts it BELOW
+    val bmp = "｡"
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(supp) > 0, "sanity: UTF-16 order disagrees")
+    assert(GraftTable.utf8Cmp(bmp, supp) < 0, "UTF-8 order: BMP char below")
+    // a file holding [supp, supp] must NOT be pruned for a probe at supp,
+    // even though UTF-16 ordering would claim hi=bmp < min=supp in some
+    // framings; and must be pruned for probes strictly below it
+    val stats = GraftTable.KeyStats("string", supp, supp)
+    assert(stats.intersects(supp, supp))
+    assert(!stats.intersects("a", bmp),
+      "probe range ending at U+FF61 sits wholly below U+10000 in UTF-8 order")
+  }
+
   test("schema mismatch is rejected before any data is written") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException] {
