@@ -85,13 +85,21 @@ final class GraftTable private (
   def version: Long = listVersions(fs, logDir).lastOption.getOrElse(
     throw new IllegalStateException(s"no commits under $logDir"))
 
-  /** Active data files at `asOf` (defaults to latest): replay the log. */
+  /** Active data files at `asOf` (defaults to latest): replay the log from
+    * the newest checkpoint at-or-before `asOf` (full replay when none) —
+    * cold snapshot assembly reads one checkpoint + the commit tail, not
+    * every commit since table creation.
+    */
   private def activeFiles(asOf: Long): Seq[AddFile] = {
-    val versions = listVersions(fs, logDir).takeWhile(_ <= asOf)
-    require(versions.nonEmpty && versions.last == asOf,
-      s"version $asOf does not exist under $logDir (have ${listVersions(fs, logDir).mkString(",")})")
+    val all = listVersions(fs, logDir)
+    require(all.contains(asOf),
+      s"version $asOf does not exist under $logDir (have ${all.mkString(",")})")
+    val cp = listCheckpoints(fs, logDir).filter(_ <= asOf).lastOption
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    versions.foreach { v =>
+    cp.foreach { v =>
+      readCheckpoint(fs, logDir, v).foreach(a => active(a.path) = a)
+    }
+    all.filter(v => v <= asOf && cp.forall(v > _)).foreach { v =>
       val (_, adds, removes) = cachedCommit(v)
       removes.foreach(active.remove)
       adds.foreach(a => active(a.path) = a)
@@ -361,12 +369,21 @@ final class GraftTable private (
   // package-private: the spec drives a stale-version commit directly to
   // pin the create-new collision guard (the public ops re-read the version,
   // so the race window can't be staged from outside)
+  /** Every `checkpointInterval`-th commit also writes a full active-state
+    * checkpoint next to the log (overridable for tests; the write is
+    * best-effort idempotent — a racing handle producing the identical
+    * checkpoint simply wins the create-new).
+    */
+  private[tables] var checkpointInterval: Int = DefaultCheckpointInterval
+
   private[tables] def commit(expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String],
       txn: Option[String] = None, newSchema: Option[StructType] = None): Long = {
     val next = expected + 1
     val schema = newSchema.map(_.json).getOrElse(schemaAt(expected).json)
     writeCommit(fs, logDir, next, metaMap(op, keyCol, schema, txn), adds, removes)
+    if (checkpointInterval > 0 && next % checkpointInterval == 0)
+      writeCheckpoint(fs, logDir, next, activeFiles(next))
     next
   }
 }
@@ -469,10 +486,19 @@ object GraftTable {
   }
 
   private def logPath(logDir: Path, v: Long) = new Path(logDir, f"$v%020d.json")
+  private def checkpointPath(logDir: Path, v: Long) =
+    new Path(logDir, f"$v%020d.checkpoint.json")
+
+  private val CommitName = """(\d{20})\.json""".r
+  private val CheckpointName = """(\d{20})\.checkpoint\.json""".r
 
   private def listVersions(fs: FileSystem, logDir: Path): Seq[Long] =
     fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
+      .collect { case CommitName(v) => v.toLong }.sorted
+
+  private def listCheckpoints(fs: FileSystem, logDir: Path): Seq[Long] =
+    fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case CheckpointName(v) => v.toLong }.sorted
 
   /** One NDJSON commit file, created atomically (create-new): the loser of
     * a version race gets [[ConcurrentCommitException]], never a torn log.
