@@ -3,7 +3,6 @@ package graft.queries
 import graft.{GraftQuery, QueryPack, Tables}
 import graft.operators.{ConnectedComponents, ShortestPaths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 surface: graph analytics over relationship structure *derived*
@@ -34,8 +33,8 @@ import org.apache.spark.sql.functions._
   *     explores both orientations; on skewed degree distributions the
   *     standard refinement is degree-ordering the vertices first.
   *   - q124: blocking (head noun) caps the candidate pairs, components run
-  *     on dense integer ids (row_number over the small distinct-name
-  *     vocabulary; at corpus scale a 64-bit content hash serves instead).
+  *     on dense integer ids from the distributed prefix scan (range
+  *     shuffle, never a one-task global window over the vocabulary).
   */
 object Graph extends QueryPack {
 
@@ -136,12 +135,15 @@ object Graph extends QueryPack {
     GraftQuery(
       "q124_entity_resolution",
       (s, dir) => {
-        val names = Tables(s, dir, "part")
+        val base = Tables(s, dir, "part")
           .select(lower(col("p_name")).as("name")).distinct()
           .withColumn("noun", element_at(split(col("name"), " "), -1))
-          // dense ids for the component loop (numeric labels converge via
-          // the decimal sum probe); vocabulary-sized, one tiny window
-          .withColumn("id", row_number().over(Window.orderBy("name")))
+        // dense ids for the component loop (numeric labels converge via
+        // the decimal sum probe) — ranked by the distributed scan, not a
+        // global window: the name vocabulary is unbounded at 100 TB and a
+        // partition-less row_number would sort it in ONE task
+        val names = graft.operators.DistributedPrefixSum.scan(
+            base, Seq("name"), Nil, idxName = "id")
           .localCheckpoint()
         val a = names.select(col("noun"), col("name").as("n1"), col("id").as("id1"))
         val b = names.select(col("noun"), col("name").as("n2"), col("id").as("id2"))

@@ -441,20 +441,23 @@ object Training extends QueryPack {
     GraftQuery(
       "q178_negative_sampling_table",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val counts = Tables.spread(Tables(s, dir, "documents"), "doc_id")
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
           .groupBy(col("word")).agg(count(lit(1)).as("n"))
         val weighted = counts.withColumn("w",
           expr("CAST(floor(pow(CAST(n AS DOUBLE), 0.75) * 10000) AS BIGINT)"))
-        val wWin = Window.orderBy(col("w").desc, col("word"))
-        weighted
-          .withColumn("rnk", row_number().over(wWin).cast("long"))
-          .withColumn("cum_w", sum(col("w"))
-            .over(wWin.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("total_w", sum(col("w")).over(Window.partitionBy()))
-          .filter(col("rnk") <= 30)
+        // at 100 TB the vocabulary is 10⁷–10⁸ words: never rank it in ONE
+        // task. Top-30 via orderBy+limit (TakeOrderedAndProject — per-
+        // partition heaps, no global sort), then rank + prefix-sum only the
+        // 30 survivors through the distributed scan; the global weight mass
+        // is a plain partial+final aggregate broadcast back in.
+        val top = weighted.orderBy(col("w").desc, col("word")).limit(30)
+          .withColumn("neg_w", -col("w"))
+        val scanned = graft.operators.DistributedPrefixSum.scan(
+          top, Seq("neg_w", "word"), Seq("w"), idxName = "rnk", runPrefix = "cum_")
+        val total = weighted.agg(sum(col("w")).as("total_w"))
+        scanned.crossJoin(broadcast(total))
           .select(col("rnk"), col("word"), col("n"), col("w"), col("cum_w"),
             expr("(w * 1000000) div total_w").as("table_slots"))
           .orderBy("rnk")

@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Minimal transactional table layer over parquet — the lakehouse surface
   * (VERDICT r7 "What's missing" #3) built from scratch on public primitives
@@ -338,7 +338,19 @@ final class GraftTable private (
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = keyCol.flatMap { k =>
+      // stats are emitted ONLY for integral/string Spark key types: parquet
+      // footers surface DATE/TIMESTAMP as Number and DECIMAL as Binary, but
+      // merge's Spark-side min/max bound arrives as java.sql.Date /
+      // BigDecimal — comparing across those representations is either a
+      // crash (NumberFormatException) or, worse, a silently wrong ordering
+      // that prunes a file holding matched keys. No stats = no pruning,
+      // which is always correct.
+      val stats = keyCol.filter { k =>
+        tableSchema.fields.find(_.name == k).map(_.dataType).exists {
+          case ByteType | ShortType | IntegerType | LongType | StringType => true
+          case _ => false
+        }
+      }.flatMap { k =>
         val colStats = blocks.flatMap(_.getColumns.asScala
           .filter(_.getPath.toDotString == k).map(_.getStatistics))
         if (colStats.isEmpty ||
@@ -517,12 +529,7 @@ object GraftTable {
       sb.append(mapper.writeValueAsString(
         Map("meta" -> meta.asJava).asJava)).append('\n')
       adds.foreach { a =>
-        val m = new java.util.LinkedHashMap[String, Any]()
-        m.put("path", a.path); m.put("rows", a.rows); m.put("bytes", a.bytes)
-        a.stats.foreach { s =>
-          m.put("kind", s.kind); m.put("min", s.min); m.put("max", s.max)
-        }
-        sb.append(mapper.writeValueAsString(Map("add" -> m).asJava)).append('\n')
+        sb.append(mapper.writeValueAsString(Map("add" -> addNode(a)).asJava)).append('\n')
       }
       removes.foreach { r =>
         sb.append(mapper.writeValueAsString(Map("remove" -> r).asJava)).append('\n')
@@ -533,12 +540,7 @@ object GraftTable {
 
   private def readCommit(fs: FileSystem, logDir: Path, v: Long)
       : (Map[String, Any], Seq[AddFile], Seq[String]) = {
-    val in = fs.open(logPath(logDir, v))
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      buf.toString("UTF-8")
-    } finally in.close()
+    val text = readFully(fs, logPath(logDir, v))
     var meta = Map.empty[String, Any]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -547,20 +549,77 @@ object GraftTable {
       if (node.containsKey("meta"))
         meta = node.get("meta").asInstanceOf[java.util.Map[String, Object]]
           .asScala.toMap
-      else if (node.containsKey("add")) {
-        val m = node.get("add").asInstanceOf[java.util.Map[String, Object]]
-        val stats =
-          if (m.containsKey("kind"))
-            Some(KeyStats(m.get("kind").toString, m.get("min").toString, m.get("max").toString))
-          else None
-        adds += AddFile(m.get("path").toString,
-          m.get("rows").asInstanceOf[Number].longValue, stats,
-          Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
-      } else if (node.containsKey("remove"))
+      else if (node.containsKey("add"))
+        adds += parseAdd(node.get("add").asInstanceOf[java.util.Map[String, Object]])
+      else if (node.containsKey("remove"))
         removes += node.get("remove").toString
     }
     (meta, adds.result(), removes.result())
   }
+
+  /** Write a full active-state checkpoint every Nth commit: cold snapshot
+    * assembly then replays one checkpoint + the commit tail instead of the
+    * whole log — at 10⁵ commits that is the difference between O(interval)
+    * and O(versions) file reads per open.
+    */
+  private val DefaultCheckpointInterval: Int = 10
+
+  /** Shared AddFile serde — commits and checkpoints write the identical
+    * NDJSON `{"add":{…}}` shape so one parser reads both.
+    */
+  private def addNode(a: AddFile): java.util.Map[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("path", a.path); m.put("rows", a.rows); m.put("bytes", a.bytes)
+    a.stats.foreach { s =>
+      m.put("kind", s.kind); m.put("min", s.min); m.put("max", s.max)
+    }
+    m
+  }
+
+  private def parseAdd(m: java.util.Map[String, Object]): AddFile = {
+    val stats =
+      if (m.containsKey("kind"))
+        Some(KeyStats(m.get("kind").toString, m.get("min").toString, m.get("max").toString))
+      else None
+    AddFile(m.get("path").toString,
+      m.get("rows").asInstanceOf[Number].longValue, stats,
+      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** The complete active-file set as of (immediately after) commit `v`, one
+    * `{"add":…}` line per file. Best-effort create-new: the checkpoint for
+    * a version is a pure function of the immutable log prefix, so two
+    * racing handles produce byte-identical content and the create-new loser
+    * simply drops its copy — no exception, no torn file.
+    */
+  private def writeCheckpoint(fs: FileSystem, logDir: Path, v: Long,
+      files: Seq[AddFile]): Unit = {
+    val out = try fs.create(checkpointPath(logDir, v), false) catch {
+      case _: java.io.IOException => return // a racing handle already wrote it
+    }
+    try {
+      val sb = new StringBuilder
+      files.foreach { a =>
+        sb.append(mapper.writeValueAsString(Map("add" -> addNode(a)).asJava)).append('\n')
+      }
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  private def readCheckpoint(fs: FileSystem, logDir: Path, v: Long): Seq[AddFile] =
+    readFully(fs, checkpointPath(logDir, v)).linesIterator.filter(_.nonEmpty).map { line =>
+      val node = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+      parseAdd(node.get("add").asInstanceOf[java.util.Map[String, Object]])
+    }.toSeq
 
   /** `input_file_name()` returns a URI; our log stores bare names. */
   private def uriMatches(uri: String, fileName: String): Boolean =

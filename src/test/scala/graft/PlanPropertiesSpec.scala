@@ -259,8 +259,8 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"argmax must be top-k:\n$p")
   }
 
-  test("q105/q176/q189/q191/q197/q279: no partition-less WindowExec anywhere") {
-    // These six formerly sorted an unbounded frame on ONE task (ntile /
+  test("q105/q176/q189/q191/q197/q279/q178/q124: no partition-less WindowExec anywhere") {
+    // These formerly sorted an unbounded frame on ONE task (ntile /
     // row_number / lag with Window.orderBy and no partitionBy). Now they
     // route through DistributedPrefixSum (range shuffle + boundary
     // exchange / rank arithmetic). Part of their lineage is RDD-backed, so
@@ -300,7 +300,8 @@ class PlanPropertiesSpec extends SparkTestBase {
       hits.clear()
       Seq("q105_equidepth_histogram", "q176_pareto_concentration",
         "q189_prefix_compression", "q191_gini_revenue", "q197_rle_estimate",
-        "q279_rfm_segments").foreach { name =>
+        "q279_rfm_segments", "q178_negative_sampling_table",
+        "q124_entity_resolution").foreach { name =>
         val df = SparkEntry.queries(name)(spark, sf)
         df.collect()
         assert(!df.queryExecution.executedPlan.toString().contains("Window"),

@@ -210,6 +210,84 @@ class GraftTableSpec extends SparkTestBase {
       "probe range ending at U+FF61 sits wholly below U+10000 in UTF-8 order")
   }
 
+  test("checkpoint replay ≡ full replay, and reads only checkpoint + tail") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))
+    t.checkpointInterval = 3
+    (2L to 7L).foreach(i => t.append(Seq((i, i.toString)).toDF("k", "v")))
+    assert(t.version == 7L)
+    val expect = Set((1L, "a")) ++ (2L to 7L).map(i => (i, i.toString))
+    assert(rows(t) == expect)
+    val logDir = new java.io.File(loc, "_graft_log")
+    def names = logDir.listFiles().map(_.getName).toSet
+    assert(names.contains(f"${3L}%020d.checkpoint.json"))
+    assert(names.contains(f"${6L}%020d.checkpoint.json"))
+    // a fresh handle (cold cache) must agree with the incremental one
+    assert(rows(GraftTable.at(spark, loc)) == expect)
+    // hard pin on "reads only checkpoint + tail": destroy the commit BODIES
+    // strictly between create and the newest checkpoint — if cold replay
+    // touched any of them it would crash on garbage JSON (commit 1 stays:
+    // `at` reads table metadata from the oldest commit)
+    Seq(2L, 3L, 4L, 5L).foreach { v =>
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        "NOT JSON".getBytes("UTF-8"))
+    }
+    val cold = GraftTable.at(spark, loc)
+    assert(rows(cold) == expect, "cold snapshot must come from checkpoint 6 + commit 7")
+    // time travel to the checkpointed version itself also skips the tail
+    assert(rows(cold, Some(6L)) == expect - ((7L, "7")))
+  }
+
+  test("vacuum keeps every file the checkpointed current snapshot references") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.checkpointInterval = 2
+    t.append(Seq((2L, "b")).toDF("k", "v"))     // v2 -> checkpoint
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))  // v3: removes v1+v2 files
+    t.append(Seq((10L, "y")).toDF("k", "v"))    // v4 -> checkpoint
+    val deleted = t.vacuum()
+    assert(deleted.nonEmpty, "pre-overwrite files should be reclaimed")
+    val expect = Set((9L, "z"), (10L, "y"))
+    assert(rows(t) == expect)
+    // a cold open replays checkpoint 4 + empty tail over the vacuumed dir
+    assert(rows(GraftTable.at(spark, loc)) == expect)
+  }
+
+  test("appendIfAbsent txn ids stay discoverable across checkpoints") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.checkpointInterval = 2
+    t.appendIfAbsent("tx-early", Seq((2L, "b")).toDF("k", "v")) // v2 -> checkpoint
+    t.append(Seq((3L, "c")).toDF("k", "v"))                     // v3
+    t.append(Seq((4L, "d")).toDF("k", "v"))                     // v4 -> checkpoint
+    val v = t.version
+    // replay of a PRE-checkpoint txn through a fresh handle must still no-op
+    assert(GraftTable.at(spark, loc)
+      .appendIfAbsent("tx-early", Seq((99L, "X")).toDF("k", "v")) == v)
+    assert(t.version == v)
+    assert(!rows(t).contains((99L, "X")))
+  }
+
+  test("date/decimal key columns disable stats (no crash, no wrong prune)") {
+    import java.sql.Date
+    val loc = tmp()
+    val df = Seq((Date.valueOf("2024-01-01"), "a"), (Date.valueOf("2024-06-01"), "b"))
+      .toDF("k", "v")
+    val t = GraftTable.create(spark, loc, df, keyCol = Some("k"))
+    // merge on a date key: footer stats are Numbers but Spark bounds are
+    // java.sql.Date — with stats emitted this would NumberFormatException;
+    // with stats gated off it must simply skip pruning and stay correct
+    t.merge(Seq((Date.valueOf("2024-06-01"), "B"), (Date.valueOf("2025-01-01"), "C"))
+      .toDF("k", "v"))
+    val got = t.snapshot().as[(Date, String)].collect().toMap
+    assert(got == Map(
+      Date.valueOf("2024-01-01") -> "a",
+      Date.valueOf("2024-06-01") -> "B",
+      Date.valueOf("2025-01-01") -> "C"))
+  }
+
   test("schema mismatch is rejected before any data is written") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException] {
