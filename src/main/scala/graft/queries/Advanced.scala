@@ -601,7 +601,47 @@ object Advanced extends QueryPack {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  CAST(sum(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_merged
-        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin)))
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // The q172 idempotent daily-reload shape, driven through the TABLE
+    // LAYER instead of dynamic partition overwrite: drop the URGENT slice
+    // (`deleteWhere` — rewrites only files holding matched rows) and append
+    // its recomputed rows, two snapshot-atomic commits on the log. Same
+    // observable state as q172, so the same oracle; exercises
+    // create → deleteWhere → append → snapshot as a second end-to-end
+    // query shape over [[graft.tables.GraftTable]].
+    GraftQuery(
+      "q286_table_slice_reload",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q286_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(
+            s, root.getAbsolutePath, base, keyCol = Some("o_orderkey"))
+          t.deleteWhere(col("o_orderpriority") === "1-URGENT")
+          t.append(base.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("price_c", col("price_c") * 2))
+          materializeSmall(t.snapshot()
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_orders"),
+              (sum(col("price_c")).cast("double") / 100.0).as("total"))
+            .orderBy("o_orderpriority"))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |       AS DOUBLE) / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

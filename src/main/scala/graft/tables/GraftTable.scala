@@ -108,11 +108,22 @@ final class GraftTable private (
   }
 
   /** Snapshot read; `versionAsOf` replays the log to a past version (time
-    * travel — valid until `vacuum()` reclaims the files it references).
+    * travel — valid until `vacuum()` reclaims the files it references, after
+    * which the read fails LOUD here, not with a mid-job
+    * FileNotFoundException: one root listing, only on the time-travel path,
+    * names the vacuumed files and the surviving horizon).
     */
   def snapshot(versionAsOf: Option[Long] = None): DataFrame = {
     val asOf = versionAsOf.getOrElse(version)
     val files = activeFiles(asOf)
+    if (versionAsOf.isDefined) {
+      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+      val gone = files.map(_.path).filterNot(onDisk)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
+          s"(e.g. ${gone.head}); time travel to it is no longer possible — " +
+          "the oldest fully-materialized version is the current one")
+    }
     val schema = schemaAt(asOf) // pre-evolution versions read with THEIR schema
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
