@@ -47,15 +47,25 @@ object ThroughputDemo {
       counts
     }
     try {
-    val counts = runOnce(vectorized = true, "cold")
-    runOnce(vectorized = false, "cold")
-    runOnce(vectorized = true, "warm")
-    runOnce(vectorized = false, "warm")
-    def got(k: String, l: String): Long = counts.getOrElse((k, l), 0L)
-    val ok = Seq("plain", "gz").forall { k =>
-      got(k, "INFO") == truth.info && got(k, "WARN") == truth.warn &&
-        got(k, "ERROR") == truth.error }
-    println(s"TIMER correctness vs generator truth: ${if (ok) "SUCCESS" else "FAILURE"}")
+    // only the FIRST pass runs on a cold page cache; the row-path "cold"
+    // pass below already benefits from the warmed cache — labels reflect
+    // JIT state, cache-cold is pass 1 only
+    val passes = Seq(
+      runOnce(vectorized = true, "cold"),
+      runOnce(vectorized = false, "cold/cache-warm"),
+      runOnce(vectorized = true, "warm"),
+      runOnce(vectorized = false, "warm"))
+    // every pass — BOTH scan paths — must agree with generator truth; a
+    // columnar/row divergence is a correctness bug, not a perf detail
+    val ok = passes.zipWithIndex.forall { case (counts, i) =>
+      def got(k: String, l: String): Long = counts.getOrElse((k, l), 0L)
+      val pass = Seq("plain", "gz").forall { k =>
+        got(k, "INFO") == truth.info && got(k, "WARN") == truth.warn &&
+          got(k, "ERROR") == truth.error }
+      if (!pass) println(s"TIMER pass ${i + 1} diverges from truth: $counts")
+      pass
+    }
+    println(s"TIMER correctness vs generator truth (all 4 passes, both scan paths): ${if (ok) "SUCCESS" else "FAILURE"}")
     if (!ok) sys.exit(1)
     } finally {
       // always clean the big corpus, even when the read/verify throws

@@ -195,9 +195,16 @@ final class GraftTable private (
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "merge needs a table created with keyCol = Some(...)"))
     val src = alignSchema(source)
-    val uniq = src.agg(count(lit(1)).as("n"), count_distinct(col(k)).as("d")).head()
+    // one aggregate guards both invariants: null keys (which the semi/anti
+    // joins would silently drop, and which count_distinct would miscount as
+    // "duplicates") and duplicate keys over the non-null subset
+    val uniq = src.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
+      count_distinct(col(k)).as("d")).head()
     require(uniq.getLong(0) == uniq.getLong(1),
-      s"merge source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate '$k' keys")
+      s"merge source has ${uniq.getLong(0) - uniq.getLong(1)} null '$k' keys; " +
+        "null keys can never match a target row — filter them out first")
+    require(uniq.getLong(1) == uniq.getLong(2),
+      s"merge source has ${uniq.getLong(1) - uniq.getLong(2)} duplicate '$k' keys")
 
     val v = version
     val files = activeFiles(v)
@@ -275,13 +282,26 @@ final class GraftTable private (
   /** Physically delete data files no longer in the CURRENT snapshot.
     * Returns the deleted names. Time travel to versions that referenced
     * them stops working — the standard vacuum trade-off.
+    *
+    * Files younger than `retentionMs` are kept even when unreferenced:
+    * `writeData` renames a writer's files into the table root BEFORE its
+    * commit lands, so without a grace window a concurrent vacuum could
+    * delete an in-flight writer's data and leave its (winning) commit
+    * pointing at nothing. The default window (7 days, the standard
+    * lakehouse discipline) makes vacuum safe alongside live writers; pass
+    * `0L` only when the caller holds the table exclusively.
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+    require(retentionMs >= 0, "retentionMs must be >= 0")
     val live = activeFiles(version).map(_.path).toSet
-    val onDisk = fs.listStatus(new Path(location)).toSeq
+    val horizon = System.currentTimeMillis() - retentionMs
+    val orphans = fs.listStatus(new Path(location)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet") &&
+          !live(n) && st.getModificationTime <= horizon
+      }
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-    val orphans = onDisk.filterNot(live)
     orphans.foreach(n => fs.delete(new Path(location, n), false))
     orphans
   }
@@ -567,6 +587,12 @@ object GraftTable {
     }
     (meta, adds.result(), removes.result())
   }
+
+  /** Grace window before an unreferenced data file becomes reclaimable —
+    * long enough that any writer whose files predate it has either
+    * committed or died (7 days, the standard lakehouse default).
+    */
+  private val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
   /** Write a full active-state checkpoint every Nth commit: cold snapshot
     * assembly then replays one checkpoint + the commit tail instead of the

@@ -70,6 +70,20 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("merge rejects null source keys with a null-specific message") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))
+    // a null key would silently vanish in the semi/anti joins — and before
+    // the explicit guard, count_distinct's null-skipping miscounted it as a
+    // "duplicate"; the message must name the real problem
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq((Some(2L), "x"), (None, "y"))
+        .toDF("k", "v").select(col("k").cast("long").as("k"), col("v")))
+    }
+    assert(e.getMessage.contains("null"), s"got: ${e.getMessage}")
+    assert(!e.getMessage.contains("duplicate"))
+  }
+
   test("deleteWhere removes matching rows; non-matching files untouched") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), keyCol = Some("k"))
@@ -101,11 +115,27 @@ class GraftTableSpec extends SparkTestBase {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
     t.overwrite(Seq((3L, "c")).toDF("k", "v"))
-    val deleted = t.vacuum()
+    val deleted = t.vacuum(0L)
     assert(deleted.nonEmpty, "overwritten files should be reclaimable")
     assert(rows(t) == Set((3L, "c")))
     // second vacuum finds nothing
-    assert(t.vacuum().isEmpty)
+    assert(t.vacuum(0L).isEmpty)
+  }
+
+  test("vacuum retention window protects young unreferenced files") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))
+    // the overwritten file is unreferenced but seconds old — with the
+    // default (or any non-trivial) retention it must survive, because an
+    // equally-young file could belong to an in-flight writer that renamed
+    // its data in before committing
+    assert(t.vacuum().isEmpty, "young orphan reclaimed inside retention window")
+    assert(t.vacuum(60_000L).isEmpty)
+    // time travel still works while the file survives
+    assert(rows(t, Some(1L)) == Set((1L, "a")))
+    // past the window (0ms) it goes
+    assert(t.vacuum(0L).nonEmpty)
   }
 
   test("appendIfAbsent: replayed transaction is a no-op (exactly-once)") {
@@ -162,7 +192,7 @@ class GraftTableSpec extends SparkTestBase {
       s"expected >1 small files merged: added=${hist.added}, removed=${hist.removed}")
     // pre-compaction version still readable until vacuum
     assert(rows(t, Some(preVersion)) == preRows)
-    assert(t.vacuum().nonEmpty)
+    assert(t.vacuum(0L).nonEmpty)
     assert(rows(t) == preRows)
     // second compact is a no-op (already one file)
     assert(t.compact() == v)
@@ -247,7 +277,7 @@ class GraftTableSpec extends SparkTestBase {
     t.append(Seq((2L, "b")).toDF("k", "v"))     // v2 -> checkpoint
     t.overwrite(Seq((9L, "z")).toDF("k", "v"))  // v3: removes v1+v2 files
     t.append(Seq((10L, "y")).toDF("k", "v"))    // v4 -> checkpoint
-    val deleted = t.vacuum()
+    val deleted = t.vacuum(0L)
     assert(deleted.nonEmpty, "pre-overwrite files should be reclaimed")
     val expect = Set((9L, "z"), (10L, "y"))
     assert(rows(t) == expect)
