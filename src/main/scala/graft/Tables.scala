@@ -1,21 +1,38 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the shared parquet test tables (see TESTDATA.md / FIXTURES.md §B). */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects unless nanos are surfaced as raw longs; with the legacy
-    * flag the `ts` column reads as BIGINT nanoseconds since epoch.
+  /** The engine-wide contract for `events.ts` is BIGINT nanoseconds since
+    * epoch — every query, oracle and streaming helper does integer epoch
+    * math on it. Generations of the testdata have stored it two ways:
+    * INT64 TIMESTAMP(NANOS) (readable only as raw longs, via the legacy
+    * nanos flag — already the contract) and plain TIMESTAMP micros (reads
+    * as TIMESTAMP/TIMESTAMP_NTZ — re-derived to nanos here). The sessions
+    * all pin `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is
+    * value-preserving and `unix_micros * 1000` is exact.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
   }
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // already BIGINT nanos
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", (unix_micros(col("ts").cast(TimestampType)): Column) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected INT64 nanos or TIMESTAMP")
+    }
 
   /** Register every table as a temp view (for spark.sql-path queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
