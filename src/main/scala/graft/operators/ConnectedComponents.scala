@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * components, so 3–5 iterations close almost any real corpus; `maxIter`
   * bounds the pathological chain. Each loop materializes only (node, label)
   * pairs, never the growing lineage — the per-iteration cut caps plan depth.
+  * When the materialized candidate graph is small (`driverMaxEdges`), a
+  * driver union-find replaces the loop entirely — the KCore driver-tail
+  * pattern: candidate PAIRS are already the pruned output of LSH/banding,
+  * so at every scale the graph is orders of magnitude smaller than the
+  * corpus, and per-iteration shuffle jobs dominate wall-clock on it.
   *
   * Cut durability: `localCheckpoint` stores blocks on executors, so an
   * executor loss mid-job kills the computation — acceptable in local mode,
@@ -29,14 +34,30 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Default driver-tail bound: a symmetric edge list this size collects in
+    * tens of MB and union-finds in well under a second — while each SAVED
+    * distributed iteration costs two shuffle jobs. Mirrors KCore's
+    * Batagelj–Zaversnik tail bound.
+    */
+  val DefaultDriverMaxEdges: Long = 2000000L
+
   /** @param pairs two-column DataFrame of undirected edges (a, b)
     * @param reliable force durable (`Some(true)`) or executor-local
     *   (`Some(false)`) lineage cuts; default picks durable iff a
     *   checkpoint dir is configured
+    * @param driverMaxEdges near-dup candidate graphs are usually ≪ corpus
+    *   size (pairs are the OUTPUT of LSH/banding pruning): when the
+    *   materialized symmetric edge list has at most this many rows and
+    *   integral node ids, skip the iterative loop and union-find on the
+    *   driver — O(m α) with one collect, vs ~2 shuffle jobs per propagation
+    *   round. `0` forces the distributed path (the 100 TB shape, and the
+    *   spec's equality pin). Identical output either way: (node, min
+    *   reachable id).
     * @return (node, component) where component = min node id reachable
     */
   def run(pairs: DataFrame, maxIter: Int = 10,
-      reliable: Option[Boolean] = None): DataFrame = {
+      reliable: Option[Boolean] = None,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val useReliable = reliable.getOrElse(sc.getCheckpointDir.isDefined)
@@ -64,6 +85,27 @@ object ConnectedComponents {
     val (edges, _) = cut(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct())
+
+    // driver tail: one limit-probe collect on the already-cut edge list —
+    // if it comes back complete (≤ bound rows), the whole component
+    // structure fits in driver memory and the loop below would only burn
+    // per-iteration shuffle jobs on it. Integral ids only: min-label order
+    // for strings is UTF8-binary on the cluster and must not silently
+    // diverge from Java's UTF-16 compareTo here.
+    val integralNodes = edges.schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralNodes && driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue) {
+      val probe = edges.limit(driverMaxEdges.toInt + 1).collect()
+      if (probe.length <= driverMaxEdges) {
+        // the collected rows are the whole graph — the runDir cut (if any)
+        // backs nothing the result references
+        runDir.foreach(p => fs.foreach(_.delete(p, true)))
+        return driverUnionFind(spark, probe, edges.schema)
+      }
+    }
 
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -118,5 +160,61 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIter iterations — " +
           "raise maxIter (components merge one hop per iteration)")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Path-halving weighted union-find over the collected symmetric edge
+    * list; each root carries the min-valued member, so the output matches
+    * the distributed min-label fixpoint exactly. Bounded by the caller's
+    * `driverMaxEdges` probe; original boxed node values (and hence the
+    * column type) round-trip untouched.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      edgeSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val idx = new java.util.HashMap[Any, Integer](edgeRows.length * 2)
+    val nodes = new scala.collection.mutable.ArrayBuffer[Any]
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = nodes.length; idx.put(v, i); nodes += v; i }
+    }
+    val srcIdx = new Array[Int](edgeRows.length)
+    val dstIdx = new Array[Int](edgeRows.length)
+    var i = 0
+    while (i < edgeRows.length) {
+      srcIdx(i) = id(edgeRows(i).get(0)); dstIdx(i) = id(edgeRows(i).get(1)); i += 1
+    }
+    val n = nodes.length
+    val parent = Array.tabulate(n)(identity)
+    val size = Array.fill(n)(1)
+    val minAt = Array.tabulate(n)(identity) // index of the min-valued member per root
+    def value(j: Int): Long = nodes(j).asInstanceOf[Number].longValue()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    i = 0
+    while (i < edgeRows.length) {
+      val (ra, rb) = (find(srcIdx(i)), find(dstIdx(i)))
+      if (ra != rb) {
+        val (big, small) = if (size(ra) >= size(rb)) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) += size(small)
+        if (value(minAt(small)) < value(minAt(big))) minAt(big) = minAt(small)
+      }
+      i += 1
+    }
+    val dt = edgeSchema.head.dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("component", dt, nullable = false)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      out.add(org.apache.spark.sql.Row(nodes(i), nodes(minAt(find(i)))))
+      i += 1
+    }
+    spark.createDataFrame(out, outSchema)
   }
 }

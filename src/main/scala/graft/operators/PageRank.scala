@@ -35,14 +35,28 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Driver-tail bound (the KCore / ConnectedComponents pattern): domain
+    * graphs whose prepared edge table fits are iterated in driver arrays —
+    * the SAME integer recurrence, so the result is bit-identical to the
+    * distributed loop — saving ~2 shuffle jobs per iteration. The
+    * distributed plan stays the scale path for graphs past the bound.
+    */
+  val DefaultDriverMaxEdges: Long = 2000000L
+
   /** @param edges 3-column DataFrame (src, dst, weight); weights must be
     *              positive integers
     * @param iters number of Jacobi iterations (fixed count — callers pick
     *              the diameter-appropriate budget; rank deltas shrink
     *              geometrically with damping 0.85)
+    * @param driverMaxEdges run the iterations in driver memory when the
+    *              prepared edge table (already counted to materialize its
+    *              cache) has at most this many rows; `0` forces the
+    *              distributed loop. Integer fixed-point makes the two paths
+    *              bit-identical (pinned in PageRankSpec).
     * @return (node, rank_micros) — every node that appears as src or dst
     */
-  def runFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+  def runFixedPoint(edges: DataFrame, iters: Int,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val Seq(s0, d0, w0) = edges.columns.toSeq
     val e = edges.select(
@@ -61,7 +75,9 @@ object PageRank {
         .select(col("src"), col("dst"), col("w"), col("ow"))
         .persist()
       try {
-        ew.count() // materialize once; e's cache is released in finally
+        val m = ew.count() // materialize once; e's cache is released in finally
+        if (driverMaxEdges > 0 && m <= driverMaxEdges)
+          return driverTail(edges.sparkSession, ew.collect(), iters)
         var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
         for (_ <- 1 to iters) {
           // one shuffle per iteration: per-edge contributions UNIONed with a
@@ -87,5 +103,57 @@ object PageRank {
     } finally {
       e.unpersist()
     }
+  }
+
+  /** The same integer recurrence over the collected prepared edge list
+    * (src, dst, w, ow). Long addition is exact and commutative and `div` on
+    * positives is Java `/`, so ranks match the distributed loop bit for
+    * bit — there is no float reduce-order to diverge on. Bounded by the
+    * caller's `driverMaxEdges` check.
+    */
+  private def driverTail(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row], iters: Int): DataFrame = {
+    val idx = new java.util.HashMap[Long, Integer](rows.length * 2)
+    val nodes = new scala.collection.mutable.ArrayBuffer[Long]
+    def id(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = nodes.length; idx.put(v, i); nodes += v; i }
+    }
+    val m = rows.length
+    val eSrc = new Array[Int](m); val eDst = new Array[Int](m)
+    val eW = new Array[Long](m); val eOw = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      eSrc(i) = id(r.getLong(0)); eDst(i) = id(r.getLong(1))
+      eW(i) = r.getLong(2); eOw(i) = r.getLong(3)
+      i += 1
+    }
+    val n = nodes.length
+    var r = Array.fill(n)(1000000L)
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        contrib(eDst(i)) += r(eSrc(i)) * eW(i) / eOw(i)
+        i += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) { next(i) = 150000L + 850000L * contrib(i) / 1000000L; i += 1 }
+      r = next
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank_micros",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = (0 until n).map(j =>
+      org.apache.spark.sql.Row(nodes(j), r(j)): org.apache.spark.sql.Row).asJava
+    spark.createDataFrame(out, schema)
   }
 }

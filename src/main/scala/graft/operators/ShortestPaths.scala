@@ -26,18 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPaths {
 
+  /** Driver-tail bound (the KCore / ConnectedComponents / PageRank
+    * pattern): a hop-bounded traversal over an edge set this small runs as
+    * an array BFS on the driver — integer distances, so bit-identical to
+    * the distributed relaxation — instead of ~2 shuffle jobs per hop.
+    */
+  val DefaultDriverMaxEdges: Long = 2000000L
+
   /** @param edges two columns (src, dst), directed
     * @param source the single source node id
     * @param maxHops inclusive bound on path length explored
+    * @param driverMaxEdges run the BFS in driver memory when the
+    *   materialized edge list has at most this many rows; `0` forces the
+    *   distributed loop (equality pinned in ShortestPathsSpec)
     * @return (node, hops) for every node reachable within `maxHops`,
     *   hops = exact BFS distance from `source`
     */
-  def hops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+  def hops(edges: DataFrame, source: Long, maxHops: Int,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     val Seq(s, d) = edges.columns.toSeq
     val e = edges.select(col(s).cast("long").as("src"), col(d).cast("long").as("dst"))
       .localCheckpoint()
+
+    if (driverMaxEdges > 0 && driverMaxEdges < Int.MaxValue) {
+      val probe = e.limit(driverMaxEdges.toInt + 1).collect()
+      if (probe.length <= driverMaxEdges)
+        return driverTail(spark, probe, source, maxHops)
+    }
 
     import spark.implicits._
     var dist = Seq((source, 0L)).toDF("node", "hops")
@@ -62,5 +79,64 @@ object ShortestPaths {
       iter += 1
     }
     dist
+  }
+
+  /** Array BFS over the collected edge list — exact hop distances, same
+    * depth cap, same (node, hops) schema as the distributed relaxation.
+    */
+  private def driverTail(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row], source: Long, maxHops: Int): DataFrame = {
+    val idx = new java.util.HashMap[Long, Integer](rows.length * 2)
+    val nodes = new scala.collection.mutable.ArrayBuffer[Long]
+    def id(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = nodes.length; idx.put(v, i); nodes += v; i }
+    }
+    val m = rows.length
+    val eSrc = new Array[Int](m); val eDst = new Array[Int](m)
+    var i = 0
+    while (i < m) { eSrc(i) = id(rows(i).getLong(0)); eDst(i) = id(rows(i).getLong(1)); i += 1 }
+    // adjacency (CSR) over src
+    val n = nodes.length
+    val start = new Array[Int](n + 1)
+    i = 0; while (i < m) { start(eSrc(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { start(i + 1) += start(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(start, n)
+    i = 0; while (i < m) { adj(fill(eSrc(i))) = eDst(i); fill(eSrc(i)) += 1; i += 1 }
+
+    val dist = new java.util.HashMap[Long, Long]
+    dist.put(source, 0L)
+    val srcIdx = idx.get(source)
+    if (srcIdx != null) {
+      val hop = Array.fill(n)(-1)
+      hop(srcIdx) = 0
+      var frontier = List(srcIdx.intValue())
+      var depth = 0
+      while (frontier.nonEmpty && depth < maxHops) {
+        var nextF = List.empty[Int]
+        for (u <- frontier) {
+          var j = start(u)
+          while (j < start(u + 1)) {
+            val v = adj(j)
+            if (hop(v) < 0) { hop(v) = depth + 1; nextF ::= v }
+            j += 1
+          }
+        }
+        frontier = nextF
+        depth += 1
+      }
+      i = 0
+      while (i < n) { if (hop(i) >= 0) dist.put(nodes(i), hop(i).toLong); i += 1 }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hops",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size)
+    dist.forEach((k, v) => { out.add(org.apache.spark.sql.Row(k, v)); () })
+    spark.createDataFrame(out, schema)
   }
 }

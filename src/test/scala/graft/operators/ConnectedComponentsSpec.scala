@@ -26,12 +26,29 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(cc.count() == 0L)
   }
 
-  test("long chain converges within the diameter bound") {
+  test("long chain converges within the diameter bound (distributed loop forced)") {
     val n = 16
     val pairs = (0 until n - 1).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
-    val cc = ConnectedComponents.run(pairs, maxIter = 20)
+    val cc = ConnectedComponents.run(pairs, maxIter = 20, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0 until n).forall(i => cc(i.toLong) == 0L), cc.toString)
+  }
+
+  test("driver union-find tail ≡ distributed min-label loop on a mixed graph") {
+    // chains, cliques, a star, and an isolated pair — plus ids far apart so
+    // min-selection is exercised across unions in both directions
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 40).map(i => (i.toLong, i.toLong + 1)) ++ // long chain
+      Seq((100L, 107L), (107L, 103L), (103L, 100L)) ++            // triangle
+      (1 to 8).map(i => (200L + i, 200L)) ++                      // star on 200
+      Seq((999L, 998L)) ++
+      (0 until 30).map(_ => { val a = rnd.nextInt(50).toLong; (a, a + rnd.nextInt(5) + 1) })
+    val pairs = edges.toDF("a", "b")
+    val viaDriver = ConnectedComponents.run(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = ConnectedComponents.run(pairs, maxIter = 60, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
   }
 
   test("reliable checkpointing: same result with a durable checkpoint dir; loud without one") {
@@ -40,13 +57,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // forcing reliable mode without a checkpoint dir must fail fast, not at job end
     val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      ConnectedComponents.run(pairs, reliable = Some(true))
+      ConnectedComponents.run(pairs, reliable = Some(true), driverMaxEdges = 0L)
     }
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     sc.setCheckpointDir(dir)
     try {
-      // autodetected reliable mode (checkpoint dir now set) matches local mode
-      val cc = ConnectedComponents.run(pairs)
+      // autodetected reliable mode (checkpoint dir now set) matches local
+      // mode; the loop is forced — the driver tail would collect this tiny
+      // graph and delete the run dir before the assertions below see it
+      val cc = ConnectedComponents.run(pairs, driverMaxEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
       // setCheckpointDir nests a session uuid dir; our run dirs live inside it
@@ -58,7 +77,7 @@ class ConnectedComponentsSpec extends SparkTestBase {
       val cuts = runDirs.head.listFiles().filter(_.getName.startsWith("cut-"))
       assert(cuts.length <= 2,
         s"superseded iteration cuts must be deleted, found: ${cuts.map(_.getName).mkString(",")}")
-      val local = ConnectedComponents.run(pairs, reliable = Some(false))
+      val local = ConnectedComponents.run(pairs, reliable = Some(false), driverMaxEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == cc)
     } finally sc.setCheckpointDir(null)

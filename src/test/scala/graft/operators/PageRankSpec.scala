@@ -41,6 +41,20 @@ class PageRankSpec extends SparkTestBase {
     assert(got(1L) === 150000L)
   }
 
+  test("driver tail ≡ distributed loop, bit for bit (integer fixed-point)") {
+    // a messy weighted digraph: hub, sink, cycle, multi-weight fan-out
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 5L), (1L, 3L, 1L),
+      (4L, 1L, 7L), (5L, 4L, 1L), (2L, 5L, 3L)) ++
+      (0 until 40).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        rnd.nextInt(9).toLong + 1))).toDF("src", "dst", "w")
+    val viaDriver = PageRank.runFixedPoint(edges, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = PageRank.runFixedPoint(edges, iters = 6, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+  }
+
   test("rerun is bit-identical (determinism contract)") {
     val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 5L), (1L, 3L, 1L))
       .toDF("src", "dst", "w")

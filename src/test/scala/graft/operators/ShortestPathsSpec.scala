@@ -41,4 +41,16 @@ class ShortestPathsSpec extends SparkTestBase {
     val d = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L, 100)
     assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
+
+  test("driver tail ≡ distributed relaxation on a random digraph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val df = edges.toDF("src", "dst")
+    val viaDriver = ShortestPaths.hops(df, source = 0L, maxHops = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = ShortestPaths.hops(df, source = 0L, maxHops = 7, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+  }
 }
