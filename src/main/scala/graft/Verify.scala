@@ -18,7 +18,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as raw longs
+      // events.ts: legacy INT64 TIMESTAMP(NANOS) testdata reads as raw longs
+      // (current micros testdata is re-derived to nanos in Tables.normalizeTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
