@@ -122,6 +122,22 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.vacuum(0L).isEmpty)
   }
 
+  test("time travel past the vacuum horizon fails loud, naming the files") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))
+    assert(rows(t, Some(1L)) == Set((1L, "a"), (2L, "b"))) // pre-vacuum: works
+    assert(t.vacuum(0L).nonEmpty)
+    // the current version must be untouched …
+    assert(rows(t) == Set((3L, "c")))
+    // … but version 1 now references reclaimed files: the read must fail in
+    // the snapshot() planning path (loud, with the file names), not leak a
+    // FileNotFoundException out of a mid-job task
+    val e = intercept[IllegalStateException] { t.snapshot(Some(1L)).collect() }
+    assert(e.getMessage.contains("reclaimed by vacuum()"))
+    assert(e.getMessage.contains("version 1"))
+  }
+
   test("vacuum retention window protects young unreferenced files") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("k", "v"))
