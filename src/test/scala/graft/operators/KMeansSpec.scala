@@ -70,6 +70,20 @@ class KMeansSpec extends SparkTestBase {
       a.centroids.map(_.toSeq).toSeq != b.centroids.map(_.toSeq).toSeq)
   }
 
+  test("driver tail is bit-identical to the distributed loop") {
+    // same data, same seed: default (driver-tail) path vs forced
+    // distributed path — centroids bitwise, inertia decimals equal; the
+    // contract that makes driverMaxCells a pure performance knob
+    val tail = KMeans.fit(toyDf, "id", "vec", k = 3, iters = 5)
+    val dist = KMeans.fit(toyDf, "id", "vec", k = 3, iters = 5, driverMaxCells = 0L)
+    assert(tail.centroids.length == dist.centroids.length)
+    tail.centroids.zip(dist.centroids).foreach { case (t, d) =>
+      assert(t.toSeq == d.toSeq, s"centroid diverged: ${t.toSeq} vs ${d.toSeq}")
+    }
+    assert(tail.inertiaPerIter == dist.inertiaPerIter,
+      s"inertia diverged: ${tail.inertiaPerIter} vs ${dist.inertiaPerIter}")
+  }
+
   test("k larger than distinct points keeps empty clusters at their init centroid") {
     val tiny = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 1.0))).toDF("id", "vec")
     val model = KMeans.fit(tiny, "id", "vec", k = 2, iters = 3)
