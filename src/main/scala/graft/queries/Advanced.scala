@@ -641,7 +641,109 @@ object Advanced extends QueryPack {
         |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
         |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |       AS DOUBLE) / 100.0 AS total
-        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // PARTITIONED table + log-level partition pruning: the table records
+    // each file's partition tuple in the commit log (`AddFile.pv`), so
+    // `snapshotWhere` selects files on the DRIVER — no listing, no footer
+    // read, no scan of pruned partitions (at 100 TB with daily partitions:
+    // read one day, not three years). `replacePartitions` is dynamic
+    // partition overwrite as ONE snapshot-atomic commit — the idempotent
+    // daily-reload primitive (q172's semantics, log-native). Pruning
+    // exactness, dir-encoding round-trips, and file-level untouched-ness
+    // are pinned in GraftTableSpec; this query runs the end-to-end shape:
+    // create partitioned → replace the open-orders partition → pruned read.
+    GraftQuery(
+      "q287_table_partition_prune",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q287_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(
+            s, root.getAbsolutePath, orders,
+            keyCol = Some("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+          t.replacePartitions(orders.where(col("o_orderstatus") === "O")
+            .withColumn("price_c", col("price_c") * 2))
+          materializeSmall(t.snapshotWhere(col("o_orderstatus").isin("O", "P"))
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("o_orderstatus")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |       AS BIGINT) AS sum_price_c
+        |FROM orders WHERE o_orderstatus IN ('O', 'P')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Row-level CHANGE FEED between table versions: per commit, the NET
+    // rows added/removed (`exceptAll` both ways over only that commit's
+    // touched files — rewrite survivors cancel, so a merge emits exactly
+    // old-row deletes + new-row inserts, bounded by commit size, never the
+    // table). The feed is the incremental-compute primitive: a downstream
+    // aggregate maintains itself from `changes(lastSeen, now)` instead of
+    // re-reading 100 TB (the fold invariant snapshot(from) ⊎ ins ∖ del ≡
+    // snapshot(to) is spec-pinned). Oracle replays merge + delete net
+    // effects in SQL.
+    GraftQuery(
+      "q288_table_changes_feed",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val base = orders.where(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val src = orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 1L).as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q288_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(
+            s, root.getAbsolutePath, base, keyCol = Some("o_orderkey"))
+          t.merge(src)                                      // version 2
+          t.deleteWhere(col("o_orderpriority") === "5-LOW") // version 3
+          materializeSmall(t.changes(1L, t.version)
+            .groupBy(col("_version"), col("_change"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("_version"), col("_change")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM src)
+        |  UNION ALL SELECT * FROM src),
+        |feed AS (
+        |  SELECT 2 AS v, 'insert' AS ch, c FROM src
+        |  UNION ALL
+        |  SELECT 2 AS v, 'delete' AS ch, c FROM base
+        |  WHERE k IN (SELECT k FROM src)
+        |  UNION ALL
+        |  SELECT 3 AS v, 'delete' AS ch, c FROM merged WHERE p = '5-LOW')
+        |SELECT CAST(v AS BIGINT) AS _version, ch AS _change,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY 1, 2 ORDER BY _version, _change""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -51,7 +51,8 @@ final class GraftTable private (
     val location: String,
     spark: SparkSession,
     val keyCol: Option[String],
-    schemaJson: String) {
+    schemaJson: String,
+    val partitionBy: Seq[String] = Nil) {
 
   import GraftTable._
 
@@ -131,6 +132,154 @@ final class GraftTable private (
       spark.read.schema(schema)
         .parquet(files.map(f => new Path(location, f.path).toString): _*)
   }
+
+  /** Partition-pruned snapshot: `partitionPred` may reference ONLY the
+    * table's partition columns (any other reference fails analysis loud —
+    * the predicate is evaluated against a partition-columns-only relation).
+    * File selection happens on the DRIVER against the log's recorded
+    * partition values — no directory listing, no footer read, no data scan
+    * for pruned partitions. At 100 TB with daily partitions this is the
+    * difference between scanning one day and scanning three years; the
+    * predicate is evaluated by Catalyst itself (on a local relation of the
+    * O(partitions) distinct tuples, cast to the partition columns' table
+    * types), so its null/cast semantics match a post-scan `.where` exactly.
+    * The surviving rows also re-apply `partitionPred` as a normal filter, so
+    * the result is bit-equal to `snapshot().where(partitionPred)`.
+    */
+  def snapshotWhere(partitionPred: Column, versionAsOf: Option[Long] = None): DataFrame = {
+    require(partitionBy.nonEmpty, "snapshotWhere needs a partitioned table " +
+      "(create with partitionBy = ...); use snapshot().where(...) otherwise")
+    val asOf = versionAsOf.getOrElse(version)
+    val files = activeFiles(asOf)
+    val schema = schemaAt(asOf)
+    val tuples = files.map(_.pv).distinct
+    val kept = prunePartitions(tuples, partitionPred, schema)
+    val sel = files.filter(f => kept(f.pv))
+    if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
+      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+      val gone = sel.map(_.path).filterNot(onDisk)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
+          s"(e.g. ${gone.head}); time travel to it is no longer possible")
+    }
+    if (sel.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(sel.map(f => new Path(location, f.path).toString): _*)
+        .where(partitionPred)
+  }
+
+  /** Evaluate `pred` over the distinct partition tuples with Catalyst: build
+    * a local relation of the tuples (strings cast back to the partition
+    * columns' table types), filter, and keep the survivors. O(partitions)
+    * driver rows; a reference to a non-partition column fails analysis.
+    */
+  private def prunePartitions(tuples: Seq[Map[String, Option[String]]],
+      pred: Column, schema: StructType): Set[Map[String, Option[String]]] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructField
+    val raw = StructType(
+      partitionBy.map(StructField(_, StringType, nullable = true)) :+
+        StructField("__gp_idx", IntegerType, nullable = false))
+    val rows = tuples.zipWithIndex.map { case (pv, i) =>
+      Row.fromSeq(partitionBy.map(c => pv.getOrElse(c, None).orNull) :+ i)
+    }
+    val typed = spark.createDataFrame(rows.asJava, raw)
+      .select(partitionBy.map { c =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
+        col(c).cast(dt).as(c)
+      } :+ col("__gp_idx"): _*)
+    val keepIdx = typed.where(pred).select(col("__gp_idx"))
+      .collect().map(_.getInt(0)).toSet
+    tuples.zipWithIndex.collect { case (pv, i) if keepIdx(i) => pv }.toSet
+  }
+
+  /** Dynamic partition overwrite, snapshot-atomic: every partition present
+    * in `df` is replaced wholesale by `df`'s rows for it; partitions absent
+    * from `df` are untouched (their files are not rewritten, not even
+    * re-listed). The q172 idempotent daily-reload shape as one commit: a
+    * re-run with the same `df` converges to the same table state.
+    */
+  def replacePartitions(df: DataFrame): Long = {
+    require(partitionBy.nonEmpty,
+      "replacePartitions needs a partitioned table; use overwrite() otherwise")
+    val aligned = alignSchema(df)
+    // O(distinct partitions) collect — the same bound the commit log holds
+    val touched: Set[Map[String, Option[String]]] = aligned
+      .select(partitionBy.map(c => col(c).cast(StringType).as(c)): _*)
+      .distinct().collect()
+      .map(r => partitionBy.zipWithIndex
+        .map { case (c, i) => c -> Option(r.getString(i)) }.toMap).toSet
+    val v = version
+    val removes = activeFiles(v).filter(f => touched(f.pv)).map(_.path)
+    commit(v, "replacePartitions", writeData(aligned), removes)
+  }
+
+  /** Row-level change feed between two versions: for every commit `v` in
+    * `(fromVersion, toVersion]`, the NET rows added and removed by that
+    * commit, tagged `_change` ("insert" | "delete") and `_version`.
+    * Rows a rewrite merely copied between files (merge/compact survivors)
+    * cancel out — per commit, inserts = added-files EXCEPT ALL
+    * removed-files and deletes = the reverse, computed over only that
+    * commit's touched files (bounded by commit size, never the table).
+    * `fromVersion = 0` includes the create commit's rows as inserts.
+    *
+    * Fold invariant (spec-pinned): snapshot(from) ⊎ inserts ∖ deletes ≡
+    * snapshot(to) as a multiset. Columns follow `toVersion`'s schema
+    * (older commits' rows null-fill columns they predate). Like time
+    * travel, the feed needs the referenced files — after `vacuum()` the
+    * read fails loud with the reclaimed names.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    val all = listVersions(fs, logDir)
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
+    require(all.contains(toVersion) && (fromVersion == 0 || all.contains(fromVersion)),
+      s"versions must exist under $logDir (have ${all.mkString(",")})")
+    val outSchema = schemaAt(toVersion)
+    val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+    val perVersion = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
+      val (_, adds, removes) = cachedCommit(v)
+      // removed files were active at v-1; the file set is O(commit), and the
+      // schema each file was WRITTEN under may be older still — by-name
+      // parquet resolution against the version schema null-fills the gap
+      val gone = (adds.map(_.path) ++ removes).filterNot(onDisk)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"changes($fromVersion, $toVersion) needs ${gone.size} file(s) " +
+          s"reclaimed by vacuum() (e.g. ${gone.head}); the feed for commit " +
+          s"$v is no longer reconstructible")
+      def readAs(paths: Seq[String], schema: StructType): DataFrame =
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema)
+          .parquet(paths.map(p => new Path(location, p).toString): _*)
+      val schemaV = schemaAt(v)
+      val added = readAs(adds.map(_.path), schemaV)
+      val removed = readAs(removes, schemaV)
+      val ins = added.exceptAll(removed)
+        .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
+      val del = removed.exceptAll(added)
+        .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
+      widenTo(ins, outSchema).unionByName(widenTo(del, outSchema))
+    }
+    val empty = {
+      val s = StructType(outSchema.fields.toIndexedSeq :+
+        org.apache.spark.sql.types.StructField("_change", StringType) :+
+        org.apache.spark.sql.types.StructField("_version", LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    perVersion.foldLeft(empty)(_.unionByName(_))
+  }
+
+  /** Null-fill columns of `target` that `df` predates; keep `_change` /
+    * `_version` last so every per-version slice unions by name cleanly.
+    */
+  private def widenTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ Seq(col("_change"), col("_version").cast(LongType)): _*)
 
   /** Commit metadata for every version, oldest first. */
   def history: Seq[CommitInfo] =
@@ -344,24 +493,74 @@ final class GraftTable private (
   /** Write `df` as immutable `part-<uuid>.parquet` files under the table
     * root and return their add-actions (row counts + key stats read from
     * parquet FOOTERS — no extra Spark job).
+    *
+    * Partitioned tables route through `df.write.partitionBy` on DUPLICATED
+    * shadow columns (`__gp_<i>`): the shadows become directory names (each
+    * output file holds exactly one partition tuple, recorded as
+    * `AddFile.pv`), while the ORIGINAL columns stay in the data — files are
+    * self-contained, so merge/deleteWhere/compact rewrites re-derive their
+    * partition routing from the data with no special cases, and a
+    * partition-pruned read never has to re-attach literal columns. The
+    * storage cost of the duplicate is ~zero (a constant column
+    * dictionary-encodes to one value per file). Files are still flattened
+    * into the table root under fresh UUIDs; the directory layout is
+    * scaffolding that dies with the tmp dir — partition identity lives in
+    * the LOG, the object-store-friendly design.
     */
   private def writeData(df: DataFrame): Seq[AddFile] = {
     val tmp = new Path(location, s"_tmp-${UUID.randomUUID()}")
     try {
-      df.write.parquet(tmp.toString)
-      fs.listStatus(tmp).toSeq
-        .filter { st =>
+      if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
+      else {
+        val shadows = partitionBy.zipWithIndex.map { case (c, i) =>
+          col(c).cast(StringType).as(s"__gp_$i")
+        }
+        df.select(col("*") +: shadows: _*)
+          .write.partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
+          .parquet(tmp.toString)
+      }
+      // drain the listing BEFORE renaming: moving files out from under a
+      // live recursive iterator is undefined on some filesystems
+      val found = {
+        val it = fs.listFiles(tmp, true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val st = it.next()
           val n = st.getPath.getName
-          n.startsWith("part-") && n.endsWith(".parquet")
+          if (n.startsWith("part-") && n.endsWith(".parquet")) b += st
         }
-        .map { st =>
-          val name = s"part-${UUID.randomUUID()}.parquet"
-          val dest = new Path(location, name)
-          require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
-          val (rows, stats) = footerStats(dest)
-          AddFile(name, rows, stats, st.getLen)
-        }
+        b.result()
+      }
+      found.map { st =>
+        val pv = parsePartitionValues(tmp, st.getPath)
+        val name = s"part-${UUID.randomUUID()}.parquet"
+        val dest = new Path(location, name)
+        require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+        val (rows, stats) = footerStats(dest)
+        AddFile(name, rows, stats, st.getLen, pv)
+      }
     } finally fs.delete(tmp, true)
+  }
+
+  /** Recover the partition tuple from a tmp-relative `__gp_<i>=<value>`
+    * directory chain (Hive-style escaping: `%XX` per special char,
+    * `__HIVE_DEFAULT_PARTITION__` for null — and, a Hive quirk the shadow
+    * cast inherits, for the empty string).
+    */
+  private def parsePartitionValues(tmp: Path, file: Path): Map[String, Option[String]] = {
+    if (partitionBy.isEmpty) return Map.empty
+    val rel = file.toString.stripPrefix(tmp.toString).stripPrefix("/")
+    val dirs = rel.split('/').dropRight(1)
+    val byShadow = dirs.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq < 0) None
+      else Some(seg.substring(0, eq) -> unescapePathName(seg.substring(eq + 1)))
+    }.toMap
+    partitionBy.zipWithIndex.map { case (c, i) =>
+      val raw = byShadow.getOrElse(s"__gp_$i", throw new IllegalStateException(
+        s"partition dir for $c (__gp_$i) missing in $rel"))
+      c -> (if (raw == HiveDefaultPartition) None else Some(raw))
+    }.toMap
   }
 
   private def footerStats(p: Path): (Long, Option[KeyStats]) = {
@@ -441,10 +640,37 @@ object GraftTable {
 
   /** One immutable data file plus optional key-range stats for pruning.
     * `bytes` is the on-disk size (0 in logs written before it was
-    * recorded — treated as "small" by compaction, which is safe).
+    * recorded — treated as "small" by compaction, which is safe). `pv` is
+    * the file's partition tuple (string-cast values, None = null) — empty
+    * for unpartitioned tables and in logs written before partitioning
+    * existed.
     */
   final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
-    bytes: Long = 0L)
+    bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty)
+
+  /** Hive's sentinel directory value for a null partition key. */
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Decode Hive-style `%XX` escapes in a partition directory value (the
+    * inverse of the escaping Spark's parquet writer applies to special
+    * characters in partition paths).
+    */
+  private[tables] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 
   final case class KeyStats(kind: String, min: String, max: String) {
     /** Closed-interval intersection with a [lo, hi] key bound (types come
@@ -491,8 +717,12 @@ object GraftTable {
     * dir) already exists there. `keyCol` enables merge + file pruning.
     */
   def create(spark: SparkSession, location: String, df: DataFrame,
-      keyCol: Option[String] = None): GraftTable = {
+      keyCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil): GraftTable = {
     keyCol.foreach(k => require(df.columns.contains(k), s"keyCol $k not in ${df.columns.mkString(",")}"))
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    require(partitionBy.distinct == partitionBy, "duplicate partition columns")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
@@ -500,13 +730,15 @@ object GraftTable {
     require(!fs.exists(logDir), s"table already exists at $location")
     fs.mkdirs(logDir)
     val schemaJson = df.schema.json
-    val t = new GraftTable(location, spark, keyCol, schemaJson)
-    writeCommit(fs, logDir, 1L, metaMap("create", keyCol, schemaJson),
+    val t = new GraftTable(location, spark, keyCol, schemaJson, partitionBy)
+    writeCommit(fs, logDir, 1L, metaMap("create", keyCol, schemaJson, None, partitionBy),
       t.writeData(t.alignSchema(df)), Nil)
     t
   }
 
-  /** Open an existing table (keyCol + schema come from the create commit). */
+  /** Open an existing table (keyCol + schema + partitioning come from the
+    * create commit).
+    */
   def at(spark: SparkSession, location: String): GraftTable = {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(new Path(location), LogDirName)
@@ -514,17 +746,20 @@ object GraftTable {
     require(fs.exists(logDir), s"no table at $location")
     val (meta, _, _) = readCommit(fs, logDir, listVersions(fs, logDir).head)
     val key = Option(meta.get("keyCol").orNull).map(_.toString).filter(_.nonEmpty)
-    new GraftTable(location, spark, key, meta("schema").toString)
+    val parts = Option(meta.get("partitionBy").orNull).map(_.toString)
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    new GraftTable(location, spark, key, meta("schema").toString, parts)
   }
 
   private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
-      txn: Option[String] = None) = {
+      txn: Option[String] = None, partitionBy: Seq[String] = Nil) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
     m.put("keyCol", keyCol.orNull)
     m.put("schema", schemaJson)
     txn.foreach(m.put("txn", _))
+    if (partitionBy.nonEmpty) m.put("partitionBy", partitionBy.mkString(","))
     m.asScala.toMap
   }
 
@@ -610,6 +845,11 @@ object GraftTable {
     a.stats.foreach { s =>
       m.put("kind", s.kind); m.put("min", s.min); m.put("max", s.max)
     }
+    if (a.pv.nonEmpty) {
+      val pv = new java.util.LinkedHashMap[String, Any]()
+      a.pv.foreach { case (c, v) => pv.put(c, v.orNull) } // JSON null = null key
+      m.put("pv", pv)
+    }
     m
   }
 
@@ -618,9 +858,13 @@ object GraftTable {
       if (m.containsKey("kind"))
         Some(KeyStats(m.get("kind").toString, m.get("min").toString, m.get("max").toString))
       else None
+    val pv = Option(m.get("pv"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
+        .map { case (c, v) => c -> Option(v).map(_.toString) }.toMap)
+      .getOrElse(Map.empty[String, Option[String]])
     AddFile(m.get("path").toString,
       m.get("rows").asInstanceOf[Number].longValue, stats,
-      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L), pv)
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {

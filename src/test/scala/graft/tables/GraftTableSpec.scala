@@ -340,4 +340,147 @@ class GraftTableSpec extends SparkTestBase {
       t.append(Seq((1L, "a", "extra")).toDF("k", "v", "w"))
     }
   }
+
+  // ---- partitioned tables ------------------------------------------------
+
+  private def part3(): GraftTable = GraftTable.create(spark, tmp(),
+    Seq((1L, "US", "a"), (2L, "US", "b"), (3L, "DE", "c"), (4L, "FR", "d"))
+      .toDF("k", "region", "v").repartition(2),
+    keyCol = Some("k"), partitionBy = Seq("region"))
+
+  test("partitioned create records pv; snapshotWhere prunes files on the driver") {
+    val t = part3()
+    val all = t.snapshot()
+    val pruned = t.snapshotWhere(col("region") === "US")
+    assert(pruned.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "US", "a"), (2L, "US", "b")))
+    // the pruned plan must scan STRICTLY fewer files than the full snapshot
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"pruning read ${pruned.inputFiles.length}/${all.inputFiles.length} files")
+    // and be bit-equal to the unpruned filter
+    assert(pruned.collect().toSet == all.where(col("region") === "US").collect().toSet)
+  }
+
+  test("snapshotWhere matches post-scan where for IN, range, and null preds") {
+    val loc = tmp()
+    val df = Seq[(Long, Option[String], String)](
+      (1L, Some("US"), "a"), (2L, None, "b"), (3L, Some("DE"), "c"))
+      .toDF("k", "region", "v")
+    val t = GraftTable.create(spark, loc, df, partitionBy = Seq("region"))
+    def check(pred: org.apache.spark.sql.Column): Unit =
+      assert(t.snapshotWhere(pred).collect().toSet ==
+        t.snapshot().where(pred).collect().toSet, s"pred $pred diverged")
+    check(col("region").isin("US", "DE"))
+    check(col("region") > "DE")          // null partition must NOT match
+    check(col("region").isNull)          // null partition MUST match
+    check(col("region") =!= "US")        // null excluded, standard 3VL
+  }
+
+  test("snapshotWhere rejects non-partition references loud (at analysis)") {
+    val t = part3()
+    intercept[Exception] { t.snapshotWhere(col("v") === "a").collect() }
+  }
+
+  test("partition values with =, /, %, space round-trip the dir encoding") {
+    val loc = tmp()
+    // non-ASCII values (e.g. "ü") are excluded ONLY because this CI box runs
+    // a C-locale JVM that cannot create non-ASCII file names (Spark's own
+    // writer throws InvalidPathException before the table layer is reached);
+    // the %XX escaping itself is byte-agnostic
+    val weird = Seq("a=b", "c/d", "e%2Ff", "g h", "x:y")
+    val df = weird.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("k", "p")
+    val t = GraftTable.create(spark, loc, df, partitionBy = Seq("p"))
+    weird.foreach { s =>
+      assert(t.snapshotWhere(col("p") === s).as[(Long, String)]
+        .collect().map(_._2).toSeq == Seq(s), s"value '$s' broke the round-trip")
+    }
+  }
+
+  test("replacePartitions swaps exactly the touched partitions, atomically") {
+    val t = part3()
+    val before = t.snapshot().inputFiles.toSet
+    val usFiles = t.snapshotWhere(col("region") === "US").inputFiles.toSet
+    t.replacePartitions(Seq((9L, "US", "zz")).toDF("k", "region", "v"))
+    assert(rows3(t) == Set((9L, "US", "zz"), (3L, "DE", "c"), (4L, "FR", "d")))
+    val after = t.snapshot().inputFiles.toSet
+    // DE/FR files survive untouched by NAME; US files are all gone
+    assert((before -- usFiles).subsetOf(after), "untouched partition was rewritten")
+    assert(after.intersect(usFiles).isEmpty, "replaced partition file survived")
+    // idempotent reload: running the same replace converges to the same rows
+    t.replacePartitions(Seq((9L, "US", "zz")).toDF("k", "region", "v"))
+    assert(rows3(t) == Set((9L, "US", "zz"), (3L, "DE", "c"), (4L, "FR", "d")))
+  }
+
+  test("reopen recovers partitioning; merge/compact keep pv from the data") {
+    val loc = tmp()
+    GraftTable.create(spark, loc,
+      Seq((1L, "US", "a"), (3L, "DE", "c")).toDF("k", "region", "v"),
+      keyCol = Some("k"), partitionBy = Seq("region"))
+    val re = GraftTable.at(spark, loc)
+    assert(re.partitionBy == Seq("region"))
+    // a merge rewrite routes rows back to their partitions (files stay
+    // self-contained), so pruning still sees every row afterwards
+    re.merge(Seq((1L, "US", "A"), (5L, "DE", "e")).toDF("k", "region", "v"))
+    re.compact(smallFileBytes = Long.MaxValue / 2) // force-compact everything
+    assert(re.snapshotWhere(col("region") === "DE").as[(Long, String, String)]
+      .collect().toSet == Set((3L, "DE", "c"), (5L, "DE", "e")))
+    assert(re.snapshotWhere(col("region") === "US").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "US", "A")))
+  }
+
+  private def rows3(t: GraftTable): Set[(Long, String, String)] =
+    t.snapshot().as[(Long, String, String)].collect().toSet
+
+  // ---- change feed -------------------------------------------------------
+
+  test("changes emits net per-commit diffs; rewrite survivors cancel") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), keyCol = Some("k"))
+    t.merge(Seq((2L, "B"), (4L, "D")).toDF("k", "v"))    // v2
+    t.deleteWhere(col("k") === 1L)                       // v3
+    val feed = t.changes(1L, t.version)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (2L, "B", "insert", 2L), (4L, "D", "insert", 2L), // merge net inserts
+      (2L, "b", "delete", 2L),                          // replaced old row
+      (1L, "a", "delete", 3L)))                         // deleteWhere
+    // (1,a)/(3,c) were COPIED by the merge rewrite — they must not appear
+    assert(!feed.exists(r => r._1 == 3L))
+  }
+
+  test("changes fold invariant: snapshot(from) + inserts - deletes = snapshot(to)") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), keyCol = Some("k"))
+    t.append((21L to 25L).map(k => (k, s"v$k")).toDF("k", "v"))
+    t.merge(Seq((5L, "V5"), (30L, "V30")).toDF("k", "v"))
+    t.deleteWhere(col("k") % 7 === 0)
+    t.overwrite((1L to 3L).map(k => (k, s"w$k")).toDF("k", "v"))
+    val from = 2L
+    val feed = t.changes(from, t.version).cache()
+    val ins = feed.where(col("_change") === "insert").select("k", "v")
+    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val folded = t.snapshot(Some(from)).unionByName(ins).exceptAll(del)
+      .as[(Long, String)].collect().sorted.toSeq
+    val target = t.snapshot().as[(Long, String)].collect().sorted.toSeq
+    feed.unpersist()
+    assert(folded == target)
+  }
+
+  test("changes from 0 includes creation; spans schema evolution null-filled") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b", 7L)).toDF("k", "v", "extra"), mergeSchema = true)
+    val feed = t.changes(0L, t.version)
+      .as[(Long, String, Option[Long], String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", None, "insert", 1L),    // create row, evolved col null-filled
+      (2L, "b", Some(7L), "insert", 2L)))
+  }
+
+  test("changes past the vacuum horizon fails loud, naming the files") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.vacuum(0L).nonEmpty) // reclaims the create file
+    val e = intercept[IllegalStateException] { t.changes(0L, t.version) }
+    assert(e.getMessage.contains("reclaimed by vacuum()"))
+  }
 }
