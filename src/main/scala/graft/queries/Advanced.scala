@@ -743,7 +743,49 @@ object Advanced extends QueryPack {
         |  SELECT 3 AS v, 'delete' AS ch, c FROM merged WHERE p = '5-LOW')
         |SELECT CAST(v AS BIGINT) AS _version, ch AS _change,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_price_c
-        |FROM feed GROUP BY 1, 2 ORDER BY _version, _change""".stripMargin)))
+        |FROM feed GROUP BY 1, 2 ORDER BY _version, _change""".stripMargin)),
+
+    // DATA SKIPPING end-to-end: per-column [min, max] logged per file at
+    // write time (parquet footers, no extra job) + `scan(pred)` interval
+    // analysis on the driver — files whose ranges cannot match are never
+    // opened. The table is range-clustered on ship day at create, so the
+    // one-year predicate reads only the overlapping sliver of files (the
+    // zone-map design q248 estimates, here REAL on the table layer;
+    // skip-exactness and file counts are pinned in GraftTableSpec). The
+    // oracle is the plain filter+aggregate over the same rows.
+    GraftQuery(
+      "q289_table_data_skipping",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(
+            expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+              .as("ship_day"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+          .repartitionByRange(8, col("ship_day")) // the clustering that makes ranges tight
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q289_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath, li)
+          materializeSmall(t.scan(col("ship_day").between(9862L, 10225L))
+            .groupBy((col("ship_day") % 7).as("dow"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("dow")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH li AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS ship_day,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem)
+        |SELECT ship_day % 7 AS dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM li WHERE ship_day BETWEEN 9862 AND 10225
+        |GROUP BY 1 ORDER BY dow""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

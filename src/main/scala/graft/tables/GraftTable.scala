@@ -195,6 +195,75 @@ final class GraftTable private (
     tuples.zipWithIndex.collect { case (pv, i) if keepIdx(i) => pv }.toSet
   }
 
+  /** DATA-SKIPPING scan: `snapshot().where(pred)` that first drops every
+    * file whose logged column ranges PROVE no row can match — arbitrary
+    * predicates allowed (unlike `snapshotWhere`'s partition-only contract);
+    * conjuncts the stats can't decide simply don't prune. The file-level
+    * decision is [[FilePruning]] interval analysis on the DRIVER over
+    * O(files) log entries (per-column [min, max] from the parquet footers
+    * at write time + the partition tuple as point intervals + the merge key
+    * stats); the row filter still runs on the survivors, so the result is
+    * bit-equal to the unpruned scan+filter (spec-pinned). This is the
+    * zone-map / Delta data-skipping design: at 100 TB, a time- or
+    * key-clustered table answers a range query by reading the sliver of
+    * files whose ranges overlap it — compaction and Z-order layout (q95)
+    * exist precisely to keep those ranges tight.
+    */
+  def scan(pred: Column, versionAsOf: Option[Long] = None): DataFrame = {
+    val asOf = versionAsOf.getOrElse(version)
+    val files = activeFiles(asOf)
+    val schema = schemaAt(asOf)
+    // Resolve the predicate against the table schema by analyzing it over
+    // an empty relation (also validates column references, loud), then
+    // constant-fold so type-coercion casts around literals collapse back to
+    // typed literals the interval analysis can read.
+    val predExpr = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      empty.where(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(Literal.TrueLiteral).transformUp {
+        case e if e.foldable => Literal.create(e.eval(), e.dataType)
+      }
+    }
+    val sel = files.filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema)))
+    if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
+      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+      val gone = sel.map(_.path).filterNot(onDisk)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
+          s"(e.g. ${gone.head}); time travel to it is no longer possible")
+    }
+    if (sel.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(pred)
+    else
+      spark.read.schema(schema)
+        .parquet(sel.map(f => new Path(location, f.path).toString): _*)
+        .where(pred)
+  }
+
+  /** A file's known column intervals: footer skipping stats, the merge-key
+    * stats, and the partition tuple as point intervals (typed by the
+    * table schema; null partition values carry no interval — sound, since
+    * no interval means no pruning on that column).
+    */
+  private def intervalsOf(f: AddFile, schema: StructType): Map[String, KeyStats] = {
+    val pvIv = f.pv.toSeq.flatMap { case (c, v) =>
+      v.flatMap { s =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) =>
+            scala.util.Try(s.toLong).toOption
+              .map(l => c -> KeyStats("long", l.toString, l.toString))
+          case Some(StringType) => Some(c -> KeyStats("string", s, s))
+          case _ => None
+        }
+      }
+    }
+    f.cs ++ keyCol.flatMap(k => f.stats.map(k -> _)) ++ pvIv
+  }
+
   /** Dynamic partition overwrite, snapshot-atomic: every partition present
     * in `df` is replaced wholesale by `df`'s rows for it; partitions absent
     * from `df` are untouched (their files are not rewritten, not even
@@ -536,8 +605,8 @@ final class GraftTable private (
         val name = s"part-${UUID.randomUUID()}.parquet"
         val dest = new Path(location, name)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
-        val (rows, stats) = footerStats(dest)
-        AddFile(name, rows, stats, st.getLen, pv)
+        val (rows, stats, cs) = footerStats(dest)
+        AddFile(name, rows, stats, st.getLen, pv, cs)
       }
     } finally fs.delete(tmp, true)
   }
@@ -563,18 +632,18 @@ final class GraftTable private (
     }.toMap
   }
 
-  private def footerStats(p: Path): (Long, Option[KeyStats]) = {
+  private def footerStats(p: Path): (Long, Option[KeyStats], Map[String, KeyStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      // stats are emitted ONLY for integral/string Spark key types: parquet
-      // footers surface DATE/TIMESTAMP as Number and DECIMAL as Binary, but
-      // merge's Spark-side min/max bound arrives as java.sql.Date /
-      // BigDecimal — comparing across those representations is either a
-      // crash (NumberFormatException) or, worse, a silently wrong ordering
-      // that prunes a file holding matched keys. No stats = no pruning,
-      // which is always correct.
+      // MERGE key stats are emitted ONLY for integral/string Spark key
+      // types: parquet footers surface DATE/TIMESTAMP as Number and DECIMAL
+      // as Binary, but merge's Spark-side min/max bound arrives as
+      // java.sql.Date / BigDecimal — comparing across those representations
+      // is either a crash (NumberFormatException) or, worse, a silently
+      // wrong ordering that prunes a file holding matched keys. No stats =
+      // no pruning, which is always correct.
       val stats = keyCol.filter { k =>
         tableSchema.fields.find(_.name == k).map(_.dataType).exists {
           case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -604,8 +673,62 @@ final class GraftTable private (
           }
         }
       }
-      (rows, stats)
+      (rows, stats, skippingStats(blocks))
     } finally reader.close()
+  }
+
+  /** DATA-SKIPPING stats: [min, max] per top-level column, for every column
+    * whose PARQUET type makes the comparison domain unambiguous — INT32 /
+    * INT64 carrying plain ints or DATE days ("long": Catalyst literals for
+    * those types are the same ints), and UTF8-annotated BINARY ("string").
+    * Decimals (unscaled ints / binaries), timestamps (INT96 / unit soup),
+    * floats (NaN ordering) stay stat-less — `FilePruning` then simply never
+    * prunes on them. Capped at [[GraftTable.MaxStatsColumns]] in footer
+    * order (the Delta-style bound on per-file log weight: at 10⁶ files the
+    * log must stay O(files × small-constant)). Gated by Spark type on the
+    * MERGE path above but by parquet type here: the two consumers compare
+    * against differently-typed bounds (Spark aggregate row vs Catalyst
+    * literal), so each path gates on what IT will see.
+    */
+  private def skippingStats(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]): Map[String, KeyStats] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def kindOf(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[String] = {
+      val pt = c.getPrimitiveType
+      (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+        case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, null) => Some("long")
+        case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+          _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) => Some("long")
+        case (PrimitiveTypeName.INT32,
+          _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => Some("long")
+        case (PrimitiveTypeName.BINARY,
+          _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => Some("string")
+        case _ => None
+      }
+    }
+    val byCol = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, scala.collection.mutable.Buffer[org.apache.parquet.column.statistics.Statistics[_]])]
+    blocks.foreach(_.getColumns.asScala.foreach { c =>
+      if (c.getPath.size == 1) kindOf(c).foreach { kind =>
+        byCol.getOrElseUpdate(c.getPath.toDotString,
+          (kind, scala.collection.mutable.Buffer.empty))._2 += c.getStatistics
+      }
+    })
+    byCol.iterator.flatMap { case (name, (kind, sts)) =>
+      if (sts.size != blocks.size ||
+          sts.exists(s => s == null || !s.hasNonNullValue)) None
+      else kind match {
+        case "long" => Some(name -> KeyStats("long",
+          sts.map(_.genericGetMin.asInstanceOf[Number].longValue).min.toString,
+          sts.map(_.genericGetMax.asInstanceOf[Number].longValue).max.toString))
+        case _ =>
+          val ord = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
+          Some(name -> KeyStats("string",
+            sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min(ord),
+            sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max(ord)))
+      }
+    }.take(MaxStatsColumns).toMap
   }
 
   // package-private: the spec drives a stale-version commit directly to
@@ -646,7 +769,14 @@ object GraftTable {
     * existed.
     */
   final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
-    bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty)
+    bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty,
+    cs: Map[String, KeyStats] = Map.empty)
+
+  /** Per-file data-skipping stats cover at most this many columns (Delta's
+    * dataSkippingNumIndexedCols default) — the log stays O(files) with a
+    * small constant even for wide tables.
+    */
+  private[tables] val MaxStatsColumns = 32
 
   /** Hive's sentinel directory value for a null partition key. */
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -850,6 +980,15 @@ object GraftTable {
       a.pv.foreach { case (c, v) => pv.put(c, v.orNull) } // JSON null = null key
       m.put("pv", pv)
     }
+    if (a.cs.nonEmpty) {
+      val cs = new java.util.LinkedHashMap[String, Any]()
+      a.cs.foreach { case (c, s) =>
+        val e = new java.util.LinkedHashMap[String, Any]()
+        e.put("kind", s.kind); e.put("min", s.min); e.put("max", s.max)
+        cs.put(c, e)
+      }
+      m.put("cs", cs)
+    }
     m
   }
 
@@ -862,9 +1001,15 @@ object GraftTable {
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala
         .map { case (c, v) => c -> Option(v).map(_.toString) }.toMap)
       .getOrElse(Map.empty[String, Option[String]])
+    val cs = Option(m.get("cs"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, e) =>
+        val em = e.asInstanceOf[java.util.Map[String, Object]]
+        c -> KeyStats(em.get("kind").toString, em.get("min").toString, em.get("max").toString)
+      }.toMap)
+      .getOrElse(Map.empty[String, KeyStats])
     AddFile(m.get("path").toString,
       m.get("rows").asInstanceOf[Number].longValue, stats,
-      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L), pv)
+      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L), pv, cs)
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {

@@ -483,4 +483,68 @@ class GraftTableSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] { t.changes(0L, t.version) }
     assert(e.getMessage.contains("reclaimed by vacuum()"))
   }
+
+  // ---- data skipping -----------------------------------------------------
+
+  /** 100 rows range-clustered into 4 files on k (so per-file [min, max]
+    * ranges are disjoint slivers — the layout data skipping rewards).
+    */
+  private def skipTable(): GraftTable = {
+    val df = (1 to 100).map { k =>
+      (k.toLong, java.sql.Date.valueOf(f"2024-01-01").toLocalDate.plusDays(k).toString,
+        f"s$k%03d", k / 10.0)
+    }.toDF("k", "ds", "s", "x")
+      .select(col("k"), col("ds").cast("date").as("d"), col("s"), col("x"))
+      .repartitionByRange(4, col("k"))
+    GraftTable.create(spark, tmp(), df)
+  }
+
+  test("scan is bit-equal to snapshot().where for a predicate battery") {
+    val t = skipTable()
+    val full = t.snapshot()
+    def check(pred: org.apache.spark.sql.Column): Unit =
+      assert(t.scan(pred).collect().toSet == full.where(pred).collect().toSet,
+        s"scan($pred) diverged")
+    check(col("k") === 42L)
+    check(col("k") > 90L)
+    check(lit(10L) >= col("k"))                    // literal-first order
+    check(col("k").between(18L, 23L))
+    check(col("k") < 5L || col("k") > 97L)         // disjunction
+    check(col("k").isin(3L, 55L, 999L))
+    check(col("s").startsWith("s00"))
+    check(col("s") >= "s098")
+    check(col("d") === java.sql.Date.valueOf("2024-01-11")) // date days domain
+    check(!(col("k") <= 50L))                      // Not: conservative, correct
+    check(col("x") > 9.0)                          // double col: no stats, correct
+    check(col("k") === 42)                         // int literal vs long col (coercion fold)
+    check(col("k") =!= col("k"))                   // col-vs-col: conservative
+  }
+
+  test("scan skips files whose logged ranges cannot match") {
+    val t = skipTable()
+    val nFiles = t.snapshot().inputFiles.length
+    assert(nFiles >= 3, s"expected >=3 files from repartitionByRange(4), got $nFiles")
+    // a point lookup must read exactly one file
+    assert(t.scan(col("k") === 42L).inputFiles.length == 1)
+    // a range in the top sliver reads one file; disjunction reads two
+    assert(t.scan(col("k") > 95L).inputFiles.length == 1)
+    assert(t.scan(col("k") < 3L || col("k") > 97L).inputFiles.length == 2)
+    // string prefix + date equality skip on their own columns' stats
+    assert(t.scan(col("s").startsWith("s00")).inputFiles.length == 1)
+    assert(t.scan(col("d") === java.sql.Date.valueOf("2024-01-03")).inputFiles.length == 1)
+    // an impossible predicate reads nothing at all
+    assert(t.scan(col("k") === -1L).inputFiles.isEmpty)
+    // a predicate on the stats-less double column cannot prune
+    assert(t.scan(col("x") > 9.0).inputFiles.length == nFiles)
+  }
+
+  test("scan uses partition point intervals; unknown columns fail loud") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "US", "a"), (2L, "DE", "b"), (3L, "FR", "c")).toDF("k", "region", "v"),
+      partitionBy = Seq("region"))
+    assert(t.scan(col("region") === "DE").inputFiles.length == 1)
+    assert(t.scan(col("region") === "DE").as[(Long, String, String)]
+      .collect().toSet == Set((2L, "DE", "b")))
+    intercept[Exception] { t.scan(col("nope") === 1) } // analysis is the gate
+  }
 }
