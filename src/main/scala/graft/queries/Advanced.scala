@@ -785,7 +785,52 @@ object Advanced extends QueryPack {
         |SELECT ship_day % 7 AS dow, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
         |FROM li WHERE ship_day BETWEEN 9862 AND 10225
-        |GROUP BY 1 ORDER BY dow""".stripMargin)))
+        |GROUP BY 1 ORDER BY dow""".stripMargin)),
+
+    // TABLE-AS-STREAM: the commit log is already a totally-ordered stream
+    // of file actions, so `readStream` needs no listing or watermark —
+    // offsets are VERSIONS, a batch is the files its commits added
+    // ([[graft.tables.GraftTableStreamSource]]; restart/offset/append-only
+    // semantics spec-pinned in GraftTableStreamSpec). Three append commits
+    // stream out under Trigger.AvailableNow; for an append-only table the
+    // drained stream ≡ the snapshot, so the oracle is exact SQL over the
+    // same rows.
+    GraftQuery(
+      "q290_table_stream_read",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        def slice(r: Int) = orders.where(col("o_orderkey") % 4 === r)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q290_${java.util.UUID.randomUUID()}")
+        val sink = s"q290_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath, slice(1))
+          t.append(slice(2))
+          t.append(slice(3))
+          val q = t.readStream.writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation",
+              new java.io.File(root, "_ckpt").getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+          materializeSmall(s.table(sink)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("o_orderpriority")))
+        } finally {
+          s.catalog.dropTempView(sink)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -78,6 +78,20 @@ final class GraftTable private (
     listVersions(fs, logDir).lastOption.map(schemaAt)
       .getOrElse(DataType.fromJson(schemaJson).asInstanceOf[StructType])
 
+  /** The table's current schema (latest committed version's). */
+  def schema: StructType = tableSchema
+
+  // the streaming source plans batches straight off the commit log
+  private[tables] def commitActions(v: Long): (Map[String, Any], Seq[AddFile], Seq[String]) =
+    cachedCommit(v)
+
+  /** The table as a Structured Streaming micro-batch source (offsets =
+    * versions; append-only contract — see [[GraftTableStreamSource]]).
+    */
+  def readStream: DataFrame =
+    spark.readStream.format(classOf[GraftTableStreamSource].getName)
+      .option("path", location).load()
+
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = new Path(location).getFileSystem(conf)
   private def logDir = new Path(location, LogDirName)
