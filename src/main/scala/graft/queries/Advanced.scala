@@ -830,7 +830,47 @@ object Advanced extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_c
         |FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // OPTIMIZE ZORDER end-to-end: the table is created in natural (order
+    // key) layout, then rewritten clustered on the Morton interleave of
+    // (custkey, order-day) — after which the 2-D band scan below prunes
+    // files on BOTH dimensions from the log alone (pruning counts pinned in
+    // GraftTableSpec; q95 carries the layout math, q248 the skip-fraction
+    // estimate — this row is the real operation on the real table layer).
+    // Results are layout-invariant, so the oracle is the plain filter.
+    GraftQuery(
+      "q291_table_optimize_zorder",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)")
+              .as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q291_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath, orders)
+          t.optimize(Seq("o_custkey", "day"), targetBytes = 256L << 10)
+          materializeSmall(t.scan(
+              col("o_custkey").between(100L, 400L) && col("day") < 365L)
+            .groupBy((col("o_custkey") % 10).as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("bucket")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_custkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND CAST(o_orderdate AS DATE) - DATE '1995-01-01' < 365
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -511,6 +511,67 @@ final class GraftTable private (
     commit(v, "compact", writeData(merged), small.map(_.path))
   }
 
+  /** OPTIMIZE: rewrite every active data file CLUSTERED on `clusterBy`, in
+    * one snapshot-atomic commit — rows unchanged, layout changed so the
+    * logged per-file [min, max] ranges (data skipping, `scan`) become tight
+    * slivers instead of full-span overlaps. One column: global range sort
+    * (`repartitionByRange` + in-partition sort — each output file owns a
+    * contiguous range). Two columns: Morton/Z-order — each dimension is
+    * linearly scaled to 16 bits over its [min, max] span and interleaved
+    * with the codegen'd `interleave_bits` expression, then range-written by
+    * the Z-value: every output file is a tile of the 2-D key space, so a
+    * predicate on EITHER column prunes most files (a single-column sort
+    * only prunes its own column). Integral cluster keys only (loud
+    * otherwise); null keys scale to 0 and simply cluster together. Time
+    * travel to the pre-optimize version keeps working until `vacuum()`.
+    *
+    * This is the lakehouse OPTIMIZE ZORDER BY story on the published
+    * Z-curve design; at 100 TB the rewrite is one shuffle of the table —
+    * amortized against every subsequent pruned scan.
+    */
+  def optimize(clusterBy: Seq[String], targetBytes: Long = 128L << 20): Long = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 2,
+      "optimize clusters on 1 (range) or 2 (z-order) columns")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val schema = tableSchema
+    clusterBy.foreach { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"optimize needs integral cluster columns, '$c' is ${dt.simpleString}")
+    }
+    val v = version
+    val files = activeFiles(v)
+    if (files.isEmpty) return v
+    val nOut = math.max(1L,
+      (files.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+    val df = snapshot(Some(v))
+    val clustered = clusterBy match {
+      case Seq(c) =>
+        df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case Seq(a, b) =>
+        val bounds = df.agg(
+          min(col(a)).cast("long"), max(col(a)).cast("long"),
+          min(col(b)).cast("long"), max(col(b)).cast("long")).head()
+        def dim(c: String, loIdx: Int, hiIdx: Int): Column = {
+          val lo = if (bounds.isNullAt(loIdx)) 0L else bounds.getLong(loIdx)
+          val hi = if (bounds.isNullAt(hiIdx)) 0L else bounds.getLong(hiIdx)
+          // divide-first 16-bit linear rank: no overflow for full-Long spans
+          val step = math.max(1L, (math.max(1L, hi - lo)) / 65535L)
+          least(coalesce((col(c).cast(LongType) - lit(lo)) / lit(step), lit(0L))
+            .cast(LongType), lit(65535L))
+        }
+        val z = graft.functions.expressions.InterleaveBits
+          .interleaveBits(dim(a, 0, 1), dim(b, 2, 3))
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(nOut, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+    }
+    commit(v, "optimize", writeData(clustered), files.map(_.path))
+  }
+
   /** Physically delete data files no longer in the CURRENT snapshot.
     * Returns the deleted names. Time travel to versions that referenced
     * them stops working — the standard vacuum trade-off.

@@ -538,6 +538,55 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.scan(col("x") > 9.0).inputFiles.length == nFiles)
   }
 
+  test("optimize(range) tightens zone maps: fewer files per range scan") {
+    // 64x64 grid written in hash-scrambled order across 8 files: every file
+    // spans the full key range, so nothing can be skipped before optimize
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .orderBy(md5(concat_ws(",", col("x"), col("y")))) // deterministic scramble
+      .repartition(8)
+    val t = GraftTable.create(spark, tmp(), grid)
+    val total = t.snapshot().inputFiles.length
+    assert(total >= 4)
+    val before = t.scan(col("x") < 8L).inputFiles.length
+    assert(before == total, "scrambled layout should defeat skipping")
+    val v0 = t.version
+    t.optimize(Seq("x"), targetBytes = 8192L)
+    assert(t.history.last.op == "optimize")
+    // rows unchanged, pre-optimize version still readable
+    assert(t.snapshot().count() == 4096L)
+    assert(t.snapshot(Some(v0)).count() == 4096L)
+    val after = t.scan(col("x") < 8L).inputFiles.length
+    val totalAfter = t.snapshot().inputFiles.length
+    assert(after < totalAfter,
+      s"range-clustered scan read $after/$totalAfter files — no pruning")
+  }
+
+  test("optimize(z-order) prunes on BOTH dimensions") {
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .orderBy(md5(concat_ws(",", col("x"), col("y"))))
+      .repartition(8)
+    val t = GraftTable.create(spark, tmp(), grid)
+    t.optimize(Seq("x", "y"), targetBytes = 4096L)
+    val total = t.snapshot().inputFiles.length
+    assert(total >= 4, s"need several tiles to show pruning, got $total")
+    val onX = t.scan(col("x") < 8L)
+    val onY = t.scan(col("y") < 8L)
+    assert(onX.inputFiles.length < total,
+      s"x-band read ${onX.inputFiles.length}/$total files")
+    assert(onY.inputFiles.length < total,
+      s"y-band read ${onY.inputFiles.length}/$total files")
+    // and both scans stay exact
+    assert(onX.count() == 8L * 64)
+    assert(onY.count() == 64L * 8)
+    // non-integral cluster key is loud
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+        .optimize(Seq("v"))
+    }
+  }
+
   test("scan uses partition point intervals; unknown columns fail loud") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "US", "a"), (2L, "DE", "b"), (3L, "FR", "c")).toDF("k", "region", "v"),
