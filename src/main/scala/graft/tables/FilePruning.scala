@@ -32,6 +32,15 @@ private[tables] object FilePruning {
     case And(l, r) => possible(l, iv) && possible(r, iv)
     case Or(l, r) => possible(l, iv) || possible(r, iv)
 
+    // `c IS NULL` (and `c <=> NULL`) is impossible in a file whose logged
+    // null COUNT is zero; these must match BEFORE the generic comparison
+    // cases below (whose guards treat null literals as "possibly"). The
+    // other direction (isNotNull pruning all-null files) never fires —
+    // all-null columns carry no [min, max] entry.
+    case IsNull(a) => nullsPossible(a, iv)
+    case EqualNullSafe(a, Literal(null, _)) => nullsPossible(a, iv)
+    case EqualNullSafe(Literal(null, _), a) => nullsPossible(a, iv)
+
     case EqualTo(x, y) => cmp(x, y, iv)(contains, contains)
     case EqualNullSafe(x, y) => cmp(x, y, iv)(contains, contains)
     case LessThan(x, y) => cmp(x, y, iv)(
@@ -55,6 +64,13 @@ private[tables] object FilePruning {
   }
 
   private def isLit(e: Expression): Boolean = e.isInstanceOf[Literal]
+
+  /** Could the column hold a null in this file? Unknown → possibly. */
+  private def nullsPossible(attr: Expression, iv: Map[String, KeyStats]): Boolean =
+    attrName(attr) match {
+      case Some(name) => iv.get(name).forall(_.nulls.forall(_ > 0L))
+      case None => true
+    }
 
   /** Dispatch a binary comparison in either operand order: `col OP lit`
     * uses `fwd`, `lit OP col` uses the mirrored `rev`; anything else

@@ -267,10 +267,12 @@ final class GraftTable private (
     val pvIv = f.pv.toSeq.flatMap { case (c, v) =>
       v.flatMap { s =>
         schema.fields.find(_.name == c).map(_.dataType) match {
+          // a non-null partition value holds for EVERY row: point interval
+          // with a proven zero null count
           case Some(ByteType | ShortType | IntegerType | LongType) =>
             scala.util.Try(s.toLong).toOption
-              .map(l => c -> KeyStats("long", l.toString, l.toString))
-          case Some(StringType) => Some(c -> KeyStats("string", s, s))
+              .map(l => c -> KeyStats("long", l.toString, l.toString, Some(0L)))
+          case Some(StringType) => Some(c -> KeyStats("string", s, s, Some(0L)))
           case _ => None
         }
       }
@@ -790,18 +792,29 @@ final class GraftTable private (
           (kind, scala.collection.mutable.Buffer.empty))._2 += c.getStatistics
       }
     })
+    val fileRows = blocks.map(_.getRowCount).sum
     byCol.iterator.flatMap { case (name, (kind, sts)) =>
       if (sts.size != blocks.size ||
           sts.exists(s => s == null || !s.hasNonNullValue)) None
-      else kind match {
-        case "long" => Some(name -> KeyStats("long",
-          sts.map(_.genericGetMin.asInstanceOf[Number].longValue).min.toString,
-          sts.map(_.genericGetMax.asInstanceOf[Number].longValue).max.toString))
-        case _ =>
-          val ord = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
-          Some(name -> KeyStats("string",
-            sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min(ord),
-            sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max(ord)))
+      else {
+        // null COUNT travels with the range: isNull prunes zero-null files,
+        // isNotNull would prune all-null files (those carry no range entry,
+        // so only the zero-null direction is actionable — still sound)
+        val nulls =
+          if (sts.forall(_.isNumNullsSet)) Some(sts.map(_.getNumNulls).sum)
+          else None
+        kind match {
+          case "long" => Some(name -> KeyStats("long",
+            sts.map(_.genericGetMin.asInstanceOf[Number].longValue).min.toString,
+            sts.map(_.genericGetMax.asInstanceOf[Number].longValue).max.toString,
+            nulls, Some(fileRows)))
+          case _ =>
+            val ord = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
+            Some(name -> KeyStats("string",
+              sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).min(ord),
+              sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8).max(ord),
+              nulls, Some(fileRows)))
+        }
       }
     }.take(MaxStatsColumns).toMap
   }
@@ -877,7 +890,8 @@ object GraftTable {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 
-  final case class KeyStats(kind: String, min: String, max: String) {
+  final case class KeyStats(kind: String, min: String, max: String,
+      nulls: Option[Long] = None, rows: Option[Long] = None) {
     /** Closed-interval intersection with a [lo, hi] key bound (types come
       * from a Spark `min/max` aggregate over the key column). Strings
       * compare as unsigned UTF-8 BYTES — parquet's binary-stats order —
@@ -1060,6 +1074,8 @@ object GraftTable {
       a.cs.foreach { case (c, s) =>
         val e = new java.util.LinkedHashMap[String, Any]()
         e.put("kind", s.kind); e.put("min", s.min); e.put("max", s.max)
+        s.nulls.foreach(n => e.put("nulls", n))
+        s.rows.foreach(r => e.put("rows", r))
         cs.put(c, e)
       }
       m.put("cs", cs)
@@ -1079,7 +1095,10 @@ object GraftTable {
     val cs = Option(m.get("cs"))
       .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.map { case (c, e) =>
         val em = e.asInstanceOf[java.util.Map[String, Object]]
-        c -> KeyStats(em.get("kind").toString, em.get("min").toString, em.get("max").toString)
+        c -> KeyStats(em.get("kind").toString, em.get("min").toString,
+          em.get("max").toString,
+          Option(em.get("nulls")).map(_.asInstanceOf[Number].longValue),
+          Option(em.get("rows")).map(_.asInstanceOf[Number].longValue))
       }.toMap)
       .getOrElse(Map.empty[String, KeyStats])
     AddFile(m.get("path").toString,

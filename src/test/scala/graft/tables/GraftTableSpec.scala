@@ -587,6 +587,25 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("scan prunes IS NULL via logged null counts; stays exact") {
+    // two range-separated files: one all-non-null v, one with nulls
+    val noNulls = (1L to 50L).map(k => (k, Some(s"v$k"))).toDF("k", "v")
+    val withNulls = (51L to 100L).map(k =>
+      (k, if (k % 2 == 0) None else Some(s"v$k"))).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), noNulls)
+    t.append(withNulls)
+    val total = t.snapshot().inputFiles.length
+    val isNull = t.scan(col("v").isNull)
+    assert(isNull.count() == 25L)
+    assert(isNull.inputFiles.length < total,
+      s"IS NULL read ${isNull.inputFiles.length}/$total files — null-count prune failed")
+    // null-safe equality with null literal takes the same path
+    assert(t.scan(col("v") <=> lit(null)).count() == 25L)
+    assert(t.scan(col("v") <=> lit(null)).inputFiles.length < total)
+    // and IS NOT NULL stays exact (conservative: reads both files)
+    assert(t.scan(col("v").isNotNull).count() == 75L)
+  }
+
   test("scan uses partition point intervals; unknown columns fail loud") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "US", "a"), (2L, "DE", "b"), (3L, "FR", "c")).toDF("k", "region", "v"),
