@@ -870,7 +870,56 @@ object Advanced extends QueryPack {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND CAST(o_orderdate AS DATE) - DATE '1995-01-01' < 365
-        |GROUP BY 1 ORDER BY bucket""".stripMargin)))
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // The table layer as a SQL CITIZEN ([[graft.tables.GraftCatalog]]: a
+    // DSv2 TableCatalog plugin over the commit log — CREATE/CTAS, INSERT,
+    // INSERT OVERWRITE, DELETE FROM, VERSION AS OF, SHOW/DROP, all
+    // delegating to the spec-pinned table ops through Spark's public
+    // V1Scan/V1Write bridges). This query runs the q286 slice-reload
+    // lifecycle PURELY in SQL: CTAS from orders, DELETE the urgent slice
+    // (touched-file rewrite), INSERT the recomputed slice (one commit),
+    // aggregate the final state. Same observable semantics as q286, so the
+    // same oracle; DDL/DML/pushdown/time-travel behaviors are pinned in
+    // GraftCatalogSpec.
+    GraftQuery(
+      "q292_table_sql_catalog",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // per-invocation catalog name + root: concurrent drivers never
+        // collide, and the catalog instance cache stays consistent
+        val cat = s"gq292_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders""")
+          s.sql(s"DELETE FROM $cat.t WHERE prio = '1-URGENT'")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT) * 2
+            FROM orders WHERE o_orderpriority = '1-URGENT'""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n_orders,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |       AS BIGINT) AS sum_price_c
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -1,0 +1,349 @@
+package graft.tables
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not => fnot}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL face of [[GraftTable]]: a DataSource V2 `TableCatalog` plugin, so
+  * the transactional table layer is a first-class SQL citizen —
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.tables.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse
+  *
+  *   CREATE TABLE graft.ns.t (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')
+  *   INSERT INTO graft.ns.t SELECT ...
+  *   INSERT OVERWRITE graft.ns.t SELECT ...
+  *   SELECT * FROM graft.ns.t VERSION AS OF 3        -- time travel
+  *   DELETE FROM graft.ns.t WHERE k % 2 = 0          -- file-pruned rewrite
+  *   TRUNCATE / DROP / SHOW TABLES / DESCRIBE
+  * }}}
+  *
+  * Design: the catalog maps `graft.<ns...>.<table>` to `<root>/<ns...>/
+  * <table>` and delegates every operation to the existing log-backed table
+  * ops — reads go through `snapshot(version)` (the vectorized parquet scan
+  * over the log's active file set), writes through `append`/`overwrite`
+  * (immutable files + one atomic commit), deletes through `deleteWhere`
+  * (touched-file rewrite). The read and write faces use Spark's PUBLIC
+  * V1-fallback connector APIs ([[V1Scan]] / [[V1Write]] — the same bridge
+  * the built-in JDBC v2 connector uses), so the full Spark type system is
+  * supported with zero bespoke row decoding: column pruning and every
+  * convertible predicate are pushed through the inner DataFrame where they
+  * reach the parquet scan as `PushedFilters`, and residual predicates stay
+  * with Spark. Nothing here is row-level driver work: the catalog does
+  * O(log) metadata on the driver and plans distributed jobs for data.
+  *
+  * Time-travel loads (`VERSION AS OF v`) return a READ-ONLY table — a write
+  * to the past must fail loud, not fork history.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root=<warehouse dir>")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+
+  /** `<root>/<ns...>/<table>`; segments must be plain path components. */
+  private def pathOf(parts: Seq[String]): Path = {
+    parts.foreach(p => require(p.nonEmpty && !p.contains("/") && p != ".." && p != ".",
+      s"illegal identifier segment '$p'"))
+    parts.foldLeft(root)(new Path(_, _))
+  }
+  private def tablePath(ident: Identifier): Path =
+    pathOf(ident.namespace.toIndexedSeq :+ ident.name)
+
+  private def isTableDir(p: Path): Boolean = fs.exists(new Path(p, "_graft_log"))
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = pathOf(namespace.toIndexedSeq)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(GraftTable.at(spark, p.toString), identString(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` time travel (read-only). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are commit numbers; got '$version'")
+    }
+    new GraftSqlTable(GraftTable.at(spark, p.toString), identString(ident), Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft-catalog time travel is by version (VERSION AS OF n), not timestamp")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val p = tablePath(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toIndexedSeq.map { t =>
+      require(t.name == "identity",
+        s"graft-catalog supports PARTITIONED BY (col) only, got $t")
+      val refs = t.references
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"partition transform must reference one top-level column, got $t")
+      refs(0).fieldNames()(0)
+    }
+    val keyCol = Option(properties.get("key")).filter(_.nonEmpty)
+    keyCol.foreach(k => require(schema.fieldNames.contains(k),
+      s"table property 'key'='$k' is not a column of ${schema.fieldNames.mkString(",")}"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
+    new GraftSqlTable(t, identString(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves via append(mergeSchema=true)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (from, to) = (tablePath(oldIdent), tablePath(newIdent))
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  private def identString(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val ns = pathOf(namespace.toIndexedSeq)
+    if (!fs.exists(ns) || isTableDir(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val ns = pathOf(namespace.toIndexedSeq)
+    if (namespace.nonEmpty && (!fs.exists(ns) || isTableDir(ns)))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> ns.toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val ns = pathOf(namespace.toIndexedSeq)
+    require(!fs.exists(ns), s"namespace ${namespace.mkString(".")} already exists")
+    fs.mkdirs(ns)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = pathOf(namespace.toIndexedSeq)
+    if (!fs.exists(ns)) false
+    else {
+      if (!cascade) require(fs.listStatus(ns).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      fs.delete(ns, true)
+    }
+  }
+}
+
+/** One catalog table handle: reads via [[V1Scan]] over `snapshot(asOf)`
+  * (pruned + pushed through the inner DataFrame), writes via [[V1Write]]
+  * into `append`/`overwrite`, `DELETE FROM` via [[SupportsDelete]] into the
+  * touched-file-rewrite `deleteWhere`. Time-travel handles (`asOf` set) are
+  * read-only by capability.
+  */
+private[tables] final class GraftSqlTable(
+    gt: GraftTable, ident: String, asOf: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String =
+    ident + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType = asOf match {
+    case Some(v) => gt.snapshot(Some(v)).schema
+    case None => gt.schema
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(gt, asOf, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"$name is a time-travel read; writes must target the live table")
+    new GraftWriteBuilder(gt)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => V1FilterConverter.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, s"$name is a time-travel read; DELETE must target the live table")
+    val cond = filters.toIndexedSeq.map(f => V1FilterConverter.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"cannot translate delete filter $f")))
+      .foldLeft(lit(true))(_ && _)
+    gt.deleteWhere(cond)
+  }
+}
+
+/** Column pruning + filter pushdown land on the inner `snapshot` DataFrame,
+  * so they reach the parquet scan; untranslatable predicates stay residual
+  * with Spark (exactness preserved — the inner `.where` is the SAME
+  * expression Spark would apply).
+  */
+private[tables] final class GraftScanBuilder(
+    gt: GraftTable, asOf: Option[Long], full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => V1FilterConverter.toColumn(f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val relation: BaseRelation with TableScan = new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val base = gt.snapshot(asOf)
+          val filtered = pushed.foldLeft(base) { (df, f) =>
+            df.where(V1FilterConverter.toColumn(f).get)
+          }
+          filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
+        }
+      }
+      relation.asInstanceOf[T]
+    }
+    override def description(): String =
+      s"graft-table ${gt.location}${asOf.map(v => s"@v$v").getOrElse("")}"
+  }
+}
+
+/** INSERT INTO → `append`; INSERT OVERWRITE / TRUNCATE (overwrite-by-
+  * AlwaysTrue) → `overwrite`. The V1 bridge hands the query result over as
+  * a DataFrame, which is exactly the table ops' input type — all Spark
+  * types supported, one atomic commit either way.
+  */
+private[tables] final class GraftWriteBuilder(gt: GraftTable)
+  extends WriteBuilder with SupportsOverwrite {
+
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+      s"graft-catalog supports full-table INSERT OVERWRITE only, " +
+        s"got filters ${filters.mkString(",")}")
+    replace = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          // v1 insert contract is BY POSITION against the table schema;
+          // Spark's output resolver has already validated/coerced the query
+          // schema, so the only residue is nullability flags (top-level and
+          // nested containsNull/valueContainsNull) — the cast to the
+          // table's exact type is a no-op on values and aligns those
+          val aligned = data.toDF(gt.schema.fieldNames.toIndexedSeq: _*)
+            .select(gt.schema.fields.toIndexedSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
+          if (replace || overwrite) gt.overwrite(aligned) else gt.append(aligned)
+        }
+      }
+  }
+}
+
+/** `org.apache.spark.sql.sources.Filter` → `Column`, for the subset with an
+  * exact Column equivalent (same null semantics — each translation is the
+  * expression Spark itself would evaluate). `None` = not translatable; the
+  * caller keeps it residual (scan) or fails loud (delete).
+  */
+private[tables] object V1FilterConverter {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) if !vs.contains(null) =>
+      Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, s) => Some(col(a).endsWith(s))
+    case sources.StringContains(a, s) => Some(col(a).contains(s))
+    case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(fnot)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}

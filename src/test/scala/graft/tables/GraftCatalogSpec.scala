@@ -1,0 +1,139 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** The SQL face of the table layer ([[GraftCatalog]]): DDL + DML + time
+  * travel through Spark's catalog plugin API, each statement delegating to
+  * the spec-pinned [[GraftTable]] ops underneath.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.gt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.root", dir)
+    dir
+  }
+
+  private def sqlRows(q: String): Set[Seq[Any]] =
+    spark.sql(q).collect().toSet.map((r: Row) => r.toSeq)
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip") {
+    warehouse
+    spark.sql("CREATE NAMESPACE gt.ns1")
+    spark.sql("CREATE TABLE gt.ns1.orders (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.ns1.orders VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gt.ns1.orders SELECT 3L, 'c'")
+    assert(sqlRows("SELECT k, v FROM gt.ns1.orders ORDER BY k") ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // the SQL writes are real log commits on the same table
+    val t = GraftTable.at(spark, s"$warehouse/ns1/orders")
+    assert(t.version == 3L) // create + 2 inserts
+    assert(t.keyCol.contains("k"))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one commit") {
+    warehouse
+    spark.sql("CREATE TABLE gt.ow (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gt.ow VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE gt.ow VALUES (9, 'z')")
+    assert(sqlRows("SELECT k, v FROM gt.ow") == Set(Seq(9L, "z")))
+    val t = GraftTable.at(spark, s"$warehouse/ow")
+    assert(t.history.last.op == "overwrite")
+  }
+
+  test("CTAS creates and loads in one statement") {
+    warehouse
+    spark.sql("CREATE TABLE gt.ctas AS SELECT id AS k, CAST(id % 3 AS STRING) AS v FROM range(10)")
+    assert(spark.sql("SELECT count(*) AS n FROM gt.ctas").head().getLong(0) == 10L)
+  }
+
+  test("DELETE FROM rewrites only touched rows; TRUNCATE empties") {
+    warehouse
+    spark.sql("CREATE TABLE gt.del (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gt.del SELECT id, CAST(id AS STRING) FROM range(10)")
+    // the SupportsDelete contract is filter-expressible predicates (the
+    // same bound Spark itself enforces); arbitrary Columns go through the
+    // native GraftTable.deleteWhere
+    spark.sql("DELETE FROM gt.del WHERE k >= 6 OR k IN (0, 2)")
+    assert(sqlRows("SELECT k FROM gt.del") == Set(Seq(1L), Seq(3L), Seq(4L), Seq(5L)))
+    spark.sql("TRUNCATE TABLE gt.del")
+    assert(spark.sql("SELECT count(*) FROM gt.del").head().getLong(0) == 0L)
+  }
+
+  test("VERSION AS OF time-travels; writing to the past fails loud") {
+    warehouse
+    spark.sql("CREATE TABLE gt.tt (k BIGINT)")
+    spark.sql("INSERT INTO gt.tt VALUES (1)")          // v2
+    spark.sql("INSERT OVERWRITE gt.tt VALUES (2), (3)") // v3
+    assert(sqlRows("SELECT k FROM gt.tt VERSION AS OF 2") == Set(Seq(1L)))
+    assert(sqlRows("SELECT k FROM gt.tt") == Set(Seq(2L), Seq(3L)))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gt.tt VERSION AS OF 2 VALUES (4)"))
+    assert(e.getMessage != null)
+  }
+
+  test("filter and column pushdown reach the inner scan; residuals stay exact") {
+    warehouse
+    spark.sql("CREATE TABLE gt.push (k BIGINT, v STRING, w DOUBLE)")
+    spark.sql("INSERT INTO gt.push SELECT id, CAST(id AS STRING), id * 0.5 FROM range(100)")
+    val df = spark.sql(
+      "SELECT k FROM gt.push WHERE k >= 90 AND v LIKE '9%' AND sin(w) > -2")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(90L, 91L, 92L, 93L, 94L, 95L, 96L, 97L, 98L, 99L))
+    // the translated conjuncts are pushed into the v1 relation scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("graft-table"))
+  }
+
+  test("partitioned CREATE routes partition tuples into the log") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE gt.pt (k BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gt.pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    assert(sqlRows("SELECT k FROM gt.pt WHERE part = 'a'") == Set(Seq(1L), Seq(3L)))
+    val t = GraftTable.at(spark, s"$warehouse/pt")
+    assert(t.partitionBy == Seq("part"))
+    // log-level pruning still works on the SQL-written files
+    assert(t.snapshotWhere($"part" === "a").count() == 2L)
+  }
+
+  test("SHOW TABLES / DROP TABLE / RENAME reflect the filesystem truth") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.adm")
+    spark.sql("CREATE TABLE gt.adm.t1 (k BIGINT)")
+    assert(sqlRows("SHOW TABLES IN gt.adm").exists(_.contains("t1")))
+    // v2 RENAME destination is catalog-relative: namespace.table
+    spark.sql("ALTER TABLE gt.adm.t1 RENAME TO adm.t2")
+    assert(!sqlRows("SHOW TABLES IN gt.adm").exists(_.contains("t1")))
+    spark.sql("INSERT INTO gt.adm.t2 VALUES (5)")
+    assert(sqlRows("SELECT k FROM gt.adm.t2") == Set(Seq(5L)))
+    spark.sql("DROP TABLE gt.adm.t2")
+    assert(sqlRows("SHOW TABLES IN gt.adm").isEmpty)
+  }
+
+  test("full type width flows through the V1 bridge (decimal, ts, arrays)") {
+    warehouse
+    spark.sql("""CREATE TABLE gt.wide (
+      k BIGINT, d DECIMAL(20,4), ts TIMESTAMP, xs ARRAY<DOUBLE>, m MAP<STRING, BIGINT>)""")
+    spark.sql("""INSERT INTO gt.wide SELECT 1L, CAST(1.2345 AS DECIMAL(20,4)),
+      TIMESTAMP '2026-01-02 03:04:05', array(1.0, 2.0), map('a', 1L)""")
+    val r = spark.sql("SELECT d, xs[1] AS x1, m['a'] AS ma FROM gt.wide").head()
+    assert(r.getDecimal(0).toPlainString == "1.2345")
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("DELETE with an untranslatable predicate is rejected, not silently wrong") {
+    warehouse
+    spark.sql("CREATE TABLE gt.hard (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gt.hard VALUES (1, 'a')")
+    // rand() is untranslatable and non-deterministic: must fail loud
+    intercept[Exception](spark.sql("DELETE FROM gt.hard WHERE rand() > 0.5"))
+    assert(spark.sql("SELECT count(*) FROM gt.hard").head().getLong(0) == 1L)
+  }
+}
