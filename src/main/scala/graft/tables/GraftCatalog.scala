@@ -129,9 +129,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(t, identString(ident), None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves via append(mergeSchema=true)")
+  /** `ALTER TABLE ... ADD COLUMNS` only — a metadata-only schema-evolution
+    * commit (O(1) at any table size; old files null-fill by-name). Every
+    * other change is loud: this table format has no column rename/drop
+    * mapping, and pretending otherwise would corrupt by-name resolution.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft-catalog supports top-level ADD COLUMNS only, got ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case c => throw new UnsupportedOperationException(
+        s"graft-catalog ALTER TABLE supports ADD COLUMNS only, got $c")
+    }
+    GraftTable.at(spark, p.toString).addColumns(fields)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -214,14 +230,14 @@ private[tables] final class GraftSqlTable(
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(gt, asOf, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"$name is a time-travel read; writes must target the live table")
-    new GraftWriteBuilder(gt)
+    new GraftWriteBuilder(gt, info.queryId(), info.schema())
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -284,9 +300,12 @@ private[tables] final class GraftScanBuilder(
 /** INSERT INTO → `append`; INSERT OVERWRITE / TRUNCATE (overwrite-by-
   * AlwaysTrue) → `overwrite`. The V1 bridge hands the query result over as
   * a DataFrame, which is exactly the table ops' input type — all Spark
-  * types supported, one atomic commit either way.
+  * types supported, one atomic commit either way. `writeStream.toTable`
+  * routes through the same builder into the exactly-once epoch-commit
+  * streaming sink ([[GraftStreamingWrite]] — flat atomic schemas, loud).
   */
-private[tables] final class GraftWriteBuilder(gt: GraftTable)
+private[tables] final class GraftWriteBuilder(
+    gt: GraftTable, queryId: String, querySchema: StructType)
   extends WriteBuilder with SupportsOverwrite {
 
   private var replace = false
@@ -316,6 +335,19 @@ private[tables] final class GraftWriteBuilder(gt: GraftTable)
           if (replace || overwrite) gt.overwrite(aligned) else gt.append(aligned)
         }
       }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replace, "streaming INSERT OVERWRITE is not supported; " +
+        "a stream appends — overwrite the table with a batch write")
+      require(gt.partitionBy.isEmpty, "streaming writes to a PARTITIONED " +
+        "graft table are not supported; use foreachBatch + appendIfAbsent")
+      // executor writers encode by POSITION — a name/type permutation in
+      // the incoming stream must fail here, not corrupt columns
+      require(querySchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        gt.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"stream schema ${querySchema.simpleString} does not match table " +
+          s"schema ${gt.schema.simpleString}")
+      new GraftStreamingWrite(gt.location, gt.schema, queryId)
+    }
   }
 }
 

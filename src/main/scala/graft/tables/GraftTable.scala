@@ -389,6 +389,24 @@ final class GraftTable private (
     commit(v, "append", writeData(aligned), Nil, None, Some(newSchema))
   }
 
+  /** Schema evolution WITHOUT data: append nullable columns to the table
+    * schema in one metadata-only commit (no file is written or rewritten —
+    * at 100 TB an ADD COLUMN is O(1)). Existing files null-fill the new
+    * columns through the same by-name parquet resolution `append(
+    * mergeSchema = true)` relies on; time travel keeps each version's own
+    * schema. Name collisions are loud.
+    */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    val v = version
+    val cur = schemaAt(v)
+    fields.foreach(f => require(!cur.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists in ${cur.fieldNames.mkString(",")}"))
+    require(fields.map(_.name).distinct.size == fields.size, "duplicate new column names")
+    val evolved = StructType(cur.fields.toIndexedSeq ++ fields.map(_.copy(nullable = true)))
+    commit(v, "addColumns", Nil, Nil, None, Some(evolved))
+  }
+
   /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
     * `"<queryId>-batch-<batchId>"` from `foreachBatch`) is recorded in the
     * commit metadata; re-delivering an already-committed transaction is a
@@ -408,6 +426,29 @@ final class GraftTable private (
           if (committedTxns.contains(txnId)) version else throw e
       }
     }
+  }
+
+  /** Commit already-written files under a transaction id — the streaming
+    * sink's epoch commit ([[GraftStreamingWrite]]): a replayed txn is a
+    * no-op, and a version race lost to an UNRELATED writer retries until
+    * this txn lands (bounded — a micro-batch commit must eventually land or
+    * fail loud, unlike `appendIfAbsent` whose caller owns the retry loop).
+    */
+  private[tables] def commitFiles(op: String, adds: Seq[AddFile],
+      txnId: Option[String], maxAttempts: Int = 50): Long = {
+    if (txnId.exists(committedTxns.contains)) return version
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = version
+      try return commit(v, op, adds, Nil, txnId)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (txnId.exists(committedTxns.contains)) return version
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   private def committedTxns: Set[String] =

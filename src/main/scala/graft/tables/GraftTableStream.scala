@@ -67,11 +67,12 @@ final class GraftTableStreamSource extends TableProvider with DataSourceRegister
 }
 
 private[tables] final class GraftTableStreamTable(location: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-table($location)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -80,6 +81,30 @@ private[tables] final class GraftTableStreamTable(location: String, tableSchema:
           new GraftTableMicroBatchStream(location, tableSchema, options)
         override def description(): String = s"graft-table stream ($location)"
       }
+    }
+  // `writeStream.format("graft-table").option("path", ...)` — the
+  // exactly-once epoch-commit sink, symmetric with the read face
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val gt = GraftTable.at(SparkSession.active, location)
+            require(gt.partitionBy.isEmpty, "streaming writes to a " +
+              "PARTITIONED graft table are not supported; use foreachBatch")
+            // the stream's schema must be the table's (names + types;
+            // nullability free) — a silent column permutation would corrupt
+            val in = info.schema()
+            require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
+              gt.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+              s"stream schema ${in.simpleString} does not match table " +
+                s"schema ${gt.schema.simpleString}")
+            new GraftStreamingWrite(location, gt.schema, info.queryId())
+          }
+        }
     }
 }
 

@@ -128,6 +128,25 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getLong(2) == 1L)
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves metadata-only; old rows null-fill") {
+    warehouse
+    spark.sql("CREATE TABLE gt.evo (k BIGINT)")
+    spark.sql("INSERT INTO gt.evo VALUES (1)")
+    spark.sql("ALTER TABLE gt.evo ADD COLUMNS (v STRING, w DOUBLE)")
+    spark.sql("INSERT INTO gt.evo VALUES (2, 'b', 0.5)")
+    assert(sqlRows("SELECT k, v, w FROM gt.evo ORDER BY k") ==
+      Set(Seq(1L, null, null), Seq(2L, "b", 0.5)))
+    val t = GraftTable.at(spark, s"$warehouse/evo")
+    // metadata-only: the alter commit added and removed NO files
+    val alter = t.history.find(_.op == "addColumns").get
+    assert(alter.added == 0 && alter.removed == 0)
+    // time travel to the pre-alter version keeps the narrow schema
+    assert(spark.sql("SELECT * FROM gt.evo VERSION AS OF 2").columns.toSeq == Seq("k"))
+    // rename/drop/type-change stay loud
+    intercept[Exception](spark.sql("ALTER TABLE gt.evo RENAME COLUMN k TO kk"))
+    intercept[Exception](spark.sql("ALTER TABLE gt.evo DROP COLUMN v"))
+  }
+
   test("DELETE with an untranslatable predicate is rejected, not silently wrong") {
     warehouse
     spark.sql("CREATE TABLE gt.hard (k BIGINT, v STRING)")

@@ -106,6 +106,82 @@ class GraftTableStreamSpec extends SparkTestBase {
       .exists(_.contains("flat atomic schemas")), s"unexpected failure: $e")
   }
 
+  test("native streaming sink: epochs land as txn-tagged commits, no dupes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq.empty[(Long, String)].toDF("k", "v"))
+    val cp = ckpt()
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = in.toDF().toDF("k", "v").writeStream.format("graft-table")
+        .option("path", loc).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    in.addData((1L, "a"), (2L, "b"))
+    run()
+    assert(t.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(t.history.last.op == "streamingAppend")
+    val vAfterFirst = t.version
+    // a restart with NO new data replays nothing and commits nothing
+    run()
+    assert(t.version == vAfterFirst, "an empty restart added log versions")
+    // new data lands exactly once across a restart
+    in.addData((3L, "c"))
+    run()
+    assert(t.snapshot().as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")), "restart duplicated rows")
+    // the stream-written files round-trip through the BATCH read with the
+    // exact table schema, and compaction re-derives zone-map stats for them
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    t.compact(smallFileBytes = 32L << 20)
+    assert(t.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streaming sink via the catalog: writeStream.toTable, read back in SQL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-cat-sink").toString
+    spark.conf.set("spark.sql.catalog.gsink", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink.root", wh)
+    try {
+      spark.sql("CREATE TABLE gsink.st (k BIGINT, v STRING)")
+      val in = MemoryStream[(Long, String)]
+      in.addData((10L, "x"), (11L, "y"))
+      val q = in.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).toTable("gsink.st")
+      try q.awaitTermination() finally q.stop()
+      assert(spark.sql("SELECT k, v FROM gsink.st ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((10L, "x"), (11L, "y")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsink")
+      spark.conf.unset("spark.sql.catalog.gsink.root")
+    }
+  }
+
+  test("streaming sink rejects schema permutations and non-flat types loud") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    GraftTable.create(spark, loc, Seq.empty[(Long, String)].toDF("k", "v"))
+    val in = MemoryStream[(String, Long)]
+    in.addData(("x", 1L)) // a batch must exist for the sink to be planned
+    val e = intercept[Exception] {
+      val q = in.toDF().toDF("v", "k").writeStream.format("graft-table")
+        .option("path", loc).option("checkpointLocation", ckpt())
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).map(_.getMessage).filter(_ != null)
+      .exists(_.contains("does not match table")), s"unexpected failure: $e")
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
