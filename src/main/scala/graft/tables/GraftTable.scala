@@ -29,13 +29,17 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *     `{"meta":…}` then `{"add":…}` / `{"remove":…}` lines
   *
   * ACID story, scoped honestly:
-  *   - Atomicity/isolation: a commit is ONE log file created with
-  *     `FileSystem.create(overwrite=false)` — readers either see version N
-  *     or N+1, never a torn state. Writers race on the next version number;
-  *     the loser gets [[GraftTable.ConcurrentCommitException]] and must
-  *     retry on a fresh snapshot (optimistic concurrency). Create-new is
-  *     atomic on HDFS-semantics filesystems; on S3-style stores it needs a
-  *     coordination layer, same as every log-structured table format.
+  *   - Atomicity/isolation: a commit is ONE log file, fully written to a
+  *     hidden temp name and then `rename`d into place — rename is the
+  *     atomic metadata op on HDFS-semantics filesystems and FAILS when the
+  *     destination exists, so readers either see version N or N+1, never a
+  *     torn or partially-written state (create-then-write would expose the
+  *     file before its bytes land). Writers race on the next version
+  *     number; the rename loser gets
+  *     [[GraftTable.ConcurrentCommitException]] and must retry on a fresh
+  *     snapshot (optimistic concurrency). On S3-style stores rename is not
+  *     atomic and this needs a coordination layer, same as every
+  *     log-structured table format.
   *   - Durability: parquet data files are fully written and moved into
   *     place BEFORE the commit that references them.
   *
@@ -1038,18 +1042,22 @@ object GraftTable {
     fs.listStatus(logDir).toSeq.map(_.getPath.getName)
       .collect { case CheckpointName(v) => v.toLong }.sorted
 
-  /** One NDJSON commit file, created atomically (create-new): the loser of
-    * a version race gets [[ConcurrentCommitException]], never a torn log.
+  /** One NDJSON commit file, made visible ATOMICALLY: the content is fully
+    * written to a hidden temp file in the log dir, then `rename`d into
+    * place — rename is the atomic metadata operation on HDFS-semantics
+    * filesystems (and POSIX same-directory), and it FAILS when the
+    * destination exists, so the loser of a version race gets
+    * [[ConcurrentCommitException]] and no reader can EVER observe a torn or
+    * empty commit. (`create(overwrite=false)` alone is not enough: the file
+    * becomes listable at create time, before its bytes land — a concurrent
+    * reader between create and close would parse an empty commit, and the
+    * memoizing commit cache would keep that torn read forever. Found by the
+    * racing-writers stress spec.)
     */
   private def writeCommit(fs: FileSystem, logDir: Path, v: Long,
       meta: Map[String, Any], adds: Seq[AddFile], removes: Seq[String]): Unit = {
-    val p = logPath(logDir, v)
-    val out = try fs.create(p, false) catch {
-      case e: java.io.IOException =>
-        throw new ConcurrentCommitException(
-          s"version $v was committed concurrently at $logDir (${e.getMessage}); " +
-            "re-read the snapshot and retry")
-    }
+    val tmp = new Path(logDir, s".tmp-commit-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try {
       val sb = new StringBuilder
       sb.append(mapper.writeValueAsString(
@@ -1062,7 +1070,32 @@ object GraftTable {
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    val p = logPath(logDir, v)
+    if (!renameClaim(fs, tmp, p)) {
+      fs.delete(tmp, false)
+      throw new ConcurrentCommitException(
+        s"version $v was committed concurrently at $logDir; " +
+          "re-read the snapshot and retry")
+    }
   }
+
+  /** Atomically claim `p` with the fully-written `tmp`. On HDFS the
+    * namenode makes rename-onto-existing fail atomically; on the LOCAL
+    * filesystem the Hadoop implementations check-then-rename (and POSIX
+    * rename overwrites), so two in-JVM racers could both pass the check and
+    * the loser would CLOBBER the winner — the JVM-wide lock closes exactly
+    * that window (found by the racing-writers stress spec). Multi-process
+    * writers on a bare local filesystem remain out of scope, the same
+    * per-store boundary every log-structured table format draws (a
+    * production deployment is HDFS-semantics or a coordination layer).
+    */
+  private def renameClaim(fs: FileSystem, tmp: Path, p: Path): Boolean =
+    renameLock.synchronized {
+      try !fs.exists(p) && fs.rename(tmp, p) catch {
+        case _: java.io.IOException => false
+      }
+    }
+  private val renameLock = new Object
 
   private def readCommit(fs: FileSystem, logDir: Path, v: Long)
       : (Map[String, Any], Seq[AddFile], Seq[String]) = {
@@ -1157,16 +1190,18 @@ object GraftTable {
   }
 
   /** The complete active-file set as of (immediately after) commit `v`, one
-    * `{"add":…}` line per file. Best-effort create-new: the checkpoint for
-    * a version is a pure function of the immutable log prefix, so two
-    * racing handles produce byte-identical content and the create-new loser
-    * simply drops its copy — no exception, no torn file.
+    * `{"add":…}` line per file. Same write-temp-then-rename visibility
+    * discipline as `writeCommit` — a torn checkpoint would be WORSE than a
+    * torn commit (NDJSON truncated at a line boundary silently drops active
+    * files from every snapshot that replays it). The checkpoint for a
+    * version is a pure function of the immutable log prefix, so two racing
+    * handles produce identical content and the rename loser simply drops
+    * its temp — no exception.
     */
   private def writeCheckpoint(fs: FileSystem, logDir: Path, v: Long,
       files: Seq[AddFile]): Unit = {
-    val out = try fs.create(checkpointPath(logDir, v), false) catch {
-      case _: java.io.IOException => return // a racing handle already wrote it
-    }
+    val tmp = new Path(logDir, s".tmp-checkpoint-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try {
       val sb = new StringBuilder
       files.foreach { a =>
@@ -1174,6 +1209,8 @@ object GraftTable {
       }
       out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    if (!renameClaim(fs, tmp, checkpointPath(logDir, v)))
+      fs.delete(tmp, false) // a racing handle already wrote it
   }
 
   private def readCheckpoint(fs: FileSystem, logDir: Path, v: Long): Seq[AddFile] =

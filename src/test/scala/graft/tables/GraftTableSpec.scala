@@ -95,6 +95,38 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.version == v)
   }
 
+  test("racing writers: commitFiles retries land every txn exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = GraftTable.create(spark, tmp(), Seq((0L, "z")).toDF("k", "v"))
+    val v0 = t.version
+    // 8 writers race on the version counter with distinct txns; every one
+    // must land exactly once despite create-new collisions
+    val fs = (1 to 8).map(i => Future {
+      t.commitFiles("stress", Nil, Some(s"stress-$i"))
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.version == v0 + 8, s"expected ${v0 + 8} versions, got ${t.version}")
+    // replaying every txn is a no-op
+    (1 to 8).foreach(i => t.commitFiles("stress", Nil, Some(s"stress-$i")))
+    assert(t.version == v0 + 8, "a replayed txn committed again")
+  }
+
+  test("racing appendIfAbsent on the SAME txn commits the rows once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = GraftTable.create(spark, tmp(), Seq((0L, "z")).toDF("k", "v"))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val fs = (1 to 6).map(_ => Future { t.appendIfAbsent("same-txn", df) })
+    Await.result(Future.sequence(fs), 120.seconds)
+    // exactly one append landed; losers backed off on txn re-check
+    assert(rows(t) == Set((0L, "z"), (1L, "a"), (2L, "b")))
+    assert(t.history.count(_.op == "append") == 1,
+      s"duplicate append commits: ${t.history.map(_.op)}")
+  }
+
   test("concurrent commit on the same version loses loudly") {
     val loc = tmp()
     val t1 = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
