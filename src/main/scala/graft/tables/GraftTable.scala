@@ -536,6 +536,41 @@ final class GraftTable private (
     commit(v, "delete", writeData(keep), rewritten.map(_.path))
   }
 
+  /** Row-level UPDATE: rows where `cond` is TRUE get the assignment
+    * columns replaced (assignments may reference any existing column;
+    * values follow store-assignment casting to the column's table type);
+    * null-cond rows are kept unchanged, standard DML semantics. Files with
+    * no matching row are NOT rewritten — the same touched-file discipline
+    * as `deleteWhere`/`merge`, so a selective UPDATE on a 100 TB table
+    * rewrites only the sliver of files that hold matches.
+    */
+  def update(assignments: Map[String, Column], cond: Column): Long = {
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val schema = tableSchema
+    assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update column '$k' not in ${schema.fieldNames.mkString(",")}"))
+    val v = version
+    val files = activeFiles(v)
+    if (files.isEmpty) return v
+    val all = spark.read.schema(schema)
+      .parquet(files.map(f => new Path(location, f.path).toString): _*)
+    val touched = all.where(cond).select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rewritten = files.filter(f => touched.exists(uriMatches(_, f.path)))
+    if (rewritten.isEmpty) return v
+    val hit = coalesce(cond, lit(false))
+    val updated = spark.read.schema(schema)
+      .parquet(rewritten.map(f => new Path(location, f.path).toString): _*)
+      .select(schema.fields.toIndexedSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(value) =>
+            when(hit, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    commit(v, "update", writeData(updated), rewritten.map(_.path))
+  }
+
   /** Coalesce small files — the operational fix for the small-files
     * problem a streaming or high-frequency-merge table accumulates (1000s
     * of KB-scale parquet files make every scan pay per-file open + footer

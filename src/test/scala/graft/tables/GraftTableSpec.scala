@@ -84,6 +84,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(!e.getMessage.contains("duplicate"))
   }
 
+  test("update rewrites only touched files; assignments see old values") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .repartitionByRange(2, col("k"))) // two files: k=1 | k=2
+    val filesBefore = t.snapshot().inputFiles.toSet
+    assert(filesBefore.size == 2)
+    // assignment references the row's own current values
+    t.update(Map("v" -> concat(col("v"), lit("!"), col("k"))), col("k") === 2L)
+    assert(rows(t) == Set((1L, "a"), (2L, "b!2")))
+    // the k=1 file was not rewritten
+    assert(t.snapshot().inputFiles.toSet.intersect(filesBefore).size == 1)
+    val info = t.history.last
+    assert(info.op == "update" && info.removed == 1)
+    // null condition keeps rows (standard DML); no-match update is a no-op
+    val v0 = t.version
+    t.update(Map("v" -> lit("zap")), lit(null).cast("boolean"))
+    assert(t.version == v0 && rows(t) == Set((1L, "a"), (2L, "b!2")))
+    // unknown column is loud
+    intercept[IllegalArgumentException](
+      t.update(Map("nope" -> lit(1)), col("k") === 1L))
+  }
+
   test("deleteWhere removes matching rows; non-matching files untouched") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), keyCol = Some("k"))
