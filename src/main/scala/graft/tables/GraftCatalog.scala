@@ -54,6 +54,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: Path = _
 
+  // one GraftTable handle per location: commit parses memoize per instance
+  // (immutable files), so repeated SQL statements replay only NEW commits
+  // instead of re-reading the whole log each time. Invalidation just drops
+  // the handle; DROP/RENAME do it eagerly.
+  private val handles = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+  private def handle(p: Path): GraftTable =
+    handles.getOrElseUpdate(p.toString, GraftTable.at(spark, p.toString))
+
   private def spark: SparkSession = SparkSession.active
   private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -66,6 +74,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  override def invalidateTable(ident: Identifier): Unit =
+    handles.remove(tablePath(ident).toString)
 
   /** `<root>/<ns...>/<table>`; segments must be plain path components. */
   private def pathOf(parts: Seq[String]): Path = {
@@ -90,7 +101,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(GraftTable.at(spark, p.toString), identString(ident), None)
+    new GraftSqlTable(handle(p), identString(ident), None)
   }
 
   /** `VERSION AS OF <v>` time travel (read-only). */
@@ -101,7 +112,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft table versions are commit numbers; got '$version'")
     }
-    new GraftSqlTable(GraftTable.at(spark, p.toString), identString(ident), Some(v))
+    new GraftSqlTable(handle(p), identString(ident), Some(v))
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -126,6 +137,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
+    handles.put(p.toString, t)
     new GraftSqlTable(t, identString(ident), None)
   }
 
@@ -145,12 +157,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case c => throw new UnsupportedOperationException(
         s"graft-catalog ALTER TABLE supports ADD COLUMNS only, got $c")
     }
-    GraftTable.at(spark, p.toString).addColumns(fields)
+    handle(p).addColumns(fields)
     loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
+    handles.remove(p.toString)
     if (!isTableDir(p)) false else fs.delete(p, true)
   }
 
@@ -158,6 +171,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val (from, to) = (tablePath(oldIdent), tablePath(newIdent))
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    handles.remove(from.toString)
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 

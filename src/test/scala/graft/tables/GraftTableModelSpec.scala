@@ -1,0 +1,102 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based lifecycle property for the table layer: a RANDOM sequence of
+  * DML and maintenance ops (merge, deleteWhere, update, append, overwrite,
+  * compact, optimize) runs against both a [[GraftTable]] and a trivial
+  * in-memory reference model; after EVERY op the snapshot must equal the
+  * model exactly. This catches interaction bugs no single-op spec can
+  * (merge after optimize relocated rows, update after compact merged files,
+  * delete after overwrite …), and at the end the change feed's fold
+  * invariant is checked across the whole mixed history — the feed must
+  * reconstruct the final state from the first version regardless of which
+  * ops produced the commits. Fixed seed: failures reproduce.
+  */
+class GraftTableModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    new java.io.File(Files.createTempDirectory("graft-model").toFile, "t").getAbsolutePath
+
+  private def df(rows: Iterable[(Long, String)]): DataFrame =
+    rows.toSeq.toDF("k", "v")
+
+  test("random op sequences: snapshot ≡ model after every op; feed folds") {
+    val rnd = new Random(20260814L)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val ks = Iterator.continually(rnd.nextInt(200).toLong)
+        .filterNot(model.contains).distinct.take(n).toSeq
+      ks.map(k => k -> s"v$k-${rnd.nextInt(100)}")
+    }
+    val init = fresh(8)
+    init.foreach { case (k, v) => model(k) = v }
+    val t = GraftTable.create(spark, tmp(), df(init), keyCol = Some("k"))
+
+    def check(op: String): Unit = {
+      val got = t.snapshot().as[(Long, String)].collect().toSet
+      assert(got == model.toSet, s"after $op: table $got != model ${model.toSet}")
+    }
+
+    for (step <- 1 to 16) {
+      rnd.nextInt(7) match {
+        case 0 => // append fresh keys
+          val rows = fresh(rnd.nextInt(4) + 1)
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          check(s"$step:append")
+        case 1 => // merge: mix of updates to existing keys and inserts
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => k -> s"m$k-$step")
+          val ins = fresh(rnd.nextInt(3))
+          val src = upd ++ ins
+          if (src.nonEmpty) {
+            t.merge(df(src))
+            src.foreach { case (k, v) => model(k) = v }
+          }
+          check(s"$step:merge")
+        case 2 => // deleteWhere on a key-range predicate
+          val lo = rnd.nextInt(200).toLong
+          t.deleteWhere(col("k").between(lo, lo + 30L))
+          model.filterInPlace((k, _) => !(k >= lo && k <= lo + 30L))
+          check(s"$step:delete[$lo,${lo + 30}]")
+        case 3 => // update: rewrite v where k in a band, referencing old v
+          val m = rnd.nextInt(5) + 2
+          t.update(Map("v" -> concat(col("v"), lit(s"+u$step"))),
+            col("k") % m === 0L)
+          model.mapValuesInPlace((k, v) => if (k % m == 0) s"$v+u$step" else v)
+          check(s"$step:update%$m")
+        case 4 => // overwrite with a subset + fresh rows
+          val keep = rnd.shuffle(model.toSeq).take(model.size / 2)
+          val add = fresh(rnd.nextInt(3) + 1)
+          model.clear()
+          (keep ++ add).foreach { case (k, v) => model(k) = v }
+          t.overwrite(df(model.toSeq))
+          check(s"$step:overwrite")
+        case 5 =>
+          t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
+          check(s"$step:compact")
+        case 6 =>
+          if (model.nonEmpty) t.optimize(Seq("k"), targetBytes = 16L << 10)
+          check(s"$step:optimize")
+      }
+    }
+
+    // change-feed fold across the whole mixed history: snapshot(1) ⊎ ins ∖
+    // del ≡ final snapshot, as MULTISETS (paranoid about rewrite survivors)
+    val feed = t.changes(1L, t.version)
+    val ins = feed.where(col("_change") === "insert").select("k", "v")
+    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val folded = t.snapshot(Some(1L)).unionAll(ins).exceptAll(del)
+      .as[(Long, String)].collect().toSeq.sorted
+    val fin = t.snapshot().as[(Long, String)].collect().toSeq.sorted
+    assert(folded == fin, "change feed does not fold to the final state")
+  }
+}
