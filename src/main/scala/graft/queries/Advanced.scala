@@ -919,7 +919,55 @@ object Advanced extends QueryPack {
         |                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
         |                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
         |       AS BIGINT) AS sum_price_c
-        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin)))
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // The full table-to-table streaming LOOP through the native faces:
+    // table A (three appended slices of orders) → `readStream` (offsets =
+    // versions, q290's face) → `writeStream.format("graft-table")` into
+    // table B (the exactly-once epoch-commit sink — executor parquet
+    // writes, one txn-tagged log commit per epoch) → aggregate B's
+    // snapshot. Deterministic end to end, so the whole loop sits under the
+    // DRIVER's DuckDB gate, not just ScalaTest: the drained copy must
+    // equal the three source slices exactly.
+    GraftQuery(
+      "q293_table_stream_write",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        def slice(r: Int) = orders.where(col("o_orderkey") % 4 === r)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q293_${java.util.UUID.randomUUID()}")
+        try {
+          val src = graft.tables.GraftTable.create(
+            s, new java.io.File(root, "src").getAbsolutePath, slice(1))
+          src.append(slice(2))
+          src.append(slice(3))
+          val dstLoc = new java.io.File(root, "dst").getAbsolutePath
+          val dst = graft.tables.GraftTable.create(s, dstLoc,
+            slice(1).limit(0)) // empty table, same schema
+          val q = src.readStream.writeStream.format("graft-table")
+            .option("path", dstLoc)
+            .option("checkpointLocation",
+              new java.io.File(root, "_ckpt").getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+          materializeSmall(dst.snapshot()
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("o_orderpriority")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =
