@@ -967,7 +967,56 @@ object Advanced extends QueryPack {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_c
         |FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)))
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Incremental aggregate maintenance FROM THE CHANGE FEED
+    // ([[graft.tables.IncrementalAgg]]): bootstrap a (priority, count,
+    // cents-sum) state from version 1, run a merge (doubles every %3 key's
+    // price, re-inserting the deleted ones) and a delete (drops 1-URGENT)
+    // against the table, then fold ONLY the net per-commit diffs — never
+    // re-reading the table — and return the maintained state. The oracle
+    // recomputes the same final state declaratively, so the driver's gate
+    // checks the fold against a from-scratch aggregate (the all-version-
+    // pairs invariant is IncrementalAggSpec's job). At 100 TB this is the
+    // difference between touching O(commit) rows and O(table) per refresh.
+    GraftQuery(
+      "q294_table_incremental_agg",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q294_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(
+            s, root.getAbsolutePath, base, keyCol = Some("o_orderkey"))
+          t.deleteWhere(col("o_orderpriority") === "1-URGENT")
+          t.merge(base.where(col("o_orderkey") % 3 === 0)
+            .withColumn("price_c", col("price_c") * 2L))
+          val out = graft.tables.IncrementalAgg
+            .maintained(t, 1L, t.version, "o_orderpriority", "price_c")
+            .select(col("group").as("prio"), col("n"), col("sum").as("sum_price_c"))
+            .orderBy("prio")
+          materializeSmall(out)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |final AS (
+        |  SELECT prio, price_c * 2 AS price_c FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT prio, price_c FROM base
+        |  WHERE k % 3 <> 0 AND prio <> '1-URGENT')
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =
