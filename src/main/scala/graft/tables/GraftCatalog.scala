@@ -275,6 +275,11 @@ private[tables] final class GraftScanBuilder(
     gt: GraftTable, asOf: Option[Long], full: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
+  // snapshot ISOLATION per query: pin the version when the scan is built,
+  // so two scans of the same table in one query (self-join, union) read
+  // the same version even if a commit lands mid-execution
+  private val pinned: Long = asOf.getOrElse(gt.version)
+
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
@@ -297,7 +302,7 @@ private[tables] final class GraftScanBuilder(
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val base = gt.snapshot(asOf)
+          val base = gt.snapshot(Some(pinned))
           val filtered = pushed.foldLeft(base) { (df, f) =>
             df.where(V1FilterConverter.toColumn(f).get)
           }
