@@ -100,8 +100,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    new GraftSqlTable(handle(p), identString(ident), None)
+    if (isTableDir(p)) new GraftSqlTable(handle(p), identString(ident), None)
+    else metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style metadata tables: `graft.ns.t.history` (one row per
+    * commit) and `graft.ns.t.files` (the CURRENT snapshot's active files
+    * with their logged sizes, partition tuples, and zone-map column
+    * counts). Resolved when the identifier's NAMESPACE path is itself a
+    * table and the name is a known suffix — read-only, driver-built from
+    * O(log) metadata (never a data scan).
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val base = pathOf(ident.namespace.toIndexedSeq)
+    if (!isTableDir(base)) return None
+    val t = handle(base)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    ident.name match {
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("version", LongType), StructField("op", StringType),
+          StructField("ts", LongType), StructField("added", IntegerType),
+          StructField("removed", IntegerType), StructField("rows_added", LongType)))
+        val rows = t.history.map(h =>
+          Row(h.version, h.op, h.ts, h.added, h.removed, h.rowsAdded))
+        Some(new GraftMetadataTable(identString(ident), schema, () => rows))
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("path", StringType), StructField("rows", LongType),
+          StructField("bytes", LongType),
+          StructField("partition", MapType(StringType, StringType)),
+          StructField("stats_columns", IntegerType)))
+        Some(new GraftMetadataTable(identString(ident), schema, () =>
+          t.currentFiles.map(f => Row(f.path, f.rows, f.bytes,
+            f.pv.map { case (k, v) => k -> v.orNull }, f.cs.size))))
+      case _ => None
+    }
   }
 
   /** `VERSION AS OF <v>` time travel (read-only). */
@@ -368,6 +404,41 @@ private[tables] final class GraftWriteBuilder(
       new GraftStreamingWrite(gt.location, gt.schema, queryId)
     }
   }
+}
+
+/** A read-only metadata table (`.history` / `.files`): rows are built on
+  * the DRIVER from O(log) commit metadata at scan time — current by
+  * construction, never a data scan. Served through the same V1 bridge as
+  * the data tables.
+  */
+private[tables] final class GraftMetadataTable(
+    ident: String, tableSchema: StructType,
+    rows: () => Seq[org.apache.spark.sql.Row])
+  extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val relation: BaseRelation with TableScan = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = tableSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              SparkSession.active.createDataFrame(
+                rows().asJava, tableSchema).rdd
+          }
+          relation.asInstanceOf[T]
+        }
+        override def description(): String = s"graft metadata $ident"
+      }
+    }
 }
 
 /** `org.apache.spark.sql.sources.Filter` → `Column`, for the subset with an

@@ -370,6 +370,9 @@ final class GraftTable private (
       else lit(null).cast(f.dataType).as(f.name)
     } ++ Seq(col("_change"), col("_version").cast(LongType)): _*)
 
+  /** The current snapshot's active files as logged (metadata only). */
+  private[tables] def currentFiles: Seq[AddFile] = activeFiles(version)
+
   /** Commit metadata for every version, oldest first. */
   def history: Seq[CommitInfo] =
     listVersions(fs, logDir).map { v =>

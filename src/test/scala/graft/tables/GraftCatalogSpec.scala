@@ -147,6 +147,25 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql("ALTER TABLE gt.evo DROP COLUMN v"))
   }
 
+  test("metadata tables: .history mirrors commits, .files the active set") {
+    warehouse
+    spark.sql("CREATE TABLE gt.meta (k BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gt.meta VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE gt.meta VALUES (3, 'a')")
+    val hist = spark.sql(
+      "SELECT version, op FROM gt.meta.history ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "overwrite")))
+    val files = spark.sql(
+      "SELECT path, rows, partition['part'] AS part FROM gt.meta.files").collect()
+    val t = GraftTable.at(spark, s"$warehouse/meta")
+    assert(files.length == t.snapshot().inputFiles.length)
+    assert(files.map(_.getString(2)).toSet == Set("a"))
+    assert(files.map(_.getLong(1)).sum == 1L) // one active row after overwrite
+    // an unknown suffix on a real table is still loud
+    intercept[Exception](spark.sql("SELECT * FROM gt.meta.nope"))
+  }
+
   test("DELETE with an untranslatable predicate is rejected, not silently wrong") {
     warehouse
     spark.sql("CREATE TABLE gt.hard (k BIGINT, v STRING)")
