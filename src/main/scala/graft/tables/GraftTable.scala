@@ -681,6 +681,13 @@ final class GraftTable private (
       }
       .map(_.getPath.getName)
     orphans.foreach(n => fs.delete(new Path(location, n), false))
+    // crashed writers can also strand `.tmp-*` staging files in the log
+    // dir (a commit/checkpoint written but never renamed); they are never
+    // referenced, so sweep them past the same horizon
+    fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime <= horizon)
+      .foreach(st => fs.delete(st.getPath, false))
     orphans
   }
 

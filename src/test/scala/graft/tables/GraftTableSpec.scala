@@ -174,6 +174,14 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((3L, "c")))
     // second vacuum finds nothing
     assert(t.vacuum(0L).isEmpty)
+    // a crashed writer's stranded log-staging temp is swept past the horizon
+    val logDir = new org.apache.hadoop.fs.Path(t.location, "_graft_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stranded = new org.apache.hadoop.fs.Path(logDir, ".tmp-commit-dead")
+    fs.create(stranded, true).close()
+    t.vacuum(0L)
+    assert(!fs.exists(stranded), "stranded .tmp- staging file survived vacuum")
+    assert(rows(t) == Set((3L, "c"))) // log itself untouched
   }
 
   test("time travel past the vacuum horizon fails loud, naming the files") {
