@@ -31,7 +31,8 @@ object Bench {
     // queries would under-measure. The noop sink consumes every row of the
     // declared plan. Failures are recorded per query (never swallowed into a
     // plausible-looking time).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -40,7 +41,31 @@ object Bench {
         Some(t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // SPIKE RESISTANCE: single-shot timing on a contended host can report
+    // 60x a query's true cost (a neighbor's load spike lands inside the
+    // sample). Any sample exceeding 5x the running median of completed
+    // queries (and a 5 s floor, so cheap-surface jitter is never re-run)
+    // is re-timed once and the MIN of the two kept — a spike can only
+    // inflate a sample, never deflate it, so min-of-two is the less
+    // contaminated estimate. Retries are counted in the artifact so it
+    // self-documents how contended the run was.
+    var retried = 0
+    val done = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t1, e1) = timeOnce(fn)
+      val median =
+        if (done.isEmpty) t1
+        else { val s = done.sorted; s(s.length / 2) }
+      val (t, e) =
+        if (e1.isEmpty && t1 > 5.0 && t1 > 5.0 * median) {
+          retried += 1
+          val (t2, e2) = timeOnce(fn)
+          if (e2.isEmpty) (math.min(t1, t2), e1) else (t1, e1)
+        } else (t1, e1)
+      if (e.isEmpty) done += t
+      (name, t, e)
     }
     // full JSON string escaping incl. control chars (a tab inside an
     // exception message must not invalidate the whole bench record)
@@ -57,13 +82,13 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"sf":"$sfDir"}""")
     // compact summary as the LAST line: the driver keeps only the tail of
     // stdout, and with 100+ queries the full line above loses its head
     // (metric/value) to truncation — this one always survives intact
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_retimed":$retried,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

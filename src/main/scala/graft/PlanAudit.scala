@@ -1,12 +1,19 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, LogicalPlan, ResolvedHint, Window}
 
 /** Dev tool: scale-smell audit over EVERY declared query's optimized plan —
   * `runMain graft.PlanAudit <sfDir>`. Reports each query whose plan contains
   * a Window with an empty partitionSpec (the all-rows-to-one-task shape that
   * breaks at 100 TB unless the frame is provably post-aggregation-bounded)
   * so the allowlist in SURVEY §2.3 stays honest as the surface grows.
+  *
+  * Second rule (analyzed plan, where hints still exist): a `broadcast(...)`
+  * hint whose subtree contains an Aggregate with grouping keys and no Limit
+  * above it — a group-by's output cardinality is input-driven unless the
+  * keys are enumerable, so a hinted broadcast of one is the q91-shaped OOM
+  * at 100 TB. Bounded-key cases (group-by over a dim table / low-arity
+  * flag) are allowlisted in SURVEY §2.3, the same discipline as windows.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -16,7 +23,16 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val flagged = Seq.newBuilder[(String, Int)]
+    val bcast = Seq.newBuilder[(String, Int)]
     val errors = Seq.newBuilder[(String, String)]
+    // an Aggregate with grouping keys whose output is NOT capped by a Limit
+    // between the hint and itself (Limit above agg = k-bounded by plan)
+    def uncappedAggs(p: LogicalPlan): Int = p match {
+      case _: GlobalLimit => 0 // everything below is k-bounded
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        1 + a.children.map(uncappedAggs).sum
+      case other => other.children.map(uncappedAggs).sum
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -24,6 +40,11 @@ object PlanAudit {
           case w: Window if w.partitionSpec.isEmpty => w
         }.size
         if (n > 0) flagged += name -> n
+        val b = df.queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            uncappedAggs(h.child)
+        }.sum
+        if (b > 0) bcast += name -> b
       } catch { case t: Throwable =>
         errors += name -> (t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120))
@@ -31,6 +52,8 @@ object PlanAudit {
     }
     println("== queries with partition-less Window operators ==")
     flagged.result().foreach { case (q, n) => println(s"AUDIT $q windows=$n") }
+    println("== queries broadcasting an un-capped grouped Aggregate ==")
+    bcast.result().foreach { case (q, n) => println(s"AUDIT-BCAST $q aggs=$n") }
     println("== errors (builder failed before a plan existed) ==")
     errors.result().foreach { case (q, e) => println(s"AUDIT-ERR $q $e") }
     spark.stop()

@@ -59,7 +59,12 @@ object Training extends QueryPack {
           "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"))
           .as("bigram"))
         val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
-        bg.join(broadcast(counts), Seq("bigram"))
+        // NO broadcast hint: `counts` is a corpus-wide bigram vocabulary —
+        // unbounded at scale (a 100 TB corpus's bigram table does not fit an
+        // executor). AQE picks broadcast when the built side is actually
+        // small; at scale this is a sort-merge join on the shuffle key the
+        // aggregation already established.
+        bg.join(counts, Seq("bigram"))
           .groupBy(col("doc_id"), col("source"))
           .agg(
             count(lit(1)).as("n_bigrams"),

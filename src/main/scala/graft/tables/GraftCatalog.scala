@@ -124,9 +124,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           StructField("version", LongType), StructField("op", StringType),
           StructField("ts", LongType), StructField("added", IntegerType),
           StructField("removed", IntegerType), StructField("rows_added", LongType)))
-        val rows = t.history.map(h =>
-          Row(h.version, h.op, h.ts, h.added, h.removed, h.rowsAdded))
-        Some(new GraftMetadataTable(identString(ident), schema, () => rows))
+        Some(new GraftMetadataTable(identString(ident), schema, () =>
+          t.history.map(h =>
+            Row(h.version, h.op, h.ts, h.added, h.removed, h.rowsAdded))))
       case "files" =>
         val schema = StructType(Seq(
           StructField("path", StringType), StructField("rows", LongType),
@@ -208,6 +208,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     handles.remove(from.toString)
+    // the destination path may have hosted a table that was dropped via
+    // dropNamespace in an older build, or raced away on disk — a stale
+    // memoized handle there would serve the WRONG table's commits
+    handles.remove(to.toString)
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
@@ -253,6 +257,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else {
       if (!cascade) require(fs.listStatus(ns).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      // purge every memoized handle under the namespace: a CASCADE drop
+      // deletes its tables, and a later table re-created at a freed path
+      // (e.g. via RENAME TO, which only checks fs.exists) must not be
+      // served the dropped table's memoized commits
+      val prefix = ns.toString + "/"
+      handles.keys.filter(k => k == ns.toString || k.startsWith(prefix))
+        .foreach(handles.remove)
       fs.delete(ns, true)
     }
   }
@@ -271,6 +282,14 @@ private[tables] final class GraftSqlTable(
   override def name(): String =
     ident + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
 
+  // snapshot ISOLATION per loadTable: the version is pinned ONCE per Table
+  // instance (lazily, at first scan build), and Spark's analyzer resolves
+  // duplicate references to one table in a single query to the same
+  // relation — so a self-join/union over the live table reads one
+  // consistent version even if a commit lands mid-query. A fresh statement
+  // resolves a fresh Table and sees the latest commit.
+  private lazy val pinnedRead: Long = asOf.getOrElse(gt.version)
+
   override def schema(): StructType = asOf match {
     case Some(v) => gt.snapshot(Some(v)).schema
     case None => gt.schema
@@ -283,7 +302,7 @@ private[tables] final class GraftSqlTable(
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(gt, asOf, schema())
+    new GraftScanBuilder(gt, pinnedRead, asOf.isDefined, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"$name is a time-travel read; writes must target the live table")
@@ -308,13 +327,8 @@ private[tables] final class GraftSqlTable(
   * expression Spark would apply).
   */
 private[tables] final class GraftScanBuilder(
-    gt: GraftTable, asOf: Option[Long], full: StructType)
+    gt: GraftTable, pinned: Long, timeTravel: Boolean, full: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-
-  // snapshot ISOLATION per query: pin the version when the scan is built,
-  // so two scans of the same table in one query (self-join, union) read
-  // the same version even if a commit lands mid-execution
-  private val pinned: Long = asOf.getOrElse(gt.version)
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -348,7 +362,7 @@ private[tables] final class GraftScanBuilder(
       relation.asInstanceOf[T]
     }
     override def description(): String =
-      s"graft-table ${gt.location}${asOf.map(v => s"@v$v").getOrElse("")}"
+      s"graft-table ${gt.location}" + (if (timeTravel) s"@v$pinned" else "")
   }
 }
 

@@ -51,6 +51,14 @@ private[tables] final class GraftStreamingWrite(
   private val confSer = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
 
+  // ONE driver-side handle for the whole query run: commit parses memoize
+  // per GraftTable instance, so epoch N+1 replays only the commits landed
+  // since epoch N (a fresh handle per epoch would re-read the entire log
+  // each micro-batch — O(versions) files per epoch, O(n^2) cumulative on a
+  // long-running stream). Lazy: built on the streaming thread at first use.
+  @transient private lazy val table: GraftTable =
+    GraftTable.at(SparkSession.active, location)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamWriterFactory(location, schema, confSer)
@@ -63,10 +71,8 @@ private[tables] final class GraftStreamingWrite(
     // an empty epoch commits nothing and records nothing: replaying it
     // writes nothing either, so skipping keeps the log free of no-op
     // versions without weakening exactly-once
-    if (adds.nonEmpty) {
-      val t = GraftTable.at(SparkSession.active, location)
-      t.commitFiles("streamingAppend", adds, Some(s"$queryId-epoch-$epochId"))
-    }
+    if (adds.nonEmpty)
+      table.commitFiles("streamingAppend", adds, Some(s"$queryId-epoch-$epochId"))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
