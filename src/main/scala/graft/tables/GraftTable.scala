@@ -245,7 +245,11 @@ final class GraftTable private (
         case e if e.foldable => Literal.create(e.eval(), e.dataType)
       }
     }
-    val sel = files.filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema)))
+    // a zero-row file (e.g. a create from an empty frame) can never hold a
+    // match — drop it before interval analysis, it carries no stats to
+    // prune on
+    val sel = files.filter(_.rows > 0)
+      .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema)))
     if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
       val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
       val gone = sel.map(_.path).filterNot(onDisk)

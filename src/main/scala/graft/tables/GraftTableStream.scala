@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,14 +26,21 @@ import org.apache.spark.util.SerializableConfiguration
   * already has (`appendIfAbsent` = exactly-once sink):
   * stream → table → stream.
   *
-  * Offsets are TABLE VERSIONS (one Long — the commit log is already a
-  * totally-ordered stream of file actions, so the source needs no listing,
-  * no watermark, no boundary set: a batch is exactly the files the commits
-  * in `(start, end]` added). Append-only contract like the published
-  * lakehouse sources: a commit that REMOVES files (overwrite / merge /
-  * delete / compaction / replacePartitions) fails the stream loud, or is
-  * skipped wholesale with `skipChangeCommits=true` (the Delta option's
-  * semantics — downstream sees only whole appended commits either way).
+  * Offsets are (TABLE VERSION, files-consumed-into-the-next-commit) — the
+  * commit log is already a totally-ordered stream of file actions, so the
+  * source needs no listing, no watermark, no boundary set: a batch is
+  * exactly the files the commits in `(start, end]` added, and ADMISSION
+  * CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger`, the Delta surface)
+  * can cut a batch mid-commit — the `files` half of the offset records how
+  * many add-files of commit `version + 1` are already consumed, so a
+  * restart resumes exactly where the cap stopped. Without the options a
+  * trigger takes ALL pending commits (the old unbounded behavior — fine
+  * for small tables, not for a stream starting against a 100 TB backlog).
+  * Append-only contract like the published lakehouse sources: a commit
+  * that REMOVES files (overwrite / merge / delete / compaction /
+  * replacePartitions) fails the stream loud, or is skipped wholesale with
+  * `skipChangeCommits=true` (the Delta option's semantics — downstream
+  * sees only whole appended commits either way).
   *
   * Scale: `planInputPartitions` is O(commits in range) driver work reading
   * only log JSON; each added file becomes one input partition read on an
@@ -45,7 +52,9 @@ import org.apache.spark.util.SerializableConfiguration
   * Usage: `table.readStream` or
   * `spark.readStream.format("graft-table").option("path", loc).load()`.
   * Options: `startingVersion` (default 0 = include the create commit's
-  * rows), `skipChangeCommits` (default false).
+  * rows), `skipChangeCommits` (default false), `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` (admission caps; a trigger always admits at least
+  * one file so the stream makes progress even past an oversized file).
   */
 final class GraftTableStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
@@ -110,40 +119,141 @@ private[tables] final class GraftTableStreamTable(location: String, tableSchema:
 
 private[tables] final class GraftTableMicroBatchStream(
     location: String, schema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   GraftParquetReaderFactory.requireSupported(schema)
 
   private val spark = SparkSession.active
   private val confSer = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-  private def table: GraftTable = GraftTable.at(spark, location)
+  // one handle for the stream's lifetime: commit parses memoize, so each
+  // trigger replays only the commits landed since the last one
+  private val table: GraftTable = GraftTable.at(spark, location)
 
   private val startingVersion: Long =
     Option(options.get("startingversion")).map(_.toLong).getOrElse(0L)
   private val skipChangeCommits: Boolean =
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxfilespertrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxbytespertrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
 
-  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
-  override def latestOffset(): Offset = GraftVersionOffset(table.version)
-  override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toLong)
+  override def initialOffset(): Offset = GraftVersionOffset(startingVersion, 0L)
 
-  /** The batch is every file ADDED by commits in `(start, end]`. */
+  override def getDefaultReadLimit: ReadLimit =
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  /** The files commit `v` offers the stream (empty for a change commit
+    * under `skipChangeCommits`; LOUD otherwise — the append-only contract).
+    */
+  private def emittable(v: Long): Seq[GraftTable.AddFile] = {
+    val (meta, adds, removes) = table.commitActions(v)
+    if (removes.nonEmpty) {
+      if (!skipChangeCommits) throw new IllegalStateException(
+        s"streaming read hit a non-append commit at version $v " +
+          s"(op=${meta.getOrElse("op", "?")}, ${removes.size} file(s) removed); " +
+          "the table-as-stream contract is append-only — restart from a " +
+          "later startingVersion, or set skipChangeCommits=true to skip " +
+          "such commits wholesale")
+      Seq.empty
+    } else adds
+  }
+
+  // latest full-admission offset from this trigger's log read, for
+  // progress reporting (how far behind the admitted offset is)
+  @volatile private var lastReported: Offset = GraftVersionOffset(startingVersion, 0L)
+
+  // Trigger.AvailableNow: pin the drain target ONCE at query start, then
+  // keep triggering capped batches until the pinned version is reached —
+  // so AvailableNow + maxFilesPerTrigger drains a backlog in bounded
+  // batches instead of one unbounded one (without this interface Spark
+  // falls back to single-batch Trigger.Once semantics and IGNORES limits)
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.version)
+
+  /** Walk the commit log from `start`, admitting add-files in log order
+    * until the caps fill — possibly stopping MID-commit (the `files` half
+    * of the offset). O(commits-in-range) driver work over log JSON already
+    * memoized by the handle; no file listing. At least one file is always
+    * admitted when any is pending, so an oversized file cannot stall the
+    * stream forever (the file-source/Delta progress rule).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = GraftVersionOffset.of(start)
+    var maxFiles = Int.MaxValue
+    var maxBytes = Long.MaxValue
+    def absorb(l: ReadLimit): Unit = l match {
+      case f: ReadMaxFiles => maxFiles = math.min(maxFiles, f.maxFiles())
+      case b: ReadMaxBytes => maxBytes = math.min(maxBytes, b.maxBytes())
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.foreach(absorb)
+      case _ => ()
+    }
+    absorb(limit)
+    val latest = availableNowCap.fold(table.version)(math.min(_, table.version))
+    lastReported = GraftVersionOffset(latest, 0L)
+    var admFiles = 0
+    var admBytes = 0L
+    var fullVersion = s.version
+    var partial = s.files
+    var v = s.version + 1
+    var stopped = false
+    while (!stopped && v <= latest) {
+      val adds = emittable(v)
+      val skip = if (v == s.version + 1) s.files.toInt else 0
+      var i = skip
+      while (!stopped && i < adds.size) {
+        val f = adds(i)
+        val fits = admFiles + 1 <= maxFiles && admBytes + f.bytes <= maxBytes
+        if (fits || admFiles == 0) { // always admit >= 1 pending file
+          admFiles += 1; admBytes += f.bytes; i += 1
+        } else stopped = true
+      }
+      if (i >= adds.size) { fullVersion = v; partial = 0L; v += 1 }
+      else partial = i.toLong
+      if (admFiles >= maxFiles || admBytes >= maxBytes) stopped = true
+    }
+    if (admFiles == 0) s else GraftVersionOffset(fullVersion, partial)
+  }
+
+  override def reportLatestOffset(): Offset = lastReported
+
+  override def deserializeOffset(json: String): Offset = GraftVersionOffset.fromJson(json)
+
+  /** The batch is every file ADDED in `(start, end]` — commits
+    * `start.version + 1 .. end.version` (the first minus the `start.files`
+    * already consumed) plus the first `end.files` of commit
+    * `end.version + 1` when admission cut mid-commit.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftVersionOffset].version
-    val e = end.asInstanceOf[GraftVersionOffset].version
-    val t = table
-    (s + 1 to e).flatMap { v =>
-      val (meta, adds, removes) = t.commitActions(v)
-      if (removes.nonEmpty) {
-        if (!skipChangeCommits) throw new IllegalStateException(
-          s"streaming read hit a non-append commit at version $v " +
-            s"(op=${meta.getOrElse("op", "?")}, ${removes.size} file(s) removed); " +
-            "the table-as-stream contract is append-only — restart from a " +
-            "later startingVersion, or set skipChangeCommits=true to skip " +
-            "such commits wholesale")
-        Seq.empty
-      } else adds.map(a =>
+    val s = GraftVersionOffset.of(start)
+    val e = GraftVersionOffset.of(end)
+    val lastV = if (e.files > 0) e.version + 1 else e.version
+    (s.version + 1 to lastV).flatMap { v =>
+      val adds = emittable(v)
+      val from = if (v == s.version + 1) s.files.toInt else 0
+      val until = if (e.files > 0 && v == e.version + 1) e.files.toInt else adds.size
+      adds.slice(from, until).map(a =>
         GraftFilePartition(new Path(location, a.path).toString): InputPartition)
     }.toArray
   }
@@ -155,8 +265,29 @@ private[tables] final class GraftTableMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[tables] final case class GraftVersionOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** `(version, files)`: commits `<= version` fully consumed, plus the first
+  * `files` add-files of commit `version + 1`. Serializes as the bare
+  * version number when `files == 0`, so checkpoints written by the
+  * pre-admission-control source deserialize unchanged (and an
+  * admission-free stream's checkpoints stay readable by it).
+  */
+private[tables] final case class GraftVersionOffset(version: Long, files: Long = 0L)
+    extends Offset {
+  override def json(): String =
+    if (files == 0L) version.toString
+    else s"""{"version":$version,"files":$files}"""
+}
+
+private[tables] object GraftVersionOffset {
+  def of(o: Offset): GraftVersionOffset = o match {
+    case g: GraftVersionOffset => g
+    case other => fromJson(other.json())
+  }
+  private val Partial = """\{"version":(\d+),"files":(\d+)\}""".r
+  def fromJson(json: String): GraftVersionOffset = json.trim match {
+    case Partial(v, f) => GraftVersionOffset(v.toLong, f.toLong)
+    case plain => GraftVersionOffset(plain.toLong, 0L)
+  }
 }
 
 private[tables] final case class GraftFilePartition(path: String) extends InputPartition

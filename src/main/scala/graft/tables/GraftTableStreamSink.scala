@@ -36,11 +36,12 @@ import GraftTable.AddFile
   *
   * Executor-side rows are encoded through parquet-mr's example API — the
   * same FLAT ATOMIC schema contract as the streaming READ face, checked
-  * loud at stream construction. Streaming-written files carry row counts
-  * but no zone-map stats; `compact()`/`optimize()` rewrites re-derive full
-  * stats through the batch path (so the operational answer to many small
-  * stat-less streaming files is the same compaction the small-files
-  * problem already demands).
+  * loud at stream construction. Each writer also tracks running per-column
+  * [min, max] + null counts AS IT WRITES (zero extra IO) for the same
+  * column kinds the batch path's footer stats cover (integral/date →
+  * "long", string → "string"), so stream-written files land in the log
+  * WITH zone maps — `scan()` data skipping and merge key-range pruning
+  * work on a streamed table immediately, no `compact()` needed first.
   */
 private[tables] final class GraftStreamingWrite(
     location: String, schema: StructType, queryId: String)
@@ -64,9 +65,16 @@ private[tables] final class GraftStreamingWrite(
     new GraftStreamWriterFactory(location, schema, confSer)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // merge key-range stats ride along when the key column's stats were
+    // tracked (same Spark-type gate as the batch path: integral/string)
+    val keyed = table.keyCol.filter(k =>
+      schema.fields.find(_.name == k).map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType | StringType => true
+        case _ => false
+      })
     val adds = messages.toIndexedSeq.collect {
       case m: GraftFileCommitMessage if m.rows > 0 =>
-        AddFile(m.path, m.rows, None, m.bytes)
+        AddFile(m.path, m.rows, keyed.flatMap(m.cs.get), m.bytes, Map.empty, m.cs)
     }
     // an empty epoch commits nothing and records nothing: replaying it
     // writes nothing either, so skipping keeps the log free of no-op
@@ -87,7 +95,8 @@ private[tables] final class GraftStreamingWrite(
 }
 
 private[tables] final case class GraftFileCommitMessage(
-  path: String, rows: Long, bytes: Long) extends WriterCommitMessage
+  path: String, rows: Long, bytes: Long,
+  cs: Map[String, GraftTable.KeyStats] = Map.empty) extends WriterCommitMessage
 
 private[tables] final class GraftStreamWriterFactory(
     location: String, schema: StructType, confSer: SerializableConfiguration)
@@ -113,12 +122,36 @@ private[tables] final class GraftParquetDataWriter(
   private val factory = new SimpleGroupFactory(parquetSchema)
   private var rows = 0L
 
+  // running zone-map stats, updated as rows stream through (no extra IO,
+  // no footer re-read): "long" kind for integral/date columns, "string"
+  // for strings — the identical kinds the batch path's footer stats emit,
+  // so FilePruning treats streamed and batch files uniformly
+  private val statKind: Array[String] = schema.fields.map(_.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | DateType => "long"
+    case StringType => "string"
+    case _ => null
+  })
+  private val lMin = Array.fill(schema.length)(Long.MaxValue)
+  private val lMax = Array.fill(schema.length)(Long.MinValue)
+  private val sMin = new Array[String](schema.length)
+  private val sMax = new Array[String](schema.length)
+  private val nulls = new Array[Long](schema.length)
+
   private val writer = {
     @annotation.nowarn("cat=deprecation")
     val b = ExampleParquetWriter.builder(filePath)
       .withConf(confSer.value)
       .withType(parquetSchema)
     b.build()
+  }
+
+  private def trackLong(i: Int, v: Long): Unit = {
+    if (v < lMin(i)) lMin(i) = v
+    if (v > lMax(i)) lMax(i) = v
+  }
+  private def trackString(i: Int, v: String): Unit = {
+    if (sMin(i) == null || GraftTable.utf8Cmp(v, sMin(i)) < 0) sMin(i) = v
+    if (sMax(i) == null || GraftTable.utf8Cmp(v, sMax(i)) > 0) sMax(i) = v
   }
 
   override def write(row: InternalRow): Unit = {
@@ -128,32 +161,53 @@ private[tables] final class GraftParquetDataWriter(
       if (!row.isNullAt(i)) {
         val name = schema.fields(i).name
         schema.fields(i).dataType match {
-          case LongType => g.append(name, row.getLong(i))
-          case IntegerType | DateType => g.append(name, row.getInt(i))
-          case ShortType => g.append(name, row.getShort(i).toInt)
-          case ByteType => g.append(name, row.getByte(i).toInt)
+          case LongType =>
+            val v = row.getLong(i); g.append(name, v); trackLong(i, v)
+          case IntegerType | DateType =>
+            val v = row.getInt(i); g.append(name, v); trackLong(i, v.toLong)
+          case ShortType =>
+            val v = row.getShort(i).toInt; g.append(name, v); trackLong(i, v.toLong)
+          case ByteType =>
+            val v = row.getByte(i).toInt; g.append(name, v); trackLong(i, v.toLong)
           case DoubleType => g.append(name, row.getDouble(i))
           case FloatType => g.append(name, row.getFloat(i))
           case BooleanType => g.append(name, row.getBoolean(i))
           case StringType =>
-            g.append(name, Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+            val v = row.getUTF8String(i).toString
+            g.append(name, Binary.fromString(v)); trackString(i, v)
           case BinaryType => g.append(name, Binary.fromReusedByteArray(row.getBinary(i)))
           case other => throw new IllegalStateException(
             s"unreachable: unsupported type $other passed requireSupported")
         }
-      }
+      } else nulls(i) += 1
       i += 1
     }
     writer.write(g)
     rows += 1
   }
 
+  /** The zone maps this file earned: columns with at least one non-null
+    * value and a stat-bearing kind, capped like the batch path.
+    */
+  private def zoneMaps: Map[String, GraftTable.KeyStats] =
+    schema.fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+      statKind(i) match {
+        case _ if nulls(i) == rows => None // all null: no range, sound
+        case "long" => Some(f.name -> GraftTable.KeyStats("long",
+          lMin(i).toString, lMax(i).toString, Some(nulls(i)), Some(rows)))
+        case "string" => Some(f.name -> GraftTable.KeyStats("string",
+          sMin(i), sMax(i), Some(nulls(i)), Some(rows)))
+        case _ => None
+      }
+    }.take(GraftTable.MaxStatsColumns).toMap
+
   override def commit(): WriterCommitMessage = {
     writer.close()
     val fs = filePath.getFileSystem(confSer.value)
     val bytes = fs.getFileStatus(filePath).getLen
     if (rows == 0L) fs.delete(filePath, false) // nothing to reference
-    GraftFileCommitMessage(fileName, rows, bytes)
+    GraftFileCommitMessage(fileName, rows, bytes,
+      if (rows == 0L) Map.empty else zoneMaps)
   }
 
   override def abort(): Unit = {

@@ -182,6 +182,137 @@ class GraftTableStreamSpec extends SparkTestBase {
       .exists(_.contains("does not match table")), s"unexpected failure: $e")
   }
 
+  test("maxFilesPerTrigger: a backlog of N files drains in ceil(N/cap) batches") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((0L, "seed")).toDF("k", "v"))
+    // one commit adding 6 one-row files: admission must cut MID-commit
+    // (repartitionByRange on 6 distinct keys -> exactly one row per file;
+    // a round-robin repartition can leave empty partitions = fewer files)
+    t.append(spark.range(1, 7).select(col("id").as("k"), lit("x").as("v"))
+      .repartitionByRange(6, col("k")))
+    assert(t.history.last.added == 6, "fixture must add exactly 6 files")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-table").option("path", loc)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val sizes = batches.asScala.toSeq
+    // 7 one-row files at cap 2 -> ceil(7/2) = 4 triggers, none above cap
+    assert(sizes.sum == 7, s"expected all 7 rows, got $sizes")
+    assert(sizes.size == 4, s"expected 4 batches (ceil(7/2)), got $sizes")
+    assert(sizes.forall(_ <= 2), s"a batch exceeded the 2-file cap: $sizes")
+  }
+
+  test("admission offsets: mid-commit cut resumes exactly after a restart") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((0L, "seed")).toDF("k", "v"))
+    t.append(spark.range(1, 6).select(col("id").as("k"), lit("x").as("v"))
+      .repartitionByRange(5, col("k"))) // commit 2: five one-row files
+    assert(t.history.last.added == 5, "fixture must add exactly 5 files")
+    t.append(Seq((6L, "y")).toDF("k", "v")) // commit 3: one file
+    def stream() = new GraftTableMicroBatchStream(loc, t.schema,
+      new CaseInsensitiveStringMap(Map("path" -> loc).asJava))
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(3)
+    val s1 = stream()
+    val o0 = s1.initialOffset()
+    val o1 = s1.latestOffset(o0, limit)
+    // 1 (create) + 2 of commit 2 = 3 files -> offset cut mid-commit-2
+    assert(GraftVersionOffset.of(o1) == GraftVersionOffset(1L, 2L), s"got $o1")
+    val b1 = s1.planInputPartitions(o0, o1)
+    assert(b1.length == 3)
+    // RESTART: a fresh stream resumes from the serialized offset
+    val s2 = stream()
+    val resumed = s2.deserializeOffset(o1.json())
+    val o2 = s2.latestOffset(resumed, limit)
+    assert(GraftVersionOffset.of(o2) == GraftVersionOffset(2L, 0L), s"got $o2")
+    val b2 = s2.planInputPartitions(resumed, o2)
+    assert(b2.length == 3) // remaining 3 of commit 2
+    val o3 = s2.latestOffset(o2, limit)
+    assert(GraftVersionOffset.of(o3) == GraftVersionOffset(3L, 0L), s"got $o3")
+    val b3 = s2.planInputPartitions(o2, o3)
+    assert(b3.length == 1)
+    // caught up: offset stays put
+    assert(s2.latestOffset(o3, limit) == o3)
+    // every file delivered exactly once across the batches
+    val all = (b1 ++ b2 ++ b3).map(_.asInstanceOf[GraftFilePartition].path)
+    assert(all.distinct.length == 7, s"dup or gap in $all")
+    // pre-admission-control checkpoints (bare version) deserialize unchanged
+    assert(GraftVersionOffset.fromJson("2") == GraftVersionOffset(2L, 0L))
+  }
+
+  test("maxBytesPerTrigger caps batches; an oversized file still progresses") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((0L, "seed")).toDF("k", "v"))
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    val st = new GraftTableMicroBatchStream(loc, t.schema,
+      new CaseInsensitiveStringMap(Map("path" -> loc).asJava))
+    // 1 byte: every file is oversized — each trigger must still admit
+    // exactly one file (progress guarantee), so 3 files = 3 triggers
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxBytes(1L)
+    var off = st.initialOffset()
+    var batches = 0
+    var files = 0
+    var advanced = true
+    while (advanced) {
+      val next = st.latestOffset(off, limit)
+      if (next == off) advanced = false
+      else {
+        val parts = st.planInputPartitions(off, next)
+        assert(parts.length == 1, s"byte cap admitted ${parts.length} files")
+        batches += 1; files += parts.length; off = next
+      }
+    }
+    assert(batches == 3 && files == 3)
+  }
+
+  test("stream-written files carry zone maps: scan prunes without compact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq.empty[(Long, String)].toDF("k", "v"), keyCol = Some("k"))
+    val in = MemoryStream[(Long, String)]
+    val cp = ckpt()
+    def run(): Unit = {
+      val q = in.toDF().toDF("k", "v").writeStream.format("graft-table")
+        .option("path", loc).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // two epochs with disjoint key ranges -> two files with disjoint zones
+    in.addData((1L, "alpha"), (2L, "beta"))
+    run()
+    in.addData((100L, "omega"), (101L, "psi"))
+    run()
+    // the create commit's zero-row file legitimately has no stats; every
+    // stream-written (row-bearing) file must carry zone maps + key stats
+    val files = t.currentFiles.filter(_.rows > 0)
+    assert(files.size == 2 && files.forall(_.cs.nonEmpty),
+      s"stream-written files lack zone maps: $files")
+    assert(files.forall(_.stats.nonEmpty),
+      "keyed table: stream-written files lack merge key stats")
+    // data skipping reads ONLY the file whose range can hold k = 100
+    val pruned = t.scan(col("k") === 100L)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 surviving file, got ${pruned.inputFiles.length}")
+    assert(pruned.as[(Long, String)].collect().toSet == Set((100L, "omega")))
+    // string zones prune too
+    assert(t.scan(col("v") === "alpha").inputFiles.length == 1)
+    // a merge against a disjoint key range rewrites NOTHING (key pruning)
+    val vBefore = t.version
+    t.merge(Seq((500L, "new")).toDF("k", "v"))
+    assert(t.history.last.removed == 0,
+      "merge rewrote a stream-written file whose key range excludes the source")
+    assert(t.version == vBefore + 1)
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
