@@ -4,14 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.ts: legacy INT64 TIMESTAMP(NANOS) testdata reads as raw longs
-      // (current micros testdata is re-derived to nanos in Tables.normalizeTs)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine's own session factory (UTC + AQE + nanos-parquet +
+    // GraftExtensions) — the same session shape Verify and users get
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

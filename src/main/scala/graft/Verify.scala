@@ -13,14 +13,10 @@ object Verify {
     // optional dev-loop filter: only dump the named queries (driver passes 2 args)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.ts: legacy INT64 TIMESTAMP(NANOS) testdata reads as raw longs
-      // (current micros testdata is re-derived to nanos in Tables.normalizeTs)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine's own session factory: UTC + AQE + nanos-parquet configs
+    // plus GraftExtensions (the SQL UPDATE / MERGE INTO rewrite and the
+    // graft functions need analyzer/planner injection at session build)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

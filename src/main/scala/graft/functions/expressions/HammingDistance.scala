@@ -79,5 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.RewriteSingletonRepartition(session))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
+    // SQL UPDATE / MERGE INTO on graft catalog tables → native table ops
+    ext.injectPostHocResolutionRule(session =>
+      graft.tables.GraftSqlDmlRule(session))
   }
 }

@@ -177,23 +177,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(t, identString(ident), None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS` only — a metadata-only schema-evolution
-    * commit (O(1) at any table size; old files null-fill by-name). Every
-    * other change is loud: this table format has no column rename/drop
-    * mapping, and pretending otherwise would corrupt by-name resolution.
+  /** `ALTER TABLE ... ADD COLUMNS` (metadata-only schema-evolution commit;
+    * old files null-fill by-name) and `RENAME COLUMN` (metadata-only
+    * through the log-carried column mapping — physical file names never
+    * change, so every era's files keep resolving). DROP COLUMN and type
+    * changes stay loud: pretending would corrupt by-name resolution.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    val fields = changes.map {
+    val t = handle(p)
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft-catalog supports top-level ADD COLUMNS only, got ${a.fieldNames.mkString(".")}")
-        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, nullable = true)
+        adds += org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft-catalog supports top-level RENAME COLUMN only, got ${r.fieldNames.mkString(".")}")
+        t.renameColumn(r.fieldNames()(0), r.newName)
       case c => throw new UnsupportedOperationException(
-        s"graft-catalog ALTER TABLE supports ADD COLUMNS only, got $c")
+        s"graft-catalog ALTER TABLE supports ADD COLUMNS and RENAME COLUMN, got $c")
     }
-    handle(p).addColumns(fields)
+    val fields = adds.result()
+    if (fields.nonEmpty) t.addColumns(fields)
     loadTable(ident)
   }
 
@@ -278,6 +287,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[tables] final class GraftSqlTable(
     gt: GraftTable, ident: String, asOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  // the SQL DML rewrite ([[GraftSqlDml]]) needs the log-backed table and
+  // the time-travel marker to route UPDATE / MERGE INTO to the native ops
+  private[tables] def underlying: GraftTable = gt
+  private[tables] def timeTravel: Option[Long] = asOf
 
   override def name(): String =
     ident + asOf.map(v => s" VERSION AS OF $v").getOrElse("")

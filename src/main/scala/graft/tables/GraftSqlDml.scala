@@ -1,0 +1,184 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{expr, lit}
+
+/** SQL row-level DML for graft catalog tables — the analyzer rewrite that
+  * routes `UPDATE graft.ns.t SET ... WHERE ...` and the upsert-shaped
+  * `MERGE INTO graft.ns.t USING src ON t.k = s.k WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT *` to the native log-backed ops
+  * ([[GraftTable.update]] / [[GraftTable.merge]]: touched-file rewrite +
+  * one snapshot-atomic commit), the same delegation pattern the published
+  * lakehouse SQL layers use (an injected resolution rule replacing the
+  * unsupported-by-default V2 DML plan with a runnable command).
+  *
+  * Injected via `GraftExtensions` (post-hoc resolution), so any session
+  * built with the engine's extensions speaks DML SQL against the catalog.
+  * Scope is loud, never silent: UPDATE takes any non-subquery assignments
+  * and condition; MERGE takes exactly the upsert shape `merge` implements
+  * (key-equality ON, UPDATE SET * / INSERT *, no extra clauses) — anything
+  * else raises an error naming the supported form and the programmatic
+  * route, instead of Spark's opaque "table does not support" failure.
+  *
+  * Expressions cross from the DML plan to the fresh snapshot scan inside
+  * `update` as SQL text (qualifiers stripped): the target's attribute ids
+  * are meaningless against the re-read files, while the SQL round-trip
+  * re-resolves by name with identical semantics — and is byte-for-byte the
+  * dialect the oracle cross-checks.
+  */
+final case class GraftSqlDmlRule(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  private def graftTarget(p: LogicalPlan): Option[GraftSqlTable] = p match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftSqlTable => Some(g)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Qualifier-free SQL text of a resolved expression (fails loud on
+    * subqueries — a scalar/IN subquery cannot re-resolve against the
+    * snapshot scan).
+    */
+  private def toSql(e: Expression, what: String): String = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft SQL $what does not support subqueries; " +
+        "compute the subquery into a source frame and use the programmatic " +
+        "API (GraftTable.update/merge) or a MERGE USING (...) source")
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+  }
+
+  private def requireLive(g: GraftSqlTable, op: String): GraftTable = {
+    require(g.timeTravel.isEmpty,
+      s"$op must target the live table, not a VERSION AS OF read")
+    g.underlying
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+      val gt = requireLive(graftTarget(u.table).get, "UPDATE")
+      val assigns = u.assignments.map { a =>
+        a.key match {
+          case k: AttributeReference => k.name -> toSql(a.value, "UPDATE SET")
+          case other => throw new UnsupportedOperationException(
+            s"graft SQL UPDATE supports top-level columns only, got $other")
+        }
+      }
+      GraftUpdateSqlCommand(gt, assigns, u.condition.map(toSql(_, "UPDATE WHERE")))
+
+    case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
+      val gt = requireLive(graftTarget(m.targetTable).get, "MERGE INTO")
+      GraftMergeSqlCommand(gt, checkUpsertShape(m, gt))
+  }
+
+  /** The MERGE must be exactly the upsert `merge` implements; returns the
+    * source as a DataFrame with the target's column names.
+    */
+  private def checkUpsertShape(m: MergeIntoTable, gt: GraftTable): DataFrame = {
+    val supported = "the supported form is MERGE INTO t USING s ON " +
+      "t.<key> = s.<key> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+      "THEN INSERT * (key = the table's 'key' property); other shapes go " +
+      "through the programmatic GraftTable.merge/update API"
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(s"graft MERGE INTO: $what; $supported")
+
+    val key = gt.keyCol.getOrElse(unsupported(
+      "the target table has no 'key' table property"))
+    val targetOut = AttributeSet(m.targetTable.output)
+    val sourceOut = AttributeSet(m.sourceTable.output)
+
+    // type coercion wraps narrower source literals/columns in casts
+    // (`t.k = CAST(s.k AS BIGINT)`): the SHAPE is still key equality —
+    // see through them; the value cast is applied for real below
+    def uncast(e: Expression): Expression = e match {
+      case c: Cast => uncast(c.child)
+      case other => other
+    }
+
+    m.mergeCondition match {
+      case EqualTo(lc, rc) => (uncast(lc), uncast(rc)) match {
+        case (l: AttributeReference, r: AttributeReference)
+          if l.name.equalsIgnoreCase(key) && r.name.equalsIgnoreCase(key) &&
+            ((targetOut.contains(l) && sourceOut.contains(r)) ||
+             (targetOut.contains(r) && sourceOut.contains(l))) => ()
+        case _ => unsupported(
+          s"ON must be key equality on '$key', got ${m.mergeCondition.sql}")
+      }
+      case other => unsupported(s"ON must be key equality on '$key', got ${other.sql}")
+    }
+
+    /** `SET * / INSERT *` after star expansion: one unconditional action
+      * assigning every target column from the same-named source column.
+      */
+    def isStarAssigns(assigns: Seq[Assignment]): Boolean = {
+      val cols = gt.schema.fieldNames.map(_.toLowerCase).toSet
+      assigns.size == cols.size &&
+        assigns.map { a =>
+          (a.key, uncast(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference)
+              if k.name.equalsIgnoreCase(v.name) &&
+                targetOut.contains(k) && sourceOut.contains(v) => k.name.toLowerCase
+            case _ => return false
+          }
+        }.toSet == cols
+    }
+    m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => ()
+      case Seq(UpdateAction(None, assigns, _)) if isStarAssigns(assigns) => ()
+      case other => unsupported(s"WHEN MATCHED must be exactly one " +
+        s"unconditional UPDATE SET *, got $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case Seq(InsertAction(None, assigns)) if isStarAssigns(assigns) => ()
+      case other => unsupported(s"WHEN NOT MATCHED must be exactly one " +
+        s"unconditional INSERT *, got $other")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    // name the source's columns after the target's and cast each to the
+    // table's exact type (MERGE resolution already validated the
+    // assignment is legal; the cast makes the coercion concrete — a
+    // narrower VALUES literal widens instead of corrupting the file)
+    val src = org.apache.spark.sql.graftbridge.GraftPlanBridge
+      .ofRows(session, m.sourceTable)
+    val have = src.columns.map(_.toLowerCase).toSet
+    val missing = gt.schema.fieldNames.filterNot(c => have.contains(c.toLowerCase))
+    if (missing.nonEmpty) unsupported(
+      s"source lacks column(s) ${missing.mkString(", ")}")
+    src.select(gt.schema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+}
+
+/** `UPDATE` lowered to the native touched-file-rewrite op; runs as one
+  * snapshot-atomic commit, returns no rows.
+  */
+private[tables] final case class GraftUpdateSqlCommand(
+    gt: GraftTable, assignments: Seq[(String, String)], condSql: Option[String])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.update(assignments.map { case (c, s) => c -> expr(s) }.toMap,
+      condSql.map(expr).getOrElse(lit(true)))
+    Seq.empty
+  }
+}
+
+/** Upsert `MERGE INTO` lowered to the native key-pruned merge. */
+private[tables] final case class GraftMergeSqlCommand(gt: GraftTable, source: DataFrame)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.merge(source)
+    Seq.empty
+  }
+}

@@ -76,6 +76,58 @@ final class GraftTable private (
     DataType.fromJson(cachedCommit(v)._1
       .get("schema").map(_.toString).getOrElse(schemaJson)).asInstanceOf[StructType]
 
+  /** COLUMN MAPPING (rename support): each commit's metadata carries the
+    * logical→physical name map in force at that version (non-identity
+    * entries only; absent = identity, so pre-mapping logs read unchanged).
+    * PHYSICAL names — what parquet files store — are assigned when a
+    * column first appears and NEVER change; `renameColumn` only rebinds the
+    * logical name in a metadata commit. Files written in any era therefore
+    * resolve by their stable physical names, and time travel reads each
+    * version under its own logical names. This is the published lakehouse
+    * column-mapping design (name-mode), scoped to renames: DROP stays loud,
+    * and the key/partition columns cannot be renamed (their names are load-
+    * bearing in the log's stats and partition tuples).
+    */
+  private def colmapAt(v: Long): Map[String, String] =
+    cachedCommit(v)._1.get("colmap") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k, pv) => k -> pv.toString }.toMap
+      case _ => Map.empty
+    }
+
+  private def currentColmap: Map[String, String] =
+    listVersions(fs, logDir).lastOption.map(colmapAt).getOrElse(Map.empty)
+
+  private def physName(cm: Map[String, String], c: String): String =
+    cm.getOrElse(c, c)
+
+  /** The logical schema with field names swapped to their physical names
+    * (order and types unchanged — a positional rename away from logical).
+    */
+  private def physicalSchema(logical: StructType, cm: Map[String, String]): StructType =
+    if (cm.isEmpty) logical
+    else StructType(logical.fields.map(f => f.copy(name = physName(cm, f.name))))
+
+  /** The stream faces read/write raw parquet against physical names. */
+  private[tables] def physicalSchemaOf(logical: StructType): StructType =
+    physicalSchema(logical, currentColmap)
+
+  /** Read table files under version `asOf`'s schema: physical names on the
+    * parquet scan (stable across renames), logical names on the result.
+    */
+  private def readFiles(paths: Seq[String], asOf: Long): DataFrame = {
+    val logical = schemaAt(asOf)
+    val cm = colmapAt(asOf)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    else {
+      val df = spark.read.schema(physicalSchema(logical, cm))
+        .parquet(paths.map(p => new Path(location, p).toString): _*)
+      if (cm.isEmpty) df else df.toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
+  }
+
   // pre-first-commit (inside create) the log is empty: use the
   // construction-time schema
   private def tableSchema: StructType =
@@ -143,12 +195,9 @@ final class GraftTable private (
           s"(e.g. ${gone.head}); time travel to it is no longer possible — " +
           "the oldest fully-materialized version is the current one")
     }
-    val schema = schemaAt(asOf) // pre-evolution versions read with THEIR schema
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(files.map(f => new Path(location, f.path).toString): _*)
+    // pre-evolution versions read with THEIR schema (and THEIR logical
+    // names — physical resolution inside readFiles)
+    readFiles(files.map(_.path), asOf)
   }
 
   /** Partition-pruned snapshot: `partitionPred` may reference ONLY the
@@ -180,12 +229,7 @@ final class GraftTable private (
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
     }
-    if (sel.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(sel.map(f => new Path(location, f.path).toString): _*)
-        .where(partitionPred)
+    readFiles(sel.map(_.path), asOf).where(partitionPred)
   }
 
   /** Evaluate `pred` over the distinct partition tuples with Catalyst: build
@@ -248,8 +292,9 @@ final class GraftTable private (
     // a zero-row file (e.g. a create from an empty frame) can never hold a
     // match — drop it before interval analysis, it carries no stats to
     // prune on
+    val cm = colmapAt(asOf)
     val sel = files.filter(_.rows > 0)
-      .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema)))
+      .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema, cm)))
     if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
       val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
       val gone = sel.map(_.path).filterNot(onDisk)
@@ -257,21 +302,19 @@ final class GraftTable private (
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
     }
-    if (sel.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .where(pred)
-    else
-      spark.read.schema(schema)
-        .parquet(sel.map(f => new Path(location, f.path).toString): _*)
-        .where(pred)
+    readFiles(sel.map(_.path), asOf).where(pred)
   }
 
-  /** A file's known column intervals: footer skipping stats, the merge-key
-    * stats, and the partition tuple as point intervals (typed by the
-    * table schema; null partition values carry no interval — sound, since
-    * no interval means no pruning on that column).
+  /** A file's known column intervals KEYED BY LOGICAL NAME (the predicate's
+    * vocabulary): footer skipping stats (logged under stable physical
+    * names — remapped through the version's colmap), the merge-key stats,
+    * and the partition tuple as point intervals (key/partition columns
+    * cannot be renamed, so their names need no mapping; null partition
+    * values carry no interval — sound, since no interval means no pruning
+    * on that column).
     */
-  private def intervalsOf(f: AddFile, schema: StructType): Map[String, KeyStats] = {
+  private def intervalsOf(f: AddFile, schema: StructType,
+      cm: Map[String, String]): Map[String, KeyStats] = {
     val pvIv = f.pv.toSeq.flatMap { case (c, v) =>
       v.flatMap { s =>
         schema.fields.find(_.name == c).map(_.dataType) match {
@@ -285,7 +328,9 @@ final class GraftTable private (
         }
       }
     }
-    f.cs ++ keyCol.flatMap(k => f.stats.map(k -> _)) ++ pvIv
+    val logicalCs = schema.fieldNames.toIndexedSeq
+      .flatMap(l => f.cs.get(physName(cm, l)).map(l -> _)).toMap
+    logicalCs ++ keyCol.flatMap(k => f.stats.map(k -> _)) ++ pvIv
   }
 
   /** Dynamic partition overwrite, snapshot-atomic: every partition present
@@ -331,6 +376,10 @@ final class GraftTable private (
     require(all.contains(toVersion) && (fromVersion == 0 || all.contains(fromVersion)),
       s"versions must exist under $logDir (have ${all.mkString(",")})")
     val outSchema = schemaAt(toVersion)
+    // physical→logical under the TO version: a column renamed inside the
+    // range still unions into ONE output column (physical identity is
+    // stable; per-version logical names would null-fill after a rename)
+    val revTo = colmapAt(toVersion).map(_.swap)
     val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
     val perVersion = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val (_, adds, removes) = cachedCommit(v)
@@ -342,14 +391,19 @@ final class GraftTable private (
         s"changes($fromVersion, $toVersion) needs ${gone.size} file(s) " +
           s"reclaimed by vacuum() (e.g. ${gone.head}); the feed for commit " +
           s"$v is no longer reconstructible")
-      def readAs(paths: Seq[String], schema: StructType): DataFrame =
+      def readAs(paths: Seq[String], v: Long): DataFrame = {
+        val phys = physicalSchema(schemaAt(v), colmapAt(v))
+        val outNames = phys.fieldNames.toIndexedSeq.map(p => revTo.getOrElse(p, p))
         if (paths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(phys.fields.toIndexedSeq.zip(outNames)
+              .map { case (f, n) => f.copy(name = n) }))
+        else spark.read.schema(phys)
           .parquet(paths.map(p => new Path(location, p).toString): _*)
-      val schemaV = schemaAt(v)
-      val added = readAs(adds.map(_.path), schemaV)
-      val removed = readAs(removes, schemaV)
+          .toDF(outNames: _*)
+      }
+      val added = readAs(adds.map(_.path), v)
+      val removed = readAs(removes, v)
       val ins = added.exceptAll(removed)
         .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
       val del = removed.exceptAll(added)
@@ -504,8 +558,7 @@ final class GraftTable private (
     // reads only pruned candidates; result is O(files), driver-safe)
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else spark.read.schema(tableSchema)
-        .parquet(candidates.map(f => new Path(location, f.path).toString): _*)
+      else readFiles(candidates.map(_.path), v)
         // pin input_file_name() to the scan BEFORE the join — above a
         // two-source join the expression is rejected (and ambiguous)
         .select(col(k), input_file_name().as("__file"))
@@ -516,8 +569,7 @@ final class GraftTable private (
 
     val survivors =
       if (rewritten.isEmpty) None
-      else Some(spark.read.schema(tableSchema)
-        .parquet(rewritten.map(f => new Path(location, f.path).toString): _*)
+      else Some(readFiles(rewritten.map(_.path), v)
         .join(src.select(col(k)), Seq(k), "left_anti")
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*))
     val newData = survivors.fold(src)(_.unionByName(src))
@@ -531,14 +583,12 @@ final class GraftTable private (
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
-    val all = spark.read.schema(tableSchema)
-      .parquet(files.map(f => new Path(location, f.path).toString): _*)
+    val all = readFiles(files.map(_.path), v)
     val touched = all.where(cond).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
     val rewritten = files.filter(f => touched.exists(uriMatches(_, f.path)))
     if (rewritten.isEmpty) return v
-    val keep = spark.read.schema(tableSchema)
-      .parquet(rewritten.map(f => new Path(location, f.path).toString): _*)
+    val keep = readFiles(rewritten.map(_.path), v)
       .where(not(coalesce(cond, lit(false))))
     commit(v, "delete", writeData(keep), rewritten.map(_.path))
   }
@@ -559,15 +609,13 @@ final class GraftTable private (
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
-    val all = spark.read.schema(schema)
-      .parquet(files.map(f => new Path(location, f.path).toString): _*)
+    val all = readFiles(files.map(_.path), v)
     val touched = all.where(cond).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
     val rewritten = files.filter(f => touched.exists(uriMatches(_, f.path)))
     if (rewritten.isEmpty) return v
     val hit = coalesce(cond, lit(false))
-    val updated = spark.read.schema(schema)
-      .parquet(rewritten.map(f => new Path(location, f.path).toString): _*)
+    val updated = readFiles(rewritten.map(_.path), v)
       .select(schema.fields.toIndexedSeq.map { f =>
         assignments.get(f.name) match {
           case Some(value) =>
@@ -594,9 +642,7 @@ final class GraftTable private (
     val small = activeFiles(v).filter(_.bytes < smallFileBytes)
     if (small.size < 2) return v
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
-    val merged = spark.read.schema(tableSchema)
-      .parquet(small.map(f => new Path(location, f.path).toString): _*)
-      .coalesce(nOut)
+    val merged = readFiles(small.map(_.path), v).coalesce(nOut)
     commit(v, "compact", writeData(merged), small.map(_.path))
   }
 
@@ -605,13 +651,23 @@ final class GraftTable private (
     * logged per-file [min, max] ranges (data skipping, `scan`) become tight
     * slivers instead of full-span overlaps. One column: global range sort
     * (`repartitionByRange` + in-partition sort — each output file owns a
-    * contiguous range). Two columns: Morton/Z-order — each dimension is
-    * linearly scaled to 16 bits over its [min, max] span and interleaved
-    * with the codegen'd `interleave_bits` expression, then range-written by
-    * the Z-value: every output file is a tile of the 2-D key space, so a
-    * predicate on EITHER column prunes most files (a single-column sort
-    * only prunes its own column). Integral cluster keys only (loud
-    * otherwise); null keys scale to 0 and simply cluster together. Time
+    * contiguous range; ANY orderable atomic type). Two INTEGRAL columns:
+    * Morton/Z-order — each dimension is linearly scaled to 16 bits over its
+    * [min, max] span and interleaved with the codegen'd `interleave_bits`
+    * expression, then range-written by the Z-value: every output file is a
+    * tile of the 2-D key space, so a predicate on EITHER column prunes most
+    * files (a single-column sort only prunes its own column).
+    *
+    * Everything else — strings, dates, timestamps, decimals, and 3–4
+    * dimensions — goes through RANK-based normalization (the Delta
+    * `range_partition_id` design): each dimension is mapped to an 8-bit
+    * rank against ~255 sampled order-statistic boundaries (one bounded
+    * sample job per dimension, boundaries broadcast as a literal array, the
+    * rank computed by a codegen'd `aggregate` fold — no UDF), and the
+    * ranks' bits are interleaved into one Z-value with plain shift/mask
+    * arithmetic. Rank normalization is what makes skewed or non-numeric
+    * dimensions tile EVENLY: a linear scale would collapse a Zipfian key
+    * into one bucket. Null keys rank 0 and simply cluster together. Time
     * travel to the pre-optimize version keeps working until `vacuum()`.
     *
     * This is the lakehouse OPTIMIZE ZORDER BY story on the published
@@ -619,17 +675,32 @@ final class GraftTable private (
     * amortized against every subsequent pruned scan.
     */
   def optimize(clusterBy: Seq[String], targetBytes: Long = 128L << 20): Long = {
-    require(clusterBy.nonEmpty && clusterBy.size <= 2,
-      "optimize clusters on 1 (range) or 2 (z-order) columns")
+    require(clusterBy.nonEmpty && clusterBy.size <= 4,
+      "optimize clusters on 1 (range sort) to 4 (z-order) columns")
+    require(clusterBy.distinct == clusterBy, "duplicate cluster columns")
     require(targetBytes > 0, "targetBytes must be positive")
     val schema = tableSchema
-    clusterBy.foreach { c =>
+    val types = clusterBy.map { c =>
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(
           s"cluster column $c not in ${schema.fieldNames.mkString(",")}"))
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"optimize needs integral cluster columns, '$c' is ${dt.simpleString}")
+      val orderable = dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+      require(orderable,
+        s"optimize needs orderable atomic cluster columns, '$c' is ${dt.simpleString}")
+      dt
     }
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
@@ -639,7 +710,7 @@ final class GraftTable private (
     val clustered = clusterBy match {
       case Seq(c) =>
         df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
-      case Seq(a, b) =>
+      case Seq(a, b) if types.forall(integral.contains) =>
         val bounds = df.agg(
           min(col(a)).cast("long"), max(col(a)).cast("long"),
           min(col(b)).cast("long"), max(col(b)).cast("long")).head()
@@ -657,8 +728,44 @@ final class GraftTable private (
           .repartitionByRange(nOut, col("__graft_z"))
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
+      case dims =>
+        df.withColumn("__graft_z", rankZValue(df, dims, files.map(_.rows).sum))
+          .repartitionByRange(nOut, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
     }
     commit(v, "optimize", writeData(clustered), files.map(_.path))
+  }
+
+  /** Z-value from 8-bit RANKS: per dimension, ~255 order-statistic
+    * boundaries from one seeded bounded sample (≤ ~16k rows on the driver —
+    * the same sampling contract as Spark's own RangePartitioner), rank =
+    * codegen'd `aggregate` fold over the boundary array (`acc + (c >= b)`),
+    * bits interleaved with shift/mask arithmetic. All-null or constant
+    * dimensions degrade to rank 0 — sound, they contribute no spread.
+    */
+  private def rankZValue(df: DataFrame, dims: Seq[String], totalRows: Long): Column = {
+    val ranks = 256
+    val target = ranks * 64
+    val frac =
+      if (totalRows <= target) 1.0
+      else math.min(1.0, target.toDouble / totalRows)
+    val rankCols = dims.map { c =>
+      val vals = df.select(col(c)).where(col(c).isNotNull)
+        .sample(withReplacement = false, frac, seed = 42)
+        .orderBy(col(c)).collect().map(_.get(0)).toIndexedSeq
+      val bounds =
+        if (vals.isEmpty) Seq.empty
+        else (1 until ranks)
+          .map(i => vals(((i.toLong * vals.length) / ranks).toInt)).distinct
+      if (bounds.isEmpty) lit(0L)
+      else aggregate(array(bounds.map(lit(_)): _*), lit(0L),
+        (acc, b) => acc + when(col(c) >= b, 1L).otherwise(0L))
+    }
+    val n = rankCols.size
+    (for { d <- 0 until n; j <- 0 until 8 } yield
+      shiftleft(shiftright(rankCols(d), j).bitwiseAND(lit(1L)), j * n + (n - 1 - d)))
+      .reduce((x, y) => x.bitwiseOR(y))
   }
 
   /** Physically delete data files no longer in the CURRENT snapshot.
@@ -747,7 +854,14 @@ final class GraftTable private (
     * scaffolding that dies with the tmp dir — partition identity lives in
     * the LOG, the object-store-friendly design.
     */
-  private def writeData(df: DataFrame): Seq[AddFile] = {
+  private def writeData(dfLogical: DataFrame): Seq[AddFile] = {
+    // files store PHYSICAL column names (stable across renames): a version
+    // race against a concurrent rename loses the commit and retries, so a
+    // file can never land under a stale mapping
+    val cm = currentColmap
+    val df =
+      if (cm.isEmpty) dfLogical
+      else dfLogical.toDF(dfLogical.columns.toIndexedSeq.map(physName(cm, _)): _*)
     val tmp = new Path(location, s"_tmp-${UUID.randomUUID()}")
     try {
       if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
@@ -925,13 +1039,52 @@ final class GraftTable private (
 
   private[tables] def commit(expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String],
-      txn: Option[String] = None, newSchema: Option[StructType] = None): Long = {
+      txn: Option[String] = None, newSchema: Option[StructType] = None,
+      newColmap: Option[Map[String, String]] = None): Long = {
     val next = expected + 1
-    val schema = newSchema.map(_.json).getOrElse(schemaAt(expected).json)
-    writeCommit(fs, logDir, next, metaMap(op, keyCol, schema, txn), adds, removes)
+    val schema = newSchema.getOrElse(schemaAt(expected))
+    val cm = newColmap.getOrElse(colmapAt(expected))
+    // physical-uniqueness invariant: a NEW logical column whose name equals
+    // a renamed column's retired physical name would collide in the files —
+    // fail the commit, not the next read
+    val phys = schema.fieldNames.toIndexedSeq.map(physName(cm, _))
+    require(phys.distinct.size == phys.size,
+      s"physical column collision: ${phys.diff(phys.distinct).distinct.mkString(",")} " +
+        "— a column name retired by RENAME COLUMN cannot be reused while the " +
+        "mapping is live")
+    writeCommit(fs, logDir, next, metaMap(op, keyCol, schema.json, txn, Nil, cm),
+      adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next))
     next
+  }
+
+  /** Rename a column in ONE metadata-only commit (no file touched, O(1) at
+    * any table size): the logical name rebinds, the physical name in the
+    * files stays. Time travel reads pre-rename versions under their own
+    * names; appends after the rename write the same physical name. The
+    * merge key and partition columns cannot be renamed (their names are
+    * load-bearing in logged stats/partition tuples), and the new name must
+    * not collide with any live logical or physical name — all loud.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename to the same name is a no-op; refusing")
+    require(newName.nonEmpty, "new column name must be non-empty")
+    val v = version
+    val cur = schemaAt(v)
+    val cm = colmapAt(v)
+    require(cur.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${cur.fieldNames.mkString(",")}")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    require(!keyCol.contains(oldName), "cannot rename the merge key column")
+    require(!partitionBy.contains(oldName), "cannot rename a partition column")
+    val evolved = StructType(cur.fields.toIndexedSeq.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val p = physName(cm, oldName)
+    val newCm = (cm - oldName) ++
+      (if (newName == p) Map.empty[String, String] else Map(newName -> p))
+    commit(v, "renameColumn", Nil, Nil, None, Some(evolved), Some(newCm))
   }
 }
 
@@ -1065,7 +1218,8 @@ object GraftTable {
   }
 
   private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
-      txn: Option[String] = None, partitionBy: Seq[String] = Nil) = {
+      txn: Option[String] = None, partitionBy: Seq[String] = Nil,
+      colmap: Map[String, String] = Map.empty) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -1073,6 +1227,11 @@ object GraftTable {
     m.put("schema", schemaJson)
     txn.foreach(m.put("txn", _))
     if (partitionBy.nonEmpty) m.put("partitionBy", partitionBy.mkString(","))
+    if (colmap.nonEmpty) {
+      val cmj = new java.util.LinkedHashMap[String, Any]()
+      colmap.foreach { case (l, p) => cmj.put(l, p) }
+      m.put("colmap", cmj)
+    }
     m.asScala.toMap
   }
 

@@ -259,7 +259,9 @@ private[tables] final class GraftTableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(confSer, schema)
+    // files store PHYSICAL names (stable across renames): look fields up
+    // physically, emit rows positionally under the stream's logical schema
+    new GraftParquetReaderFactory(confSer, table.physicalSchemaOf(schema))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

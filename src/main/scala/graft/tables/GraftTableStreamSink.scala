@@ -62,7 +62,10 @@ private[tables] final class GraftStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamWriterFactory(location, schema, confSer)
+    // executors write files under PHYSICAL names (same contract as the
+    // batch writeData path); rows arrive positionally, so only the field
+    // names change
+    new GraftStreamWriterFactory(location, table.physicalSchemaOf(schema), confSer)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // merge key-range stats ride along when the key column's stats were

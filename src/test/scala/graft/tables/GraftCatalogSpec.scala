@@ -65,6 +65,69 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gt.del").head().getLong(0) == 0L)
   }
 
+  test("SQL UPDATE routes to the native touched-file rewrite") {
+    warehouse
+    spark.sql("CREATE TABLE gt.upd (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO gt.upd SELECT id, CAST(id AS STRING), id * 10 FROM range(6)")
+    val vBefore = GraftTable.at(spark, s"$warehouse/upd").version
+    // assignments may reference existing columns; WHERE is any predicate
+    spark.sql("UPDATE gt.upd SET v = concat(v, '!'), n = n + k WHERE k % 2 = 0")
+    assert(sqlRows("SELECT k, v, n FROM gt.upd ORDER BY k") == Set(
+      Seq(0L, "0!", 0L), Seq(1L, "1", 10L), Seq(2L, "2!", 22L),
+      Seq(3L, "3", 30L), Seq(4L, "4!", 44L), Seq(5L, "5", 50L)))
+    val t = GraftTable.at(spark, s"$warehouse/upd")
+    assert(t.version == vBefore + 1 && t.history.last.op == "update")
+    // UPDATE without WHERE hits every row
+    spark.sql("UPDATE gt.upd SET n = 0")
+    assert(spark.sql("SELECT sum(n) FROM gt.upd").head().getLong(0) == 0L)
+  }
+
+  test("SQL MERGE INTO upsert routes to the native key-pruned merge") {
+    warehouse
+    spark.sql("CREATE TABLE gt.mrg (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""MERGE INTO gt.mrg t
+      USING (SELECT * FROM VALUES (2, 'B'), (9, 'Z') AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sqlRows("SELECT k, v FROM gt.mrg") ==
+      Set(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c"), Seq(9L, "Z")))
+    assert(GraftTable.at(spark, s"$warehouse/mrg").history.last.op == "merge")
+    // source columns may arrive in any order — merge aligns by name
+    spark.sql("""MERGE INTO gt.mrg t
+      USING (SELECT * FROM VALUES ('q', 17) AS s(v, k)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sqlRows("SELECT v FROM gt.mrg WHERE k = 17") == Set(Seq("q")))
+  }
+
+  test("unsupported MERGE shapes and time-travel DML fail loud, named") {
+    warehouse
+    spark.sql("CREATE TABLE gt.mrg2 (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.mrg2 VALUES (1, 'a')")
+    // extra clause beyond the upsert shape
+    val e1 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
+      USING (SELECT 1L AS k, 'x' AS v) s ON t.k = s.k
+      WHEN MATCHED THEN DELETE"""))
+    assert(e1.getMessage.contains("supported form"), e1.getMessage)
+    // non-key ON condition
+    val e2 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
+      USING (SELECT 1L AS k, 'x' AS v) s ON t.v = s.v
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e2.getMessage.contains("key equality"), e2.getMessage)
+    // subquery in UPDATE is named, not silently wrong
+    val e3 = intercept[Exception](spark.sql(
+      "UPDATE gt.mrg2 SET v = 'x' WHERE k IN (SELECT 1L)"))
+    assert(e3.getMessage.contains("subquer"), e3.getMessage)
+    // DML against a time-travel read must not fork history
+    val e4 = intercept[Exception](spark.sql(
+      "UPDATE gt.mrg2 VERSION AS OF 1 SET v = 'x'"))
+    assert(e4.getMessage != null)
+  }
+
   test("VERSION AS OF time-travels; writing to the past fails loud") {
     warehouse
     spark.sql("CREATE TABLE gt.tt (k BIGINT)")
@@ -128,6 +191,53 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getLong(2) == 1L)
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, old files keep resolving") {
+    warehouse
+    spark.sql("CREATE TABLE gt.rn (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.rn VALUES (1, 'a'), (2, 'b')") // pre-rename file
+    val t = GraftTable.at(spark, s"$warehouse/rn")
+    val vPre = t.version
+    val filesPre = t.currentFiles.map(_.path).toSet
+    spark.sql("ALTER TABLE gt.rn RENAME COLUMN v TO label")
+    // metadata-only: same files, one more version
+    val t2 = GraftTable.at(spark, s"$warehouse/rn")
+    assert(t2.version == vPre + 1 && t2.currentFiles.map(_.path).toSet == filesPre,
+      "rename rewrote data files")
+    assert(t2.history.last.op == "renameColumn")
+    // pre-rename files read under the NEW logical name with their values
+    assert(sqlRows("SELECT k, label FROM gt.rn ORDER BY k") ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // writes after the rename land under the stable physical name and
+    // union with the old files transparently
+    spark.sql("INSERT INTO gt.rn VALUES (3, 'c')")
+    spark.sql("UPDATE gt.rn SET label = concat(label, '!') WHERE k = 1")
+    assert(sqlRows("SELECT k, label FROM gt.rn ORDER BY k") ==
+      Set(Seq(1L, "a!"), Seq(2L, "b"), Seq(3L, "c")))
+    // time travel reads the pre-rename version under ITS OWN name
+    assert(sqlRows(s"SELECT k, v FROM gt.rn VERSION AS OF $vPre") ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    val eOld = intercept[Exception](
+      spark.sql("SELECT label FROM gt.rn VERSION AS OF 2").collect())
+    assert(eOld.getMessage != null) // old version has no 'label'
+    // data skipping prunes on the RENAMED column (stats live physically)
+    val t3 = GraftTable.at(spark, s"$warehouse/rn")
+    assert(t3.scan(org.apache.spark.sql.functions.col("label") === "c")
+      .inputFiles.length == 1)
+    // a second rename chains the mapping; DROP stays loud
+    spark.sql("ALTER TABLE gt.rn RENAME COLUMN label TO tag")
+    assert(sqlRows("SELECT k, tag FROM gt.rn WHERE k = 3") == Set(Seq(3L, "c")))
+    val eDrop = intercept[Exception](spark.sql("ALTER TABLE gt.rn DROP COLUMN tag"))
+    assert(eDrop.getMessage != null)
+    // the retired physical name cannot be reused while the mapping lives
+    val eReuse = intercept[Exception](
+      spark.sql("ALTER TABLE gt.rn ADD COLUMNS (v STRING)"))
+    assert(eReuse.getMessage.contains("physical"), eReuse.getMessage)
+    // key / partition columns cannot be renamed
+    val eKey = intercept[Exception](
+      spark.sql("ALTER TABLE gt.rn RENAME COLUMN k TO id"))
+    assert(eKey.getMessage.contains("key"), eKey.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves metadata-only; old rows null-fill") {
     warehouse
     spark.sql("CREATE TABLE gt.evo (k BIGINT)")
@@ -142,8 +252,10 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(alter.added == 0 && alter.removed == 0)
     // time travel to the pre-alter version keeps the narrow schema
     assert(spark.sql("SELECT * FROM gt.evo VERSION AS OF 2").columns.toSeq == Seq("k"))
-    // rename/drop/type-change stay loud
-    intercept[Exception](spark.sql("ALTER TABLE gt.evo RENAME COLUMN k TO kk"))
+    // rename is metadata-only via the log-carried column mapping now;
+    // drop/type-change stay loud
+    spark.sql("ALTER TABLE gt.evo RENAME COLUMN w TO weight")
+    assert(sqlRows("SELECT k, weight FROM gt.evo WHERE k = 2") == Set(Seq(2L, 0.5)))
     intercept[Exception](spark.sql("ALTER TABLE gt.evo DROP COLUMN v"))
   }
 

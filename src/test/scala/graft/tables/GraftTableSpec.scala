@@ -642,11 +642,51 @@ class GraftTableSpec extends SparkTestBase {
     // and both scans stay exact
     assert(onX.count() == 8L * 64)
     assert(onY.count() == 64L * 8)
-    // non-integral cluster key is loud
+    // non-orderable (nested) cluster key is loud; strings etc. now go
+    // through the rank-normalized path
     intercept[IllegalArgumentException] {
-      GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
-        .optimize(Seq("v"))
+      GraftTable.create(spark, tmp(), Seq((1L, Seq(1, 2))).toDF("k", "arr"))
+        .optimize(Seq("arr", "k"))
     }
+  }
+
+  test("optimize rank-z-orders string x date: prunes on BOTH, rows unchanged") {
+    // 32 customers x 64 days, shuffled: neither dimension is integral, so
+    // clustering goes through the sampled-rank path
+    val rows = (0 until 32).flatMap { c =>
+      (0 until 64).map { d =>
+        (f"cust_$c%03d", java.sql.Date.valueOf(java.time.LocalDate
+          .of(2024, 1, 1).plusDays(d.toLong)), (c * 64 + d).toLong)
+      }
+    }
+    val df = rows.toDF("cust", "day", "amount")
+      .orderBy(md5(concat_ws(",", col("cust"), col("day")))).repartition(8)
+    val t = GraftTable.create(spark, tmp(), df)
+    t.optimize(Seq("cust", "day"), targetBytes = 3072L)
+    assert(t.history.last.op == "optimize")
+    val total = t.snapshot().inputFiles.length
+    assert(total >= 4, s"need several tiles to show pruning, got $total")
+    // band queries on EACH dimension prune (string zone maps + date zone
+    // maps both live in the log; ranks only changed the LAYOUT)
+    val onCust = t.scan(col("cust") < "cust_004")
+    val onDay = t.scan(col("day") < lit(java.sql.Date.valueOf("2024-01-09")))
+    assert(onCust.inputFiles.length < total,
+      s"cust-band read ${onCust.inputFiles.length}/$total files")
+    assert(onDay.inputFiles.length < total,
+      s"day-band read ${onDay.inputFiles.length}/$total files")
+    // exactness: the rewrite moved rows, never changed them
+    assert(onCust.count() == 4L * 64)
+    assert(onDay.count() == 32L * 8)
+    assert(t.snapshot().agg(sum(col("amount"))).head().getLong(0) ==
+      rows.map(_._3).sum)
+    // three-dimensional clustering composes through the same path
+    val t3 = GraftTable.create(spark, tmp(),
+      rows.toDF("cust", "day", "amount").repartition(4))
+    t3.optimize(Seq("cust", "day", "amount"), targetBytes = 3072L)
+    assert(t3.snapshot().count() == rows.size.toLong)
+    val band = t3.scan(col("amount") < 256L)
+    assert(band.count() == 256L)
+    assert(band.inputFiles.length < t3.snapshot().inputFiles.length)
   }
 
   test("scan prunes IS NULL via logged null counts; stays exact") {
