@@ -1078,7 +1078,71 @@ object Advanced extends QueryPack {
         |  UNION ALL SELECT * FROM src)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // GENERAL conditional-clause MERGE through the SQL face: ordered WHEN
+    // MATCHED [AND cond] UPDATE / DELETE clauses (first-match-wins) plus a
+    // conditional explicit-column INSERT, lowered by [[GraftSqlDmlRule]]
+    // to [[graft.tables.GraftTable.mergeInto]] (key-pruned touched-file
+    // rewrite — the full lakehouse MERGE surface, not just the upsert).
+    // The oracle replays the clause semantics relationally.
+    GraftQuery(
+      "q296_table_merge_clauses",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq296_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('key'='k') AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey % 2 = 0""")
+          s.sql(s"""MERGE INTO $cat.t t
+            USING (SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 50) AS BIGINT) AS sp
+                   FROM orders WHERE o_orderkey % 3 = 0) s
+            ON t.k = s.k
+            WHEN MATCHED AND t.price_c < 10000000 THEN
+              UPDATE SET price_c = t.price_c + s.sp
+            WHEN MATCHED AND t.prio = '1-URGENT' THEN DELETE
+            WHEN NOT MATCHED AND s.k % 2 = 1 THEN
+              INSERT (k, prio, price_c) VALUES (s.k, 'NEW', s.sp)""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 50) AS BIGINT) AS sp
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |applied AS (
+        |  SELECT b.k, b.prio,
+        |    CASE WHEN s.k IS NOT NULL AND b.price_c < 10000000
+        |         THEN b.price_c + s.sp ELSE b.price_c END AS price_c,
+        |    CASE WHEN s.k IS NOT NULL AND NOT (b.price_c < 10000000)
+        |              AND b.prio = '1-URGENT' THEN 1 ELSE 0 END AS del
+        |  FROM base b LEFT JOIN src s ON b.k = s.k),
+        |kept AS (SELECT k, prio, price_c FROM applied WHERE del = 0),
+        |ins AS (
+        |  SELECT s.k, 'NEW' AS prio, s.sp AS price_c FROM src s
+        |  WHERE s.k NOT IN (SELECT k FROM base) AND s.k % 2 = 1),
+        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time-travel loads (`VERSION AS OF v`) return a READ-ONLY table — a write
   * to the past must fail loud, not fork history.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -151,9 +152,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(handle(p), identString(ident), Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft-catalog time travel is by version (VERSION AS OF n), not timestamp")
+  /** `TIMESTAMP AS OF <ts>` time travel (read-only): Spark hands the
+    * timestamp in MICROseconds; commits log millis — resolved to the
+    * newest commit at-or-before that instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val t = handle(p)
+    new GraftSqlTable(t, identString(ident), Some(t.versionAt(timestamp / 1000L)))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -226,6 +234,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def identString(ident: Identifier): String =
     (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")
+
+  // ---- procedures (CALL graft.system.<proc>) ---------------------------
+
+  /** Resolve a procedure's dotted `table` argument to the memoized handle
+    * (same cache the SQL data path uses — commits parse once).
+    */
+  private def tableFor(dotted: String): GraftTable = {
+    val parts = dotted.split('.').toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"illegal table name '$dotted'")
+    val p = pathOf(parts)
+    if (!isTableDir(p)) throw new NoSuchTableException(
+      Identifier.of(parts.init.toArray, parts.last))
+    handle(p)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(GraftProcedures.Namespace))
+      throw new NoSuchTableException(ident) // procedures live under `system`
+    GraftProcedures.load(tableFor, ident.name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${identString(ident)}; have " +
+          GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
+  }
 
   // ---- namespaces ------------------------------------------------------
 

@@ -1,0 +1,125 @@
+package graft.tables
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures for the SQL face — the Spark 4 `ProcedureCatalog`
+  * surface (`CALL graft.system.<proc>(...)`), the same operational story
+  * the published lakehouse catalogs expose as stored procedures:
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'ns.t')
+  *   CALL graft.system.optimize(table => 'ns.t', cluster_by => 'a,b')
+  *   CALL graft.system.vacuum(table => 'ns.t', retention_ms => 0)
+  * }}}
+  *
+  * Each procedure resolves the dotted table name through the owning
+  * catalog's memoized handles, delegates to the spec-pinned native op
+  * (`compact` / `optimize` / `vacuum` — snapshot-atomic commits, Spark
+  * jobs for all data movement), and returns a one-row result scan
+  * (`LocalScan` — driver metadata, no job). Argument binding, defaults,
+  * and named-argument syntax are Spark's; the procedures declare typed
+  * parameters with SQL-text default values.
+  */
+private[tables] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq("compact", "optimize", "vacuum")
+
+  def load(resolve: String => GraftTable, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(CompactProc(resolve))
+      case "optimize" => Some(OptimizeProc(resolve))
+      case "vacuum" => Some(VacuumProc(resolve))
+      case _ => None
+    }
+
+  private def param(name: String, dt: DataType, default: String, doc: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).comment(doc).build()
+
+  private def reqParam(name: String, dt: DataType, doc: String) =
+    ProcedureParameter.in(name, dt).comment(doc).build()
+
+  /** One-row driver-side result (version numbers / file counts). */
+  private final class ResultScan(schema: StructType, row: InternalRow) extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  private def result(schema: StructType, values: Any*): util.Iterator[Scan] =
+    util.Collections.singletonList[Scan](
+      new ResultScan(schema, new GenericInternalRow(values.toArray))).iterator()
+
+  private abstract class GraftProc(resolve: String => GraftTable)
+    extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // side-effecting commits
+    protected def table(row: InternalRow): GraftTable = {
+      val dotted = row.getUTF8String(0)
+      require(dotted != null && dotted.numChars() > 0, "table must be non-empty")
+      resolve(dotted.toString)
+    }
+  }
+
+  private val VersionSchema = StructType(Seq(StructField("version", LongType)))
+
+  private case class CompactProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "coalesce small files into one snapshot-atomic commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      param("small_file_bytes", LongType, (32L << 20).toString,
+        "files below this size are rewritten together"),
+      param("target_bytes", LongType, (128L << 20).toString,
+        "approximate output file size"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val v = table(input).compact(input.getLong(1), input.getLong(2))
+      result(VersionSchema, v)
+    }
+  }
+
+  private case class OptimizeProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "rewrite all active files clustered (range sort / Z-order) for data skipping"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("cluster_by", StringType,
+        "comma-separated cluster columns (1 = range sort, 2-4 = Z-order)"),
+      param("target_bytes", LongType, (128L << 20).toString,
+        "approximate output file size"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val cols = input.getUTF8String(1).toString.split(',').toIndexedSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val v = table(input).optimize(cols, input.getLong(2))
+      result(VersionSchema, v)
+    }
+  }
+
+  private case class VacuumProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "physically delete files unreferenced by the current snapshot (past the retention window)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      param("retention_ms", LongType, (7L * 24 * 60 * 60 * 1000).toString,
+        "grace window: younger unreferenced files are kept (in-flight writers)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val deleted = table(input).vacuum(input.getLong(1))
+      result(
+        StructType(Seq(StructField("deleted_files", LongType))),
+        deleted.size.toLong)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -77,17 +77,22 @@ final case class GraftSqlDmlRule(session: SparkSession)
 
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val gt = requireLive(graftTarget(m.targetTable).get, "MERGE INTO")
-      GraftMergeSqlCommand(gt, checkUpsertShape(m, gt))
+      translateMerge(m, gt)
   }
 
-  /** The MERGE must be exactly the upsert `merge` implements; returns the
-    * source as a DataFrame with the target's column names.
+  /** Lower a MERGE. The exact upsert shape (`ON t.k = s.k WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`) takes the
+    * fast path ([[GraftTable.merge]] — whole-row replace, anti-join
+    * insert); every other conditional-clause combination lowers to the
+    * generalized [[GraftTable.mergeInto]]. Both demand key-equality ON —
+    * the table's contract. NOT MATCHED BY SOURCE stays loud.
     */
-  private def checkUpsertShape(m: MergeIntoTable, gt: GraftTable): DataFrame = {
-    val supported = "the supported form is MERGE INTO t USING s ON " +
-      "t.<key> = s.<key> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-      "THEN INSERT * (key = the table's 'key' property); other shapes go " +
-      "through the programmatic GraftTable.merge/update API"
+  private def translateMerge(m: MergeIntoTable, gt: GraftTable): LogicalPlan = {
+    val supported = "supported: MERGE INTO t USING s ON t.<key> = s.<key> " +
+      "with WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE and " +
+      "WHEN NOT MATCHED [AND cond] THEN INSERT ... clauses (key = the " +
+      "table's 'key' property); WHEN NOT MATCHED BY SOURCE and non-key ON " +
+      "conditions go through the programmatic GraftTable API"
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"graft MERGE INTO: $what; $supported")
 
@@ -98,7 +103,7 @@ final case class GraftSqlDmlRule(session: SparkSession)
 
     // type coercion wraps narrower source literals/columns in casts
     // (`t.k = CAST(s.k AS BIGINT)`): the SHAPE is still key equality —
-    // see through them; the value cast is applied for real below
+    // see through them; real casts are applied on the values below
     def uncast(e: Expression): Expression = e match {
       case c: Cast => uncast(c.child)
       case other => other
@@ -115,9 +120,11 @@ final case class GraftSqlDmlRule(session: SparkSession)
       }
       case other => unsupported(s"ON must be key equality on '$key', got ${other.sql}")
     }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
 
-    /** `SET * / INSERT *` after star expansion: one unconditional action
-      * assigning every target column from the same-named source column.
+    /** `SET * / INSERT *` after star expansion: every target column
+      * assigned from the same-named source column.
       */
     def isStarAssigns(assigns: Seq[Assignment]): Boolean = {
       val cols = gt.schema.fieldNames.map(_.toLowerCase).toSet
@@ -131,33 +138,70 @@ final case class GraftSqlDmlRule(session: SparkSession)
           }
         }.toSet == cols
     }
-    m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => ()
-      case Seq(UpdateAction(None, assigns, _)) if isStarAssigns(assigns) => ()
-      case other => unsupported(s"WHEN MATCHED must be exactly one " +
-        s"unconditional UPDATE SET *, got $other")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case Seq(InsertAction(None, assigns)) if isStarAssigns(assigns) => ()
-      case other => unsupported(s"WHEN NOT MATCHED must be exactly one " +
-        s"unconditional INSERT *, got $other")
-    }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+    val exactUpsert =
+      (m.matchedActions match {
+        case Seq(UpdateStarAction(None)) => true
+        case Seq(UpdateAction(None, assigns, _)) => isStarAssigns(assigns)
+        case _ => false
+      }) &&
+      (m.notMatchedActions match {
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assigns)) => isStarAssigns(assigns)
+        case _ => false
+      })
 
-    // name the source's columns after the target's and cast each to the
-    // table's exact type (MERGE resolution already validated the
-    // assignment is legal; the cast makes the coercion concrete — a
-    // narrower VALUES literal widens instead of corrupting the file)
     val src = org.apache.spark.sql.graftbridge.GraftPlanBridge
       .ofRows(session, m.sourceTable)
-    val have = src.columns.map(_.toLowerCase).toSet
-    val missing = gt.schema.fieldNames.filterNot(c => have.contains(c.toLowerCase))
-    if (missing.nonEmpty) unsupported(
-      s"source lacks column(s) ${missing.mkString(", ")}")
-    src.select(gt.schema.fields.toIndexedSeq.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+
+    if (exactUpsert) {
+      // name the source's columns after the target's and cast each to the
+      // table's exact type (resolution already validated assignability;
+      // the cast makes the coercion concrete)
+      val have = src.columns.map(_.toLowerCase).toSet
+      val missing = gt.schema.fieldNames.filterNot(c => have.contains(c.toLowerCase))
+      if (missing.nonEmpty) unsupported(
+        s"source lacks column(s) ${missing.mkString(", ")}")
+      return GraftMergeSqlCommand(gt, src.select(gt.schema.fields.toIndexedSeq
+        .map(f => org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*))
+    }
+
+    // GENERAL SHAPE → mergeInto. Source attrs render as __src_<name> (the
+    // joined evaluation frame's disambiguation), target attrs plainly.
+    def toSrcSql(e: Expression, what: String): String = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"graft MERGE $what does not support subqueries")
+      e.transform {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          a.withQualifier(Nil).withName(s"__src_${a.name}")
+        case a: AttributeReference => a.withQualifier(Nil)
+      }.sql
+    }
+    def keyName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case other => unsupported(s"assignments must target top-level columns, got $other")
+    }
+    val matched = m.matchedActions.map {
+      case UpdateStarAction(cond) =>
+        (cond.map(toSrcSql(_, "MATCHED AND")), Some(gt.schema.fieldNames.toIndexedSeq
+          .map(c => c -> s"`__src_$c`")))
+      case UpdateAction(cond, assigns, _) =>
+        (cond.map(toSrcSql(_, "MATCHED AND")), Some(assigns.map(a =>
+          keyName(a.key) -> toSrcSql(a.value, "UPDATE SET"))))
+      case DeleteAction(cond) =>
+        (cond.map(toSrcSql(_, "MATCHED AND")), None)
+      case other => unsupported(s"unrecognized WHEN MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(cond) =>
+        (cond.map(toSrcSql(_, "NOT MATCHED AND")), gt.schema.fieldNames.toIndexedSeq
+          .map(c => c -> s"`__src_$c`"))
+      case InsertAction(cond, assigns) =>
+        (cond.map(toSrcSql(_, "NOT MATCHED AND")), assigns.map(a =>
+          keyName(a.key) -> toSrcSql(a.value, "INSERT VALUES")))
+      case other => unsupported(s"unrecognized WHEN NOT MATCHED action $other")
+    }
+    GraftMergeIntoSqlCommand(gt, src, matched, notMatched)
   }
 }
 
@@ -179,6 +223,26 @@ private[tables] final case class GraftMergeSqlCommand(gt: GraftTable, source: Da
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     gt.merge(source)
+    Seq.empty
+  }
+}
+
+/** General conditional-clause `MERGE INTO` lowered to
+  * [[GraftTable.mergeInto]]; clause conditions/assignments travel as SQL
+  * text (source refs pre-rewritten to `__src_<name>`) and re-resolve
+  * against the joined evaluation frame.
+  */
+private[tables] final case class GraftMergeIntoSqlCommand(
+    gt: GraftTable, source: DataFrame,
+    matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+    notMatched: Seq[(Option[String], Seq[(String, String)])])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.mergeInto(source,
+      matched.map { case (c, a) =>
+        (c.map(expr), a.map(_.map { case (k, v) => k -> expr(v) }.toMap)) },
+      notMatched.map { case (c, a) =>
+        (c.map(expr), a.map { case (k, v) => k -> expr(v) }.toMap) })
     Seq.empty
   }
 }

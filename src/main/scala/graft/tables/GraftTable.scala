@@ -431,6 +431,20 @@ final class GraftTable private (
   /** The current snapshot's active files as logged (metadata only). */
   private[tables] def currentFiles: Seq[AddFile] = activeFiles(version)
 
+  /** The newest version whose commit timestamp is `<= tsMillis` — the
+    * `TIMESTAMP AS OF` resolution rule (Delta semantics: you read the table
+    * as it stood at that wall-clock instant; a timestamp before the create
+    * commit is loud). O(versions) over memoized log metadata.
+    */
+  def versionAt(tsMillis: Long): Long = {
+    val vs = listVersions(fs, logDir)
+    val at = vs.filter(v => cachedCommit(v)._1.get("ts")
+      .exists(_.asInstanceOf[Number].longValue <= tsMillis))
+    at.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMillis; the table was created at " +
+        cachedCommit(vs.head)._1.get("ts").map(_.toString).getOrElse("?")))
+  }
+
   /** Commit metadata for every version, oldest first. */
   def history: Seq[CommitInfo] =
     listVersions(fs, logDir).map { v =>
@@ -574,6 +588,131 @@ final class GraftTable private (
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*))
     val newData = survivors.fold(src)(_.unionByName(src))
     commit(v, "merge", writeData(newData), rewritten.map(_.path))
+  }
+
+  /** GENERALIZED MERGE — the full conditional-clause surface on top of the
+    * same key-pruned touched-file machinery as [[merge]]:
+    *
+    *   - `matched`: evaluated IN ORDER against each (target row, its
+    *     source match); the first clause whose condition holds applies —
+    *     `Some(assignments)` updates the listed columns, `None` DELETES
+    *     the row; a matched row satisfying no clause is kept unchanged.
+    *   - `notMatched`: evaluated in order against each source row with no
+    *     target match; the first holding clause INSERTS a row built from
+    *     its assignments (unassigned columns are null); source rows
+    *     satisfying no clause are not inserted.
+    *
+    * Expressions reference TARGET columns by their own names and SOURCE
+    * columns as `__src_<name>` (the disambiguation the SQL rewrite uses
+    * for `t.x` vs `s.x`). The source needs the key column plus whatever
+    * the expressions read — not the full table schema. Source keys must be
+    * unique and non-null (checked loud, like `merge`). Only files whose
+    * key range intersects the source and that actually hold a matched key
+    * are rewritten — the selective-clause cost model matches the upsert's.
+    */
+  def mergeInto(source: DataFrame,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Map[String, Column])]): Long = {
+    val k = keyCol.getOrElse(throw new IllegalArgumentException(
+      "mergeInto needs a table created with keyCol = Some(...)"))
+    require(matched.nonEmpty || notMatched.nonEmpty, "mergeInto needs at least one clause")
+    val schema = tableSchema
+    (matched.flatMap(_._2).flatMap(_.keys) ++ notMatched.flatMap(_._2.keys))
+      .foreach(c => require(schema.fieldNames.contains(c),
+        s"merge assignment column '$c' not in ${schema.fieldNames.mkString(",")}"))
+    require(source.columns.contains(k), s"merge source lacks key column '$k'")
+
+    val uniq = source.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
+      count_distinct(col(k)).as("d")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"merge source has ${uniq.getLong(0) - uniq.getLong(1)} null '$k' keys")
+    require(uniq.getLong(1) == uniq.getLong(2),
+      s"merge source has ${uniq.getLong(1) - uniq.getLong(2)} duplicate '$k' keys")
+
+    val v = version
+    val files = activeFiles(v)
+    val bounds = source.agg(min(col(k)), max(col(k))).head()
+    val candidates =
+      if (bounds.isNullAt(0)) Seq.empty
+      else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(candidates.map(_.path), v)
+        .select(col(k), input_file_name().as("__file"))
+        .join(source.select(col(k)).distinct(), Seq(k), "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val rewritten = candidates.filter(f => touched.exists(uriMatches(_, f.path)))
+
+    // source columns disambiguated as __src_<name> for every expression
+    val prefixed = source.select(source.columns.toIndexedSeq.map(c =>
+      col(c).as(s"__src_$c")): _*)
+    val srcK = col(s"__src_$k")
+
+    // first-match-wins clause index (0 = no clause applies); when() treats
+    // a null condition as false — standard MERGE condition semantics
+    def actionIdx(isHit: Column,
+        clauses: Seq[Option[Column]]): Column =
+      clauses.zipWithIndex.foldLeft(when(lit(false), 0)) {
+        case (acc, (condOpt, i)) =>
+          acc.when(isHit && condOpt.getOrElse(lit(true)), i + 1)
+      }.otherwise(0)
+
+    val survivors =
+      if (rewritten.isEmpty) None
+      else {
+        val joined = readFiles(rewritten.map(_.path), v)
+          .join(prefixed, col(k) === srcK, "left")
+          .withColumn("__action", actionIdx(srcK.isNotNull, matched.map(_._1)))
+        val deleteIdx = matched.zipWithIndex.collect {
+          case ((_, None), i) => i + 1 }
+        val updates = matched.zipWithIndex.collect {
+          case ((_, Some(assigns)), i) => (i + 1, assigns) }
+        val kept =
+          if (deleteIdx.isEmpty) joined
+          else joined.where(!col("__action").isin(deleteIdx.map(_.asInstanceOf[Any]): _*))
+        Some(kept.select(schema.fields.toIndexedSeq.map { f =>
+          updates.foldRight(col(f.name)) { case ((idx, assigns), els) =>
+            assigns.get(f.name) match {
+              case Some(value) =>
+                when(col("__action") === idx, value.cast(f.dataType)).otherwise(els)
+              case None => els
+            }
+          }.as(f.name)
+        }: _*))
+      }
+
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        // only candidate files can hold a source key (stats prune is
+        // conservative), so the anti-join against their keys is complete
+        val candKeys =
+          if (candidates.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(schema.fields.find(_.name == k).get)))
+          else readFiles(candidates.map(_.path), v).select(col(k))
+        val unmatched = prefixed.join(candKeys, srcK === col(k), "left_anti")
+          .withColumn("__action", actionIdx(lit(true), notMatched.map(_._1)))
+          .where(col("__action") > 0)
+        Some(unmatched.select(schema.fields.toIndexedSeq.map { f =>
+          notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {
+            case (((_, assigns), i), els) =>
+              assigns.get(f.name) match {
+                case Some(value) =>
+                  when(col("__action") === (i + 1), value.cast(f.dataType)).otherwise(els)
+                case None => els
+              }
+          }.as(f.name)
+        }: _*))
+      }
+
+    (survivors, inserts) match {
+      case (None, None) => v // nothing touched, nothing to insert
+      case (s, i) =>
+        val newData = (s.toSeq ++ i.toSeq).reduce(_.unionByName(_))
+        commit(v, "merge", writeData(newData), rewritten.map(_.path))
+    }
   }
 
   /** Remove rows where `cond` is TRUE (null-cond rows are kept, standard

@@ -103,21 +103,56 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sqlRows("SELECT v FROM gt.mrg WHERE k = 17") == Set(Seq("q")))
   }
 
+  test("general MERGE: conditional update, delete, conditional insert") {
+    warehouse
+    spark.sql("CREATE TABLE gt.gm (k BIGINT, v STRING, n BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.gm VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)")
+    // k=1: matched, n < 15 -> first clause updates from source + target mix
+    // k=2: matched, n >= 15 but v='b' -> second clause DELETEs
+    // k=3: matched, no clause condition holds -> kept unchanged
+    // k=9: unmatched, inserted only when s.n > 0 (k=8 filtered out)
+    spark.sql("""MERGE INTO gt.gm t
+      USING (SELECT * FROM VALUES (1L, 'A', 5L), (2L, 'B', 7L), (3L, 'C', -1L),
+                                  (9L, 'Z', 9L), (8L, 'Y', -2L) AS s(k, v, n)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.n < 15 THEN UPDATE SET v = concat(s.v, t.v), n = t.n + s.n
+      WHEN MATCHED AND t.v = 'b' THEN DELETE
+      WHEN NOT MATCHED AND s.n > 0 THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n * 100)""")
+    assert(sqlRows("SELECT k, v, n FROM gt.gm ORDER BY k") == Set(
+      Seq(1L, "Aa", 15L), Seq(3L, "c", 30L), Seq(4L, "d", 40L),
+      Seq(9L, "Z", 900L)))
+    assert(GraftTable.at(spark, s"$warehouse/gm").history.last.op == "merge")
+    // untouched-key files are NOT rewritten: merge again against a
+    // disjoint key range, nothing matched, insert condition false -> the
+    // commit (if any) removes nothing
+    spark.sql("""MERGE INTO gt.gm t
+      USING (SELECT 100L AS k, 'q' AS v, -5L AS n) s ON t.k = s.k
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.n > 0 THEN INSERT *""")
+    assert(sqlRows("SELECT count(*) FROM gt.gm") == Set(Seq(4L)))
+    // matched-only merge (no insert clause) leaves unmatched source alone
+    spark.sql("""MERGE INTO gt.gm t
+      USING (SELECT 4L AS k) s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(sqlRows("SELECT k FROM gt.gm") == Set(Seq(1L), Seq(3L), Seq(9L)))
+  }
+
   test("unsupported MERGE shapes and time-travel DML fail loud, named") {
     warehouse
     spark.sql("CREATE TABLE gt.mrg2 (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
     spark.sql("INSERT INTO gt.mrg2 VALUES (1, 'a')")
-    // extra clause beyond the upsert shape
-    val e1 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
-      USING (SELECT 1L AS k, 'x' AS v) s ON t.k = s.k
-      WHEN MATCHED THEN DELETE"""))
-    assert(e1.getMessage.contains("supported form"), e1.getMessage)
     // non-key ON condition
     val e2 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
       USING (SELECT 1L AS k, 'x' AS v) s ON t.v = s.v
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *"""))
     assert(e2.getMessage.contains("key equality"), e2.getMessage)
+    // NOT MATCHED BY SOURCE is out of scope, named
+    val e5 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
+      USING (SELECT 1L AS k, 'x' AS v) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    assert(e5.getMessage.contains("NOT MATCHED BY SOURCE"), e5.getMessage)
     // subquery in UPDATE is named, not silently wrong
     val e3 = intercept[Exception](spark.sql(
       "UPDATE gt.mrg2 SET v = 'x' WHERE k IN (SELECT 1L)"))
@@ -137,6 +172,26 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sqlRows("SELECT k FROM gt.tt") == Set(Seq(2L), Seq(3L)))
     val e = intercept[Exception](
       spark.sql("INSERT INTO gt.tt VERSION AS OF 2 VALUES (4)"))
+    assert(e.getMessage != null)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at-or-before") {
+    warehouse
+    spark.sql("CREATE TABLE gt.tts (k BIGINT)")
+    spark.sql("INSERT INTO gt.tts VALUES (1)") // v2
+    val t = GraftTable.at(spark, s"$warehouse/tts")
+    val tsV2 = t.history.find(_.version == 2L).get.ts
+    Thread.sleep(5) // v3 strictly later than v2's millisecond
+    spark.sql("INSERT OVERWRITE gt.tts VALUES (9)") // v3
+    assert(t.versionAt(tsV2) == 2L)
+    // SQL face: timestamp between v2 and v3 reads v2's rows
+    val asOf = new java.sql.Timestamp(tsV2).toInstant.toString
+    assert(sqlRows(s"SELECT k FROM gt.tts TIMESTAMP AS OF '$asOf'") == Set(Seq(1L)))
+    assert(sqlRows("SELECT k FROM gt.tts") == Set(Seq(9L)))
+    // before the create commit: loud
+    val e = intercept[Exception](
+      spark.sql("SELECT k FROM gt.tts TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect())
     assert(e.getMessage != null)
   }
 
@@ -276,6 +331,37 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(files.map(_.getLong(1)).sum == 1L) // one active row after overwrite
     // an unknown suffix on a real table is still loud
     intercept[Exception](spark.sql("SELECT * FROM gt.meta.nope"))
+  }
+
+  test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")
+    // three tiny commits -> three small files
+    spark.sql("INSERT INTO gt.mnt VALUES (1, 'a')")
+    spark.sql("INSERT INTO gt.mnt VALUES (2, 'b')")
+    spark.sql("INSERT INTO gt.mnt VALUES (3, 'c')")
+    val t = GraftTable.at(spark, s"$warehouse/mnt")
+    val filesBefore = t.snapshot().inputFiles.length
+    assert(filesBefore >= 3)
+    // compact returns the new version as a result row
+    val ver = spark.sql("CALL gt.system.compact(table => 'mnt')")
+      .head().getLong(0)
+    assert(ver == t.version && t.history.last.op == "compact")
+    val t2 = GraftTable.at(spark, s"$warehouse/mnt")
+    assert(t2.snapshot().inputFiles.length < filesBefore)
+    // optimize clusters (string column -> rank path) in one commit
+    spark.sql("CALL gt.system.optimize(table => 'mnt', cluster_by => 'v')")
+    assert(GraftTable.at(spark, s"$warehouse/mnt").history.last.op == "optimize")
+    // vacuum with a zero retention window reclaims the pre-compaction files
+    val deleted = spark.sql("CALL gt.system.vacuum(table => 'mnt', retention_ms => 0)")
+      .head().getLong(0)
+    assert(deleted > 0L, "vacuum reclaimed nothing after compact+optimize")
+    // rows survive the whole maintenance pass
+    assert(sqlRows("SELECT k, v FROM gt.mnt") ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // unknown procedure is loud and names the real ones
+    val e = intercept[Exception](spark.sql("CALL gt.system.frobnicate(table => 'mnt')"))
+    assert(e.getMessage != null)
   }
 
   test("DELETE with an untranslatable predicate is rejected, not silently wrong") {

@@ -61,6 +61,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (100L, "x")))
   }
 
+  test("mergeInto: conditional clauses, touched-file discipline, inserts") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 10L), (2L, "b", 20L), (100L, "z", 5L)).toDF("k", "v", "n")
+        .repartitionByRange(2, col("k")), keyCol = Some("k"))
+    val filesBefore = t.snapshot().inputFiles.toSet
+    assert(filesBefore.size == 2)
+    // source touches only the low-key file; expressions mix target cols
+    // (plain names) and source cols (__src_ prefix)
+    t.mergeInto(
+      Seq((1L, "A"), (2L, "B"), (9L, "Q")).toDF("k", "v"),
+      matched = Seq(
+        (Some(col("n") < 15L), Some(Map("v" -> concat(col("__src_v"), col("v"))))),
+        (Some(col("v") === "b"), None)), // delete
+      notMatched = Seq(
+        (Some(col("__src_k") > 5L), Map("k" -> col("__src_k"), "v" -> col("__src_v")))))
+    assert(t.snapshot().as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "Aa", Some(10L)), (100L, "z", Some(5L)), (9L, "Q", None)))
+    // the high-key file (k=100) was never rewritten
+    assert(t.snapshot().inputFiles.toSet.intersect(filesBefore).size == 1)
+    assert(t.history.last.op == "merge" && t.history.last.removed == 1)
+    // matched row hit by NO clause survives untouched; no-clause call loud
+    intercept[IllegalArgumentException](t.mergeInto(
+      Seq((1L, "x")).toDF("k", "v"), Seq.empty, Seq.empty))
+  }
+
   test("merge rejects duplicate source keys loudly") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))
