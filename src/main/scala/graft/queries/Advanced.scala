@@ -1142,7 +1142,51 @@ object Advanced extends QueryPack {
         |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // Maintenance procedures + rank-normalized Z-order under the GATE:
+    // CTAS from orders, `CALL graft.system.optimize` clustering on a
+    // (string, date) pair — non-integral, so the sampled-rank Z-path runs
+    // for real — then `CALL graft.system.compact`, then aggregate. The
+    // oracle is the PLAIN aggregate over the same subset: the whole point
+    // is that two full physical rewrites changed LAYOUT, never a row —
+    // oracle-checked row preservation for optimize/compact, and the
+    // pruning wins of the layout are spec-pinned in GraftTableSpec.
+    GraftQuery(
+      "q297_table_optimize_call",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq297_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t AS
+            SELECT o_orderpriority AS prio, o_orderdate AS day,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey % 4 = 0""")
+          s.sql(s"CALL $cat.system.optimize(table => 't', cluster_by => 'prio,day', " +
+            "target_bytes => 65536)")
+          s.sql(s"CALL $cat.system.compact(table => 't')")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+            CAST(MIN(day) AS STRING) AS first_day
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c,
+        |  CAST(MIN(o_orderdate) AS STRING) AS first_day
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

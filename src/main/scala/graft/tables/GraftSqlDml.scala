@@ -89,10 +89,11 @@ final case class GraftSqlDmlRule(session: SparkSession)
     */
   private def translateMerge(m: MergeIntoTable, gt: GraftTable): LogicalPlan = {
     val supported = "supported: MERGE INTO t USING s ON t.<key> = s.<key> " +
-      "with WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE and " +
-      "WHEN NOT MATCHED [AND cond] THEN INSERT ... clauses (key = the " +
-      "table's 'key' property); WHEN NOT MATCHED BY SOURCE and non-key ON " +
-      "conditions go through the programmatic GraftTable API"
+      "with WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE, " +
+      "WHEN NOT MATCHED [AND cond] THEN INSERT ..., and WHEN NOT MATCHED " +
+      "BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE clauses (key = " +
+      "the table's 'key' property); non-key ON conditions go through the " +
+      "programmatic GraftTable API"
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"graft MERGE INTO: $what; $supported")
 
@@ -120,9 +121,6 @@ final case class GraftSqlDmlRule(session: SparkSession)
       }
       case other => unsupported(s"ON must be key equality on '$key', got ${other.sql}")
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
-
     /** `SET * / INSERT *` after star expansion: every target column
       * assigned from the same-named source column.
       */
@@ -139,6 +137,7 @@ final case class GraftSqlDmlRule(session: SparkSession)
         }.toSet == cols
     }
     val exactUpsert =
+      m.notMatchedBySourceActions.isEmpty &&
       (m.matchedActions match {
         case Seq(UpdateStarAction(None)) => true
         case Seq(UpdateAction(None, assigns, _)) => isStarAssigns(assigns)
@@ -201,7 +200,15 @@ final case class GraftSqlDmlRule(session: SparkSession)
           keyName(a.key) -> toSrcSql(a.value, "INSERT VALUES")))
       case other => unsupported(s"unrecognized WHEN NOT MATCHED action $other")
     }
-    GraftMergeIntoSqlCommand(gt, src, matched, notMatched)
+    val notMatchedBySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        (cond.map(toSrcSql(_, "NOT MATCHED BY SOURCE AND")), Some(assigns.map(a =>
+          keyName(a.key) -> toSrcSql(a.value, "UPDATE SET"))))
+      case DeleteAction(cond) =>
+        (cond.map(toSrcSql(_, "NOT MATCHED BY SOURCE AND")), None)
+      case other => unsupported(s"unrecognized WHEN NOT MATCHED BY SOURCE action $other")
+    }
+    GraftMergeIntoSqlCommand(gt, src, matched, notMatched, notMatchedBySource)
   }
 }
 
@@ -235,14 +242,16 @@ private[tables] final case class GraftMergeSqlCommand(gt: GraftTable, source: Da
 private[tables] final case class GraftMergeIntoSqlCommand(
     gt: GraftTable, source: DataFrame,
     matched: Seq[(Option[String], Option[Seq[(String, String)]])],
-    notMatched: Seq[(Option[String], Seq[(String, String)])])
+    notMatched: Seq[(Option[String], Seq[(String, String)])],
+    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])])
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    def assigns(a: Seq[(String, String)]): Map[String, org.apache.spark.sql.Column] =
+      a.map { case (k, v) => k -> expr(v) }.toMap
     gt.mergeInto(source,
-      matched.map { case (c, a) =>
-        (c.map(expr), a.map(_.map { case (k, v) => k -> expr(v) }.toMap)) },
-      notMatched.map { case (c, a) =>
-        (c.map(expr), a.map { case (k, v) => k -> expr(v) }.toMap) })
+      matched.map { case (c, a) => (c.map(expr), a.map(assigns)) },
+      notMatched.map { case (c, a) => (c.map(expr), assigns(a)) },
+      notMatchedBySource.map { case (c, a) => (c.map(expr), a.map(assigns)) })
     Seq.empty
   }
 }

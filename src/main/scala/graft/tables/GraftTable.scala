@@ -601,6 +601,13 @@ final class GraftTable private (
     *     target match; the first holding clause INSERTS a row built from
     *     its assignments (unassigned columns are null); source rows
     *     satisfying no clause are not inserted.
+    *   - `notMatchedBySource`: evaluated in order against each TARGET row
+    *     with no source match; first holding clause updates
+    *     (`Some(assignments)` — target columns only) or deletes (`None`).
+    *     With such clauses EVERY active file is a rewrite candidate (any
+    *     file can hold unmatched rows — the inherent cost of the clause,
+    *     same as the published implementations), so at scale prefer a
+    *     keyed anti-delete where the semantics allow.
     *
     * Expressions reference TARGET columns by their own names and SOURCE
     * columns as `__src_<name>` (the disambiguation the SQL rewrite uses
@@ -608,16 +615,20 @@ final class GraftTable private (
     * the expressions read — not the full table schema. Source keys must be
     * unique and non-null (checked loud, like `merge`). Only files whose
     * key range intersects the source and that actually hold a matched key
-    * are rewritten — the selective-clause cost model matches the upsert's.
+    * are rewritten — the selective-clause cost model matches the upsert's
+    * (absent `notMatchedBySource`).
     */
   def mergeInto(source: DataFrame,
       matched: Seq[(Option[Column], Option[Map[String, Column]])],
-      notMatched: Seq[(Option[Column], Map[String, Column])]): Long = {
+      notMatched: Seq[(Option[Column], Map[String, Column])],
+      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])] = Nil): Long = {
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "mergeInto needs a table created with keyCol = Some(...)"))
-    require(matched.nonEmpty || notMatched.nonEmpty, "mergeInto needs at least one clause")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeInto needs at least one clause")
     val schema = tableSchema
-    (matched.flatMap(_._2).flatMap(_.keys) ++ notMatched.flatMap(_._2.keys))
+    (matched.flatMap(_._2).flatMap(_.keys) ++ notMatched.flatMap(_._2.keys) ++
+        notMatchedBySource.flatMap(_._2).flatMap(_.keys))
       .foreach(c => require(schema.fieldNames.contains(c),
         s"merge assignment column '$c' not in ${schema.fieldNames.mkString(",")}"))
     require(source.columns.contains(k), s"merge source lacks key column '$k'")
@@ -642,7 +653,12 @@ final class GraftTable private (
         .join(source.select(col(k)).distinct(), Seq(k), "left_semi")
         .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val rewritten = candidates.filter(f => touched.exists(uriMatches(_, f.path)))
+    // a NOT-MATCHED-BY-SOURCE clause can fire on any row of any file —
+    // every active file becomes a rewrite candidate (the clause's
+    // inherent cost); otherwise only matched-key files are rewritten
+    val rewritten =
+      if (notMatchedBySource.nonEmpty) files
+      else candidates.filter(f => touched.exists(uriMatches(_, f.path)))
 
     // source columns disambiguated as __src_<name> for every expression
     val prefixed = source.select(source.columns.toIndexedSeq.map(c =>
@@ -651,22 +667,27 @@ final class GraftTable private (
 
     // first-match-wins clause index (0 = no clause applies); when() treats
     // a null condition as false — standard MERGE condition semantics
-    def actionIdx(isHit: Column,
-        clauses: Seq[Option[Column]]): Column =
+    def actionIdx(clauses: Seq[Column]): Column =
       clauses.zipWithIndex.foldLeft(when(lit(false), 0)) {
-        case (acc, (condOpt, i)) =>
-          acc.when(isHit && condOpt.getOrElse(lit(true)), i + 1)
+        case (acc, (cond, i)) => acc.when(cond, i + 1)
       }.otherwise(0)
 
     val survivors =
       if (rewritten.isEmpty) None
       else {
+        // one clause space: matched clauses guard on a source hit, NMBS
+        // clauses on a miss — mutually exclusive, so one ordered fold
+        val clauses: Seq[(Column, Option[Map[String, Column]])] =
+          matched.map { case (c, a) =>
+            (srcK.isNotNull && c.getOrElse(lit(true)), a) } ++
+          notMatchedBySource.map { case (c, a) =>
+            (srcK.isNull && c.getOrElse(lit(true)), a) }
         val joined = readFiles(rewritten.map(_.path), v)
           .join(prefixed, col(k) === srcK, "left")
-          .withColumn("__action", actionIdx(srcK.isNotNull, matched.map(_._1)))
-        val deleteIdx = matched.zipWithIndex.collect {
+          .withColumn("__action", actionIdx(clauses.map(_._1)))
+        val deleteIdx = clauses.zipWithIndex.collect {
           case ((_, None), i) => i + 1 }
-        val updates = matched.zipWithIndex.collect {
+        val updates = clauses.zipWithIndex.collect {
           case ((_, Some(assigns)), i) => (i + 1, assigns) }
         val kept =
           if (deleteIdx.isEmpty) joined
@@ -693,7 +714,8 @@ final class GraftTable private (
               StructType(Seq(schema.fields.find(_.name == k).get)))
           else readFiles(candidates.map(_.path), v).select(col(k))
         val unmatched = prefixed.join(candKeys, srcK === col(k), "left_anti")
-          .withColumn("__action", actionIdx(lit(true), notMatched.map(_._1)))
+          .withColumn("__action",
+            actionIdx(notMatched.map(_._1.getOrElse(lit(true)))))
           .where(col("__action") > 0)
         Some(unmatched.select(schema.fields.toIndexedSeq.map { f =>
           notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType): Column) {

@@ -135,6 +135,15 @@ class GraftCatalogSpec extends SparkTestBase {
       USING (SELECT 4L AS k) s ON t.k = s.k
       WHEN MATCHED THEN DELETE""")
     assert(sqlRows("SELECT k FROM gt.gm") == Set(Seq(1L), Seq(3L), Seq(9L)))
+    // NOT MATCHED BY SOURCE: target rows without a source match get
+    // conditionally updated or deleted (the SQL:2023 full-sync shape)
+    spark.sql("""MERGE INTO gt.gm t
+      USING (SELECT 1L AS k, 'keep' AS v) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.n >= 100 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    assert(sqlRows("SELECT k, v FROM gt.gm ORDER BY k") ==
+      Set(Seq(1L, "keep"), Seq(3L, "stale"))) // k=9 (n=900) deleted
   }
 
   test("unsupported MERGE shapes and time-travel DML fail loud, named") {
@@ -147,12 +156,6 @@ class GraftCatalogSpec extends SparkTestBase {
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *"""))
     assert(e2.getMessage.contains("key equality"), e2.getMessage)
-    // NOT MATCHED BY SOURCE is out of scope, named
-    val e5 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
-      USING (SELECT 1L AS k, 'x' AS v) s ON t.k = s.k
-      WHEN MATCHED THEN UPDATE SET *
-      WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
-    assert(e5.getMessage.contains("NOT MATCHED BY SOURCE"), e5.getMessage)
     // subquery in UPDATE is named, not silently wrong
     val e3 = intercept[Exception](spark.sql(
       "UPDATE gt.mrg2 SET v = 'x' WHERE k IN (SELECT 1L)"))

@@ -313,6 +313,32 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(t.version == vBefore + 1)
   }
 
+  test("rename mid-stream: metadata commit passes through, files resolve") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val cp = ckpt()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").option("path", loc).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.add((r.getLong(0), r.getString(1)))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // first drain under the original names
+    run()
+    assert(seen.asScala.toSet == Set((1L, "a")))
+    // a rename is a 0-add/0-remove commit: NOT a change commit — the
+    // stream passes it silently; files before AND after carry the stable
+    // physical name, so the resumed stream keeps resolving both eras
+    t.renameColumn("v", "label")
+    t.append(Seq((2L, "b")).toDF("k", "label"))
+    run()
+    assert(seen.asScala.toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
