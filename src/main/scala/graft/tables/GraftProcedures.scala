@@ -31,13 +31,14 @@ private[tables] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("compact", "optimize", "vacuum")
+  def names: Seq[String] = Seq("compact", "optimize", "vacuum", "restore")
 
   def load(resolve: String => GraftTable, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "compact" => Some(CompactProc(resolve))
       case "optimize" => Some(OptimizeProc(resolve))
       case "vacuum" => Some(VacuumProc(resolve))
+      case "restore" => Some(RestoreProc(resolve))
       case _ => None
     }
 
@@ -97,11 +98,30 @@ private[tables] object GraftProcedures {
       reqParam("cluster_by", StringType,
         "comma-separated cluster columns (1 = range sort, 2-4 = Z-order)"),
       param("target_bytes", LongType, (128L << 20).toString,
-        "approximate output file size"))
+        "approximate output file size"),
+      param("where", StringType, "''",
+        "partition predicate scoping the rewrite (OPTIMIZE ... WHERE); " +
+          "empty = whole table"))
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val cols = input.getUTF8String(1).toString.split(',').toIndexedSeq
         .map(_.trim).filter(_.nonEmpty)
-      val v = table(input).optimize(cols, input.getLong(2))
+      val whereSql = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+      val v = table(input).optimize(cols, input.getLong(2),
+        whereSql.map(org.apache.spark.sql.functions.expr))
+      result(VersionSchema, v)
+    }
+  }
+
+  private case class RestoreProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "restore"
+    override def description(): String =
+      "restore the table to a past version's state (data, schema, column map) as one new commit"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("version", LongType, "target version (must predate vacuum)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val v = table(input).restore(input.getLong(1))
       result(VersionSchema, v)
     }
   }

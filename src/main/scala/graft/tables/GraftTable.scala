@@ -833,9 +833,13 @@ final class GraftTable private (
     *
     * This is the lakehouse OPTIMIZE ZORDER BY story on the published
     * Z-curve design; at 100 TB the rewrite is one shuffle of the table —
-    * amortized against every subsequent pruned scan.
+    * amortized against every subsequent pruned scan. `partitionPred`
+    * scopes the rewrite to matching partitions (OPTIMIZE ... WHERE):
+    * driver-side prune over the log's partition tuples, untouched
+    * partitions' files are not read, not even listed.
     */
-  def optimize(clusterBy: Seq[String], targetBytes: Long = 128L << 20): Long = {
+  def optimize(clusterBy: Seq[String], targetBytes: Long = 128L << 20,
+      partitionPred: Option[Column] = None): Long = {
     require(clusterBy.nonEmpty && clusterBy.size <= 4,
       "optimize clusters on 1 (range sort) to 4 (z-order) columns")
     require(clusterBy.distinct == clusterBy, "duplicate cluster columns")
@@ -863,11 +867,23 @@ final class GraftTable private (
     }
     val integral = Seq(ByteType, ShortType, IntegerType, LongType)
     val v = version
-    val files = activeFiles(v)
+    // OPTIMIZE WHERE: with a partition predicate, only the selected
+    // partitions' files are rewritten (driver-side prune over the log's
+    // partition tuples, same machinery as snapshotWhere) — at 100 TB you
+    // optimize the day that just closed, not three years
+    val files = partitionPred match {
+      case None => activeFiles(v)
+      case Some(pred) =>
+        require(partitionBy.nonEmpty,
+          "optimize with a partition predicate needs a partitioned table")
+        val all = activeFiles(v)
+        val kept = prunePartitions(all.map(_.pv).distinct, pred, schema)
+        all.filter(f => kept(f.pv))
+    }
     if (files.isEmpty) return v
     val nOut = math.max(1L,
       (files.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
-    val df = snapshot(Some(v))
+    val df = readFiles(files.map(_.path), v)
     val clustered = clusterBy match {
       case Seq(c) =>
         df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
@@ -927,6 +943,35 @@ final class GraftTable private (
     (for { d <- 0 until n; j <- 0 until 8 } yield
       shiftleft(shiftright(rankCols(d), j).bitwiseAND(lit(1L)), j * n + (n - 1 - d)))
       .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** RESTORE the table to a past version's state — data files, schema,
+    * and column mapping — as ONE new commit (history is never rewritten:
+    * the restore is itself a version, so a restore can be restored away,
+    * the standard lakehouse RESTORE contract). Metadata-only when the old
+    * files still exist: the commit re-references them, moving no data; a
+    * restore whose target files were vacuumed fails LOUD with the names.
+    * Streams reading the table see a remove-bearing commit and apply the
+    * append-only contract (fail loud / skipChangeCommits) — correct:
+    * a restore rewrites history's visible state.
+    */
+  def restore(versionAsOf: Long): Long = {
+    val v = version
+    require(versionAsOf != v, s"table is already at version $v")
+    val target = activeFiles(versionAsOf) // loud if the version is unknown
+    val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+    val gone = target.map(_.path).filterNot(onDisk)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"restore to version $versionAsOf needs ${gone.size} file(s) reclaimed " +
+        s"by vacuum() (e.g. ${gone.head}); that version is no longer " +
+        "materializable")
+    val cur = activeFiles(v)
+    val curPaths = cur.map(_.path).toSet
+    val targetPaths = target.map(_.path).toSet
+    commit(v, "restore",
+      target.filterNot(f => curPaths(f.path)),
+      cur.map(_.path).filterNot(targetPaths),
+      None, Some(schemaAt(versionAsOf)), Some(colmapAt(versionAsOf)))
   }
 
   /** Physically delete data files no longer in the CURRENT snapshot.

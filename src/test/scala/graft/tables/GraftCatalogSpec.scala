@@ -355,10 +355,14 @@ class GraftCatalogSpec extends SparkTestBase {
     // optimize clusters (string column -> rank path) in one commit
     spark.sql("CALL gt.system.optimize(table => 'mnt', cluster_by => 'v')")
     assert(GraftTable.at(spark, s"$warehouse/mnt").history.last.op == "optimize")
-    // vacuum with a zero retention window reclaims the pre-compaction files
+    // restore: back to the post-compaction version (pre-vacuum, so its
+    // files still exist — metadata-only re-reference)
+    spark.sql(s"CALL gt.system.restore(table => 'mnt', version => ${ver})")
+    assert(GraftTable.at(spark, s"$warehouse/mnt").history.last.op == "restore")
+    // vacuum with a zero retention window reclaims the unreferenced files
     val deleted = spark.sql("CALL gt.system.vacuum(table => 'mnt', retention_ms => 0)")
       .head().getLong(0)
-    assert(deleted > 0L, "vacuum reclaimed nothing after compact+optimize")
+    assert(deleted > 0L, "vacuum reclaimed nothing after compact+optimize+restore")
     // rows survive the whole maintenance pass
     assert(sqlRows("SELECT k, v FROM gt.mnt") ==
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))

@@ -61,6 +61,47 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (100L, "x")))
   }
 
+  test("restore: back to a past version's data+schema, as one NEW commit") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v2
+    t.renameColumn("v", "label")            // v3
+    t.overwrite(Seq((9L, "z")).toDF("k", "label")) // v4
+    val restored = t.restore(2L)
+    assert(restored == 5L && t.history.last.op == "restore")
+    // v2's rows AND schema (pre-rename names) are back
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.snapshot().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // history intact: the overwritten state is still time-travelable
+    assert(t.snapshot(Some(4L)).columns.toSeq == Seq("k", "label"))
+    // restore of the current version is refused; vacuumed targets loud
+    intercept[IllegalArgumentException](t.restore(5L))
+    t.vacuum(0L) // reclaims v4's overwrite file
+    val e = intercept[IllegalStateException](t.restore(4L))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("optimize WHERE: only the selected partition's files are rewritten") {
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L), (4L, "B", 40L))
+      .toDF("k", "part", "n").repartition(4)
+    val t = GraftTable.create(spark, tmp(), df, partitionBy = Seq("part"))
+    val filesB = t.currentFiles.filter(_.pv.get("part").contains(Some("B")))
+      .map(_.path).toSet
+    assert(filesB.nonEmpty)
+    t.optimize(Seq("k"), targetBytes = 4096L,
+      partitionPred = Some(col("part") === "A"))
+    assert(t.history.last.op == "optimize")
+    // B's files survived untouched; A's were rewritten
+    val after = t.currentFiles
+    assert(after.filter(_.pv.get("part").contains(Some("B")))
+      .map(_.path).toSet == filesB, "optimize WHERE touched a pruned partition")
+    assert(after.filter(_.pv.get("part").contains(Some("A")))
+      .forall(f => !filesB.contains(f.path)))
+    // rows unchanged
+    assert(t.snapshot().as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L), (4L, "B", 40L)))
+  }
+
   test("mergeInto: conditional clauses, touched-file discipline, inserts") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a", 10L), (2L, "b", 20L), (100L, "z", 5L)).toDF("k", "v", "n")
