@@ -350,11 +350,12 @@ private[tables] final class GraftSqlTable(
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(gt, pinnedRead, asOf.isDefined, schema())
+    new GraftScanBuilder(gt, pinnedRead, asOf.isDefined, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"$name is a time-travel read; writes must target the live table")
@@ -379,7 +380,8 @@ private[tables] final class GraftSqlTable(
   * expression Spark would apply).
   */
 private[tables] final class GraftScanBuilder(
-    gt: GraftTable, pinned: Long, timeTravel: Boolean, full: StructType)
+    gt: GraftTable, pinned: Long, timeTravel: Boolean, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = full
@@ -415,6 +417,14 @@ private[tables] final class GraftScanBuilder(
     }
     override def description(): String =
       s"graft-table ${gt.location}" + (if (timeTravel) s"@v$pinned" else "")
+
+    // `spark.readStream.table("graft.ns.t")` — the same micro-batch
+    // source (admission control, append-only contract, flat-atomic
+    // check) the path-based format exposes; pruning/pushdown do not
+    // apply to the incremental feed (whole added files are the unit)
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GraftTableMicroBatchStream(gt.location, gt.schema, options)
   }
 }
 

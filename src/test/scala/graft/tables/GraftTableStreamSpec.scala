@@ -313,6 +313,34 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(t.version == vBefore + 1)
   }
 
+  test("readStream.table through the catalog: same source, admission included") {
+    val wh = Files.createTempDirectory("graft-cat-src").toString
+    spark.conf.set("spark.sql.catalog.gsrc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsrc.root", wh)
+    try {
+      spark.sql("CREATE TABLE gsrc.st (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO gsrc.st VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO gsrc.st VALUES (3, 'c')")
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.option("maxFilesPerTrigger", "1")
+        .table("gsrc.st")
+        .writeStream.option("checkpointLocation", ckpt())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(batch.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val sizes = batches.asScala.toSeq
+      // 1 create(empty: zero files added? creation writes one empty file)
+      // + insert files drain one file per trigger under the cap
+      assert(sizes.sum == 3, s"expected all 3 rows, got $sizes")
+      assert(sizes.forall(_ <= 2), s"a batch exceeded the 1-file cap: $sizes")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsrc")
+      spark.conf.unset("spark.sql.catalog.gsrc.root")
+    }
+  }
+
   test("rename mid-stream: metadata commit passes through, files resolve") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
