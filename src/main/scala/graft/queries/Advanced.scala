@@ -1186,7 +1186,56 @@ object Advanced extends QueryPack {
         |    AS sum_price_c,
         |  CAST(MIN(o_orderdate) AS STRING) AS first_day
         |FROM orders WHERE o_orderkey % 4 = 0
-        |GROUP BY 1 ORDER BY prio""".stripMargin)))
+        |GROUP BY 1 ORDER BY prio""".stripMargin)),
+
+    // Column rename via log-carried column mapping, END TO END under the
+    // gate: CTAS writes files under the original physical name, RENAME
+    // COLUMN rebinds the logical name metadata-only, then UPDATE and
+    // INSERT run under the NEW name against BOTH file eras, and the final
+    // aggregate reads pre-rename files + post-rename files through the
+    // stable physical identity. The oracle replays the same state
+    // relationally — if by-name resolution broke anywhere (null-filled
+    // old files, stale physical writes), the hashes diverge.
+    GraftQuery(
+      "q298_table_rename_column",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq298_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey % 2 = 1""")
+          s.sql(s"ALTER TABLE $cat.t RENAME COLUMN price_c TO cents")
+          s.sql(s"UPDATE $cat.t SET cents = cents * 3 WHERE prio = '5-LOW'")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey % 2 = 0""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH rows0 AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CASE WHEN o_orderkey % 2 = 1 AND o_orderpriority = '5-LOW'
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

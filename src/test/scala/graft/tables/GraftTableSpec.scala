@@ -61,6 +61,34 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (100L, "x")))
   }
 
+  test("change feed and schema evolution compose across a rename boundary") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))   // v2, pre-rename era
+    t.renameColumn("v", "label")              // v3, metadata-only
+    t.append(Seq((3L, "c")).toDF("k", "label")) // v4, post-rename era
+    // the feed spans the rename: both eras' rows union into ONE column
+    // under the TO-version's logical name (physical identity is stable)
+    val feed = t.changes(0L, t.version)
+    assert(feed.columns.toSeq == Seq("k", "label", "_change", "_version"))
+    assert(feed.select("k", "label", "_change")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+    // mergeSchema append AFTER the rename: the new column's physical name
+    // is its own; old files null-fill; snapshot sees all three eras
+    t.append(Seq((4L, "d", 7L)).toDF("k", "label", "extra"), mergeSchema = true)
+    assert(t.snapshot().as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", None), (4L, "d", Some(7L))))
+    // a feed ending BEFORE the rename keeps the old logical name
+    assert(t.changes(0L, 2L).columns.toSeq == Seq("k", "v", "_change", "_version"))
+    // incremental aggregate maintenance rides the feed from any version
+    // AT-or-after the rename (a bootstrap snapshot exposes ITS version's
+    // logical names — to maintain across the boundary, bootstrap under
+    // the new name)
+    val state = IncrementalAgg.maintained(t, 3L, t.version, "label", "k")
+    assert(state.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L), ("d", 1L, 4L)))
+  }
+
   test("restore: back to a past version's data+schema, as one NEW commit") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     t.append(Seq((2L, "b")).toDF("k", "v")) // v2
