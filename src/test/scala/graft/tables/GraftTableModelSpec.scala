@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
 
 /** Model-based lifecycle property for the table layer: a RANDOM sequence of
   * DML and maintenance ops (merge, deleteWhere, update, append, overwrite,
-  * compact, optimize) runs against both a [[GraftTable]] and a trivial
-  * in-memory reference model; after EVERY op the snapshot must equal the
-  * model exactly. This catches interaction bugs no single-op spec can
-  * (merge after optimize relocated rows, update after compact merged files,
-  * delete after overwrite …), and at the end the change feed's fold
-  * invariant is checked across the whole mixed history — the feed must
+  * compact, optimize, renameColumn, restore) runs against both a
+  * [[GraftTable]] and a trivial in-memory reference model; after EVERY op
+  * the snapshot must equal the model exactly. This catches interaction bugs
+  * no single-op spec can (merge after optimize relocated rows, update after
+  * compact merged files, update-under-a-renamed-name over pre-rename files,
+  * restore across a rename boundary …), and at the end the change feed's
+  * fold invariant is checked across the whole mixed history — the feed must
   * reconstruct the final state from the first version regardless of which
   * ops produced the commits. Fixed seed: failures reproduce.
   */
@@ -25,12 +26,14 @@ class GraftTableModelSpec extends SparkTestBase {
   private def tmp(): String =
     new java.io.File(Files.createTempDirectory("graft-model").toFile, "t").getAbsolutePath
 
-  private def df(rows: Iterable[(Long, String)]): DataFrame =
-    rows.toSeq.toDF("k", "v")
-
   test("random op sequences: snapshot ≡ model after every op; feed folds") {
     val rnd = new Random(20260814L)
     val model = scala.collection.mutable.Map.empty[Long, String]
+    // the value column's CURRENT logical name (renameColumn rebinds it);
+    // data frames for DML must speak the name in force
+    var vName = "v"
+    def df(rows: Iterable[(Long, String)]): DataFrame =
+      rows.toSeq.toDF("k", vName)
     def fresh(n: Int): Seq[(Long, String)] = {
       val ks = Iterator.continually(rnd.nextInt(200).toLong)
         .filterNot(model.contains).distinct.take(n).toSeq
@@ -43,10 +46,17 @@ class GraftTableModelSpec extends SparkTestBase {
     def check(op: String): Unit = {
       val got = t.snapshot().as[(Long, String)].collect().toSet
       assert(got == model.toSet, s"after $op: table $got != model ${model.toSet}")
+      assert(t.schema.fieldNames.toSeq == Seq("k", vName),
+        s"after $op: schema ${t.schema.fieldNames.mkString(",")} != k,$vName")
     }
 
-    for (step <- 1 to 16) {
-      rnd.nextInt(7) match {
+    // per-version model states, for restore targets (never vacuumed here)
+    val past = scala.collection.mutable.Buffer.empty[(Long, Map[Long, String], String)]
+    past += ((t.version, model.toMap, vName))
+    def snap(): Unit = past += ((t.version, model.toMap, vName))
+
+    for (step <- 1 to 20) {
+      rnd.nextInt(9) match {
         case 0 => // append fresh keys
           val rows = fresh(rnd.nextInt(4) + 1)
           t.append(df(rows))
@@ -69,7 +79,7 @@ class GraftTableModelSpec extends SparkTestBase {
           check(s"$step:delete[$lo,${lo + 30}]")
         case 3 => // update: rewrite v where k in a band, referencing old v
           val m = rnd.nextInt(5) + 2
-          t.update(Map("v" -> concat(col("v"), lit(s"+u$step"))),
+          t.update(Map(vName -> concat(col(vName), lit(s"+u$step"))),
             col("k") % m === 0L)
           model.mapValuesInPlace((k, v) => if (k % m == 0) s"$v+u$step" else v)
           check(s"$step:update%$m")
@@ -86,7 +96,21 @@ class GraftTableModelSpec extends SparkTestBase {
         case 6 =>
           if (model.nonEmpty) t.optimize(Seq("k"), targetBytes = 16L << 10)
           check(s"$step:optimize")
+        case 7 => // rename the value column: metadata-only, data identical
+          val next = s"v_$step"
+          t.renameColumn(vName, next)
+          vName = next
+          check(s"$step:rename->$next")
+        case 8 => // restore to a random recorded version: data AND schema
+          val (ver, m0, n0) = past(rnd.nextInt(past.size))
+          if (ver != t.version) {
+            t.restore(ver)
+            model.clear(); m0.foreach { case (k, v) => model(k) = v }
+            vName = n0
+          }
+          check(s"$step:restore->v$ver")
       }
+      snap()
     }
 
     // change-feed fold across the whole mixed history: snapshot(1) ⊎ ins ∖
