@@ -195,7 +195,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
     val t = handle(p)
+    // VALIDATE every change before applying ANY: each kind lands as its own
+    // log commit, so a statement mixing kinds could otherwise half-apply
+    // (a rename committed, then a later unsupported change throwing). All
+    // AddColumns go in ONE commit; RENAME/DROP must be the sole change.
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    var rename: Option[TableChange.RenameColumn] = None
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -205,11 +210,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"graft-catalog supports top-level RENAME COLUMN only, got ${r.fieldNames.mkString(".")}")
-        t.renameColumn(r.fieldNames()(0), r.newName)
+        require(rename.isEmpty, "one RENAME COLUMN per ALTER TABLE statement " +
+          "(each rename is its own commit; batching them is not atomic)")
+        rename = Some(r)
       case c => throw new UnsupportedOperationException(
         s"graft-catalog ALTER TABLE supports ADD COLUMNS and RENAME COLUMN, got $c")
     }
     val fields = adds.result()
+    require(rename.isEmpty || fields.isEmpty,
+      "ALTER TABLE cannot mix RENAME COLUMN with other changes " +
+        "(they would land as separate, non-atomic commits); issue two statements")
+    rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
     if (fields.nonEmpty) t.addColumns(fields)
     loadTable(ident)
   }
@@ -258,7 +269,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (!ident.namespace.sameElements(GraftProcedures.Namespace))
-      throw new NoSuchTableException(ident) // procedures live under `system`
+      // a procedure-shaped error, not "table not found": CALL against a
+      // wrong namespace should say where the procedures live
+      throw new UnsupportedOperationException(
+        s"no procedures under namespace '${ident.namespace.mkString(".")}'; " +
+          s"graft procedures live under $catalogName.system " +
+          s"(CALL $catalogName.system.<proc>(...))")
     GraftProcedures.load(tableFor, ident.name).getOrElse(
       throw new UnsupportedOperationException(
         s"unknown procedure ${identString(ident)}; have " +

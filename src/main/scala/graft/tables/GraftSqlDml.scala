@@ -84,16 +84,21 @@ final case class GraftSqlDmlRule(session: SparkSession)
     * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`) takes the
     * fast path ([[GraftTable.merge]] — whole-row replace, anti-join
     * insert); every other conditional-clause combination lowers to the
-    * generalized [[GraftTable.mergeInto]]. Both demand key-equality ON —
-    * the table's contract. NOT MATCHED BY SOURCE stays loud.
+    * generalized [[GraftTable.mergeInto]]. The ON condition must CONTAIN
+    * key equality; extra conjuncts (`ON t.k = s.k AND t.region = s.region
+    * AND t.day >= DATE'…'`) ride along as the table op's `extraOn` —
+    * standard compound-ON semantics (a key-matching pair failing the
+    * residue is NOT matched), with the target-only conjuncts pruning the
+    * candidate-file set through the logged zone maps. NOT MATCHED BY
+    * SOURCE is supported; a non-conjunctive ON (OR at the top) stays loud.
     */
   private def translateMerge(m: MergeIntoTable, gt: GraftTable): LogicalPlan = {
     val supported = "supported: MERGE INTO t USING s ON t.<key> = s.<key> " +
-      "with WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE, " +
-      "WHEN NOT MATCHED [AND cond] THEN INSERT ..., and WHEN NOT MATCHED " +
-      "BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE clauses (key = " +
-      "the table's 'key' property); non-key ON conditions go through the " +
-      "programmatic GraftTable API"
+      "[AND <conjuncts>] with WHEN MATCHED [AND cond] THEN UPDATE SET ... " +
+      "| DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT ..., and WHEN NOT " +
+      "MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE clauses " +
+      "(key = the table's 'key' property); ON shapes without a key-equality " +
+      "conjunct go through the programmatic GraftTable API"
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(s"graft MERGE INTO: $what; $supported")
 
@@ -110,17 +115,26 @@ final case class GraftSqlDmlRule(session: SparkSession)
       case other => other
     }
 
-    m.mergeCondition match {
-      case EqualTo(lc, rc) => (uncast(lc), uncast(rc)) match {
-        case (l: AttributeReference, r: AttributeReference)
-          if l.name.equalsIgnoreCase(key) && r.name.equalsIgnoreCase(key) &&
-            ((targetOut.contains(l) && sourceOut.contains(r)) ||
-             (targetOut.contains(r) && sourceOut.contains(l))) => ()
-        case _ => unsupported(
-          s"ON must be key equality on '$key', got ${m.mergeCondition.sql}")
-      }
-      case other => unsupported(s"ON must be key equality on '$key', got ${other.sql}")
+    // ON = one key-equality conjunct + any residue; the residue becomes
+    // the table op's extraOn (rendered below once toSrcSql is in scope)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
+    def isKeyEquality(e: Expression): Boolean = e match {
+      case EqualTo(lc, rc) => (uncast(lc), uncast(rc)) match {
+        case (l: AttributeReference, r: AttributeReference) =>
+          l.name.equalsIgnoreCase(key) && r.name.equalsIgnoreCase(key) &&
+            ((targetOut.contains(l) && sourceOut.contains(r)) ||
+             (targetOut.contains(r) && sourceOut.contains(l)))
+        case _ => false
+      }
+      case _ => false
+    }
+    val (keyEqs, extraConjuncts) = conjuncts(m.mergeCondition).partition(isKeyEquality)
+    if (keyEqs.isEmpty) unsupported(
+      s"ON must contain a key-equality conjunct on '$key', got ${m.mergeCondition.sql}")
     /** `SET * / INSERT *` after star expansion: every target column
       * assigned from the same-named source column.
       */
@@ -137,6 +151,7 @@ final case class GraftSqlDmlRule(session: SparkSession)
         }.toSet == cols
     }
     val exactUpsert =
+      extraConjuncts.isEmpty &&
       m.notMatchedBySourceActions.isEmpty &&
       (m.matchedActions match {
         case Seq(UpdateStarAction(None)) => true
@@ -180,6 +195,10 @@ final case class GraftSqlDmlRule(session: SparkSession)
       case a: AttributeReference => a.name
       case other => unsupported(s"assignments must target top-level columns, got $other")
     }
+    // the compound-ON residue, in the joined frame's vocabulary
+    val extraOnSql: Option[String] =
+      if (extraConjuncts.isEmpty) None
+      else Some(extraConjuncts.map(e => "(" + toSrcSql(e, "ON") + ")").mkString(" AND "))
     val matched = m.matchedActions.map {
       case UpdateStarAction(cond) =>
         (cond.map(toSrcSql(_, "MATCHED AND")), Some(gt.schema.fieldNames.toIndexedSeq
@@ -208,7 +227,8 @@ final case class GraftSqlDmlRule(session: SparkSession)
         (cond.map(toSrcSql(_, "NOT MATCHED BY SOURCE AND")), None)
       case other => unsupported(s"unrecognized WHEN NOT MATCHED BY SOURCE action $other")
     }
-    GraftMergeIntoSqlCommand(gt, src, matched, notMatched, notMatchedBySource)
+    GraftMergeIntoSqlCommand(gt, src, matched, notMatched, notMatchedBySource,
+      extraOnSql)
   }
 }
 
@@ -243,7 +263,8 @@ private[tables] final case class GraftMergeIntoSqlCommand(
     gt: GraftTable, source: DataFrame,
     matched: Seq[(Option[String], Option[Seq[(String, String)]])],
     notMatched: Seq[(Option[String], Seq[(String, String)])],
-    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])])
+    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])],
+    extraOnSql: Option[String] = None)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     def assigns(a: Seq[(String, String)]): Map[String, org.apache.spark.sql.Column] =
@@ -251,7 +272,8 @@ private[tables] final case class GraftMergeIntoSqlCommand(
     gt.mergeInto(source,
       matched.map { case (c, a) => (c.map(expr), a.map(assigns)) },
       notMatched.map { case (c, a) => (c.map(expr), assigns(a)) },
-      notMatchedBySource.map { case (c, a) => (c.map(expr), a.map(assigns)) })
+      notMatchedBySource.map { case (c, a) => (c.map(expr), a.map(assigns)) },
+      extraOnSql.map(expr))
     Seq.empty
   }
 }

@@ -109,9 +109,19 @@ final class GraftTable private (
     if (cm.isEmpty) logical
     else StructType(logical.fields.map(f => f.copy(name = physName(cm, f.name))))
 
-  /** The stream faces read/write raw parquet against physical names. */
-  private[tables] def physicalSchemaOf(logical: StructType): StructType =
-    physicalSchema(logical, currentColmap)
+  /** The stream faces read/write raw parquet against physical names —
+    * resolved through a colmap the STREAM anchors at construction (not the
+    * current one: a column renamed before stream start and renamed again
+    * mid-stream would otherwise fall back to a name that is neither logical
+    * nor physical and silently null-fill — the stream pins its mapping and
+    * fails loud on drift instead, the published non-additive-schema-change
+    * contract).
+    */
+  private[tables] def physicalSchemaOf(logical: StructType,
+      cm: Map[String, String]): StructType = physicalSchema(logical, cm)
+
+  /** The colmap in force right now (for streams to anchor / drift-check). */
+  private[tables] def colmapNow: Map[String, String] = currentColmap
 
   /** Read table files under version `asOf`'s schema: physical names on the
     * parquet scan (stable across renames), logical names on the result.
@@ -331,6 +341,37 @@ final class GraftTable private (
     val logicalCs = schema.fieldNames.toIndexedSeq
       .flatMap(l => f.cs.get(physName(cm, l)).map(l -> _)).toMap
     logicalCs ++ keyCol.flatMap(k => f.stats.map(k -> _)) ++ pvIv
+  }
+
+  /** Resolve `pred` over (target ++ `__src_`-prefixed source) columns,
+    * constant-fold, and return the AND of its conjuncts that reference
+    * ONLY target columns — the sub-predicate that is sound for file-level
+    * interval pruning (a file whose ranges refute it holds no row
+    * satisfying the full predicate). None when no conjunct qualifies or
+    * the predicate does not resolve here (the join will fail loud later).
+    */
+  private def targetOnlyPrunable(pred: Column, target: StructType,
+      srcSchema: StructType): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
+    val joined = StructType(target.fields.toIndexedSeq ++ srcSchema.fields)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joined)
+    val cond =
+      try empty.where(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    cond.map(_.transformUp {
+      case e if e.foldable => Literal.create(e.eval(), e.dataType)
+    }).flatMap { c =>
+      def conj(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conj(l) ++ conj(r)
+        case o => Seq(o)
+      }
+      val tcols = target.fieldNames.toSet
+      conj(c).filter(_.references.forall(a => tcols.contains(a.name)))
+        .reduceOption(And)
+    }
   }
 
   /** Dynamic partition overwrite, snapshot-atomic: every partition present
@@ -617,11 +658,21 @@ final class GraftTable private (
     * key range intersects the source and that actually hold a matched key
     * are rewritten — the selective-clause cost model matches the upsert's
     * (absent `notMatchedBySource`).
+    *
+    * `extraOn` generalizes the match condition to `key equality AND
+    * extraOn` (the compound `ON t.k = s.k AND …` SQL surface): a target
+    * row whose key matches but whose extraOn fails is NOT matched — its
+    * source row inserts under NOT MATCHED, and the target row itself falls
+    * to NOT MATCHED BY SOURCE, standard MERGE semantics. Conjuncts of
+    * `extraOn` that reference only TARGET columns additionally prune the
+    * candidate-file set through the logged zone maps ([[FilePruning]]) —
+    * a partition-scoped compound-ON merge touches only that slice's files.
     */
   def mergeInto(source: DataFrame,
       matched: Seq[(Option[Column], Option[Map[String, Column]])],
       notMatched: Seq[(Option[Column], Map[String, Column])],
-      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])] = Nil): Long = {
+      notMatchedBySource: Seq[(Option[Column], Option[Map[String, Column]])] = Nil,
+      extraOn: Option[Column] = None): Long = {
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "mergeInto needs a table created with keyCol = Some(...)"))
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -643,27 +694,41 @@ final class GraftTable private (
     val v = version
     val files = activeFiles(v)
     val bounds = source.agg(min(col(k)), max(col(k))).head()
-    val candidates =
-      if (bounds.isNullAt(0)) Seq.empty
-      else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
-    val touched: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readFiles(candidates.map(_.path), v)
-        .select(col(k), input_file_name().as("__file"))
-        .join(source.select(col(k)).distinct(), Seq(k), "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(_.getString(0)).toSet
-    // a NOT-MATCHED-BY-SOURCE clause can fire on any row of any file —
-    // every active file becomes a rewrite candidate (the clause's
-    // inherent cost); otherwise only matched-key files are rewritten
-    val rewritten =
-      if (notMatchedBySource.nonEmpty) files
-      else candidates.filter(f => touched.exists(uriMatches(_, f.path)))
-
     // source columns disambiguated as __src_<name> for every expression
     val prefixed = source.select(source.columns.toIndexedSeq.map(c =>
       col(c).as(s"__src_$c")): _*)
     val srcK = col(s"__src_$k")
+    // the full match condition: key equality AND the compound-ON residue
+    val matchCond = extraOn.fold(col(k) === srcK)(col(k) === srcK && _)
+    // target-only conjuncts of extraOn prune candidates via zone maps: a
+    // file whose logged ranges PROVE the conjunct can't hold contains no
+    // fully-matched row (key-matching rows there fail extraOn → unmatched
+    // → kept unchanged), so skipping it is sound for matched AND
+    // not-matched processing alike
+    val targetPrune: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      extraOn.flatMap(targetOnlyPrunable(_, schema, prefixed.schema))
+    val candidates =
+      if (bounds.isNullAt(0)) Seq.empty
+      else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
+        .filter(f => targetPrune.forall(p =>
+          f.rows == 0 || FilePruning.possible(p, intervalsOf(f, schema, colmapAt(v)))))
+    // a NOT-MATCHED-BY-SOURCE clause can fire on any row of any file —
+    // every active file becomes a rewrite candidate (the clause's
+    // inherent cost); otherwise only files that HOLD a fully-matched row
+    // (one semi-join over the pruned candidates; O(files) driver result)
+    val rewritten =
+      if (notMatchedBySource.nonEmpty) files
+      else if (candidates.isEmpty) Seq.empty
+      else {
+        // pin input_file_name() to the scan BEFORE the join — above a
+        // two-source join the expression is rejected (and ambiguous)
+        val touched = readFiles(candidates.map(_.path), v)
+          .withColumn("__file", input_file_name())
+          .join(prefixed, matchCond, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        candidates.filter(f => touched.exists(uriMatches(_, f.path)))
+      }
 
     // first-match-wins clause index (0 = no clause applies); when() treats
     // a null condition as false — standard MERGE condition semantics
@@ -683,7 +748,7 @@ final class GraftTable private (
           notMatchedBySource.map { case (c, a) =>
             (srcK.isNull && c.getOrElse(lit(true)), a) }
         val joined = readFiles(rewritten.map(_.path), v)
-          .join(prefixed, col(k) === srcK, "left")
+          .join(prefixed, matchCond, "left")
           .withColumn("__action", actionIdx(clauses.map(_._1)))
         val deleteIdx = clauses.zipWithIndex.collect {
           case ((_, None), i) => i + 1 }
@@ -706,14 +771,20 @@ final class GraftTable private (
     val inserts =
       if (notMatched.isEmpty) None
       else {
-        // only candidate files can hold a source key (stats prune is
-        // conservative), so the anti-join against their keys is complete
-        val candKeys =
+        // only candidate files can hold a FULLY-matched row (key-range and
+        // target-conjunct prunes are both conservative), so the anti-join
+        // against their rows is complete; with extraOn the anti-join needs
+        // whatever target columns the condition reads — the full row
+        val candRows =
           if (candidates.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(schema.fields.find(_.name == k).get)))
-          else readFiles(candidates.map(_.path), v).select(col(k))
-        val unmatched = prefixed.join(candKeys, srcK === col(k), "left_anti")
+              if (extraOn.isEmpty) StructType(Seq(schema.fields.find(_.name == k).get))
+              else schema)
+          else {
+            val all = readFiles(candidates.map(_.path), v)
+            if (extraOn.isEmpty) all.select(col(k)) else all
+          }
+        val unmatched = prefixed.join(candRows, matchCond, "left_anti")
           .withColumn("__action",
             actionIdx(notMatched.map(_._1.getOrElse(lit(true)))))
           .where(col("__action") > 0)

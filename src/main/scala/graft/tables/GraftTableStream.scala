@@ -130,6 +130,24 @@ private[tables] final class GraftTableMicroBatchStream(
   // trigger replays only the commits landed since the last one
   private val table: GraftTable = GraftTable.at(spark, location)
 
+  // the colmap is ANCHORED with the schema at stream construction: the
+  // stream's logical names resolve to physical file names through THIS
+  // mapping for its whole run. Resolving through the live colmap instead
+  // would silently null-fill after a second rename of an already-renamed
+  // column (the logical name captured at start is neither logical nor
+  // physical under the new map); a mid-stream colmap change fails the
+  // stream loud below (checkColmap), matching the published non-additive-
+  // schema-change contract — a restart re-anchors against the new names.
+  private val anchoredColmap: Map[String, String] = table.colmapNow
+
+  private def checkColmap(): Unit = {
+    val now = table.colmapNow
+    if (now != anchoredColmap) throw new IllegalStateException(
+      s"the table's column mapping changed mid-stream (RENAME/DROP COLUMN " +
+        s"landed after stream start: anchored $anchoredColmap, now $now); " +
+        "restart the stream to re-anchor against the new schema")
+  }
+
   private val startingVersion: Long =
     Option(options.get("startingversion")).map(_.toLong).getOrElse(0L)
   private val skipChangeCommits: Boolean =
@@ -210,6 +228,7 @@ private[tables] final class GraftTableMicroBatchStream(
       case _ => ()
     }
     absorb(limit)
+    checkColmap()
     val latest = availableNowCap.fold(table.version)(math.min(_, table.version))
     lastReported = GraftVersionOffset(latest, 0L)
     var admFiles = 0
@@ -233,7 +252,13 @@ private[tables] final class GraftTableMicroBatchStream(
       else partial = i.toLong
       if (admFiles >= maxFiles || admBytes >= maxBytes) stopped = true
     }
-    if (admFiles == 0) s else GraftVersionOffset(fullVersion, partial)
+    // zero files admitted can still mean PROGRESS: under skipChangeCommits
+    // a run of change commits (or metadata-only commits) advances
+    // fullVersion past them — returning the moved offset lets the
+    // checkpoint skip them once (Spark plans the empty batch) instead of
+    // re-walking the same commits every trigger from the stale offset
+    if (admFiles == 0 && fullVersion == s.version) s
+    else GraftVersionOffset(fullVersion, partial)
   }
 
   override def reportLatestOffset(): Offset = lastReported
@@ -260,8 +285,9 @@ private[tables] final class GraftTableMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     // files store PHYSICAL names (stable across renames): look fields up
-    // physically, emit rows positionally under the stream's logical schema
-    new GraftParquetReaderFactory(confSer, table.physicalSchemaOf(schema))
+    // physically — through the ANCHORED colmap, pinned with the schema —
+    // and emit rows positionally under the stream's logical schema
+    new GraftParquetReaderFactory(confSer, table.physicalSchemaOf(schema, anchoredColmap))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -60,14 +60,31 @@ private[tables] final class GraftStreamingWrite(
   @transient private lazy val table: GraftTable =
     GraftTable.at(SparkSession.active, location)
 
+  // colmap ANCHORED at the query run's first use, pinned with the schema:
+  // executors keep writing the stable physical names this mapping gives;
+  // a mid-run colmap change (rename/drop landing under the stream) fails
+  // the epoch commit loud below instead of committing files the new
+  // mapping would resolve differently — restart re-anchors.
+  @transient private lazy val anchoredColmap: Map[String, String] = table.colmapNow
+
+  private def checkColmap(): Unit = {
+    val now = table.colmapNow
+    if (now != anchoredColmap) throw new IllegalStateException(
+      s"the table's column mapping changed under the streaming write " +
+        s"(anchored $anchoredColmap, now $now); restart the stream to " +
+        "re-anchor against the new schema")
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     // executors write files under PHYSICAL names (same contract as the
     // batch writeData path); rows arrive positionally, so only the field
     // names change
-    new GraftStreamWriterFactory(location, table.physicalSchemaOf(schema), confSer)
+    new GraftStreamWriterFactory(location,
+      table.physicalSchemaOf(schema, anchoredColmap), confSer)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    checkColmap()
     // merge key-range stats ride along when the key column's stats were
     // tracked (same Spark-type gate as the batch path: integral/string)
     val keyed = table.keyCol.filter(k =>

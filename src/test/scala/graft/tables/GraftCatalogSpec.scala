@@ -150,12 +150,12 @@ class GraftCatalogSpec extends SparkTestBase {
     warehouse
     spark.sql("CREATE TABLE gt.mrg2 (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
     spark.sql("INSERT INTO gt.mrg2 VALUES (1, 'a')")
-    // non-key ON condition
+    // ON without any key-equality conjunct
     val e2 = intercept[Exception](spark.sql("""MERGE INTO gt.mrg2 t
       USING (SELECT 1L AS k, 'x' AS v) s ON t.v = s.v
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *"""))
-    assert(e2.getMessage.contains("key equality"), e2.getMessage)
+    assert(e2.getMessage.contains("key-equality conjunct"), e2.getMessage)
     // subquery in UPDATE is named, not silently wrong
     val e3 = intercept[Exception](spark.sql(
       "UPDATE gt.mrg2 SET v = 'x' WHERE k IN (SELECT 1L)"))
