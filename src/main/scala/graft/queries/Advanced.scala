@@ -1235,7 +1235,75 @@ object Advanced extends QueryPack {
         |  FROM orders)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
-        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // COMPOUND-ON MERGE under the gate: `ON t.k = s.k AND t.prio = '…'`
+    // with all three clause families. A key-matching target row whose
+    // residue fails is NOT matched — its source row INSERTS (possibly
+    // duplicating the key, standard MERGE semantics) and the target row
+    // itself falls to NOT MATCHED BY SOURCE. The target-only residue also
+    // prunes candidate files through the logged zone maps
+    // ([[graft.tables.GraftTable.mergeInto]] `extraOn` — the prune-
+    // soundness pin lives in GraftTableSpec). The oracle replays the full
+    // clause routing relationally.
+    GraftQuery(
+      "q299_table_merge_compound_on",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq299_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('key'='k') AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey % 2 = 0""")
+          s.sql(s"""MERGE INTO $cat.t t
+            USING (SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 50) AS BIGINT) AS sp
+                   FROM orders WHERE o_orderkey % 3 = 0) s
+            ON t.k = s.k AND t.prio = '1-URGENT'
+            WHEN MATCHED THEN UPDATE SET price_c = t.price_c + s.sp
+            WHEN NOT MATCHED AND s.k % 2 = 0 THEN
+              INSERT (k, prio, price_c) VALUES (s.k, 'NEW', s.sp)
+            WHEN NOT MATCHED BY SOURCE AND t.prio = '5-LOW' THEN
+              UPDATE SET price_c = 0""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 50) AS BIGINT) AS sp
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (
+        |  SELECT b.k, b.prio,
+        |    CASE WHEN s.k IS NOT NULL AND b.prio = '1-URGENT'
+        |           THEN b.price_c + s.sp
+        |         WHEN NOT (s.k IS NOT NULL AND b.prio = '1-URGENT')
+        |              AND b.prio = '5-LOW' THEN 0
+        |         ELSE b.price_c END AS price_c
+        |  FROM base b LEFT JOIN src s ON b.k = s.k),
+        |ins AS (
+        |  SELECT s.k, 'NEW' AS prio, s.sp AS price_c FROM src s
+        |  WHERE s.k % 2 = 0 AND NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE b.k = s.k AND b.prio = '1-URGENT')),
+        |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

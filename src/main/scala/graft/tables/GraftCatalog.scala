@@ -266,19 +266,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftProcedures.names.map(Identifier.of(GraftProcedures.Namespace, _)).toArray
     else Array.empty
 
+  /** A missing procedure raises the ANALYSIS error CALL resolution (and any
+    * caller catching AnalysisException) expects — Spark 4.1 has no dedicated
+    * NoSuchProcedureException class, so the declared `ROUTINE_NOT_FOUND`
+    * error condition (SQLSTATE 42883) is the typed equivalent; an undeclared
+    * UnsupportedOperationException would bypass error translation (ADVICE
+    * r11). The helpful "where the procedures live" hint rides in the name.
+    */
+  private def noSuchProcedure(ident: Identifier, hint: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException("ROUTINE_NOT_FOUND",
+      Map("routineName" -> s"`${identString(ident)}` ($hint)"))
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (!ident.namespace.sameElements(GraftProcedures.Namespace))
       // a procedure-shaped error, not "table not found": CALL against a
       // wrong namespace should say where the procedures live
-      throw new UnsupportedOperationException(
-        s"no procedures under namespace '${ident.namespace.mkString(".")}'; " +
-          s"graft procedures live under $catalogName.system " +
-          s"(CALL $catalogName.system.<proc>(...))")
+      noSuchProcedure(ident,
+        s"graft procedures live under $catalogName.system: " +
+          s"CALL $catalogName.system.<proc>(...)")
     GraftProcedures.load(tableFor, ident.name).getOrElse(
-      throw new UnsupportedOperationException(
-        s"unknown procedure ${identString(ident)}; have " +
-          GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
+      noSuchProcedure(ident, "have " +
+        GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
   }
 
   // ---- namespaces ------------------------------------------------------

@@ -352,7 +352,25 @@ final class GraftTable private (
     */
   private def targetOnlyPrunable(pred: Column, target: StructType,
       srcSchema: StructType): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    resolveJoined(pred, target, srcSchema).flatMap { c =>
+      def conj(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conj(l) ++ conj(r)
+        case o => Seq(o)
+      }
+      val tcols = target.fieldNames.toSet
+      conj(c).filter(_.references.forall(a => tcols.contains(a.name)))
+        .reduceOption(And)
+    }
+  }
+
+  /** Resolve `pred` against the (target ++ source) evaluation frame and
+    * constant-fold; None when it does not resolve (the caller's join will
+    * then fail loud with the real analysis error).
+    */
+  private def resolveJoined(pred: Column, target: StructType,
+      srcSchema: StructType): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val joined = StructType(target.fields.toIndexedSeq ++ srcSchema.fields)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], joined)
@@ -363,15 +381,50 @@ final class GraftTable private (
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     cond.map(_.transformUp {
       case e if e.foldable => Literal.create(e.eval(), e.dataType)
-    }).flatMap { c =>
-      def conj(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conj(l) ++ conj(r)
-        case o => Seq(o)
-      }
+    })
+  }
+
+  /** The files a merge with this source and compound-ON residue must
+    * read: key-range intersection AND zone-map survival of the
+    * target-only conjuncts of `extraOn` — a file whose logged ranges
+    * PROVE such a conjunct can't hold contains no fully-matched row
+    * (key-matching rows there fail extraOn → unmatched → kept unchanged),
+    * so skipping it is sound for matched AND not-matched processing
+    * alike. Package-private so the prune-soundness spec can pin refuted
+    * files OUT of the candidate set directly.
+    */
+  private[tables] def mergeCandidateFiles(source: DataFrame,
+      extraOn: Option[Column]): Seq[AddFile] = {
+    val k = keyCol.getOrElse(throw new IllegalArgumentException(
+      "merge candidate pruning needs a table created with keyCol = Some(...)"))
+    val v = version
+    val files = activeFiles(v)
+    val schema = schemaAt(v)
+    val bounds = source.agg(min(col(k)), max(col(k))).head()
+    val prefixedSchema = StructType(
+      source.schema.fields.map(f => f.copy(name = s"__src_${f.name}")))
+    val targetPrune = extraOn.flatMap(targetOnlyPrunable(_, schema, prefixedSchema))
+    if (bounds.isNullAt(0)) Seq.empty // empty source: no file can match
+    else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
+      .filter(f => targetPrune.forall(p =>
+        f.rows == 0 || FilePruning.possible(p, intervalsOf(f, schema, colmapAt(v)))))
+  }
+
+  /** The target columns the NOT MATCHED anti-join needs under `extraOn`:
+    * the key plus every target column the condition references — NOT the
+    * full row (ADVICE r11: shuffling full-width target rows through the
+    * anti-join is costly on wide tables). Falls back to the full column
+    * set only when the condition does not resolve here.
+    */
+  private def antiJoinCols(k: String, extraOn: Option[Column],
+      target: StructType, srcSchema: StructType): Seq[String] = extraOn match {
+    case None => Seq(k)
+    case Some(c) =>
       val tcols = target.fieldNames.toSet
-      conj(c).filter(_.references.forall(a => tcols.contains(a.name)))
-        .reduceOption(And)
-    }
+      val refs = resolveJoined(c, target, srcSchema)
+        .map(_.references.toSeq.map(_.name).distinct.filter(tcols.contains))
+        .getOrElse(target.fieldNames.toSeq)
+      (k +: refs.filterNot(_ == k)).distinct
   }
 
   /** Dynamic partition overwrite, snapshot-atomic: every partition present
@@ -693,25 +746,13 @@ final class GraftTable private (
 
     val v = version
     val files = activeFiles(v)
-    val bounds = source.agg(min(col(k)), max(col(k))).head()
     // source columns disambiguated as __src_<name> for every expression
     val prefixed = source.select(source.columns.toIndexedSeq.map(c =>
       col(c).as(s"__src_$c")): _*)
     val srcK = col(s"__src_$k")
     // the full match condition: key equality AND the compound-ON residue
     val matchCond = extraOn.fold(col(k) === srcK)(col(k) === srcK && _)
-    // target-only conjuncts of extraOn prune candidates via zone maps: a
-    // file whose logged ranges PROVE the conjunct can't hold contains no
-    // fully-matched row (key-matching rows there fail extraOn → unmatched
-    // → kept unchanged), so skipping it is sound for matched AND
-    // not-matched processing alike
-    val targetPrune: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      extraOn.flatMap(targetOnlyPrunable(_, schema, prefixed.schema))
-    val candidates =
-      if (bounds.isNullAt(0)) Seq.empty
-      else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
-        .filter(f => targetPrune.forall(p =>
-          f.rows == 0 || FilePruning.possible(p, intervalsOf(f, schema, colmapAt(v)))))
+    val candidates = mergeCandidateFiles(source, extraOn)
     // a NOT-MATCHED-BY-SOURCE clause can fire on any row of any file —
     // every active file becomes a rewrite candidate (the clause's
     // inherent cost); otherwise only files that HOLD a fully-matched row
@@ -774,16 +815,15 @@ final class GraftTable private (
         // only candidate files can hold a FULLY-matched row (key-range and
         // target-conjunct prunes are both conservative), so the anti-join
         // against their rows is complete; with extraOn the anti-join needs
-        // whatever target columns the condition reads — the full row
+        // only the key plus the target columns the condition reads —
+        // projected here so the scan prunes and the shuffle stays narrow
+        val needed = antiJoinCols(k, extraOn, schema, prefixed.schema)
         val candRows =
           if (candidates.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              if (extraOn.isEmpty) StructType(Seq(schema.fields.find(_.name == k).get))
-              else schema)
-          else {
-            val all = readFiles(candidates.map(_.path), v)
-            if (extraOn.isEmpty) all.select(col(k)) else all
-          }
+              StructType(schema.fields.filter(f => needed.contains(f.name))))
+          else readFiles(candidates.map(_.path), v)
+            .select(needed.map(col): _*)
         val unmatched = prefixed.join(candRows, matchCond, "left_anti")
           .withColumn("__action",
             actionIdx(notMatched.map(_._1.getOrElse(lit(true)))))

@@ -140,12 +140,38 @@ private[tables] final class GraftTableMicroBatchStream(
   // schema-change contract — a restart re-anchors against the new names.
   private val anchoredColmap: Map[String, String] = table.colmapNow
 
+  // the SCHEMA was captured earlier (inferSchema/getTable time) than the
+  // colmap anchor above — a RENAME landing in that window would pair the
+  // NEW mapping with the OLD logical names, miss the parquet by-name
+  // lookup, and silently null-fill. Validate the pairing at anchor time:
+  // every logical field the stream will serve must still be a column of
+  // the table (a strict subset is fine — ADD COLUMN between capture and
+  // anchor is additive and sound).
+  locally {
+    val live = table.schema.fieldNames.toSet
+    val stale = schema.fieldNames.filterNot(live.contains)
+    require(stale.isEmpty,
+      s"stream schema column(s) ${stale.mkString(", ")} no longer exist in " +
+        s"the table (a RENAME/DROP COLUMN landed between defining and " +
+        "starting the stream); re-define the readStream against the " +
+        "current schema")
+  }
+
   private def checkColmap(): Unit = {
     val now = table.colmapNow
     if (now != anchoredColmap) throw new IllegalStateException(
       s"the table's column mapping changed mid-stream (RENAME/DROP COLUMN " +
         s"landed after stream start: anchored $anchoredColmap, now $now); " +
         "restart the stream to re-anchor against the new schema")
+    // a DROP COLUMN of an identity-mapped column changes the schema but
+    // not the colmap — detect it the same loud way (new columns are fine:
+    // additive evolution; the anchored reader just never reads them)
+    val live = table.schema.fieldNames.toSet
+    val gone = schema.fieldNames.filterNot(live.contains)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"column(s) ${gone.mkString(", ")} were dropped mid-stream; the " +
+        "table-as-stream contract treats non-additive schema changes as " +
+        "loud failures — restart the stream against the new schema")
   }
 
   private val startingVersion: Long =

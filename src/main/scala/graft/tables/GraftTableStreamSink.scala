@@ -65,7 +65,18 @@ private[tables] final class GraftStreamingWrite(
   // a mid-run colmap change (rename/drop landing under the stream) fails
   // the epoch commit loud below instead of committing files the new
   // mapping would resolve differently — restart re-anchors.
-  @transient private lazy val anchoredColmap: Map[String, String] = table.colmapNow
+  @transient private lazy val anchoredColmap: Map[String, String] = {
+    // the schema was validated against the table at toStreaming time; this
+    // anchor is LAZY (first epoch), so a RENAME/DROP landing in between
+    // would pair the new mapping with the old names and write columns the
+    // new map resolves differently — validate the pairing when it forms
+    require(schema.fieldNames.toSeq == table.schema.fieldNames.toSeq,
+      s"table columns changed between stream definition and first epoch " +
+        s"(stream ${schema.fieldNames.mkString(",")}, table " +
+        s"${table.schema.fieldNames.mkString(",")}); restart the stream " +
+        "against the current schema")
+    table.colmapNow
+  }
 
   private def checkColmap(): Unit = {
     val now = table.colmapNow
@@ -73,6 +84,14 @@ private[tables] final class GraftStreamingWrite(
       s"the table's column mapping changed under the streaming write " +
         s"(anchored $anchoredColmap, now $now); restart the stream to " +
         "re-anchor against the new schema")
+    // a DROP COLUMN of an identity-mapped column changes the schema but
+    // not the colmap — same loud contract (the sink writes every table
+    // column, so ANY schema change under it is non-additive here)
+    if (schema.fieldNames.toSeq != table.schema.fieldNames.toSeq)
+      throw new IllegalStateException(
+        s"the table's columns changed under the streaming write (stream " +
+          s"${schema.fieldNames.mkString(",")}, table " +
+          s"${table.schema.fieldNames.mkString(",")}); restart the stream")
   }
 
   override def createStreamingWriterFactory(

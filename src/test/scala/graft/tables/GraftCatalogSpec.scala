@@ -146,6 +146,45 @@ class GraftCatalogSpec extends SparkTestBase {
       Set(Seq(1L, "keep"), Seq(3L, "stale"))) // k=9 (n=900) deleted
   }
 
+  test("compound ON MERGE: residue splits matched/NMBS/insert routing") {
+    warehouse
+    spark.sql("CREATE TABLE gt.con (k BIGINT, part STRING, n BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.con VALUES (1, 'x', 10), (2, 'y', 20), (3, 'x', 30)")
+    // k=1 (part=x): fully matched -> updated. k=2 (part=y): key matches
+    // but the residue fails -> source row INSERTS, target row falls to
+    // NOT MATCHED BY SOURCE. k=3: no source -> NMBS. k=4: no target ->
+    // insert. Standard compound-ON MERGE routing, end to end through SQL.
+    spark.sql("""MERGE INTO gt.con t
+      USING (SELECT * FROM VALUES (1L, 100L), (2L, 200L), (4L, 400L)
+             AS v(k, sn)) s
+      ON t.k = s.k AND t.part = 'x'
+      WHEN MATCHED THEN UPDATE SET n = s.sn
+      WHEN NOT MATCHED THEN INSERT (k, part, n) VALUES (s.k, 'new', s.sn)
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n + 1""")
+    assert(sqlRows("SELECT k, part, n FROM gt.con") == Set(
+      Seq(1L, "x", 100L), Seq(2L, "new", 200L), Seq(2L, "y", 21L),
+      Seq(3L, "x", 31L), Seq(4L, "new", 400L)))
+  }
+
+  test("ALTER TABLE cannot mix RENAME COLUMN with other changes; none apply") {
+    warehouse
+    spark.sql("CREATE TABLE gt.mix (k BIGINT, v STRING)")
+    // SQL cannot express the mix in one statement; the guard lives at the
+    // TableChange API level (GraftCatalog.alterTable) — drive it directly
+    val cat = spark.sessionState.catalogManager.catalog("gt")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "mix")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val e = intercept[IllegalArgumentException](cat.alterTable(ident,
+      TableChange.renameColumn(Array("v"), "w"),
+      TableChange.addColumn(Array("z"), org.apache.spark.sql.types.LongType)))
+    assert(e.getMessage.contains("cannot mix RENAME COLUMN"), e.getMessage)
+    // validate-before-apply: NEITHER change landed
+    assert(spark.table("gt.mix").columns.toSeq == Seq("k", "v"))
+  }
+
   test("unsupported MERGE shapes and time-travel DML fail loud, named") {
     warehouse
     spark.sql("CREATE TABLE gt.mrg2 (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
@@ -366,9 +405,18 @@ class GraftCatalogSpec extends SparkTestBase {
     // rows survive the whole maintenance pass
     assert(sqlRows("SELECT k, v FROM gt.mnt") ==
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
-    // unknown procedure is loud and names the real ones
-    val e = intercept[Exception](spark.sql("CALL gt.system.frobnicate(table => 'mnt')"))
-    assert(e.getMessage != null)
+    // unknown procedure raises the DECLARED analysis error (Spark 4.1 has
+    // no NoSuchProcedureException class; ROUTINE_NOT_FOUND / SQLSTATE 42883
+    // is the typed equivalent CALL resolution translates) and names the
+    // real procedures — same for a wrong namespace
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CALL gt.system.frobnicate(table => 'mnt')"))
+    assert(e.getCondition == "ROUTINE_NOT_FOUND", e.getCondition)
+    assert(e.getMessage.contains("gt.system.compact"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("CALL gt.wrongns.compact(table => 'mnt')"))
+    assert(e2.getCondition == "ROUTINE_NOT_FOUND", e2.getCondition)
+    assert(e2.getMessage.contains("gt.system"), e2.getMessage)
   }
 
   test("DELETE with an untranslatable predicate is rejected, not silently wrong") {

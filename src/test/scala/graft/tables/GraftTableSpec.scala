@@ -155,6 +155,37 @@ class GraftTableSpec extends SparkTestBase {
       Seq((1L, "x")).toDF("k", "v"), Seq.empty, Seq.empty))
   }
 
+  test("compound-ON merge: zone-map-refuted files pruned, never rewritten") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("k", "grp", "n").coalesce(1),
+      keyCol = Some("k"))
+    t.append(Seq((3L, "b", 30L), (4L, "b", 40L)).toDF("k", "grp", "n").coalesce(1))
+    val filesBefore = t.snapshot().inputFiles.toSet
+    assert(filesBefore.size == 2)
+    // source keys [2, 4] intersect BOTH files' key ranges, so key-range
+    // pruning alone keeps both; the target-only residue grp = 'a' is
+    // refuted by the 'b' file's logged zone map (grp ∈ [b, b])
+    val src = Seq((2L, 200L), (4L, 400L)).toDF("k", "sn")
+    assert(t.mergeCandidateFiles(src, None).size == 2)
+    val pruned = t.mergeCandidateFiles(src, Some(col("grp") === "a"))
+    assert(pruned.size == 1,
+      s"zone-map prune kept ${pruned.size} candidate files, expected 1")
+    // end-to-end semantics under the same residue: k=2 (grp=a) fully
+    // matches -> updated; k=4 (grp=b) key-matches but fails the residue ->
+    // target row untouched, source row INSERTS (standard MERGE routing)
+    t.mergeInto(src,
+      matched = Seq((None, Some(Map("n" -> col("__src_sn"))))),
+      notMatched = Seq((None, Map("k" -> col("__src_k"),
+        "grp" -> lit("new"), "n" -> col("__src_sn")))),
+      extraOn = Some(col("grp") === "a"))
+    assert(t.snapshot().as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "a", 200L), (3L, "b", 30L),
+        (4L, "b", 40L), (4L, "new", 400L)))
+    // only the 'a' file was rewritten; the refuted 'b' file survives
+    assert(t.history.last.op == "merge" && t.history.last.removed == 1)
+    assert(t.snapshot().inputFiles.toSet.intersect(filesBefore).size == 1)
+  }
+
   test("merge rejects duplicate source keys loudly") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))

@@ -367,6 +367,84 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(seen.asScala.toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("colmap drift MID-RUN fails the source loud; restart re-anchors") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    // a live stream instance anchors the colmap at construction ...
+    val s1 = new GraftTableMicroBatchStream(loc, t.schema,
+      CaseInsensitiveStringMap.empty())
+    assert(GraftVersionOffset.of(
+      s1.latestOffset(s1.initialOffset(), ReadLimit.allAvailable())).version == 1L)
+    // ... and a rename landing MID-RUN fails the next trigger loud
+    t.renameColumn("v", "label")
+    val e = intercept[IllegalStateException](
+      s1.latestOffset(s1.initialOffset(), ReadLimit.allAvailable()))
+    assert(e.getMessage.contains("column mapping changed mid-stream"), e.getMessage)
+    // a schema captured BEFORE the rename cannot pair with the new colmap:
+    // construction itself is loud (the anchoring-window fix, ADVICE r11)
+    val stale = intercept[IllegalArgumentException](
+      new GraftTableMicroBatchStream(loc,
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)
+          .add("v", org.apache.spark.sql.types.StringType),
+        CaseInsensitiveStringMap.empty()))
+    assert(stale.getMessage.contains("no longer exist"), stale.getMessage)
+    // a fresh instance against the CURRENT schema re-anchors and reads
+    val re = GraftTable.at(spark, loc)
+    val s2 = new GraftTableMicroBatchStream(loc, re.schema,
+      CaseInsensitiveStringMap.empty())
+    assert(GraftVersionOffset.of(
+      s2.latestOffset(s2.initialOffset(), ReadLimit.allAvailable())).version == 2L)
+  }
+
+  test("double rename under restarts: both file eras resolve, never null-fill") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.renameColumn("v", "label")   // era 2: files still store physical 'v'
+    t.append(Seq((2L, "b")).toDF("k", "label"))
+    t.renameColumn("label", "tag") // era 3: same physical 'v' again
+    t.append(Seq((3L, "c")).toDF("k", "tag"))
+    // a stream anchored on the NEWEST mapping reads all three eras by the
+    // stable physical name — the double-rename null-fill regression
+    val got = drain(GraftTable.at(spark, loc), "dblrn", ckpt())
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("skipChangeCommits: offset advances past a run of change commits") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val src = new GraftTableMicroBatchStream(loc, t.schema,
+      new CaseInsensitiveStringMap(Map("skipChangeCommits" -> "true").asJava))
+    // drain the create commit
+    val o1 = src.latestOffset(src.initialOffset(), ReadLimit.allAvailable())
+    assert(GraftVersionOffset.of(o1) == GraftVersionOffset(1L, 0L))
+    // a run of PURE change commits (remove-bearing): v2 delete, v3 overwrite
+    t.deleteWhere(col("k") === 1L)
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    // zero files are admitted, but the offset still ADVANCES past the run
+    // (a stale offset would re-walk the same commits every trigger)
+    val o2 = src.latestOffset(o1, ReadLimit.allAvailable())
+    assert(GraftVersionOffset.of(o2) == GraftVersionOffset(3L, 0L),
+      s"offset did not advance past skipped change commits: ${o2.json}")
+    assert(src.planInputPartitions(o1, o2).isEmpty)
+  }
+
+  test("sink anchor validates schema against the table at first epoch") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    // a write whose schema was captured before a rename: the LAZY colmap
+    // anchor (first epoch) must refuse the stale pairing loud
+    val w = new GraftStreamingWrite(loc, t.schema, "q-anchor-test")
+    GraftTable.at(spark, loc).renameColumn("v", "label")
+    val e = intercept[IllegalArgumentException](w.commit(0L, Array.empty))
+    assert(e.getMessage.contains("between stream definition and first epoch"),
+      e.getMessage)
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
