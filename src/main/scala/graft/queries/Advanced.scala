@@ -1303,7 +1303,64 @@ object Advanced extends QueryPack {
         |final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM final GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // ALTER TABLE DROP COLUMN via column mapping, END TO END under the
+    // gate: CTAS writes files carrying tax_c, DROP COLUMN retires the
+    // physical binding metadata-only, a post-drop era INSERTs without the
+    // column, ADD COLUMNS re-binds the SAME name to a FRESH physical
+    // name, and an UPDATE fills it selectively. The final aggregate reads
+    // all three file eras — if the retired binding leaked anywhere, the
+    // dropped era's tax values would resurface and n_tax/sum_tax diverge
+    // from the oracle (which models the re-added column as null except
+    // where the update wrote it).
+    GraftQuery(
+      "q300_table_drop_column",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq300_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('key'='k') AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+              CAST(round(o_totalprice * 10) AS BIGINT) AS tax_c
+            FROM orders WHERE o_orderkey % 2 = 1""")
+          s.sql(s"ALTER TABLE $cat.t DROP COLUMN tax_c")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey % 2 = 0""")
+          s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (tax_c BIGINT)")
+          s.sql(s"UPDATE $cat.t SET tax_c = price_c % 97 WHERE prio = '1-URGENT'")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+            CAST(COUNT(tax_c) AS BIGINT) AS n_tax,
+            CAST(SUM(tax_c) AS BIGINT) AS sum_tax
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH rows0 AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) % 97
+        |         ELSE NULL END AS tax_c
+        |  FROM orders)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(COUNT(tax_c) AS BIGINT) AS n_tax,
+        |  CAST(SUM(tax_c) AS BIGINT) AS sum_tax
+        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

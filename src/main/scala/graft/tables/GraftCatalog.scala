@@ -186,9 +186,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `ALTER TABLE ... ADD COLUMNS` (metadata-only schema-evolution commit;
-    * old files null-fill by-name) and `RENAME COLUMN` (metadata-only
-    * through the log-carried column mapping — physical file names never
-    * change, so every era's files keep resolving). DROP COLUMN and type
+    * old files null-fill by-name), `RENAME COLUMN` (metadata-only through
+    * the log-carried column mapping — physical file names never change, so
+    * every era's files keep resolving), and `DROP COLUMN` (metadata-only:
+    * the physical binding is RETIRED; time travel keeps the column in old
+    * versions; re-adding the name binds a FRESH physical name). Type
     * changes stay loud: pretending would corrupt by-name resolution.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -201,6 +203,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // AddColumns go in ONE commit; RENAME/DROP must be the sole change.
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     var rename: Option[TableChange.RenameColumn] = None
+    var drop: Option[TableChange.DeleteColumn] = None
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -213,14 +216,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(rename.isEmpty, "one RENAME COLUMN per ALTER TABLE statement " +
           "(each rename is its own commit; batching them is not atomic)")
         rename = Some(r)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft-catalog supports top-level DROP COLUMN only, got ${d.fieldNames.mkString(".")}")
+        require(drop.isEmpty, "one DROP COLUMN per ALTER TABLE statement " +
+          "(each drop is its own commit; batching them is not atomic)")
+        drop = Some(d)
       case c => throw new UnsupportedOperationException(
-        s"graft-catalog ALTER TABLE supports ADD COLUMNS and RENAME COLUMN, got $c")
+        s"graft-catalog ALTER TABLE supports ADD COLUMNS, RENAME COLUMN and " +
+          s"DROP COLUMN, got $c")
     }
     val fields = adds.result()
-    require(rename.isEmpty || fields.isEmpty,
-      "ALTER TABLE cannot mix RENAME COLUMN with other changes " +
-        "(they would land as separate, non-atomic commits); issue two statements")
+    require(Seq(rename.nonEmpty, drop.nonEmpty, fields.nonEmpty).count(identity) <= 1,
+      "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ADD COLUMNS " +
+        "(they would land as separate, non-atomic commits); issue separate statements")
     rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
+    drop.foreach { d =>
+      val c = d.fieldNames()(0)
+      // IF EXISTS: the only tolerated absence; anything else stays loud
+      if (t.schema.fieldNames.contains(c) || !java.lang.Boolean.TRUE.equals(d.ifExists))
+        t.dropColumn(c)
+    }
     if (fields.nonEmpty) t.addColumns(fields)
     loadTable(ident)
   }

@@ -99,6 +99,19 @@ final class GraftTable private (
   private def currentColmap: Map[String, String] =
     listVersions(fs, logDir).lastOption.map(colmapAt).getOrElse(Map.empty)
 
+  /** Physical names RETIRED by DROP COLUMN, carried forward in every
+    * commit's metadata: dropped columns' values still live in old files,
+    * so a later column must never bind the same physical name — by-name
+    * parquet resolution would resurface the dead values. `addColumns`
+    * assigns a fresh physical name on collision; the commit invariant
+    * below rejects any other path that would reuse one.
+    */
+  private def retiredAt(v: Long): Seq[String] =
+    cachedCommit(v)._1.get("retired") match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case _ => Nil
+    }
+
   private def physName(cm: Map[String, String], c: String): String =
     cm.getOrElse(c, c)
 
@@ -470,10 +483,18 @@ final class GraftTable private (
     require(all.contains(toVersion) && (fromVersion == 0 || all.contains(fromVersion)),
       s"versions must exist under $logDir (have ${all.mkString(",")})")
     val outSchema = schemaAt(toVersion)
-    // physical→logical under the TO version: a column renamed inside the
-    // range still unions into ONE output column (physical identity is
-    // stable; per-version logical names would null-fill after a rename)
-    val revTo = colmapAt(toVersion).map(_.swap)
+    // physical→logical under the TO version, built from the LIVE columns
+    // only: a column renamed inside the range still unions into ONE output
+    // column (physical identity is stable; per-version logical names would
+    // null-fill after a rename), while a column DROPPED inside the range
+    // maps to a reserved dead name that `widenTo` discards — its physical
+    // name must never rebind to a same-named live column (re-added after a
+    // drop, the live column has a FRESH physical name; the dead values
+    // stay dead)
+    val cmTo = colmapAt(toVersion)
+    val liveTo: Map[String, String] =
+      outSchema.fieldNames.toIndexedSeq.map(l => physName(cmTo, l) -> l).toMap
+    def outNameOf(p: String): String = liveTo.getOrElse(p, s"__graft_dead_$p")
     val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
     val perVersion = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val (_, adds, removes) = cachedCommit(v)
@@ -487,7 +508,7 @@ final class GraftTable private (
           s"$v is no longer reconstructible")
       def readAs(paths: Seq[String], v: Long): DataFrame = {
         val phys = physicalSchema(schemaAt(v), colmapAt(v))
-        val outNames = phys.fieldNames.toIndexedSeq.map(p => revTo.getOrElse(p, p))
+        val outNames = phys.fieldNames.toIndexedSeq.map(outNameOf)
         if (paths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(phys.fields.toIndexedSeq.zip(outNames)
@@ -576,8 +597,45 @@ final class GraftTable private (
     fields.foreach(f => require(!cur.fieldNames.contains(f.name),
       s"column '${f.name}' already exists in ${cur.fieldNames.mkString(",")}"))
     require(fields.map(_.name).distinct.size == fields.size, "duplicate new column names")
+    // a new logical name whose identity physical collides with a LIVE
+    // physical (a renamed column's original) or a RETIRED one (a dropped
+    // column's binding, still present in old files) gets a FRESH physical
+    // name through the mapping — re-adding a dropped column's name yields
+    // an all-null column, never the dead values (the column-mapping
+    // contract; spec-pinned)
+    val cm = colmapAt(v)
+    val unavailable = (cur.fieldNames.toSeq.map(physName(cm, _)) ++ retiredAt(v)).toSet
+    val fresh = fields.collect {
+      case f if unavailable.contains(f.name) =>
+        f.name -> s"${f.name}_r${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    }.toMap
     val evolved = StructType(cur.fields.toIndexedSeq ++ fields.map(_.copy(nullable = true)))
-    commit(v, "addColumns", Nil, Nil, None, Some(evolved))
+    commit(v, "addColumns", Nil, Nil, None, Some(evolved),
+      if (fresh.isEmpty) None else Some(cm ++ fresh))
+  }
+
+  /** DROP a column in ONE metadata-only commit (no file touched, O(1) at
+    * any table size): the field leaves the schema, its physical binding is
+    * RETIRED, and old files' values for it simply stop being read (by-name
+    * parquet resolution reads only live physical names). Time travel keeps
+    * the column in pre-drop versions — with its values. Re-adding the same
+    * logical name later binds a FRESH physical name, so the dead values
+    * never resurface. The merge key and partition columns cannot be
+    * dropped (their names are load-bearing in logged stats/partition
+    * tuples), and the last column cannot be dropped — all loud.
+    */
+  def dropColumn(name: String): Long = {
+    val v = version
+    val cur = schemaAt(v)
+    val cm = colmapAt(v)
+    require(cur.fieldNames.contains(name),
+      s"no column '$name' in ${cur.fieldNames.mkString(",")}")
+    require(!keyCol.contains(name), "cannot drop the merge key column")
+    require(!partitionBy.contains(name), "cannot drop a partition column")
+    require(cur.fields.length > 1, "cannot drop the table's last column")
+    val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
+    commit(v, "dropColumn", Nil, Nil, None, Some(evolved), Some(cm - name),
+      Some((retiredAt(v) :+ physName(cm, name)).distinct))
   }
 
   /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
@@ -1357,19 +1415,27 @@ final class GraftTable private (
   private[tables] def commit(expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String],
       txn: Option[String] = None, newSchema: Option[StructType] = None,
-      newColmap: Option[Map[String, String]] = None): Long = {
+      newColmap: Option[Map[String, String]] = None,
+      newRetired: Option[Seq[String]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
+    val retired = newRetired.getOrElse(retiredAt(expected))
     // physical-uniqueness invariant: a NEW logical column whose name equals
     // a renamed column's retired physical name would collide in the files —
-    // fail the commit, not the next read
+    // fail the commit, not the next read. Same for names RETIRED by DROP
+    // COLUMN: old files still hold their values.
     val phys = schema.fieldNames.toIndexedSeq.map(physName(cm, _))
     require(phys.distinct.size == phys.size,
       s"physical column collision: ${phys.diff(phys.distinct).distinct.mkString(",")} " +
         "— a column name retired by RENAME COLUMN cannot be reused while the " +
         "mapping is live")
-    writeCommit(fs, logDir, next, metaMap(op, keyCol, schema.json, txn, Nil, cm),
+    val reused = phys.filter(retired.contains)
+    require(reused.isEmpty,
+      s"physical column collision with DROPPED column(s): ${reused.mkString(",")} " +
+        "— old files still hold their values; bind a fresh physical name")
+    writeCommit(fs, logDir, next,
+      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next))
@@ -1394,6 +1460,9 @@ final class GraftTable private (
       s"no column '$oldName' in ${cur.fieldNames.mkString(",")}")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
+    require(!retiredAt(v).contains(newName),
+      s"'$newName' is the retired physical name of a DROPPED column; " +
+        "old files still hold its values — pick a different name")
     require(!keyCol.contains(oldName), "cannot rename the merge key column")
     require(!partitionBy.contains(oldName), "cannot rename a partition column")
     val evolved = StructType(cur.fields.toIndexedSeq.map(f =>
@@ -1536,7 +1605,8 @@ object GraftTable {
 
   private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
       txn: Option[String] = None, partitionBy: Seq[String] = Nil,
-      colmap: Map[String, String] = Map.empty) = {
+      colmap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -1548,6 +1618,11 @@ object GraftTable {
       val cmj = new java.util.LinkedHashMap[String, Any]()
       colmap.foreach { case (l, p) => cmj.put(l, p) }
       m.put("colmap", cmj)
+    }
+    if (retired.nonEmpty) {
+      val rj = new java.util.ArrayList[String]()
+      retired.foreach(rj.add)
+      m.put("retired", rj)
     }
     m.asScala.toMap
   }

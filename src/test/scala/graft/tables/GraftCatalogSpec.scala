@@ -320,15 +320,14 @@ class GraftCatalogSpec extends SparkTestBase {
     val t3 = GraftTable.at(spark, s"$warehouse/rn")
     assert(t3.scan(org.apache.spark.sql.functions.col("label") === "c")
       .inputFiles.length == 1)
-    // a second rename chains the mapping; DROP stays loud
+    // a second rename chains the mapping
     spark.sql("ALTER TABLE gt.rn RENAME COLUMN label TO tag")
     assert(sqlRows("SELECT k, tag FROM gt.rn WHERE k = 3") == Set(Seq(3L, "c")))
-    val eDrop = intercept[Exception](spark.sql("ALTER TABLE gt.rn DROP COLUMN tag"))
-    assert(eDrop.getMessage != null)
-    // the retired physical name cannot be reused while the mapping lives
-    val eReuse = intercept[Exception](
-      spark.sql("ALTER TABLE gt.rn ADD COLUMNS (v STRING)"))
-    assert(eReuse.getMessage.contains("physical"), eReuse.getMessage)
+    // re-adding the ORIGINAL name binds a FRESH physical name through the
+    // mapping: the old files' physical 'v' values must NOT resurface
+    spark.sql("ALTER TABLE gt.rn ADD COLUMNS (v STRING)")
+    assert(sqlRows("SELECT k, tag, v FROM gt.rn") ==
+      Set(Seq(1L, "a!", null), Seq(2L, "b", null), Seq(3L, "c", null)))
     // key / partition columns cannot be renamed
     val eKey = intercept[Exception](
       spark.sql("ALTER TABLE gt.rn RENAME COLUMN k TO id"))
@@ -350,10 +349,54 @@ class GraftCatalogSpec extends SparkTestBase {
     // time travel to the pre-alter version keeps the narrow schema
     assert(spark.sql("SELECT * FROM gt.evo VERSION AS OF 2").columns.toSeq == Seq("k"))
     // rename is metadata-only via the log-carried column mapping now;
-    // drop/type-change stay loud
+    // type changes stay loud
     spark.sql("ALTER TABLE gt.evo RENAME COLUMN w TO weight")
     assert(sqlRows("SELECT k, weight FROM gt.evo WHERE k = 2") == Set(Seq(2L, 0.5)))
-    intercept[Exception](spark.sql("ALTER TABLE gt.evo DROP COLUMN v"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gt.evo ALTER COLUMN v TYPE INT"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only; re-added name stays fresh") {
+    warehouse
+    spark.sql("CREATE TABLE gt.dc (k BIGINT, v STRING, n BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.dc VALUES (1, 'a', 10), (2, 'b', 20)")
+    val t = GraftTable.at(spark, s"$warehouse/dc")
+    val vPre = t.version
+    val filesPre = t.currentFiles.map(_.path).toSet
+    spark.sql("ALTER TABLE gt.dc DROP COLUMN v")
+    // metadata-only: same files, one more version, field gone
+    val t2 = GraftTable.at(spark, s"$warehouse/dc")
+    assert(t2.version == vPre + 1 && t2.currentFiles.map(_.path).toSet == filesPre,
+      "drop rewrote data files")
+    assert(t2.history.last.op == "dropColumn")
+    assert(spark.table("gt.dc").columns.toSeq == Seq("k", "n"))
+    // time travel keeps the column in pre-drop versions — WITH its values
+    assert(sqlRows(s"SELECT k, v FROM gt.dc VERSION AS OF $vPre") ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // post-drop era writes without the column; re-ADDING the same name
+    // binds a FRESH physical name — the dropped values never resurface
+    spark.sql("INSERT INTO gt.dc VALUES (3, 30)")
+    spark.sql("ALTER TABLE gt.dc ADD COLUMNS (v STRING)")
+    assert(sqlRows("SELECT k, n, v FROM gt.dc") ==
+      Set(Seq(1L, 10L, null), Seq(2L, 20L, null), Seq(3L, 30L, null)))
+    spark.sql("UPDATE gt.dc SET v = 'fresh' WHERE k = 3")
+    assert(sqlRows("SELECT k, v FROM gt.dc") ==
+      Set(Seq(1L, null), Seq(2L, null), Seq(3L, "fresh")))
+    // the change feed across the drop/re-add boundary keeps dead values
+    // dead: the only non-null 'v' ever inserted is the fresh one
+    val t3 = GraftTable.at(spark, s"$warehouse/dc")
+    import org.apache.spark.sql.functions.col
+    assert(t3.changes(0L, t3.version)
+      .where(col("_change") === "insert").where(col("v").isNotNull)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((3L, "fresh")))
+    // guard rail: the merge key column cannot be dropped
+    val eKey = intercept[Exception](spark.sql("ALTER TABLE gt.dc DROP COLUMN k"))
+    assert(eKey.getMessage.contains("key"), eKey.getMessage)
+    // DROP COLUMN IF EXISTS on a missing column is a tolerated no-op
+    spark.sql("ALTER TABLE gt.dc DROP COLUMN IF EXISTS nope")
+    assert(spark.table("gt.dc").columns.toSeq == Seq("k", "n", "v"))
   }
 
   test("metadata tables: .history mirrors commits, .files the active set") {

@@ -186,6 +186,23 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.snapshot().inputFiles.toSet.intersect(filesBefore).size == 1)
   }
 
+  test("dropColumn retires the physical binding; rename onto it is refused") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "x", 2L)).toDF("k", "a", "b"), keyCol = Some("k"))
+    t.dropColumn("b")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "a"))
+    assert(t.history.last.op == "dropColumn" && t.history.last.removed == 0)
+    // the retired physical name is not reusable as a rename target
+    val e = intercept[IllegalArgumentException](t.renameColumn("a", "b"))
+    assert(e.getMessage.contains("retired physical name"), e.getMessage)
+    // the key column and the last remaining column cannot be dropped
+    assert(intercept[IllegalArgumentException](t.dropColumn("k"))
+      .getMessage.contains("key"))
+    val single = GraftTable.create(spark, tmp(), Seq(Tuple1(1L)).toDF("x"))
+    assert(intercept[IllegalArgumentException](single.dropColumn("x"))
+      .getMessage.contains("last column"))
+  }
+
   test("merge rejects duplicate source keys loudly") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))
