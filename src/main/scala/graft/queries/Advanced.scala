@@ -1360,7 +1360,115 @@ object Advanced extends QueryPack {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
         |  CAST(COUNT(tax_c) AS BIGINT) AS n_tax,
         |  CAST(SUM(tax_c) AS BIGINT) AS sum_tax
-        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM rows0 GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // METADATA-ONLY aggregate pushdown under the gate: after a mixed
+    // create/insert/delete history, `SELECT COUNT(*), MIN(k), MAX(k)` is
+    // answered entirely from the commit log's AddFile.rows + zone maps —
+    // complete DSv2 aggregate pushdown, no scan node, no data read
+    // (plan-pinned in GraftCatalogSpec; the oracle pins the VALUES, so a
+    // stale or miscounted metadata answer hash-diverges).
+    GraftQuery(
+      "q301_table_count_pushdown",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq301_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('key'='k') AS
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders WHERE o_orderkey % 3 <> 0""")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0""")
+          s.sql(s"DELETE FROM $cat.t WHERE prio = '2-HIGH'")
+          materializeSmall(s.sql(s"""SELECT COUNT(*) AS n,
+            CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+            FROM $cat.t"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH rows0 AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
+        |    AND o_orderpriority <> '2-HIGH')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM rows0""".stripMargin)),
+
+    // STREAMING CHANGE-DATA FEED under the gate: a create → merge → delete
+    // history streams out as `changes()` rows (`graft-table-cdf`,
+    // [[graft.tables.GraftTableChangeFeedSource]]) — net per-commit
+    // inserts AND deletes, change commits first-class (the append-only
+    // stream would fail on them). The aggregate fingerprints every slice
+    // by (change, version, group): the oracle replays the exact net-diff
+    // algebra relationally — create inserts, merge inserts all source
+    // rows and deletes the matched old versions (survivor rows cancel),
+    // delete removes the predicate's rows from the post-merge state.
+    GraftQuery(
+      "q302_table_change_feed_stream",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val base = orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val src = orders.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), lit("X").as("prio"),
+            col("o_orderkey").cast("long").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q302_${java.util.UUID.randomUUID()}")
+        val sink = s"q302_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath, base,
+            keyCol = Some("k"))
+          t.merge(src)                                  // v2: upsert
+          t.deleteWhere(col("prio") === "5-LOW")        // v3: change commit
+          val q = t.readChangeStream.writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation",
+              new java.io.File(root, "_ckpt").getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+          materializeSmall(s.table(sink)
+            .groupBy(col("_change"), col("_version"), col("prio"))
+            .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+            .orderBy(col("_change"), col("_version"), col("prio")))
+        } finally {
+          s.catalog.dropTempView(sink)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, 'X' AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |feed AS (
+        |  SELECT prio, 'insert' AS _change, 1 AS _version, price_c FROM base
+        |  UNION ALL SELECT prio, 'insert', 2, price_c FROM src
+        |  UNION ALL SELECT prio, 'delete', 2, price_c FROM base WHERE k % 6 = 0
+        |  UNION ALL SELECT prio, 'delete', 3, price_c FROM base
+        |    WHERE k % 6 <> 0 AND prio = '5-LOW')
+        |SELECT _change, CAST(_version AS BIGINT) AS _version, prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY _change, _version, prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

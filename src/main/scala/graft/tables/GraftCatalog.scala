@@ -419,14 +419,33 @@ private[tables] final class GraftSqlTable(
   * so they reach the parquet scan; untranslatable predicates stay residual
   * with Spark (exactness preserved — the inner `.where` is the SAME
   * expression Spark would apply).
+  *
+  * AGGREGATE pushdown ([[SupportsPushDownAggregates]], the JDBC-v2
+  * pattern): an un-grouped, un-filtered COUNT(*) / COUNT(col) / MIN(col) /
+  * MAX(col) is answered ENTIRELY from the commit log's O(files) metadata —
+  * `AddFile.rows` for counts, the logged zone maps for extremes — with no
+  * scan node and no Spark job. At 100 TB that is the difference between a
+  * driver-side metadata fold and reading every file. Soundness gates, each
+  * refusing (full-scan fallback) rather than guessing:
+  *   - COUNT(*): always answerable (`rows` is logged for every file);
+  *   - COUNT(col): every data file must log the column's null count;
+  *   - MIN/MAX(col): integral/date columns only (their zone maps are exact
+  *     values; string footer stats may be truncated by writers, so strings
+  *     stay un-pushed), present on every data file — an all-null file logs
+  *     no range entry and correctly blocks the push;
+  *   - any pushed filter, grouping, or DISTINCT blocks the push.
   */
 private[tables] final class GraftScanBuilder(
     gt: GraftTable, pinned: Long, timeTravel: Boolean, full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // (result schema, the single answer row, display) once an aggregation
+  // is accepted — values computed eagerly against the pinned snapshot
+  private var pushedAgg: Option[(StructType, org.apache.spark.sql.Row, String)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -439,25 +458,116 @@ private[tables] final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(t) => pushedAgg = Some(t); true
+      case None => false
+    }
+
+  /** Metadata answer for the whole aggregation, or None to fall back. */
+  private def translateAgg(agg: Aggregation)
+      : Option[(StructType, org.apache.spark.sql.Row, String)] = {
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val files = gt.filesAt(pinned)
+    val dataFiles = files.filter(_.rows > 0)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    // every DATA file must carry the column's zone map for the answer to
+    // be complete (an all-null or stats-capped file has no entry: refuse)
+    def statsOf(c: String): Option[Seq[GraftTable.KeyStats]] = {
+      val ss = dataFiles.map(f => gt.logicalStats(pinned, f, c))
+      if (ss.forall(_.isDefined)) Some(ss.flatten) else None
+    }
+    def fieldType(c: String): Option[DataType] =
+      full.fields.find(_.name == c).map(_.dataType)
+    // integral/date zone maps are exact ("long" kind); map the extreme
+    // back to the column's external Spark type
+    def extreme(c: String, max: Boolean): Option[(DataType, Any)] =
+      fieldType(c).filter {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }.flatMap { dt =>
+        statsOf(c).filter(_.forall(_.kind == "long")).map { ss =>
+          val v: Option[Long] =
+            if (ss.isEmpty) None // empty table: MIN/MAX is null
+            else Some(if (max) ss.map(_.max.toLong).max else ss.map(_.min.toLong).min)
+          dt -> v.map { l =>
+            dt match {
+              case ByteType => l.toByte
+              case ShortType => l.toShort
+              case IntegerType => l.toInt
+              case LongType => l
+              case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+          }.orNull
+        }
+      }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    val shown = Seq.newBuilder[String]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += dataFiles.map(_.rows).sum
+        shown += "COUNT(*)"
+      case c: Count if !c.isDistinct =>
+        val n = colName(c.column).getOrElse(return None)
+        val ss = statsOf(n).getOrElse(return None)
+        if (!ss.forall(_.nulls.isDefined)) return None
+        fields += StructField(s"count($n)", LongType, nullable = false)
+        values += (dataFiles.map(_.rows).sum - ss.map(_.nulls.get).sum)
+        shown += s"COUNT($n)"
+      case m: Min =>
+        val n = colName(m.column).getOrElse(return None)
+        val (dt, v) = extreme(n, max = false).getOrElse(return None)
+        fields += StructField(s"min($n)", dt); values += v; shown += s"MIN($n)"
+      case m: Max =>
+        val n = colName(m.column).getOrElse(return None)
+        val (dt, v) = extreme(n, max = true).getOrElse(return None)
+        fields += StructField(s"max($n)", dt); values += v; shown += s"MAX($n)"
+      case _ => return None
+    }
+    Some((StructType(fields.result()),
+      org.apache.spark.sql.Row.fromSeq(values.result()),
+      shown.result().mkString(", ")))
+  }
+
   override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType = pushedAgg.fold(required)(_._1)
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val relation: BaseRelation with TableScan = new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val base = gt.snapshot(Some(pinned))
-          val filtered = pushed.foldLeft(base) { (df, f) =>
-            df.where(V1FilterConverter.toColumn(f).get)
+        override def schema: StructType = pushedAgg.fold(required)(_._1)
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          pushedAgg match {
+            case Some((_, row, _)) =>
+              // the whole answer is one metadata-derived row — no data scan
+              context.sparkContext.parallelize(Seq(row), 1)
+            case None =>
+              val base = gt.snapshot(Some(pinned))
+              val filtered = pushed.foldLeft(base) { (df, f) =>
+                df.where(V1FilterConverter.toColumn(f).get)
+              }
+              filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
           }
-          filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
-        }
       }
       relation.asInstanceOf[T]
     }
     override def description(): String =
-      s"graft-table ${gt.location}" + (if (timeTravel) s"@v$pinned" else "")
+      s"graft-table ${gt.location}" + (if (timeTravel) s"@v$pinned" else "") +
+        pushedAgg.fold("")(a => s" PushedAggregates: [${a._3}]")
 
     // `spark.readStream.table("graft.ns.t")` — the same micro-batch
     // source (admission control, append-only contract, flat-atomic

@@ -171,6 +171,14 @@ final class GraftTable private (
     spark.readStream.format(classOf[GraftTableStreamSource].getName)
       .option("path", location).load()
 
+  /** The row-level change feed as a micro-batch stream (columns = schema
+    * ++ `_change`/`_version`; change commits flow as net diffs) — see
+    * [[GraftTableChangeFeedSource]].
+    */
+  def readChangeStream: DataFrame =
+    spark.readStream.format(classOf[GraftTableChangeFeedSource].getName)
+      .option("path", location).load()
+
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = new Path(location).getFileSystem(conf)
   private def logDir = new Path(location, LogDirName)
@@ -545,6 +553,18 @@ final class GraftTable private (
 
   /** The current snapshot's active files as logged (metadata only). */
   private[tables] def currentFiles: Seq[AddFile] = activeFiles(version)
+
+  /** Active files at a version (metadata only) — the catalog's aggregate
+    * pushdown answers COUNT/MIN/MAX from these O(files) log entries.
+    */
+  private[tables] def filesAt(v: Long): Seq[AddFile] = activeFiles(v)
+
+  /** A file's logged zone map for a LOGICAL column name at a version
+    * (resolved through that version's column mapping — stats are keyed by
+    * the stable physical names).
+    */
+  private[tables] def logicalStats(v: Long, f: AddFile, logical: String): Option[KeyStats] =
+    f.cs.get(physName(colmapAt(v), logical))
 
   /** The newest version whose commit timestamp is `<= tsMillis` — the
     * `TIMESTAMP AS OF` resolution rule (Delta semantics: you read the table

@@ -18,4 +18,17 @@ object GraftPlanBridge {
     * operators over arbitrary upstream frames).
     */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Re-expose a batch frame as a STREAMING micro-batch frame: the plan is
+    * lowered to its (lazy, distributed) InternalRow RDD and re-wrapped with
+    * `isStreaming = true` — the contract a V1 streaming `Source.getBatch`
+    * result must satisfy, and exactly how Spark's own file stream source
+    * hands its per-batch scans to the engine. No row is materialized on
+    * the driver; the RDD computes when the micro-batch executes.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

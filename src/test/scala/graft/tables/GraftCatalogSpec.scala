@@ -399,6 +399,40 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.table("gt.dc").columns.toSeq == Seq("k", "n", "v"))
   }
 
+  test("COUNT/MIN/MAX answered from log metadata; plan drops the Aggregate") {
+    warehouse
+    spark.sql("CREATE TABLE gt.agg (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.agg SELECT id, CAST(id AS STRING) FROM range(100)")
+    spark.sql("INSERT INTO gt.agg SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN NULL ELSE CAST(id AS STRING) END FROM range(100, 150)")
+    spark.sql("DELETE FROM gt.agg WHERE k >= 140")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(k) AS mn, MAX(k) AS mx FROM gt.agg")
+    // COMPLETE pushdown: the Aggregate node is GONE from the plan — the
+    // answer is one metadata-derived row, no scan job over the data
+    assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+      df.queryExecution.optimizedPlan.toString)
+    // 140 rows live; v null on even ids of [100, 140) -> 20 nulls
+    assert(df.collect().toSeq.map(_.toSeq) == Seq(Seq(140L, 120L, 0L, 139L)))
+    // historical metadata answers time-travel counts the same way
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gt.agg VERSION AS OF 2")
+      .head().getLong(0) == 100L)
+    // a WHERE clause blocks the push (metadata cannot answer) — fallback
+    // keeps the Aggregate and stays exact
+    val filtered = spark.sql("SELECT COUNT(*) AS n FROM gt.agg WHERE k < 10")
+    assert(filtered.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+    assert(filtered.head().getLong(0) == 10L)
+    // MIN on a STRING column is refused (footer stats may be truncated) —
+    // fallback scans and stays exact
+    val smin = spark.sql("SELECT MIN(v) AS m FROM gt.agg")
+    assert(smin.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+    assert(smin.head().getString(0) == "0")
+    // grouped aggregates are never pushed — exact through the normal path
+    assert(spark.sql("SELECT COUNT(*) AS n FROM gt.agg GROUP BY k % 2 = 0")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(70L, 70L))
+  }
+
   test("metadata tables: .history mirrors commits, .files the active set") {
     warehouse
     spark.sql("CREATE TABLE gt.meta (k BIGINT, part STRING) PARTITIONED BY (part)")

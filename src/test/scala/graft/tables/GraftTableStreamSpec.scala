@@ -445,6 +445,48 @@ class GraftTableStreamSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("change feed stream: merge+delete history streams exact changes() rows") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("k", "g", "x"), keyCol = Some("k"))
+    t.merge(Seq((2L, "b", 200L), (3L, "b", 30L)).toDF("k", "g", "x")) // v2
+    val cp = ckpt()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Long, String, Long)]()
+    // incremental aggregate maintained PURELY from the streamed feed
+    var state = IncrementalAgg.init(
+      Seq.empty[(Long, String, Long)].toDF("k", "g", "x"), "g", "x")
+    def run(): Unit = {
+      val q = GraftTable.at(spark, loc).readChangeStream.writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.add(
+            (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4))))
+          state = IncrementalAgg.applyChanges(state, batch, "g", "x")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run() // batch (0, 2]: create inserts + the merge's net diff
+    t.deleteWhere(col("k") === 1L)              // v3: change commit
+    t.append(Seq((4L, "a", 40L)).toDF("k", "g", "x")) // v4
+    run() // restart resumes at the checkpointed version offset: (2, 4]
+    // the stream delivered EXACTLY the batch-side changes() rows
+    val truth = t.changes(0L, t.version).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(seen.asScala.toSeq.sorted == truth,
+      s"stream feed diverged from batch changes():\n stream=${seen.asScala.toSeq.sorted}\n truth=$truth")
+    // deletes flowed: k=1's delete and the merge's k=2 net update pair
+    assert(seen.asScala.exists(_._4 == "delete"))
+    // the incrementally-maintained aggregate equals a full recompute
+    val got = state.as[(String, Long, Long)].collect().toSet
+    val want = IncrementalAgg.init(t.snapshot(), "g", "x")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"incremental state $got != recompute $want")
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
