@@ -1468,7 +1468,68 @@ object Advanced extends QueryPack {
         |SELECT _change, CAST(_version AS BIGINT) AS _version, prio,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM feed GROUP BY 1, 2, 3 ORDER BY _change, _version, prio""".stripMargin)))
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY _change, _version, prio""".stripMargin)),
+
+    // WRITE-TIME CHECK CONSTRAINTS under the gate (happy path): a table
+    // declared with `constraint.*` TBLPROPERTIES plus an `ALTER TABLE ADD
+    // CONSTRAINT … CHECK` runs an insert + full upsert MERGE with every
+    // row validated inside the write jobs ([[graft.tables.GraftTable]]
+    // observe-barrier enforcement; the violation/atomicity pins live in
+    // GraftCatalogSpec). Constraints must never CHANGE a valid result —
+    // the oracle is the plain relational replay, so any row the
+    // enforcement dropped or duplicated hash-diverges.
+    GraftQuery(
+      "q303_table_check_constraints",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq303_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t (k BIGINT, prio STRING, price_c BIGINT)
+            TBLPROPERTIES ('key'='k',
+              'constraint.price_pos'='price_c >= 0',
+              'constraint.prio_nn'='prio IS NOT NULL')""")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey % 2 = 0""")
+          s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT price_band " +
+            "CHECK (price_c < 100000000)")
+          s.sql(s"""MERGE INTO $cat.t t
+            USING (SELECT o_orderkey AS k, 'X' AS prio,
+                     CAST(o_orderkey AS BIGINT) AS price_c
+                   FROM orders WHERE o_orderkey % 3 = 0) s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, 'X' AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -76,6 +76,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** CHECK constraints are first-class: `ALTER TABLE … ADD CONSTRAINT c
+    * CHECK (…)` / `DROP CONSTRAINT` route to the log-backed metadata
+    * commits, and every write validates per row inside the write job.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def invalidateTable(ident: Identifier): Unit =
     handles.remove(tablePath(ident).toString)
 
@@ -181,6 +190,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
+    // TBLPROPERTIES ('constraint.<name>'='<predicate>') declare CHECK
+    // constraints at create time (the table is empty here, so validation
+    // is trivial; a CTAS's data insert lands AFTER and is enforced)
+    properties.asScala.toSeq.sortBy(_._1).foreach {
+      case (k, v) if k.startsWith("constraint.") =>
+        t.addConstraint(k.stripPrefix("constraint."), v)
+      case _ => ()
+    }
     handles.put(p.toString, t)
     new GraftSqlTable(t, identString(ident), None)
   }
@@ -204,7 +221,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     var rename: Option[TableChange.RenameColumn] = None
     var drop: Option[TableChange.DeleteColumn] = None
+    var addCons: Option[org.apache.spark.sql.connector.catalog.constraints.Check] = None
+    var dropCons: Option[TableChange.DropConstraint] = None
     changes.foreach {
+      case a: TableChange.AddConstraint =>
+        a.constraint match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(addCons.isEmpty, "one ADD CONSTRAINT per statement")
+            addCons = Some(c)
+          case other => throw new UnsupportedOperationException(
+            s"graft-catalog supports CHECK constraints only, got $other " +
+              "(PRIMARY KEY/UNIQUE/FOREIGN KEY are informational elsewhere; " +
+              "the 'key' table property covers the merge key)")
+        }
+      case d: TableChange.DropConstraint =>
+        require(dropCons.isEmpty, "one DROP CONSTRAINT per statement")
+        dropCons = Some(d)
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft-catalog supports top-level ADD COLUMNS only, got ${a.fieldNames.mkString(".")}")
@@ -227,15 +259,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"DROP COLUMN, got $c")
     }
     val fields = adds.result()
-    require(Seq(rename.nonEmpty, drop.nonEmpty, fields.nonEmpty).count(identity) <= 1,
-      "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ADD COLUMNS " +
-        "(they would land as separate, non-atomic commits); issue separate statements")
+    require(Seq(rename.nonEmpty, drop.nonEmpty, fields.nonEmpty,
+        addCons.nonEmpty, dropCons.nonEmpty).count(identity) <= 1,
+      "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ADD COLUMNS / " +
+        "constraint changes (they would land as separate, non-atomic " +
+        "commits); issue separate statements")
     rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
     drop.foreach { d =>
       val c = d.fieldNames()(0)
       // IF EXISTS: the only tolerated absence; anything else stays loud
       if (t.schema.fieldNames.contains(c) || !java.lang.Boolean.TRUE.equals(d.ifExists))
         t.dropColumn(c)
+    }
+    addCons.foreach(c => t.addConstraint(c.name, c.predicateSql))
+    dropCons.foreach { d =>
+      if (t.constraints.contains(d.name) || !d.ifExists) t.dropConstraint(d.name)
     }
     if (fields.nonEmpty) t.addColumns(fields)
     loadTable(ident)
@@ -387,6 +425,22 @@ private[tables] final class GraftSqlTable(
     case Some(v) => gt.snapshot(Some(v)).schema
     case None => gt.schema
   }
+
+  /** The live CHECK constraints as the DSv2 constraints surface (SHOW /
+    * DESCRIBE integration and the analyzer's ADD/DROP CONSTRAINT path).
+    * Enforced + validated: adds validate existing rows, writes validate
+    * per row inside the write job.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    gt.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build()
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)

@@ -112,6 +112,68 @@ final class GraftTable private (
       case _ => Nil
     }
 
+  /** CHECK constraints (name → predicate SQL) in force at a version,
+    * carried forward in commit metadata like the column mapping.
+    */
+  private def constraintsAt(v: Long): Map[String, String] =
+    cachedCommit(v)._1.get("constraints") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k, pv) => k -> pv.toString }.toMap
+      case _ => Map.empty
+    }
+
+  /** The live CHECK constraints (name → predicate SQL). */
+  def constraints: Map[String, String] =
+    listVersions(fs, logDir).lastOption.map(constraintsAt).getOrElse(Map.empty)
+
+  /** Add a CHECK constraint in one metadata commit. EXISTING rows are
+    * validated first (one scan — the lakehouse ADD CONSTRAINT contract):
+    * a violating table refuses the constraint rather than recording a lie.
+    * From this commit on, EVERY write — append/overwrite/merge/update/
+    * replacePartitions, batch or foreachBatch — validates per row inside
+    * the write job and commits NOTHING on violation. SQL CHECK semantics:
+    * a NULL predicate passes; express NOT NULL as `c IS NOT NULL`.
+    */
+  def addConstraint(name: String, predicateSql: String): Long = {
+    require(name.nonEmpty && predicateSql.nonEmpty,
+      "addConstraint needs a name and a predicate")
+    val v = version
+    val cur = constraintsAt(v)
+    require(!cur.contains(name),
+      s"constraint '$name' already exists (${cur(name)})")
+    val pred = expr(predicateSql) // resolution fails loud on bad references
+    val bad = snapshot().where(!coalesce(pred, lit(true))).limit(1).count()
+    require(bad == 0,
+      s"cannot add constraint '$name': existing row(s) violate ($predicateSql)")
+    commit(v, "addConstraint", Nil, Nil,
+      newConstraints = Some(cur + (name -> predicateSql)))
+  }
+
+  /** Drop a CHECK constraint (metadata commit, loud when unknown). */
+  def dropConstraint(name: String): Long = {
+    val v = version
+    val cur = constraintsAt(v)
+    require(cur.contains(name),
+      s"no constraint '$name' (have: ${cur.keys.toSeq.sorted.mkString(", ")})")
+    commit(v, "dropConstraint", Nil, Nil, newConstraints = Some(cur - name))
+  }
+
+  /** Column names a constraint references (for rename/drop guards). */
+  private def constraintRefs(sql: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+
+  private def requireNoConstraintOn(colName: String, op: String): Unit =
+    constraints.foreach { case (nm, sql) =>
+      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(colName)),
+        s"cannot $op column '$colName': CHECK constraint '$nm' ($sql) " +
+          "references it — drop the constraint first")
+    }
+
   private def physName(cm: Map[String, String], c: String): String =
     cm.getOrElse(c, c)
 
@@ -653,6 +715,7 @@ final class GraftTable private (
     require(!keyCol.contains(name), "cannot drop the merge key column")
     require(!partitionBy.contains(name), "cannot drop a partition column")
     require(cur.fields.length > 1, "cannot drop the table's last column")
+    requireNoConstraintOn(name, "drop")
     val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
     commit(v, "dropColumn", Nil, Nil, None, Some(evolved), Some(cm - name),
       Some((retiredAt(v) :+ physName(cm, name)).distinct))
@@ -1250,13 +1313,30 @@ final class GraftTable private (
     * the LOG, the object-store-friendly design.
     */
   private def writeData(dfLogical: DataFrame): Seq[AddFile] = {
+    // WRITE-TIME CHECK constraints: violation counts are computed INSIDE
+    // the write job through an `observe` barrier (CollectMetrics — one
+    // aggregate over the rows as they stream past, zero extra pass, and a
+    // plan barrier no optimizer rule reorders past, unlike a filter that
+    // predicate pushdown could evaluate on pre-join rows). The counts are
+    // read back AFTER the files land in the temp dir and BEFORE any
+    // rename/commit — a violating write deletes the temp dir and throws,
+    // so NOTHING becomes visible (Delta-invariant semantics). SQL CHECK:
+    // a NULL predicate passes.
+    val cons = constraints.toSeq.sortBy(_._1)
+    val obs = if (cons.isEmpty) None else Some(new org.apache.spark.sql.Observation())
+    val guarded = obs.fold(dfLogical) { o =>
+      val metrics = cons.map { case (nm, sqlText) =>
+        sum(when(!coalesce(expr(sqlText), lit(true)), 1L).otherwise(0L)).as(nm)
+      }
+      dfLogical.observe(o, metrics.head, metrics.tail: _*)
+    }
     // files store PHYSICAL column names (stable across renames): a version
     // race against a concurrent rename loses the commit and retries, so a
     // file can never land under a stale mapping
     val cm = currentColmap
     val df =
-      if (cm.isEmpty) dfLogical
-      else dfLogical.toDF(dfLogical.columns.toIndexedSeq.map(physName(cm, _)): _*)
+      if (cm.isEmpty) guarded
+      else guarded.toDF(guarded.columns.toIndexedSeq.map(physName(cm, _)): _*)
     val tmp = new Path(location, s"_tmp-${UUID.randomUUID()}")
     try {
       if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
@@ -1267,6 +1347,20 @@ final class GraftTable private (
         df.select(col("*") +: shadows: _*)
           .write.partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
           .parquet(tmp.toString)
+      }
+      // constraint verdict BEFORE any rename into the table root: the
+      // write job finished, so the observation is complete; a violation
+      // aborts here and the finally sweeps the temp dir — zero visibility
+      obs.foreach { o =>
+        val row = o.get // blocks until the completed write's metrics land
+        def n(nm: String): Long = // sum over zero rows is null
+          row.get(nm).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Number].longValue)
+        val violated = cons.collect {
+          case (nm, sqlText) if n(nm) > 0 =>
+            s"'$nm' ($sqlText): ${n(nm)} row(s)"
+        }
+        if (violated.nonEmpty) throw new IllegalArgumentException(
+          s"CHECK constraint violation — nothing committed: ${violated.mkString("; ")}")
       }
       // drain the listing BEFORE renaming: moving files out from under a
       // live recursive iterator is undefined on some filesystems
@@ -1436,11 +1530,13 @@ final class GraftTable private (
       adds: Seq[AddFile], removes: Seq[String],
       txn: Option[String] = None, newSchema: Option[StructType] = None,
       newColmap: Option[Map[String, String]] = None,
-      newRetired: Option[Seq[String]] = None): Long = {
+      newRetired: Option[Seq[String]] = None,
+      newConstraints: Option[Map[String, String]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
     val retired = newRetired.getOrElse(retiredAt(expected))
+    val cons = newConstraints.getOrElse(constraintsAt(expected))
     // physical-uniqueness invariant: a NEW logical column whose name equals
     // a renamed column's retired physical name would collide in the files —
     // fail the commit, not the next read. Same for names RETIRED by DROP
@@ -1455,7 +1551,7 @@ final class GraftTable private (
       s"physical column collision with DROPPED column(s): ${reused.mkString(",")} " +
         "— old files still hold their values; bind a fresh physical name")
     writeCommit(fs, logDir, next,
-      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired),
+      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired, cons),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next))
@@ -1485,6 +1581,7 @@ final class GraftTable private (
         "old files still hold its values — pick a different name")
     require(!keyCol.contains(oldName), "cannot rename the merge key column")
     require(!partitionBy.contains(oldName), "cannot rename a partition column")
+    requireNoConstraintOn(oldName, "rename")
     val evolved = StructType(cur.fields.toIndexedSeq.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val p = physName(cm, oldName)
@@ -1626,7 +1723,8 @@ object GraftTable {
   private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
       txn: Option[String] = None, partitionBy: Seq[String] = Nil,
       colmap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Nil) = {
+      retired: Seq[String] = Nil,
+      constraints: Map[String, String] = Map.empty) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -1643,6 +1741,11 @@ object GraftTable {
       val rj = new java.util.ArrayList[String]()
       retired.foreach(rj.add)
       m.put("retired", rj)
+    }
+    if (constraints.nonEmpty) {
+      val cj = new java.util.LinkedHashMap[String, Any]()
+      constraints.foreach { case (n, s) => cj.put(n, s) }
+      m.put("constraints", cj)
     }
     m.asScala.toMap
   }

@@ -49,6 +49,18 @@ private[tables] final class GraftStreamingWrite(
 
   GraftParquetReaderFactory.requireSupported(schema)
 
+  locally {
+    // the executor-side parquet-mr writers cannot evaluate SQL CHECK
+    // predicates per row; a constrained table must go through foreachBatch
+    // + appendIfAbsent (whose writeData path enforces) — refuse loud
+    // rather than commit unvalidated epochs
+    val cons = GraftTable.at(SparkSession.active, location).constraints
+    require(cons.isEmpty,
+      s"table has CHECK constraint(s) ${cons.keys.toSeq.sorted.mkString(", ")}; " +
+        "the native streaming sink does not enforce them — use " +
+        "foreachBatch + appendIfAbsent (enforced), or drop the constraints")
+  }
+
   private val confSer = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
 

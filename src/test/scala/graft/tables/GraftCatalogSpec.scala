@@ -433,6 +433,47 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(70L, 70L))
   }
 
+  test("CHECK constraints: write-time enforcement commits nothing on violation") {
+    warehouse
+    spark.sql("CREATE TABLE gt.ck (k BIGINT, price BIGINT, qty BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'constraint.pos_price'='price >= 0')")
+    spark.sql("INSERT INTO gt.ck VALUES (1, 10, 2), (2, 20, NULL)") // NULL passes CHECK
+    spark.sql("ALTER TABLE gt.ck ADD CONSTRAINT qty_band CHECK (qty BETWEEN 0 AND 100)")
+    val t = GraftTable.at(spark, s"$warehouse/ck")
+    assert(t.constraints.keySet == Set("pos_price", "qty_band"))
+    val vBefore = t.version
+    // violating INSERT: loud, and NOTHING committed — version and rows
+    // unchanged (the write job's observed violation aborts pre-commit)
+    intercept[Exception](spark.sql("INSERT INTO gt.ck VALUES (3, -5, 1)"))
+    assert(GraftTable.at(spark, s"$warehouse/ck").version == vBefore)
+    assert(sqlRows("SELECT k FROM gt.ck") == Set(Seq(1L), Seq(2L)))
+    // violating UPDATE and MERGE: equally atomic refusals
+    intercept[Exception](spark.sql("UPDATE gt.ck SET price = -1 WHERE k = 1"))
+    assert(sqlRows("SELECT price FROM gt.ck WHERE k = 1") == Set(Seq(10L)))
+    spark.sql("INSERT INTO gt.ck VALUES (3, 30, 100)")
+    intercept[Exception](spark.sql("""MERGE INTO gt.ck t
+      USING (SELECT 3L AS k, CAST(-7 AS BIGINT) AS p) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET price = s.p"""))
+    assert(sqlRows("SELECT price FROM gt.ck WHERE k = 3") == Set(Seq(30L)))
+    // ADD CONSTRAINT validates EXISTING rows: a violated add is refused
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gt.ck ADD CONSTRAINT tiny CHECK (price < 25)"))
+    assert(e2.getMessage != null)
+    assert(!GraftTable.at(spark, s"$warehouse/ck").constraints.contains("tiny"))
+    // a constrained column cannot be dropped while the constraint lives
+    val e3 = intercept[Exception](spark.sql("ALTER TABLE gt.ck DROP COLUMN qty"))
+    assert(e3.getMessage.toLowerCase.contains("constraint"), e3.getMessage)
+    // DROP CONSTRAINT frees the write path
+    spark.sql("ALTER TABLE gt.ck DROP CONSTRAINT pos_price")
+    spark.sql("INSERT INTO gt.ck VALUES (4, -40, 1)")
+    assert(sqlRows("SELECT k FROM gt.ck").size == 4)
+    // the native streaming sink refuses constrained tables loud (the
+    // executor-side writer cannot evaluate CHECK predicates per row)
+    val eSink = intercept[Exception](
+      new GraftStreamingWrite(s"$warehouse/ck", GraftTable.at(spark, s"$warehouse/ck").schema, "q-ck"))
+    assert(eSink.getMessage.contains("CHECK constraint"), eSink.getMessage)
+  }
+
   test("metadata tables: .history mirrors commits, .files the active set") {
     warehouse
     spark.sql("CREATE TABLE gt.meta (k BIGINT, part STRING) PARTITIONED BY (part)")
