@@ -1205,7 +1205,10 @@ final class GraftTable private (
     * restore whose target files were vacuumed fails LOUD with the names.
     * Streams reading the table see a remove-bearing commit and apply the
     * append-only contract (fail loud / skipChangeCommits) — correct:
-    * a restore rewrites history's visible state.
+    * a restore rewrites history's visible state. CHECK constraints are
+    * POLICIES, not data state: they carry forward unchanged, and like the
+    * published implementations a metadata-only restore does NOT re-scan
+    * the revived data against them (enforcement is write-time).
     */
   def restore(versionAsOf: Long): Long = {
     val v = version
@@ -1220,10 +1223,17 @@ final class GraftTable private (
     val cur = activeFiles(v)
     val curPaths = cur.map(_.path).toSet
     val targetPaths = target.map(_.path).toSet
+    // a column DROPPED after `versionAsOf` is revived by the restore: its
+    // physical binding is live again, so it must leave the retired list —
+    // otherwise the commit invariant would (wrongly) refuse the restore
+    val restoredSchema = schemaAt(versionAsOf)
+    val restoredCm = colmapAt(versionAsOf)
+    val revived = restoredSchema.fieldNames.toSeq.map(physName(restoredCm, _)).toSet
     commit(v, "restore",
       target.filterNot(f => curPaths(f.path)),
       cur.map(_.path).filterNot(targetPaths),
-      None, Some(schemaAt(versionAsOf)), Some(colmapAt(versionAsOf)))
+      None, Some(restoredSchema), Some(restoredCm),
+      Some(retiredAt(v).filterNot(revived.contains)))
   }
 
   /** Physically delete data files no longer in the CURRENT snapshot.

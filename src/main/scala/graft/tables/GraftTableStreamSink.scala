@@ -49,16 +49,35 @@ private[tables] final class GraftStreamingWrite(
 
   GraftParquetReaderFactory.requireSupported(schema)
 
-  locally {
-    // the executor-side parquet-mr writers cannot evaluate SQL CHECK
-    // predicates per row; a constrained table must go through foreachBatch
-    // + appendIfAbsent (whose writeData path enforces) — refuse loud
-    // rather than commit unvalidated epochs
-    val cons = GraftTable.at(SparkSession.active, location).constraints
-    require(cons.isEmpty,
-      s"table has CHECK constraint(s) ${cons.keys.toSeq.sorted.mkString(", ")}; " +
-        "the native streaming sink does not enforce them — use " +
-        "foreachBatch + appendIfAbsent (enforced), or drop the constraints")
+  /** CHECK constraints compiled to row-level Catalyst predicates at query
+    * start (Delta-invariant semantics for the native sink): each predicate
+    * is analyzed against the stream's LOGICAL schema (full coercion, NULL
+    * passes via coalesce) and bound to row ordinals on the driver; the
+    * serialized bound expression ships to executors, where each writer
+    * evaluates it per row BEFORE writing — a violating row fails the task,
+    * the epoch aborts (its files deleted), and nothing commits. Anchored
+    * like the colmap: constraints added mid-run are enforced from the next
+    * restart (the epoch commit still passes the batch-path validation
+    * discipline on restart re-anchor).
+    */
+  private val constraintChecks: Seq[GraftRowCheck] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    GraftTable.at(spark, location).constraints.toSeq.sortBy(_._1).map {
+      case (nm, sqlText) =>
+        val analyzed = empty.where(coalesce(expr(sqlText), lit(true)))
+          .queryExecution.analyzed
+        val (cond, childOut) = analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            (f.condition, f.child.output)
+        }.getOrElse(throw new IllegalStateException(
+          s"constraint '$nm' ($sqlText) did not analyze to a filter"))
+        GraftRowCheck(nm, sqlText,
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(cond, childOut))
+    }
   }
 
   private val confSer = new SerializableConfiguration(
@@ -110,9 +129,9 @@ private[tables] final class GraftStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     // executors write files under PHYSICAL names (same contract as the
     // batch writeData path); rows arrive positionally, so only the field
-    // names change
+    // names change — the bound constraint checks stay valid (ordinals)
     new GraftStreamWriterFactory(location,
-      table.physicalSchemaOf(schema, anchoredColmap), confSer)
+      table.physicalSchemaOf(schema, anchoredColmap), confSer, constraintChecks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     checkColmap()
@@ -149,13 +168,21 @@ private[tables] final case class GraftFileCommitMessage(
   path: String, rows: Long, bytes: Long,
   cs: Map[String, GraftTable.KeyStats] = Map.empty) extends WriterCommitMessage
 
+/** One CHECK constraint as a row-ordinal-bound Catalyst expression (the
+  * expression tree is Serializable; the codegen'd predicate is compiled
+  * lazily on each executor).
+  */
+private[tables] final case class GraftRowCheck(name: String, sql: String,
+  bound: org.apache.spark.sql.catalyst.expressions.Expression)
+
 private[tables] final class GraftStreamWriterFactory(
-    location: String, schema: StructType, confSer: SerializableConfiguration)
+    location: String, schema: StructType, confSer: SerializableConfiguration,
+    checks: Seq[GraftRowCheck] = Nil)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(location, schema, confSer)
+    new GraftParquetDataWriter(location, schema, confSer, checks)
 }
 
 /** One immutable parquet file per (partition, epoch) task attempt; empty
@@ -164,8 +191,13 @@ private[tables] final class GraftStreamWriterFactory(
   * committed and age out through the vacuum retention window.
   */
 private[tables] final class GraftParquetDataWriter(
-    location: String, schema: StructType, confSer: SerializableConfiguration)
+    location: String, schema: StructType, confSer: SerializableConfiguration,
+    checks: Seq[GraftRowCheck] = Nil)
   extends DataWriter[InternalRow] {
+
+  // compiled once per writer; evaluated per row BEFORE the row is encoded
+  private val predicates = checks.map(c =>
+    c -> org.apache.spark.sql.catalyst.expressions.Predicate.create(c.bound))
 
   private val fileName = s"part-${UUID.randomUUID()}.parquet"
   private val filePath = new Path(location, fileName)
@@ -206,6 +238,13 @@ private[tables] final class GraftParquetDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    // CHECK enforcement: a violating row fails the task -> the epoch
+    // aborts and deletes its files -> nothing commits (batch parity)
+    predicates.foreach { case (c, p) =>
+      if (!p.eval(row)) throw new IllegalArgumentException(
+        s"CHECK constraint '${c.name}' (${c.sql}) violated by a streamed " +
+          "row; the epoch aborts and nothing is committed")
+    }
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {

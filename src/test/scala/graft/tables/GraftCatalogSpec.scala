@@ -467,11 +467,8 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("ALTER TABLE gt.ck DROP CONSTRAINT pos_price")
     spark.sql("INSERT INTO gt.ck VALUES (4, -40, 1)")
     assert(sqlRows("SELECT k FROM gt.ck").size == 4)
-    // the native streaming sink refuses constrained tables loud (the
-    // executor-side writer cannot evaluate CHECK predicates per row)
-    val eSink = intercept[Exception](
-      new GraftStreamingWrite(s"$warehouse/ck", GraftTable.at(spark, s"$warehouse/ck").schema, "q-ck"))
-    assert(eSink.getMessage.contains("CHECK constraint"), eSink.getMessage)
+    // (the native streaming sink enforces the same constraints per row —
+    // pinned end-to-end in GraftTableStreamSpec)
   }
 
   test("metadata tables: .history mirrors commits, .files the active set") {

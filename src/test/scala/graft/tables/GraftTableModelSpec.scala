@@ -55,8 +55,8 @@ class GraftTableModelSpec extends SparkTestBase {
     past += ((t.version, model.toMap, vName))
     def snap(): Unit = past += ((t.version, model.toMap, vName))
 
-    for (step <- 1 to 20) {
-      rnd.nextInt(9) match {
+    for (step <- 1 to 24) {
+      rnd.nextInt(11) match {
         case 0 => // append fresh keys
           val rows = fresh(rnd.nextInt(4) + 1)
           t.append(df(rows))
@@ -109,6 +109,24 @@ class GraftTableModelSpec extends SparkTestBase {
             vName = n0
           }
           check(s"$step:restore->v$ver")
+        case 9 => // add/drop an extra column mid-history: metadata-only
+          // both ways, the retired physical name gets a FRESH binding on
+          // every re-add, and data/model are untouched throughout
+          t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+            "w", org.apache.spark.sql.types.LongType)))
+          assert(t.snapshot().where(col("w").isNotNull).isEmpty,
+            s"$step: re-added column resurfaced dropped values")
+          t.dropColumn("w")
+          check(s"$step:addDropColumn")
+        case 10 => // transient CHECK constraint: existing rows validate,
+          // one enforced append passes, drop frees the schema ops again
+          val cn = s"c$step"
+          t.addConstraint(cn, s"`$vName` IS NOT NULL")
+          val rows = fresh(1)
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          t.dropConstraint(cn)
+          check(s"$step:constraint")
       }
       snap()
     }
@@ -116,8 +134,8 @@ class GraftTableModelSpec extends SparkTestBase {
     // change-feed fold across the whole mixed history: snapshot(1) ⊎ ins ∖
     // del ≡ final snapshot, as MULTISETS (paranoid about rewrite survivors)
     val feed = t.changes(1L, t.version)
-    val ins = feed.where(col("_change") === "insert").select("k", "v")
-    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val ins = feed.where(col("_change") === "insert").select(col("k"), col(vName))
+    val del = feed.where(col("_change") === "delete").select(col("k"), col(vName))
     val folded = t.snapshot(Some(1L)).unionAll(ins).exceptAll(del)
       .as[(Long, String)].collect().toSeq.sorted
     val fin = t.snapshot().as[(Long, String)].collect().toSeq.sorted

@@ -203,6 +203,23 @@ class GraftTableSpec extends SparkTestBase {
       .getMessage.contains("last column"))
   }
 
+  test("restore to a pre-drop version revives the column and its binding") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 10L)).toDF("k", "v", "n"), keyCol = Some("k"))
+    val vPre = t.version
+    t.dropColumn("v")
+    t.append(Seq((2L, 20L)).toDF("k", "n"))
+    // the restore re-binds 'v''s physical name: it must leave the retired
+    // list (the commit invariant would otherwise refuse the restore)
+    t.restore(vPre)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "n"))
+    assert(t.snapshot().as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L)))
+    // and the revived column drops again cleanly
+    t.dropColumn("v")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "n"))
+  }
+
   test("merge rejects duplicate source keys loudly") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a")).toDF("k", "v"), keyCol = Some("k"))

@@ -445,6 +445,32 @@ class GraftTableStreamSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("streaming sink enforces CHECK constraints per row; epoch aborts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, 10L)).toDF("k", "n"))
+    t.addConstraint("n_pos", "n >= 0")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "n").writeStream
+      .format("graft-table").option("path", loc)
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      in.addData((2L, 20L))
+      q.processAllAvailable() // valid epoch commits under the constraint
+      assert(GraftTable.at(spark, loc).snapshot().count() == 2)
+      in.addData((3L, -3L), (4L, 40L))
+      val e = intercept[Exception](q.processAllAvailable())
+      def root(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else root(x.getCause)
+      assert((Option(root(e).getMessage) ++ Option(e.getMessage)).mkString(" ")
+        .contains("n_pos"), e.toString)
+    } finally q.stop()
+    // the violating epoch committed NOTHING — not even its valid rows
+    assert(GraftTable.at(spark, loc).snapshot().as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("change feed stream: merge+delete history streams exact changes() rows") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc,
