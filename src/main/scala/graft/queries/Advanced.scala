@@ -1529,7 +1529,56 @@ object Advanced extends QueryPack {
         |  UNION ALL SELECT * FROM src)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // PARTITION-TUPLE aggregate pushdown under the gate: on a table
+    // partitioned by (year, priority), COUNT(*)/MIN/MAX/COUNT over the
+    // partition columns — including string extremes, exact from the
+    // logged tuples (never from truncatable footer stats) — are answered
+    // entirely from the commit log, post-DELETE fresh ("what's the latest
+    // loaded day" as a driver metadata fold at 100 TB; the no-Aggregate
+    // plan pin lives in GraftCatalogSpec — this row pins the VALUES).
+    GraftQuery(
+      "q304_table_partition_stats",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq304_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t (k BIGINT, price_c BIGINT, y INT,
+            prio STRING) PARTITIONED BY (y, prio)""")
+          s.sql(s"""INSERT INTO $cat.t
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+              CAST(year(o_orderdate) AS INT), o_orderpriority
+            FROM orders WHERE o_orderkey % 5 <> 0""")
+          s.sql(s"DELETE FROM $cat.t WHERE y < 1993")
+          materializeSmall(s.sql(s"""SELECT CAST(n AS BIGINT) AS n,
+            CAST(min_y AS BIGINT) AS min_y, CAST(max_y AS BIGINT) AS max_y,
+            min_prio, max_prio, CAST(n_prio AS BIGINT) AS n_prio
+            FROM (SELECT COUNT(*) AS n, MIN(y) AS min_y, MAX(y) AS max_y,
+              MIN(prio) AS min_prio, MAX(prio) AS max_prio,
+              COUNT(prio) AS n_prio FROM $cat.t)"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH rows0 AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |kept AS (SELECT * FROM rows0 WHERE y >= 1993)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+        |  MIN(prio) AS min_prio, MAX(prio) AS max_prio,
+        |  CAST(COUNT(prio) AS BIGINT) AS n_prio
+        |FROM kept""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -79,11 +79,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** CHECK constraints are first-class: `ALTER TABLE … ADD CONSTRAINT c
     * CHECK (…)` / `DROP CONSTRAINT` route to the log-backed metadata
     * commits, and every write validates per row inside the write job.
+    * Column DEFAULTs ride the schema's field METADATA (Spark's analyzer
+    * resolves them into inserts; the schema JSON the log versions carries
+    * field metadata verbatim, so defaults time-travel with their schema).
     */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def invalidateTable(ident: Identifier): Unit =
     handles.remove(tablePath(ident).toString)
@@ -536,35 +540,70 @@ private[tables] final class GraftScanBuilder(
           if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
         case _ => None
       }
-    // every DATA file must carry the column's zone map for the answer to
-    // be complete (an all-null or stats-capped file has no entry: refuse)
-    def statsOf(c: String): Option[Seq[GraftTable.KeyStats]] = {
-      val ss = dataFiles.map(f => gt.logicalStats(pinned, f, c))
-      if (ss.forall(_.isDefined)) Some(ss.flatten) else None
-    }
     def fieldType(c: String): Option[DataType] =
       full.fields.find(_.name == c).map(_.dataType)
-    // integral/date zone maps are exact ("long" kind); map the extreme
-    // back to the column's external Spark type
+    val isPart = gt.partitionBy.toSet
+    // a PARTITION column's logged tuple is an exact per-file constant:
+    // synthesize a point zone map from it (None = the Hive null
+    // partition — all rows null). At 100 TB this is the "MAX(day) on a
+    // date-partitioned table" metadata answer.
+    def pvStats(f: GraftTable.AddFile, c: String): Option[GraftTable.KeyStats] =
+      f.pv.get(c).flatMap {
+        case None => // null partition value: no range, all rows null
+          Some(GraftTable.KeyStats("none", "", "", Some(f.rows), Some(f.rows)))
+        case Some(s) => fieldType(c).flatMap {
+          case ByteType | ShortType | IntegerType | LongType =>
+            scala.util.Try(s.toLong).toOption.map(l =>
+              GraftTable.KeyStats("long", l.toString, l.toString, Some(0L), Some(f.rows)))
+          case DateType =>
+            scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption.map(d =>
+              GraftTable.KeyStats("long", d.toString, d.toString, Some(0L), Some(f.rows)))
+          case StringType => // partition strings are EXACT (not footer stats)
+            Some(GraftTable.KeyStats("string", s, s, Some(0L), Some(f.rows)))
+          case _ => None
+        }
+      }
+    // every DATA file must carry the column's zone map for the answer to
+    // be complete (an all-null or stats-capped file has no entry: refuse);
+    // partition columns synthesize exact point stats from the log's tuples
+    def statsOf(c: String): Option[Seq[GraftTable.KeyStats]] = {
+      val ss = dataFiles.map(f =>
+        if (isPart(c)) pvStats(f, c) else gt.logicalStats(pinned, f, c))
+      if (ss.forall(_.isDefined)) Some(ss.flatten) else None
+    }
+    // integral/date zone maps are exact ("long" kind); partition-sourced
+    // string stats are exact values too (footer string stats stay
+    // un-pushed — writers may truncate them). "none" entries (all-null
+    // partition files) carry no range and are skipped by MIN/MAX.
     def extreme(c: String, max: Boolean): Option[(DataType, Any)] =
       fieldType(c).filter {
         case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case StringType => isPart(c)
         case _ => false
       }.flatMap { dt =>
-        statsOf(c).filter(_.forall(_.kind == "long")).map { ss =>
-          val v: Option[Long] =
-            if (ss.isEmpty) None // empty table: MIN/MAX is null
-            else Some(if (max) ss.map(_.max.toLong).max else ss.map(_.min.toLong).min)
-          dt -> v.map { l =>
-            dt match {
-              case ByteType => l.toByte
-              case ShortType => l.toShort
-              case IntegerType => l.toInt
-              case LongType => l
-              case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
-              case other => throw new IllegalStateException(s"unreachable: $other")
+        statsOf(c).map(_.filter(_.kind != "none"))
+          .filter(_.forall(s =>
+            s.kind == "long" || (s.kind == "string" && isPart(c)))).map { ss =>
+          val v: Option[Any] =
+            if (ss.isEmpty) None // empty (or all-null): MIN/MAX is null
+            else if (ss.head.kind == "string") {
+              // Spark's string MIN/MAX order is unsigned UTF-8 bytes
+              val ord = Ordering.fromLessThan[String](GraftTable.utf8Cmp(_, _) < 0)
+              Some(if (max) ss.map(_.max).max(ord) else ss.map(_.min).min(ord))
             }
-          }.orNull
+            else {
+              val l = if (max) ss.map(_.max.toLong).max else ss.map(_.min.toLong).min
+              Some(dt match {
+                case ByteType => l.toByte
+                case ShortType => l.toShort
+                case IntegerType => l.toInt
+                case LongType => l
+                case DateType =>
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+                case other => throw new IllegalStateException(s"unreachable: $other")
+              })
+            }
+          dt -> v.orNull
         }
       }
     val fields = Seq.newBuilder[StructField]

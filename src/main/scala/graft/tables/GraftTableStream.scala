@@ -122,6 +122,12 @@ private[tables] final class GraftTableMicroBatchStream(
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
+  require(!Option(options.get("readchangefeed")).exists(_.toBoolean),
+    "readChangeFeed is served by the dedicated change-feed source " +
+      "(micro-batches are per-commit diff PLANS, not file lists): use " +
+      "spark.readStream.format(\"graft-table-cdf\").option(\"path\", ...) " +
+      "or GraftTable.readChangeStream")
+
   GraftParquetReaderFactory.requireSupported(schema)
 
   private val spark = SparkSession.active

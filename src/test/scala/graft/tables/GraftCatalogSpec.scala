@@ -471,6 +471,42 @@ class GraftCatalogSpec extends SparkTestBase {
     // pinned end-to-end in GraftTableStreamSpec)
   }
 
+  test("partition-column MIN/MAX/COUNT answered from the logged tuples") {
+    warehouse
+    spark.sql("CREATE TABLE gt.pagg (k BIGINT, day DATE, region STRING) " +
+      "PARTITIONED BY (day, region)")
+    spark.sql("INSERT INTO gt.pagg VALUES (1, DATE'2024-01-01', 'eu'), " +
+      "(2, DATE'2024-03-05', 'us'), (3, DATE'2024-02-11', NULL)")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // partition tuples are exact per-file constants: dates, strings and
+    // null-partition COUNT all answer from the log — no scan, no Aggregate
+    val df = spark.sql("SELECT MAX(day) AS mx, MIN(day) AS mn, " +
+      "MAX(region) AS mr, COUNT(region) AS nr, COUNT(*) AS n FROM gt.pagg")
+    assert(!df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+      df.queryExecution.optimizedPlan.toString)
+    val r = df.head()
+    assert(r.getDate(0).toString == "2024-03-05" &&
+      r.getDate(1).toString == "2024-01-01", r.toString)
+    assert(r.getString(2) == "us")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L) // null partition counted out
+  }
+
+  test("column DEFAULT values resolve into inserts and time-travel with the schema") {
+    warehouse
+    spark.sql("CREATE TABLE gt.defs (k BIGINT, v STRING DEFAULT 'unset', " +
+      "n BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO gt.defs (k) VALUES (1)")
+    spark.sql("INSERT INTO gt.defs VALUES (2, 'x', DEFAULT)")
+    assert(sqlRows("SELECT k, v, n FROM gt.defs") ==
+      Set(Seq(1L, "unset", 7L), Seq(2L, "x", 7L)))
+    // ALTER ... SET DEFAULT is a schema-metadata change — loud for now
+    // (our ALTER surface is ADD/RENAME/DROP/constraints); CREATE-time
+    // defaults are versioned with the schema like everything else
+    val t = GraftTable.at(spark, s"$warehouse/defs")
+    assert(t.schema.fields.exists(f => f.name == "v" && f.metadata.contains(
+      "CURRENT_DEFAULT")))
+  }
+
   test("metadata tables: .history mirrors commits, .files the active set") {
     warehouse
     spark.sql("CREATE TABLE gt.meta (k BIGINT, part STRING) PARTITIONED BY (part)")

@@ -513,6 +513,25 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(got == want, s"incremental state $got != recompute $want")
   }
 
+  test("change feed startingVersion: the stream serves changes(N, …) only") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v2
+    t.deleteWhere(col("k") === 1L)          // v3 (change commit)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft-table-cdf")
+      .option("path", loc).option("startingVersion", "2").load()
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // only commit 3's net diff: the delete of (1, a)
+    assert(seen.asScala.toSet == Set((1L, "a", "delete", 3L)), seen.asScala.toSet)
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
