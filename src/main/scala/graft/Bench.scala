@@ -74,11 +74,15 @@ object Bench {
     // to its warm cost. This is what makes the slowest-five in the
     // artifact comparable to isolated re-runs (three rounds of judge
     // QTime checks showed early-position samples at 2-5x warm cost).
+    // counted SEPARATELY from the spike retries: n_retimed stays the
+    // contention signal it has always been (spike-triggered only), while
+    // n_warm_retimed documents the unconditional end-of-run pass
+    var warmRetimed = 0
     val byName = SparkEntry.queries
     val slowestNames = firstPass.filter(_._3.isEmpty).sortBy(-_._2).take(5).map(_._1).toSet
     val results = firstPass.map {
       case (name, t, None) if slowestNames.contains(name) =>
-        retried += 1
+        warmRetimed += 1
         val (t2, e2) = timeOnce(byName(name))
         if (e2.isEmpty) (name, math.min(t, t2), None) else (name, t, None)
       case other => other
@@ -98,13 +102,13 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,"sf":"$sfDir"}""")
     // compact summary as the LAST line: the driver keeps only the tail of
     // stdout, and with 100+ queries the full line above loses its head
     // (metric/value) to truncation — this one always survives intact
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_retimed":$retried,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_retimed":$retried,"n_warm_retimed":$warmRetimed,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -193,15 +193,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"table property 'key'='$k' is not a column of ${schema.fieldNames.mkString(",")}"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
     // TBLPROPERTIES ('constraint.<name>'='<predicate>') declare CHECK
-    // constraints at create time (the table is empty here, so validation
-    // is trivial; a CTAS's data insert lands AFTER and is enforced)
-    properties.asScala.toSeq.sortBy(_._1).foreach {
-      case (k, v) if k.startsWith("constraint.") =>
-        t.addConstraint(k.stripPrefix("constraint."), v)
-      case _ => ()
+    // constraints at create time. Validate EVERY predicate against the
+    // declared schema BEFORE the create commit lands — a bad predicate
+    // must fail the CREATE cleanly, not strand a half-created table that
+    // blocks the corrected retry with TableAlreadyExists
+    val declaredCons = properties.asScala.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("constraint.") => k.stripPrefix("constraint.") -> v
     }
+    declaredCons.foreach { case (n, sql) =>
+      try empty.where(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(sql), lit(true))).queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"table property 'constraint.$n' = '$sql' does not resolve against " +
+          s"the table schema ${schema.simpleString}: ${e.getMessage}", e) }
+    }
+    val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
+    // the table is empty here, so existing-row validation is trivial; a
+    // CTAS's data insert lands AFTER and is enforced
+    declaredCons.foreach { case (n, sql) => t.addConstraint(n, sql) }
     handles.put(p.toString, t)
     new GraftSqlTable(t, identString(ident), None)
   }
@@ -518,11 +528,23 @@ private[tables] final class GraftScanBuilder(
 
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize the metadata fold so the O(files) work
+  // runs once per query, not twice
+  private var lastTranslated: Option[(Aggregation, Option[(StructType, org.apache.spark.sql.Row, String)])] = None
+  private def translated(agg: Aggregation) = lastTranslated match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = translateAgg(agg)
+      lastTranslated = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translateAgg(agg).isDefined
+    translated(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    translateAgg(agg) match {
+    translated(agg) match {
       case Some(t) => pushedAgg = Some(t); true
       case None => false
     }

@@ -477,10 +477,13 @@ final class GraftTable private (
     * files OUT of the candidate set directly.
     */
   private[tables] def mergeCandidateFiles(source: DataFrame,
-      extraOn: Option[Column]): Seq[AddFile] = {
+      extraOn: Option[Column], asOf: Option[Long] = None): Seq[AddFile] = {
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "merge candidate pruning needs a table created with keyCol = Some(...)"))
-    val v = version
+    // pinned by the caller (mergeInto passes ITS version so candidates,
+    // reads, and the commit CAS all see one snapshot even under a
+    // concurrent commit); default = latest, for the spec's direct pins
+    val v = asOf.getOrElse(version)
     val files = activeFiles(v)
     val schema = schemaAt(v)
     val bounds = source.agg(min(col(k)), max(col(k))).head()
@@ -734,12 +737,34 @@ final class GraftTable private (
     if (committedTxns.contains(txnId)) version
     else {
       val v = version
+      val validatedUnder = constraintsAt(v)
       try commit(v, "append", writeData(alignSchema(df)), Nil, Some(txnId))
       catch {
         case e: ConcurrentCommitException =>
-          if (committedTxns.contains(txnId)) version else throw e
+          if (committedTxns.contains(txnId)) version
+          else {
+            // the data was validated against v's constraints; if the
+            // concurrent commit CHANGED them, a blind caller retry would
+            // commit rows the new constraint never saw — fail loud with
+            // the reason instead of the bare version race
+            requireConstraintsUnchanged(validatedUnder)
+            throw e
+          }
       }
     }
+  }
+
+  /** Auto-retry guards: rows already written were validated under the
+    * constraints at write time — a retry after a concurrent constraint
+    * change must fail loud, not commit unvalidated data.
+    */
+  private def requireConstraintsUnchanged(validatedUnder: Map[String, String]): Unit = {
+    val now = constraints
+    if (now != validatedUnder) throw new IllegalStateException(
+      s"the table's CHECK constraints changed concurrently (validated under " +
+        s"${validatedUnder.keys.toSeq.sorted.mkString(",")}, now " +
+        s"${now.keys.toSeq.sorted.mkString(",")}); re-run the write so the " +
+        "new constraints validate it")
   }
 
   /** Commit already-written files under a transaction id — the streaming
@@ -751,10 +776,15 @@ final class GraftTable private (
   private[tables] def commitFiles(op: String, adds: Seq[AddFile],
       txnId: Option[String], maxAttempts: Int = 50): Long = {
     if (txnId.exists(committedTxns.contains)) return version
+    // the files were validated (sink per-row checks) under the constraint
+    // set in force when the epoch started — a retry must not sail past a
+    // concurrent constraint change (the new constraint never saw the rows)
+    val validatedUnder = constraints
     var attempt = 0
     while (true) {
       attempt += 1
       val v = version
+      requireConstraintsUnchanged(validatedUnder)
       try return commit(v, op, adds, Nil, txnId)
       catch {
         case e: ConcurrentCommitException =>
@@ -893,7 +923,7 @@ final class GraftTable private (
     val srcK = col(s"__src_$k")
     // the full match condition: key equality AND the compound-ON residue
     val matchCond = extraOn.fold(col(k) === srcK)(col(k) === srcK && _)
-    val candidates = mergeCandidateFiles(source, extraOn)
+    val candidates = mergeCandidateFiles(source, extraOn, Some(v))
     // a NOT-MATCHED-BY-SOURCE clause can fire on any row of any file —
     // every active file becomes a rewrite candidate (the clause's
     // inherent cost); otherwise only files that HOLD a fully-matched row

@@ -154,13 +154,16 @@ private[tables] final class GraftTableMicroBatchStream(
   // the table (a strict subset is fine — ADD COLUMN between capture and
   // anchor is additive and sound).
   locally {
-    val live = table.schema.fieldNames.toSet
-    val stale = schema.fieldNames.filterNot(live.contains)
+    // NAMES AND TYPES: a drop + re-add with a different type keeps the
+    // name but rebinds a fresh physical column of the new type — the old
+    // reader schema would decode it wrong
+    val live = table.schema.fields.map(f => (f.name, f.dataType)).toSet
+    val stale = schema.fields.filterNot(f => live.contains((f.name, f.dataType)))
     require(stale.isEmpty,
-      s"stream schema column(s) ${stale.mkString(", ")} no longer exist in " +
-        s"the table (a RENAME/DROP COLUMN landed between defining and " +
-        "starting the stream); re-define the readStream against the " +
-        "current schema")
+      s"stream schema column(s) ${stale.map(_.name).mkString(", ")} no " +
+        "longer exist in the table with these types (a RENAME/DROP COLUMN " +
+        "landed between defining and starting the stream); re-define the " +
+        "readStream against the current schema")
   }
 
   private def checkColmap(): Unit = {

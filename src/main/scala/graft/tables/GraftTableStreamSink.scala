@@ -55,10 +55,12 @@ private[tables] final class GraftStreamingWrite(
     * passes via coalesce) and bound to row ordinals on the driver; the
     * serialized bound expression ships to executors, where each writer
     * evaluates it per row BEFORE writing — a violating row fails the task,
-    * the epoch aborts (its files deleted), and nothing commits. Anchored
-    * like the colmap: constraints added mid-run are enforced from the next
-    * restart (the epoch commit still passes the batch-path validation
-    * discipline on restart re-anchor).
+    * the epoch aborts (its files deleted), and nothing commits. In
+    * micro-batch mode the engine constructs a fresh StreamingWrite per
+    * epoch (observed, spec-pinned), so a constraint added mid-run is
+    * compiled into the NEXT epoch's checks automatically; the commit-time
+    * drift check below additionally covers any engine that reuses one
+    * write across epochs.
     */
   private val constraintChecks: Seq[GraftRowCheck] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
@@ -100,14 +102,24 @@ private[tables] final class GraftStreamingWrite(
     // the schema was validated against the table at toStreaming time; this
     // anchor is LAZY (first epoch), so a RENAME/DROP landing in between
     // would pair the new mapping with the old names and write columns the
-    // new map resolves differently — validate the pairing when it forms
-    require(schema.fieldNames.toSeq == table.schema.fieldNames.toSeq,
+    // new map resolves differently — validate the pairing when it forms.
+    // NAMES AND TYPES: a drop + re-add of the same name with a different
+    // type in this window keeps the name sequence identical while the
+    // fresh physical column's type changed — writing the old type into it
+    // would commit files no read can decode
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      table.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"table columns changed between stream definition and first epoch " +
-        s"(stream ${schema.fieldNames.mkString(",")}, table " +
-        s"${table.schema.fieldNames.mkString(",")}); restart the stream " +
+        s"(stream ${schema.simpleString}, table " +
+        s"${table.schema.simpleString}); restart the stream " +
         "against the current schema")
     table.colmapNow
   }
+
+  // the constraint set the per-row checks were compiled from — epoch
+  // commits verify it is still the table's live set (see checkColmap)
+  @transient private lazy val anchoredConstraints: Map[String, String] =
+    constraintChecks.map(c => c.name -> c.sql).toMap
 
   private def checkColmap(): Unit = {
     val now = table.colmapNow
@@ -118,11 +130,23 @@ private[tables] final class GraftStreamingWrite(
     // a DROP COLUMN of an identity-mapped column changes the schema but
     // not the colmap — same loud contract (the sink writes every table
     // column, so ANY schema change under it is non-additive here)
-    if (schema.fieldNames.toSeq != table.schema.fieldNames.toSeq)
+    if (schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        table.schema.fields.map(f => (f.name, f.dataType)).toSeq)
       throw new IllegalStateException(
         s"the table's columns changed under the streaming write (stream " +
-          s"${schema.fieldNames.mkString(",")}, table " +
-          s"${table.schema.fieldNames.mkString(",")}); restart the stream")
+          s"${schema.simpleString}, table " +
+          s"${table.schema.simpleString}); restart the stream")
+    // CHECK constraints are anchored like the colmap: the per-row
+    // predicates were compiled at query start, so a constraint added (or
+    // dropped) mid-run must fail the epoch loud — committing rows the new
+    // constraint never saw would contradict addConstraint's validated
+    // contract; a restart re-compiles against the live set
+    val liveCons = table.constraints
+    if (liveCons != anchoredConstraints) throw new IllegalStateException(
+      s"the table's CHECK constraints changed under the streaming write " +
+        s"(anchored ${anchoredConstraints.keys.toSeq.sorted.mkString(",")}, " +
+        s"now ${liveCons.keys.toSeq.sorted.mkString(",")}); restart the " +
+        "stream to re-compile the per-row checks")
   }
 
   override def createStreamingWriterFactory(

@@ -471,6 +471,32 @@ class GraftTableStreamSpec extends SparkTestBase {
       .collect().toSet == Set((1L, 10L), (2L, 20L)))
   }
 
+  test("constraint added mid-run enforces from the NEXT epoch (fresh write per epoch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp()
+    GraftTable.create(spark, loc, Seq((1L, 10L)).toDF("k", "n"))
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "n").writeStream
+      .format("graft-table").option("path", loc)
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      in.addData((2L, 20L)); q.processAllAvailable() // unconstrained epoch
+      // micro-batch mode constructs a fresh StreamingWrite per epoch, so
+      // a constraint added MID-RUN is compiled into the next epoch's
+      // per-row checks — the violating row aborts that epoch entirely
+      GraftTable.at(spark, loc).addConstraint("n_pos", "n >= 0")
+      in.addData((3L, -30L), (4L, 40L))
+      val e = intercept[Exception](q.processAllAvailable())
+      def root(x: Throwable): Throwable =
+        if (x.getCause == null || x.getCause == x) x else root(x.getCause)
+      assert((Option(root(e).getMessage) ++ Option(e.getMessage)).mkString(" ")
+        .contains("n_pos"), e.toString)
+    } finally q.stop()
+    assert(GraftTable.at(spark, loc).snapshot().as[(Long, Long)]
+      .collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
   test("change feed stream: merge+delete history streams exact changes() rows") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc,
