@@ -150,6 +150,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftMetadataTable(identString(ident), schema, () =>
           t.currentFiles.map(f => Row(f.path, f.rows, f.bytes,
             f.pv.map { case (k, v) => k -> v.orNull }, f.cs.size))))
+      case "detail" =>
+        // DESCRIBE DETAIL, as a one-row metadata table: the operational
+        // summary every lakehouse exposes — all from O(log) driver state
+        val schema = StructType(Seq(
+          StructField("location", StringType), StructField("version", LongType),
+          StructField("num_files", LongType), StructField("num_rows", LongType),
+          StructField("size_bytes", LongType),
+          StructField("key_column", StringType),
+          StructField("partition_columns", ArrayType(StringType)),
+          StructField("constraints", MapType(StringType, StringType)),
+          StructField("renamed_columns", MapType(StringType, StringType)),
+          StructField("created_ts", LongType),
+          StructField("last_modified_ts", LongType)))
+        Some(new GraftMetadataTable(identString(ident), schema, () => {
+          val files = t.currentFiles
+          val hist = t.history
+          Seq(Row(t.location, t.version, files.size.toLong,
+            files.map(_.rows).sum, files.map(_.bytes).sum,
+            t.keyCol.orNull, t.partitionBy, t.constraints,
+            t.colmapNow, hist.head.ts, hist.last.ts))
+        }))
       case _ => None
     }
   }

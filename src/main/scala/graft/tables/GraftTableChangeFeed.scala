@@ -27,12 +27,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * change-feed batch is a PLAN (per-commit exceptAll over the touched
   * files), not a fixed file list — `getBatch` returns the `changes()`
   * DataFrame and Spark executes it as the micro-batch. Batches are commit-
-  * granular; admission control does not apply (a single commit's diff is
-  * the atomic unit, bounded by commit size — never the table).
+  * granular (a single commit's diff is the atomic unit, bounded by commit
+  * size — never the table); `maxCommitsPerTrigger = N` additionally caps
+  * each trigger at N commits' diffs, so a stream starting against a deep
+  * history drains it in bounded slices instead of one giant batch.
   *
   * Options: `startingVersion` (default 0 — the create commit's rows arrive
   * as the first batch's inserts; `N` starts AFTER commit N, serving
-  * `changes(N, …)`). Schema is anchored at stream start; a mid-stream
+  * `changes(N, …)`), `maxCommitsPerTrigger` (admission cap, above). Schema is anchored at stream start; a mid-stream
   * schema change makes the batch plan's schema diverge and fails the query
   * loud (restart re-anchors), the same non-additive-change contract as the
   * append stream. Like batch `changes()`, the feed needs the referenced
@@ -61,11 +63,14 @@ final class GraftTableChangeFeedSource extends StreamSourceProvider with DataSou
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val startingVersion = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val startingVersion = params.get("startingversion").map(_.toLong).getOrElse(0L)
     require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
+    val maxCommits = params.get("maxcommitspertrigger").map(_.toInt)
+    maxCommits.foreach(n => require(n > 0,
+      s"maxCommitsPerTrigger must be positive, got $n"))
     new GraftTableChangeFeedStream(sqlContext.sparkSession,
-      location(parameters), startingVersion)
+      location(parameters), startingVersion, maxCommits)
   }
 }
 
@@ -79,8 +84,11 @@ private[tables] object GraftTableChangeFeedStream {
 }
 
 private[tables] final class GraftTableChangeFeedStream(
-    spark: SparkSession, location: String, startingVersion: Long)
-  extends Source {
+    spark: SparkSession, location: String, startingVersion: Long,
+    maxCommitsPerTrigger: Option[Int] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // one handle for the stream's lifetime: commit parses memoize, so each
   // trigger replays only the commits landed since the last one
@@ -99,6 +107,36 @@ private[tables] final class GraftTableChangeFeedStream(
     case other => other.json.trim.toLong // SerializedOffset from a checkpoint
   }
 
+  // ADMISSION CONTROL (the V1-source mixins FileStreamSource uses — a
+  // plain getOffset cap would be read ONCE by the Trigger.AvailableNow
+  // wrapper and become the drain TARGET, stopping the stream early): each
+  // trigger advances at most maxCommitsPerTrigger commits past the
+  // engine-supplied start, and AvailableNow pins its drain target here so
+  // capped triggers keep firing until the pinned version is reached.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.version)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val s = Option(start).map {
+      case l: LongOffset => l.offset
+      case o => o.json.trim.toLong
+    }.getOrElse(startingVersion)
+    val latest = availableNowCap.fold(table.version)(math.min(_, table.version))
+    val v = maxCommitsPerTrigger.fold(latest)(n => math.min(latest, s + n))
+    if (v <= s) null else LongOffset(v)
+  }
+
+  // legacy face (engines without admission control): all pending, uncapped
+  // — capping HERE would silently become an AvailableNow drain target
   override def getOffset: Option[V1Offset] = {
     val v = table.version
     if (v <= startingVersion) None else Some(LongOffset(v))
@@ -106,7 +144,8 @@ private[tables] final class GraftTableChangeFeedStream(
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
-    val feed = table.changes(from, versionOf(end))
+    val to = versionOf(end)
+    val feed = table.changes(from, to)
     require(feed.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       anchored.fields.map(f => (f.name, f.dataType)).toSeq,
       s"the table's schema changed mid-stream (feed ${feed.schema.simpleString}, " +

@@ -526,6 +526,21 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql("SELECT * FROM gt.meta.nope"))
   }
 
+  test(".detail metadata table: one-row operational summary from the log") {
+    warehouse
+    spark.sql("CREATE TABLE gt.dtl (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('key'='k', 'constraint.kp'='k > 0')")
+    spark.sql("INSERT INTO gt.dtl VALUES (1, 'a'), (2, 'b')")
+    val r = spark.sql("SELECT version, num_files, num_rows, key_column, " +
+      "partition_columns, constraints FROM gt.dtl.detail").head()
+    val t = GraftTable.at(spark, s"$warehouse/dtl")
+    assert(r.getLong(0) == t.version)
+    assert(r.getLong(1) == t.currentFiles.size.toLong && r.getLong(2) == 2L)
+    assert(r.getString(3) == "k")
+    assert(r.getSeq[String](4) == Seq("p"))
+    assert(r.getMap[String, String](5).toMap == Map("kp" -> "k > 0"))
+  }
+
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")

@@ -558,6 +558,26 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(seen.asScala.toSet == Set((1L, "a", "delete", 3L)), seen.asScala.toSet)
   }
 
+  test("change feed maxCommitsPerTrigger drains a backlog in bounded slices") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    (2L to 7L).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v"))) // v2..v7
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-table-cdf")
+      .option("path", loc).option("maxCommitsPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(batch.select("_version").collect().map(_.getLong(0)).toSet); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = batches.asScala.toSeq.filter(_.nonEmpty)
+    // 7 commits at <= 2 commits per trigger: ceil(7/2) = 4 slices, in order
+    assert(got.size == 4, s"expected 4 bounded slices, got $got")
+    assert(got.forall(_.size <= 2), s"a slice exceeded the 2-commit cap: $got")
+    assert(got.flatten.toSet == (1L to 7L).toSet, s"missing commits: $got")
+  }
+
   test("stream -> table -> stream: the incremental loop composes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
