@@ -1578,7 +1578,64 @@ object Advanced extends QueryPack {
         |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
         |  MIN(prio) AS min_prio, MAX(prio) AS max_prio,
         |  CAST(COUNT(prio) AS BIGINT) AS n_prio
-        |FROM kept""".stripMargin)))
+        |FROM kept""".stripMargin)),
+
+    // MERGE WITH SCHEMA EVOLUTION under the gate: the upsert source
+    // carries a column the table lacks — `merge(mergeSchema = true)`
+    // evolves the schema in the SAME commit (untouched files and rewrite
+    // survivors read the new column as null; replaced/inserted rows carry
+    // it), the published autoMerge semantics. The aggregate fingerprints
+    // both eras: n_tax counts exactly the merged-in rows, so any
+    // null-fill or evolution slip hash-diverges.
+    GraftQuery(
+      "q305_table_merge_schema_evolution",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val base = orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val src = orders.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), lit("X").as("prio"),
+            col("o_orderkey").cast("long").as("price_c"),
+            expr("CAST(round(o_totalprice * 10) AS BIGINT)").as("tax_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q305_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath, base,
+            keyCol = Some("k"))
+          t.merge(src, mergeSchema = true)
+          materializeSmall(t.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"),
+              count(col("tax_c")).as("n_tax"),
+              sum(col("tax_c")).cast("long").as("sum_tax"))
+            .orderBy(col("prio")))
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, 'X' AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS price_c,
+        |    CAST(round(o_totalprice * 10) AS BIGINT) AS tax_c
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT k, prio, price_c, NULL AS tax_c FROM base
+        |  WHERE k NOT IN (SELECT k FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(COUNT(tax_c) AS BIGINT) AS n_tax,
+        |  CAST(SUM(tax_c) AS BIGINT) AS sum_tax
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -569,7 +569,15 @@ final class GraftTable private (
       outSchema.fieldNames.toIndexedSeq.map(l => physName(cmTo, l) -> l).toMap
     def outNameOf(p: String): String = liveTo.getOrElse(p, s"__graft_dead_$p")
     val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-    val perVersion = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
+    val inRange = all.filter(v => v > fromVersion && v <= toVersion)
+      // a LAYOUT-ONLY commit (compact/optimize: rows unchanged, files
+      // rewritten) is flagged dataChange=false at commit time — its net
+      // diff is empty BY CONSTRUCTION, so the feed skips it without
+      // reading a single rewritten file (at 100 TB, a compacted table's
+      // change feed must not re-diff every compaction; this also keeps
+      // the feed reconstructible after such commits' inputs are vacuumed)
+      .filterNot(v => cachedCommit(v)._1.get("dataChange").contains(false))
+    val perVersion = inRange.map { v =>
       val (_, adds, removes) = cachedCommit(v)
       // removed files were active at v-1; the file set is O(commit), and the
       // schema each file was WRITTEN under may be older still — by-name
@@ -809,11 +817,18 @@ final class GraftTable private (
   /** Upsert by `keyCol`: target rows whose key appears in `source` are
     * replaced, all other source rows are inserted, untouched FILES are not
     * rewritten. Source keys must be unique (checked, loud).
+    *
+    * `mergeSchema = true` lets the source EVOLVE the schema exactly like
+    * `append(mergeSchema = true)`: new source columns extend the table
+    * (untouched old files read them as null by name; rewrite survivors
+    * are null-filled explicitly), columns the source lacks are written as
+    * null on inserted/replaced rows, and the evolved schema is versioned
+    * with the merge commit — time travel keeps each version's own width.
     */
-  def merge(source: DataFrame): Long = {
+  def merge(source: DataFrame, mergeSchema: Boolean = false): Long = {
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "merge needs a table created with keyCol = Some(...)"))
-    val src = alignSchema(source)
+    val (src, evolved) = alignEvolving(source, tableSchema, mergeSchema)
     // one aggregate guards both invariants: null keys (which the semi/anti
     // joins would silently drop, and which count_distinct would miscount as
     // "duplicates") and duplicate keys over the non-null subset
@@ -850,9 +865,16 @@ final class GraftTable private (
       if (rewritten.isEmpty) None
       else Some(readFiles(rewritten.map(_.path), v)
         .join(src.select(col(k)), Seq(k), "left_anti")
-        .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*))
+        // rewritten files were read under the PRE-evolution schema; widen
+        // survivors to the evolved width (new columns null) so the union
+        // with the source is exact
+        .select(evolved.fields.toIndexedSeq.map { f =>
+          if (tableSchema.fieldNames.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*))
     val newData = survivors.fold(src)(_.unionByName(src))
-    commit(v, "merge", writeData(newData), rewritten.map(_.path))
+    commit(v, "merge", writeData(newData), rewritten.map(_.path), None,
+      Some(evolved))
   }
 
   /** GENERALIZED MERGE — the full conditional-clause surface on top of the
@@ -1086,7 +1108,8 @@ final class GraftTable private (
     if (small.size < 2) return v
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val merged = readFiles(small.map(_.path), v).coalesce(nOut)
-    commit(v, "compact", writeData(merged), small.map(_.path))
+    commit(v, "compact", writeData(merged), small.map(_.path),
+      dataChange = false)
   }
 
   /** OPTIMIZE: rewrite every active data file CLUSTERED on `clusterBy`, in
@@ -1193,7 +1216,8 @@ final class GraftTable private (
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
     }
-    commit(v, "optimize", writeData(clustered), files.map(_.path))
+    commit(v, "optimize", writeData(clustered), files.map(_.path),
+      dataChange = false)
   }
 
   /** Z-value from 8-bit RANKS: per dimension, ~255 order-statistic
@@ -1571,7 +1595,8 @@ final class GraftTable private (
       txn: Option[String] = None, newSchema: Option[StructType] = None,
       newColmap: Option[Map[String, String]] = None,
       newRetired: Option[Seq[String]] = None,
-      newConstraints: Option[Map[String, String]] = None): Long = {
+      newConstraints: Option[Map[String, String]] = None,
+      dataChange: Boolean = true): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
@@ -1591,7 +1616,7 @@ final class GraftTable private (
       s"physical column collision with DROPPED column(s): ${reused.mkString(",")} " +
         "— old files still hold their values; bind a fresh physical name")
     writeCommit(fs, logDir, next,
-      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired, cons),
+      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired, cons, dataChange),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next))
@@ -1764,7 +1789,8 @@ object GraftTable {
       txn: Option[String] = None, partitionBy: Seq[String] = Nil,
       colmap: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
-      constraints: Map[String, String] = Map.empty) = {
+      constraints: Map[String, String] = Map.empty,
+      dataChange: Boolean = true) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -1787,6 +1813,9 @@ object GraftTable {
       constraints.foreach { case (n, s) => cj.put(n, s) }
       m.put("constraints", cj)
     }
+    // layout-only commits (compact/optimize): rows unchanged, so change
+    // feeds skip them without reading the rewritten files
+    if (!dataChange) m.put("dataChange", false)
     m.asScala.toMap
   }
 

@@ -435,6 +435,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.compact() == v)
   }
 
+  test("merge(mergeSchema): source evolves the schema; survivors null-fill") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b"), (100L, "z")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), keyCol = Some("k"))
+    val vPre = t.version
+    // source carries a NEW column: matched k=2 replaced with it, k=3
+    // inserted with it; the rewritten file's survivor (k=1) and the
+    // untouched high-key file (k=100) read it as null
+    t.merge(Seq((2L, "B", 20L), (3L, "C", 30L)).toDF("k", "v", "score"),
+      mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(t.snapshot().as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "B", Some(20L)), (3L, "C", Some(30L)),
+        (100L, "z", None)))
+    // time travel keeps the pre-evolution width
+    assert(t.snapshot(Some(vPre)).columns.toSeq == Seq("k", "v"))
+    // without the flag, a wider source stays loud
+    val e = intercept[IllegalArgumentException](
+      t.merge(Seq((4L, "d", 40L, 1L)).toDF("k", "v", "score", "extra")))
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+  }
+
   test("mergeSchema append evolves: new column null-filled on old rows, versioned") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     val preVersion = t.version
@@ -695,6 +717,26 @@ class GraftTableSpec extends SparkTestBase {
     assert(feed == Set(
       (1L, "a", None, "insert", 1L),    // create row, evolved col null-filled
       (2L, "b", Some(7L), "insert", 2L)))
+  }
+
+  test("layout-only commits are invisible to the change feed (dataChange=false)") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1)) // v2
+    val vPre = t.version
+    t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20) // v3: layout only
+    t.append(Seq((3L, "c")).toDF("k", "v").coalesce(1)) // v4
+    def feedRows() = t.changes(vPre, t.version)
+      .select("k", "v", "_change", "_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // the compact commit contributes NOTHING (its net diff is empty by
+    // construction) — only v4's insert appears
+    assert(feedRows() == Set((3L, "c", "insert", 4L)))
+    // and because the skipped commit's rewritten inputs are never read,
+    // the range stays reconstructible after vacuum reclaims them (a
+    // diffed compaction would fail loud on the missing files)
+    assert(t.vacuum(0L).nonEmpty)
+    assert(feedRows() == Set((3L, "c", "insert", 4L)))
   }
 
   test("changes past the vacuum horizon fails loud, naming the files") {
