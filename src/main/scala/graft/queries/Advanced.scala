@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Advanced extends QueryPack {
 
+  /** Recursive temp-dir reclaim shared by every table-backed query's
+    * `finally` block (was 21 identical inline copies).
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
   private val epochAnchor = "1970-01-01"
@@ -579,10 +586,7 @@ object Advanced extends QueryPack {
             sum(when(col("o_orderstatus") === "M", 1L).otherwise(0L)).as("n_merged"))
           .orderBy(col("bucket")))
         // table consumed into a local relation — reclaim the temp dir
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(root)
+        rmTree(root)
         out
       },
       Some("""WITH base AS (
@@ -630,10 +634,7 @@ object Advanced extends QueryPack {
               (sum(col("price_c")).cast("double") / 100.0).as("total"))
             .orderBy("o_orderpriority"))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -672,10 +673,7 @@ object Advanced extends QueryPack {
             .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
             .orderBy(col("o_orderstatus")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
@@ -717,10 +715,7 @@ object Advanced extends QueryPack {
             .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
             .orderBy(col("_version"), col("_change")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -771,10 +766,7 @@ object Advanced extends QueryPack {
             .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
             .orderBy(col("dow")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH li AS (
@@ -820,10 +812,7 @@ object Advanced extends QueryPack {
             .orderBy(col("o_orderpriority")))
         } finally {
           s.catalog.dropTempView(sink)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
@@ -858,10 +847,7 @@ object Advanced extends QueryPack {
             .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
             .orderBy(col("bucket")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_custkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
@@ -908,10 +894,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -957,10 +940,7 @@ object Advanced extends QueryPack {
             .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
             .orderBy(col("o_orderpriority")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
@@ -999,10 +979,7 @@ object Advanced extends QueryPack {
             .orderBy("prio")
           materializeSmall(out)
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1054,10 +1031,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1115,10 +1089,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1175,10 +1146,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1221,10 +1189,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH rows0 AS (
@@ -1275,10 +1240,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1343,10 +1305,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH rows0 AS (
@@ -1392,10 +1351,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH rows0 AS (
@@ -1445,10 +1401,7 @@ object Advanced extends QueryPack {
             .orderBy(col("_change"), col("_version"), col("prio")))
         } finally {
           s.catalog.dropTempView(sink)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1510,10 +1463,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (
@@ -1563,10 +1513,7 @@ object Advanced extends QueryPack {
         } finally {
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH rows0 AS (
@@ -1612,10 +1559,7 @@ object Advanced extends QueryPack {
               sum(col("tax_c")).cast("long").as("sum_tax"))
             .orderBy(col("prio")))
         } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(root)
+          rmTree(root)
         }
       },
       Some("""WITH base AS (

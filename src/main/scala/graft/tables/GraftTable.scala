@@ -828,7 +828,13 @@ final class GraftTable private (
   def merge(source: DataFrame, mergeSchema: Boolean = false): Long = {
     val k = keyCol.getOrElse(throw new IllegalArgumentException(
       "merge needs a table created with keyCol = Some(...)"))
-    val (src, evolved) = alignEvolving(source, tableSchema, mergeSchema)
+    // pin the version BEFORE reading the schema: evolving from a schema
+    // read earlier than the pinned version could silently commit a stale
+    // schema over a concurrent ADD/RENAME (the commit CAS only guards the
+    // version read here)
+    val v = version
+    val cur = schemaAt(v)
+    val (src, evolved) = alignEvolving(source, cur, mergeSchema)
     // one aggregate guards both invariants: null keys (which the semi/anti
     // joins would silently drop, and which count_distinct would miscount as
     // "duplicates") and duplicate keys over the non-null subset
@@ -840,7 +846,6 @@ final class GraftTable private (
     require(uniq.getLong(1) == uniq.getLong(2),
       s"merge source has ${uniq.getLong(1) - uniq.getLong(2)} duplicate '$k' keys")
 
-    val v = version
     val files = activeFiles(v)
     // footer-stats prune: only files whose key range intersects the
     // source's key range can contain a matched key
@@ -869,7 +874,7 @@ final class GraftTable private (
         // survivors to the evolved width (new columns null) so the union
         // with the source is exact
         .select(evolved.fields.toIndexedSeq.map { f =>
-          if (tableSchema.fieldNames.contains(f.name)) col(f.name)
+          if (cur.fieldNames.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }: _*))
     val newData = survivors.fold(src)(_.unionByName(src))

@@ -109,9 +109,13 @@ private[tables] final class GraftTableChangeFeedStream(
 
   // ADMISSION CONTROL (the V1-source mixins FileStreamSource uses — a
   // plain getOffset cap would be read ONCE by the Trigger.AvailableNow
-  // wrapper and become the drain TARGET, stopping the stream early): each
-  // trigger advances at most maxCommitsPerTrigger commits past the
-  // engine-supplied start, and AvailableNow pins its drain target here so
+  // wrapper and become the drain TARGET, stopping the stream early): the
+  // commit cap travels as the source's DEFAULT ReadLimit (carried in
+  // ReadMaxRows — "rows" = commits for this source) and each trigger
+  // honors the limit the ENGINE passes, not the configured option: under
+  // Trigger.Once the engine passes allAvailable() and expects ONE batch
+  // with everything — applying the option there would silently terminate
+  // with backlog unprocessed. AvailableNow pins its drain target here so
   // capped triggers keep firing until the pinned version is reached.
   @volatile private var availableNowCap: Option[Long] = None
 
@@ -119,19 +123,45 @@ private[tables] final class GraftTableChangeFeedStream(
     availableNowCap = Some(table.version)
 
   override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxCommitsPerTrigger.fold(ReadLimit.allAvailable())(n =>
+      ReadLimit.maxRows(n.toLong))
+  }
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows}
     val s = Option(start).map {
       case l: LongOffset => l.offset
       case o => o.json.trim.toLong
     }.getOrElse(startingVersion)
+    var cap = Long.MaxValue
+    def absorb(l: org.apache.spark.sql.connector.read.streaming.ReadLimit): Unit =
+      l match {
+        case r: ReadMaxRows => cap = math.min(cap, r.maxRows())
+        case c: CompositeReadLimit => c.getReadLimits.foreach(absorb)
+        case _ => ()
+      }
+    absorb(limit)
     val latest = availableNowCap.fold(table.version)(math.min(_, table.version))
-    val v = maxCommitsPerTrigger.fold(latest)(n => math.min(latest, s + n))
+    // only DATA commits count toward the cap: a layout-only commit
+    // (dataChange=false) contributes nothing to the feed, so admitting it
+    // free keeps a compaction-heavy history from draining in empty batches
+    var v = s
+    var admitted = 0L
+    while (v < latest && admitted < cap) {
+      v += 1
+      if (!table.commitActions(v)._1.get("dataChange").contains(false))
+        admitted += 1
+    }
+    // trailing layout-only commits ride along (they would otherwise leave
+    // the offset parked before a run of empties)
+    while (v < latest &&
+        table.commitActions(v + 1)._1.get("dataChange").contains(false))
+      v += 1
     if (v <= s) null else LongOffset(v)
   }
 

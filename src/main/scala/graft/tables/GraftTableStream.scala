@@ -215,12 +215,18 @@ private[tables] final class GraftTableMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
-  /** The files commit `v` offers the stream (empty for a change commit
-    * under `skipChangeCommits`; LOUD otherwise — the append-only contract).
+  /** The files commit `v` offers the stream. A LAYOUT-ONLY commit
+    * (compact/optimize, flagged `dataChange=false` — rows unchanged by
+    * construction) is skipped SILENTLY: its rewritten files hold only
+    * rows earlier commits already delivered, so emitting them would
+    * duplicate and failing would kill streams over every maintained
+    * table. A genuine change commit is empty under `skipChangeCommits`,
+    * LOUD otherwise — the append-only contract.
     */
   private def emittable(v: Long): Seq[GraftTable.AddFile] = {
     val (meta, adds, removes) = table.commitActions(v)
     if (removes.nonEmpty) {
+      if (meta.get("dataChange").contains(false)) return Seq.empty
       if (!skipChangeCommits) throw new IllegalStateException(
         s"streaming read hit a non-append commit at version $v " +
           s"(op=${meta.getOrElse("op", "?")}, ${removes.size} file(s) removed); " +

@@ -558,6 +558,33 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(seen.asScala.toSet == Set((1L, "a", "delete", 3L)), seen.asScala.toSet)
   }
 
+  test("compaction mid-stream is invisible: no duplicates, no failure") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    t.append(Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    val cp = ckpt()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def run(): Unit = {
+      val q = t.readStream.writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.as[(Long, String)].collect().foreach(seen.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    assert(seen.asScala.toSet == Set((1L, "a"), (2L, "b")))
+    // a maintenance compaction rewrites BOTH delivered files — flagged
+    // dataChange=false, the stream skips it silently (its rows were
+    // already delivered; failing would kill streams over every
+    // maintained table, emitting would duplicate)
+    t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    run()
+    assert(seen.asScala.toSeq.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"compaction duplicated or dropped rows: ${seen.asScala.toSeq.sorted}")
+  }
+
   test("change feed maxCommitsPerTrigger drains a backlog in bounded slices") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
@@ -576,6 +603,24 @@ class GraftTableStreamSpec extends SparkTestBase {
     assert(got.size == 4, s"expected 4 bounded slices, got $got")
     assert(got.forall(_.size <= 2), s"a slice exceeded the 2-commit cap: $got")
     assert(got.flatten.toSet == (1L to 7L).toSet, s"missing commits: $got")
+    // Trigger.Once passes allAvailable(): the cap must NOT apply — one
+    // batch carries the whole remaining backlog (a capped Once would
+    // terminate "successfully" with commits unprocessed)
+    t.append(Seq((8L, "v8")).toDF("k", "v"))
+    t.append(Seq((9L, "v9")).toDF("k", "v"))
+    t.append(Seq((10L, "v10")).toDF("k", "v"))
+    val once = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    @annotation.nowarn("cat=deprecation")
+    val q2 = spark.readStream.format("graft-table-cdf")
+      .option("path", loc).option("maxCommitsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        once.add(batch.select("_version").collect().map(_.getLong(0)).toSet); ()
+      }
+      .trigger(Trigger.Once()).start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(once.asScala.toSeq.map(_.size).sum >= 10 &&
+      once.asScala.size == 1, s"Trigger.Once did not drain in one batch: $once")
   }
 
   test("stream -> table -> stream: the incremental loop composes") {
