@@ -1579,7 +1579,53 @@ object Advanced extends QueryPack {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
         |  CAST(COUNT(tax_c) AS BIGINT) AS n_tax,
         |  CAST(SUM(tax_c) AS BIGINT) AS sum_tax
-        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // DELETION VECTORS (merge-on-read DML) under the gate: the table is ONE
+    // large file (coalesce(1)), and the two ~1%-selective deletes plus the
+    // sparse update each route through `routeDml`'s DV path — the file is
+    // never rewritten; the deleted positions ride the commit log and every
+    // read anti-joins them out (spec-pinned in GraftTableSpec; at 100 TB a
+    // GDPR-style delete commits KBs of log instead of rewriting TBs). The
+    // aggregate runs over the DV'd snapshot and `n_v1` pins time travel to
+    // the pre-delete version THROUGH the vectors (full count must return).
+    GraftQuery(
+      "q306_table_deletion_vectors",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q306_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.coalesce(1), keyCol = Some("k"))
+          t.deleteWhere(col("k") % 97 === 0)            // ~1%: DV path
+          t.deleteWhere(col("k") % 89 === 0)            // vector merges
+          t.update(Map("prio" -> lit("Z-UPDATED")), col("k") % 101 === 0)
+          val nV1 = t.snapshot(Some(1L)).count()        // pre-delete era
+          materializeSmall(t.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .withColumn("n_v1", lit(nV1))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, CASE WHEN k % 101 = 0 THEN 'Z-UPDATED' ELSE prio END AS prio,
+        |    price_c
+        |  FROM base WHERE k % 97 <> 0 AND k % 89 <> 0)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_v1
+        |FROM live GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -146,10 +146,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("path", StringType), StructField("rows", LongType),
           StructField("bytes", LongType),
           StructField("partition", MapType(StringType, StringType)),
-          StructField("stats_columns", IntegerType)))
+          StructField("stats_columns", IntegerType),
+          StructField("deleted_rows", LongType)))
         Some(new GraftMetadataTable(identString(ident), schema, () =>
           t.currentFiles.map(f => Row(f.path, f.rows, f.bytes,
-            f.pv.map { case (k, v) => k -> v.orNull }, f.cs.size))))
+            f.pv.map { case (k, v) => k -> v.orNull }, f.cs.size,
+            f.dv.map(_.n).getOrElse(0L)))))
       case "detail" =>
         // DESCRIBE DETAIL, as a one-row metadata table: the operational
         // summary every lakehouse exposes — all from O(log) driver state
@@ -167,7 +169,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           val files = t.currentFiles
           val hist = t.history
           Seq(Row(t.location, t.version, files.size.toLong,
-            files.map(_.rows).sum, files.map(_.bytes).sum,
+            files.map(GraftTable.liveRows).sum, files.map(_.bytes).sum,
             t.keyCol.orNull, t.partitionBy, t.constraints,
             t.colmapNow, hist.head.ts, hist.last.ts))
         }))
@@ -576,7 +578,14 @@ private[tables] final class GraftScanBuilder(
     import org.apache.spark.sql.types._
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     val files = gt.filesAt(pinned)
-    val dataFiles = files.filter(_.rows > 0)
+    val dataFiles = files.filter(GraftTable.liveRows(_) > 0)
+    // a file with a DELETION VECTOR makes its logged footer stats an
+    // over-approximation of the live rows (the deleted rows might have
+    // held the extreme value or the nulls): COUNT(*) stays exact via
+    // rows − dv.n and partition-tuple stats stay exact per live row (the
+    // value is a file constant); footer-derived answers apply per-consumer
+    // soundness rules below and REFUSE (exact fallback) when deletion
+    // could have changed the answer.
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -590,63 +599,86 @@ private[tables] final class GraftScanBuilder(
     // synthesize a point zone map from it (None = the Hive null
     // partition — all rows null). At 100 TB this is the "MAX(day) on a
     // date-partitioned table" metadata answer.
-    def pvStats(f: GraftTable.AddFile, c: String): Option[GraftTable.KeyStats] =
+    def pvStats(f: GraftTable.AddFile, c: String): Option[GraftTable.KeyStats] = {
+      val live = GraftTable.liveRows(f) // partition value holds per LIVE row
       f.pv.get(c).flatMap {
         case None => // null partition value: no range, all rows null
-          Some(GraftTable.KeyStats("none", "", "", Some(f.rows), Some(f.rows)))
+          Some(GraftTable.KeyStats("none", "", "", Some(live), Some(live)))
         case Some(s) => fieldType(c).flatMap {
           case ByteType | ShortType | IntegerType | LongType =>
             scala.util.Try(s.toLong).toOption.map(l =>
-              GraftTable.KeyStats("long", l.toString, l.toString, Some(0L), Some(f.rows)))
+              GraftTable.KeyStats("long", l.toString, l.toString, Some(0L), Some(live)))
           case DateType =>
             scala.util.Try(java.time.LocalDate.parse(s).toEpochDay).toOption.map(d =>
-              GraftTable.KeyStats("long", d.toString, d.toString, Some(0L), Some(f.rows)))
+              GraftTable.KeyStats("long", d.toString, d.toString, Some(0L), Some(live)))
           case StringType => // partition strings are EXACT (not footer stats)
-            Some(GraftTable.KeyStats("string", s, s, Some(0L), Some(f.rows)))
+            Some(GraftTable.KeyStats("string", s, s, Some(0L), Some(live)))
           case _ => None
         }
       }
+    }
     // every DATA file must carry the column's zone map for the answer to
     // be complete (an all-null or stats-capped file has no entry: refuse);
     // partition columns synthesize exact point stats from the log's tuples
-    def statsOf(c: String): Option[Seq[GraftTable.KeyStats]] = {
+    // (exact even under DVs — the value is a file constant). Footer stats
+    // on a DV'd file only BOUND its live rows; the consumers below apply
+    // per-consumer soundness rules instead of a blanket refusal.
+    def statsOf(c: String): Option[Seq[(GraftTable.AddFile, GraftTable.KeyStats)]] = {
       val ss = dataFiles.map(f =>
-        if (isPart(c)) pvStats(f, c) else gt.logicalStats(pinned, f, c))
+        (if (isPart(c)) pvStats(f, c) else gt.logicalStats(pinned, f, c)).map(f -> _))
       if (ss.forall(_.isDefined)) Some(ss.flatten) else None
     }
     // integral/date zone maps are exact ("long" kind); partition-sourced
     // string stats are exact values too (footer string stats stay
     // un-pushed — writers may truncate them). "none" entries (all-null
     // partition files) carry no range and are skipped by MIN/MAX.
+    // DELETION VECTORS: a DV'd file's footer range only BOUNDS its live
+    // extreme (the row holding the physical extreme may be deleted) — the
+    // push stays sound iff the candidate answer from DV-free/partition
+    // files DOMINATES every DV'd file's bound (live min ≥ physical min ≥
+    // candidate ⇒ the candidate stands); otherwise refuse, exact fallback.
     def extreme(c: String, max: Boolean): Option[(DataType, Any)] =
       fieldType(c).filter {
         case ByteType | ShortType | IntegerType | LongType | DateType => true
         case StringType => isPart(c)
         case _ => false
       }.flatMap { dt =>
-        statsOf(c).map(_.filter(_.kind != "none"))
-          .filter(_.forall(s =>
-            s.kind == "long" || (s.kind == "string" && isPart(c)))).map { ss =>
-          val v: Option[Any] =
-            if (ss.isEmpty) None // empty (or all-null): MIN/MAX is null
-            else if (ss.head.kind == "string") {
-              // Spark's string MIN/MAX order is unsigned UTF-8 bytes
-              val ord = Ordering.fromLessThan[String](GraftTable.utf8Cmp(_, _) < 0)
-              Some(if (max) ss.map(_.max).max(ord) else ss.map(_.min).min(ord))
-            }
+        statsOf(c).map(_.filter(_._2.kind != "none"))
+          .filter(_.forall { case (_, s) =>
+            s.kind == "long" || (s.kind == "string" && isPart(c)) }).flatMap { ss =>
+          // partition point stats are exact per LIVE row — never "bounded"
+          val (bounded, exact) = ss.partition { case (f, _) =>
+            f.dv.isDefined && !isPart(c) }
+          if (ss.isEmpty) Some(dt -> (null: Any)) // empty/all-null: answer null
+          else if (exact.isEmpty) None // every file only bounded: refuse
+          else if (ss.head._2.kind == "string") {
+            // Spark's string MIN/MAX order is unsigned UTF-8 bytes
+            val ord = Ordering.fromLessThan[String](GraftTable.utf8Cmp(_, _) < 0)
+            val cand = if (max) exact.map(_._2.max).max(ord)
+              else exact.map(_._2.min).min(ord)
+            val dominated = bounded.forall { case (_, s) =>
+              if (max) ord.lteq(s.max, cand) else ord.gteq(s.min, cand) }
+            if (dominated) Some(dt -> (cand: Any)) else None
+          }
+          else {
+            val cand = if (max) exact.map(_._2.max.toLong).max
+              else exact.map(_._2.min.toLong).min
+            val dominated = bounded.forall { case (_, s) =>
+              if (max) s.max.toLong <= cand else s.min.toLong >= cand }
+            if (!dominated) None
             else {
-              val l = if (max) ss.map(_.max.toLong).max else ss.map(_.min.toLong).min
-              Some(dt match {
-                case ByteType => l.toByte
-                case ShortType => l.toShort
-                case IntegerType => l.toInt
-                case LongType => l
+              val v: Any = dt match {
+                case ByteType => cand.toByte
+                case ShortType => cand.toShort
+                case IntegerType => cand.toInt
+                case LongType => cand
                 case DateType =>
-                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cand))
                 case other => throw new IllegalStateException(s"unreachable: $other")
-              })
+              }
+              Some(dt -> v)
             }
-          dt -> v.orNull
+          }
         }
       }
     val fields = Seq.newBuilder[StructField]
@@ -655,14 +687,25 @@ private[tables] final class GraftScanBuilder(
     agg.aggregateExpressions.foreach {
       case _: CountStar =>
         fields += StructField("count(*)", LongType, nullable = false)
-        values += dataFiles.map(_.rows).sum
+        values += dataFiles.map(GraftTable.liveRows).sum
         shown += "COUNT(*)"
       case c: Count if !c.isDistinct =>
         val n = colName(c.column).getOrElse(return None)
         val ss = statsOf(n).getOrElse(return None)
-        if (!ss.forall(_.nulls.isDefined)) return None
+        var total = 0L
+        ss.foreach { case (f, s) =>
+          val nulls = s.nulls.getOrElse(return None)
+          total += (
+            if (isPart(n)) GraftTable.liveRows(f) - nulls // pv stats are live-based
+            else if (f.dv.isEmpty) f.rows - nulls
+            // DV'd file: the logged null count is physical — exact only at
+            // the endpoints (no nulls to delete / nothing but nulls)
+            else if (nulls == 0L) GraftTable.liveRows(f)
+            else if (nulls == f.rows) 0L
+            else return None)
+        }
         fields += StructField(s"count($n)", LongType, nullable = false)
-        values += (dataFiles.map(_.rows).sum - ss.map(_.nulls.get).sum)
+        values += total
         shown += s"COUNT($n)"
       case m: Min =>
         val n = colName(m.column).getOrElse(return None)

@@ -200,16 +200,69 @@ final class GraftTable private (
 
   /** Read table files under version `asOf`'s schema: physical names on the
     * parquet scan (stable across renames), logical names on the result.
+    * Each file's DELETION VECTOR is applied (merge-on-read). `withMeta`
+    * additionally exposes the source file name / physical row position as
+    * [[GraftTable.FileNameCol]] / [[GraftTable.RowIdxCol]] — the exact
+    * touched-file and DV-position vocabulary the DML paths need.
     */
-  private def readFiles(paths: Seq[String], asOf: Long): DataFrame = {
+  private def readFiles(files: Seq[AddFile], asOf: Long,
+      withMeta: Boolean = false): DataFrame = {
     val logical = schemaAt(asOf)
-    val cm = colmapAt(asOf)
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-    else {
-      val df = spark.read.schema(physicalSchema(logical, cm))
-        .parquet(paths.map(p => new Path(location, p).toString): _*)
-      if (cm.isEmpty) df else df.toDF(logical.fieldNames.toIndexedSeq: _*)
+    val phys = physicalSchema(logical, colmapAt(asOf))
+    val df = readPhysical(files, phys, withMeta)
+    val outNames = logical.fieldNames.toIndexedSeq ++
+      (if (withMeta) Seq(FileNameCol, RowIdxCol) else Nil)
+    df.toDF(outNames: _*)
+  }
+
+  /** Read `files` under `phys` column names, applying each file's deletion
+    * vector: DV'd files are read with the parquet-generated file name + row
+    * index metadata and ANTI-JOINED against the broadcast deleted-position
+    * list (positions are log-bounded by [[GraftTable.DvMaxPositionsPerFile]],
+    * so the broadcast is small by construction); files without a DV stay on
+    * the plain vectorized full-codegen path. Only the DV'd sliver of a
+    * 100 TB table pays the join.
+    */
+  private def readPhysical(files: Seq[AddFile], phys: StructType,
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructField
+    val metaSchema = StructType(phys.fields.toIndexedSeq :+
+      StructField(FileNameCol, StringType, nullable = true) :+
+      StructField(RowIdxCol, LongType, nullable = true))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (withMeta) metaSchema else phys)
+    def read(fset: Seq[AddFile], meta: Boolean): DataFrame = {
+      val df = spark.read.schema(phys)
+        .parquet(fset.map(f => new Path(location, f.path).toString): _*)
+      if (meta) df.select(phys.fieldNames.toIndexedSeq.map(col) :+
+        col("_metadata.file_name").as(FileNameCol) :+
+        col("_metadata.row_index").as(RowIdxCol): _*)
+      else df
+    }
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    val plainDf =
+      if (plain.isEmpty) None else Some(read(plain, meta = withMeta))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val deleted = dvd.flatMap(f => f.dv.get.positions.map(p => Row(f.path, p)))
+        val delDf = spark.createDataFrame(deleted.asJava, StructType(Seq(
+          StructField(FileNameCol, StringType, nullable = false),
+          StructField(RowIdxCol, LongType, nullable = false))))
+        val live = read(dvd, meta = true)
+          .join(broadcast(delDf), Seq(FileNameCol, RowIdxCol), "left_anti")
+        Some(if (withMeta)
+          live.select(phys.fieldNames.toIndexedSeq.map(col) :+
+            col(FileNameCol) :+ col(RowIdxCol): _*)
+        else live.select(phys.fieldNames.toIndexedSeq.map(col): _*))
+      }
+    (plainDf, dvdDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
     }
   }
 
@@ -290,7 +343,7 @@ final class GraftTable private (
     }
     // pre-evolution versions read with THEIR schema (and THEIR logical
     // names — physical resolution inside readFiles)
-    readFiles(files.map(_.path), asOf)
+    readFiles(files, asOf)
   }
 
   /** Partition-pruned snapshot: `partitionPred` may reference ONLY the
@@ -322,7 +375,7 @@ final class GraftTable private (
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
     }
-    readFiles(sel.map(_.path), asOf).where(partitionPred)
+    readFiles(sel, asOf).where(partitionPred)
   }
 
   /** Evaluate `pred` over the distinct partition tuples with Catalyst: build
@@ -395,7 +448,7 @@ final class GraftTable private (
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
     }
-    readFiles(sel.map(_.path), asOf).where(pred)
+    readFiles(sel, asOf).where(pred)
   }
 
   /** A file's known column intervals KEYED BY LOGICAL NAME (the predicate's
@@ -569,42 +622,47 @@ final class GraftTable private (
       outSchema.fieldNames.toIndexedSeq.map(l => physName(cmTo, l) -> l).toMap
     def outNameOf(p: String): String = liveTo.getOrElse(p, s"__graft_dead_$p")
     val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-    val inRange = all.filter(v => v > fromVersion && v <= toVersion)
+    // the diff of commit v needs each REMOVED file's full log entry as it
+    // stood at v-1 (its deletion vector in particular: a DV-delete commit
+    // re-adds the same path with a grown vector, and the net deletes are
+    // exactly old-live EXCEPT ALL new-live) — fold the active map forward
+    // from `fromVersion` once, O(range) instead of O(range × log replay)
+    var act: Map[String, AddFile] =
+      if (fromVersion == 0) Map.empty
+      else activeFiles(fromVersion).map(f => f.path -> f).toMap
+    val perVersion = all.filter(v => v > fromVersion && v <= toVersion).flatMap { v =>
+      val (meta, adds, removes) = cachedCommit(v)
+      val removedFiles = removes.map(p => act.getOrElse(p, AddFile(p, 0L, None)))
+      act = act -- removes ++ adds.map(a => a.path -> a)
       // a LAYOUT-ONLY commit (compact/optimize: rows unchanged, files
       // rewritten) is flagged dataChange=false at commit time — its net
       // diff is empty BY CONSTRUCTION, so the feed skips it without
       // reading a single rewritten file (at 100 TB, a compacted table's
       // change feed must not re-diff every compaction; this also keeps
       // the feed reconstructible after such commits' inputs are vacuumed)
-      .filterNot(v => cachedCommit(v)._1.get("dataChange").contains(false))
-    val perVersion = inRange.map { v =>
-      val (_, adds, removes) = cachedCommit(v)
-      // removed files were active at v-1; the file set is O(commit), and the
-      // schema each file was WRITTEN under may be older still — by-name
-      // parquet resolution against the version schema null-fills the gap
-      val gone = (adds.map(_.path) ++ removes).filterNot(onDisk)
-      if (gone.nonEmpty) throw new IllegalStateException(
-        s"changes($fromVersion, $toVersion) needs ${gone.size} file(s) " +
-          s"reclaimed by vacuum() (e.g. ${gone.head}); the feed for commit " +
-          s"$v is no longer reconstructible")
-      def readAs(paths: Seq[String], v: Long): DataFrame = {
-        val phys = physicalSchema(schemaAt(v), colmapAt(v))
-        val outNames = phys.fieldNames.toIndexedSeq.map(outNameOf)
-        if (paths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(phys.fields.toIndexedSeq.zip(outNames)
-              .map { case (f, n) => f.copy(name = n) }))
-        else spark.read.schema(phys)
-          .parquet(paths.map(p => new Path(location, p).toString): _*)
-          .toDF(outNames: _*)
+      if (meta.get("dataChange").contains(false)) None
+      else Some {
+        // removed files were active at v-1; the file set is O(commit), and
+        // the schema each file was WRITTEN under may be older still —
+        // by-name parquet resolution against the version schema null-fills
+        val gone = (adds.map(_.path) ++ removes).filterNot(onDisk)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"changes($fromVersion, $toVersion) needs ${gone.size} file(s) " +
+            s"reclaimed by vacuum() (e.g. ${gone.head}); the feed for commit " +
+            s"$v is no longer reconstructible")
+        def readAs(fset: Seq[AddFile], v: Long): DataFrame = {
+          val phys = physicalSchema(schemaAt(v), colmapAt(v))
+          readPhysical(fset, phys, withMeta = false)
+            .toDF(phys.fieldNames.toIndexedSeq.map(outNameOf): _*)
+        }
+        val added = readAs(adds, v)
+        val removed = readAs(removedFiles, v)
+        val ins = added.exceptAll(removed)
+          .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
+        val del = removed.exceptAll(added)
+          .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
+        widenTo(ins, outSchema).unionByName(widenTo(del, outSchema))
       }
-      val added = readAs(adds.map(_.path), v)
-      val removed = readAs(removes, v)
-      val ins = added.exceptAll(removed)
-        .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
-      val del = removed.exceptAll(added)
-        .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
-      widenTo(ins, outSchema).unionByName(widenTo(del, outSchema))
     }
     val empty = {
       val s = StructType(outSchema.fields.toIndexedSeq :+
@@ -659,7 +717,7 @@ final class GraftTable private (
       val (meta, adds, removes) = cachedCommit(v)
       CommitInfo(v, meta.getOrElse("op", "?").toString,
         meta.get("ts").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-        adds.size, removes.size, adds.map(_.rows).sum)
+        adds.size, removes.size, adds.map(liveRows).sum)
     }
 
   /** Append rows. With `mergeSchema = true` the schema may EVOLVE: new
@@ -857,18 +915,16 @@ final class GraftTable private (
     // reads only pruned candidates; result is O(files), driver-safe)
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readFiles(candidates.map(_.path), v)
-        // pin input_file_name() to the scan BEFORE the join — above a
-        // two-source join the expression is rejected (and ambiguous)
-        .select(col(k), input_file_name().as("__file"))
+      else readFiles(candidates, v, withMeta = true)
+        .select(col(k), col(FileNameCol))
         .join(src.select(col(k)).distinct(), Seq(k), "left_semi")
-        .select(col("__file")).distinct()
+        .select(col(FileNameCol)).distinct()
         .collect().map(_.getString(0)).toSet
-    val rewritten = candidates.filter(f => touched.exists(uriMatches(_, f.path)))
+    val rewritten = candidates.filter(f => touched(f.path))
 
     val survivors =
       if (rewritten.isEmpty) None
-      else Some(readFiles(rewritten.map(_.path), v)
+      else Some(readFiles(rewritten, v)
         .join(src.select(col(k)), Seq(k), "left_anti")
         // rewritten files were read under the PRE-evolution schema; widen
         // survivors to the evolved width (new columns null) so the union
@@ -959,14 +1015,11 @@ final class GraftTable private (
       if (notMatchedBySource.nonEmpty) files
       else if (candidates.isEmpty) Seq.empty
       else {
-        // pin input_file_name() to the scan BEFORE the join — above a
-        // two-source join the expression is rejected (and ambiguous)
-        val touched = readFiles(candidates.map(_.path), v)
-          .withColumn("__file", input_file_name())
+        val touched = readFiles(candidates, v, withMeta = true)
           .join(prefixed, matchCond, "left_semi")
-          .select(col("__file")).distinct()
+          .select(col(FileNameCol)).distinct()
           .collect().map(_.getString(0)).toSet
-        candidates.filter(f => touched.exists(uriMatches(_, f.path)))
+        candidates.filter(f => touched(f.path))
       }
 
     // first-match-wins clause index (0 = no clause applies); when() treats
@@ -986,7 +1039,7 @@ final class GraftTable private (
             (srcK.isNotNull && c.getOrElse(lit(true)), a) } ++
           notMatchedBySource.map { case (c, a) =>
             (srcK.isNull && c.getOrElse(lit(true)), a) }
-        val joined = readFiles(rewritten.map(_.path), v)
+        val joined = readFiles(rewritten, v)
           .join(prefixed, matchCond, "left")
           .withColumn("__action", actionIdx(clauses.map(_._1)))
         val deleteIdx = clauses.zipWithIndex.collect {
@@ -1020,7 +1073,7 @@ final class GraftTable private (
           if (candidates.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(schema.fields.filter(f => needed.contains(f.name))))
-          else readFiles(candidates.map(_.path), v)
+          else readFiles(candidates, v)
             .select(needed.map(col): _*)
         val unmatched = prefixed.join(candRows, matchCond, "left_anti")
           .withColumn("__action",
@@ -1046,30 +1099,88 @@ final class GraftTable private (
     }
   }
 
+  /** Per-file DML routing shared by delete and update (merge-on-read):
+    * one pass over the snapshot counts matched rows per file, then each
+    * touched file is classified —
+    *   - ALL live rows matched → `dropped` (delete only; pure remove),
+    *   - few rows matched (under [[GraftTable.DvMaxFraction]] of the live
+    *     rows AND the merged vector fits
+    *     [[GraftTable.DvMaxPositionsPerFile]]) → `dv`: the file is KEPT and
+    *     its deletion vector grows — a 100-row delete against a 1 GB file
+    *     commits a ~KB log entry instead of rewriting the gigabyte,
+    *   - otherwise → `rewrite` (the classic copy-on-write path, which is
+    *     also the cheaper physical plan at that density).
+    * Returns (dv-files with their NEW merged vectors, rewrite files,
+    * dropped files). Position collection is bounded: only dv-classified
+    * files' positions transit the driver, ≤ DvMaxPositionsPerFile each.
+    */
+  private def routeDml(files: Seq[AddFile], v: Long, hit: Column,
+      allowDrop: Boolean): (Seq[AddFile], Seq[AddFile], Seq[AddFile]) = {
+    val hitCounts: Map[String, Long] = readFiles(files, v, withMeta = true)
+      .where(hit).groupBy(col(FileNameCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = files.filter(f => hitCounts.contains(f.path))
+    val dropped =
+      if (allowDrop) touched.filter(f => hitCounts(f.path) == liveRows(f))
+      else Nil
+    val droppedP = dropped.map(_.path).toSet
+    val (dvFiles, rewrite) = touched.filterNot(f => droppedP(f.path))
+      .partition { f =>
+        val hits = hitCounts(f.path)
+        val merged = hits + f.dv.map(_.n).getOrElse(0L)
+        merged <= DvMaxPositionsPerFile && hits < liveRows(f) * DvMaxFraction
+      }
+    val dvAdds =
+      if (dvFiles.isEmpty) Nil
+      else {
+        val dvP = dvFiles.map(_.path).toSet
+        val pos = readFiles(dvFiles, v, withMeta = true).where(hit)
+          .select(col(FileNameCol), col(RowIdxCol))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+        require(pos.keySet == dvP, "DML matched-row set changed mid-operation")
+        dvFiles.map { f =>
+          val all = (f.dv.map(_.positions).getOrElse(Array.empty[Long]) ++
+            pos(f.path)).distinct.sorted
+          f.copy(dv = Some(Dv.of(all)))
+        }
+      }
+    (dvAdds, rewrite, dropped)
+  }
+
   /** Remove rows where `cond` is TRUE (null-cond rows are kept, standard
-    * DML semantics); files with no matching row are untouched.
+    * DML semantics); files with no matching row are untouched. Files where
+    * only a small fraction matches are handled MERGE-ON-READ: the file is
+    * kept and the deleted positions join its log-carried deletion vector
+    * (see [[routeDml]]) — no data is written at all for such files; denser
+    * hits rewrite the file (copy-on-write), and fully-matched files are
+    * simply dropped from the snapshot. `compact()`/`optimize()` purge
+    * accumulated vectors by materializing the live rows.
     */
   def deleteWhere(cond: Column): Long = {
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
-    val all = readFiles(files.map(_.path), v)
-    val touched = all.where(cond).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val rewritten = files.filter(f => touched.exists(uriMatches(_, f.path)))
-    if (rewritten.isEmpty) return v
-    val keep = readFiles(rewritten.map(_.path), v)
-      .where(not(coalesce(cond, lit(false))))
-    commit(v, "delete", writeData(keep), rewritten.map(_.path))
+    val hit = coalesce(cond, lit(false))
+    val (dvAdds, rewrite, dropped) = routeDml(files, v, hit, allowDrop = true)
+    if (dvAdds.isEmpty && rewrite.isEmpty && dropped.isEmpty) return v
+    val keepAdds =
+      if (rewrite.isEmpty) Nil
+      else writeData(readFiles(rewrite, v).where(not(hit)))
+    commit(v, "delete", dvAdds ++ keepAdds,
+      (dvAdds ++ rewrite ++ dropped).map(_.path))
   }
 
   /** Row-level UPDATE: rows where `cond` is TRUE get the assignment
     * columns replaced (assignments may reference any existing column;
     * values follow store-assignment casting to the column's table type);
     * null-cond rows are kept unchanged, standard DML semantics. Files with
-    * no matching row are NOT rewritten — the same touched-file discipline
-    * as `deleteWhere`/`merge`, so a selective UPDATE on a 100 TB table
-    * rewrites only the sliver of files that hold matches.
+    * no matching row are NOT rewritten, and sparsely-matched files go
+    * MERGE-ON-READ: the old row versions join the file's deletion vector
+    * and only the UPDATED rows are written out as new files ([[routeDml]])
+    * — a selective UPDATE on a 100 TB table writes O(matched rows), not
+    * O(touched files). Densely-matched files take the classic
+    * touched-file rewrite.
     */
   def update(assignments: Map[String, Column], cond: Column): Long = {
     require(assignments.nonEmpty, "update needs at least one assignment")
@@ -1079,21 +1190,28 @@ final class GraftTable private (
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
-    val all = readFiles(files.map(_.path), v)
-    val touched = all.where(cond).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val rewritten = files.filter(f => touched.exists(uriMatches(_, f.path)))
-    if (rewritten.isEmpty) return v
     val hit = coalesce(cond, lit(false))
-    val updated = readFiles(rewritten.map(_.path), v)
-      .select(schema.fields.toIndexedSeq.map { f =>
+    val (dvAdds, rewrite, _) = routeDml(files, v, hit, allowDrop = false)
+    if (dvAdds.isEmpty && rewrite.isEmpty) return v
+    def applied(df: DataFrame, onlyHits: Boolean): DataFrame = {
+      val base = if (onlyHits) df.where(hit) else df
+      base.select(schema.fields.toIndexedSeq.map { f =>
         assignments.get(f.name) match {
           case Some(value) =>
             when(hit, value.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }: _*)
-    commit(v, "update", writeData(updated), rewritten.map(_.path))
+    }
+    // dv-routed files: old versions of matched rows are DV'd out; the new
+    // versions append as fresh files. rewrite-routed files: full rewrite.
+    val dvSrc = dvAdds.map(a => files.find(_.path == a.path).get)
+    val pieces =
+      Seq(if (dvSrc.isEmpty) None else Some(applied(readFiles(dvSrc, v), onlyHits = true)),
+        if (rewrite.isEmpty) None else Some(applied(readFiles(rewrite, v), onlyHits = false)))
+        .flatten
+    val newAdds = if (pieces.isEmpty) Nil else writeData(pieces.reduce(_.unionByName(_)))
+    commit(v, "update", dvAdds ++ newAdds, (dvAdds ++ rewrite).map(_.path))
   }
 
   /** Coalesce small files — the operational fix for the small-files
@@ -1109,10 +1227,13 @@ final class GraftTable private (
   def compact(smallFileBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Long = {
     require(smallFileBytes > 0 && targetBytes > 0, "thresholds must be positive")
     val v = version
-    val small = activeFiles(v).filter(_.bytes < smallFileBytes)
-    if (small.size < 2) return v
+    // a file carrying a deletion vector is always a candidate regardless of
+    // size: compaction is what PURGES accumulated vectors (the rewrite
+    // materializes the live rows, so subsequent reads drop the anti-join)
+    val small = activeFiles(v).filter(f => f.bytes < smallFileBytes || f.dv.isDefined)
+    if (small.size < 2 && !small.exists(_.dv.isDefined)) return v
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
-    val merged = readFiles(small.map(_.path), v).coalesce(nOut)
+    val merged = readFiles(small, v).coalesce(nOut)
     commit(v, "compact", writeData(merged), small.map(_.path),
       dataChange = false)
   }
@@ -1193,7 +1314,7 @@ final class GraftTable private (
     if (files.isEmpty) return v
     val nOut = math.max(1L,
       (files.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(files.map(_.path), v)
+    val df = readFiles(files, v)
     val clustered = clusterBy match {
       case Seq(c) =>
         df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
@@ -1280,17 +1401,22 @@ final class GraftTable private (
         s"by vacuum() (e.g. ${gone.head}); that version is no longer " +
         "materializable")
     val cur = activeFiles(v)
-    val curPaths = cur.map(_.path).toSet
-    val targetPaths = target.map(_.path).toSet
+    val curByPath = cur.map(f => f.path -> f).toMap
+    val targetByPath = target.map(f => f.path -> f).toMap
     // a column DROPPED after `versionAsOf` is revived by the restore: its
     // physical binding is live again, so it must leave the retired list —
     // otherwise the commit invariant would (wrongly) refuse the restore
     val restoredSchema = schemaAt(versionAsOf)
     val restoredCm = colmapAt(versionAsOf)
     val revived = restoredSchema.fieldNames.toSeq.map(physName(restoredCm, _)).toSet
+    // diff by FULL entry, not by path: a file present in both versions with
+    // a different deletion vector (or stats) must be re-added with the
+    // target version's entry — a path-level diff would silently keep the
+    // current vector and the restore would not bring the rows back
+    // (remove + re-add of one path in one commit = replace)
     commit(v, "restore",
-      target.filterNot(f => curPaths(f.path)),
-      cur.map(_.path).filterNot(targetPaths),
+      target.filterNot(f => curByPath.get(f.path).contains(f)),
+      cur.filterNot(f => targetByPath.get(f.path).contains(f)).map(_.path),
       None, Some(restoredSchema), Some(restoredCm),
       Some(retiredAt(v).filterNot(revived.contains)))
   }
@@ -1666,6 +1792,15 @@ object GraftTable {
   private val LogDirName = "_graft_log"
   private val mapper = new ObjectMapper()
 
+  /** Internal metadata column names exposed by `readFiles(withMeta=true)`:
+    * the source file's base name (== `AddFile.path` — files are flattened
+    * into the table root under fresh UUIDs) and the row's PHYSICAL parquet
+    * position (stable across deletion vectors — a DV'd read keeps each
+    * surviving row's original index, so DVs merge consistently).
+    */
+  private[tables] val FileNameCol = "__graft_file"
+  private[tables] val RowIdxCol = "__graft_row_idx"
+
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
@@ -1674,11 +1809,72 @@ object GraftTable {
     * recorded — treated as "small" by compaction, which is safe). `pv` is
     * the file's partition tuple (string-cast values, None = null) — empty
     * for unpartitioned tables and in logs written before partitioning
-    * existed.
+    * existed. `dv` is the file's DELETION VECTOR (merge-on-read): the
+    * parquet row positions deleted from the file without rewriting it;
+    * `rows` stays the PHYSICAL row count — live rows = `rows - dv.n`
+    * ([[liveRows]]). Zone maps and null counts stay physical too: they
+    * over-approximate the live rows, which keeps file PRUNING sound
+    * (deleting rows can only shrink the value set) while EXACT metadata
+    * answers (COUNT(col)/MIN/MAX pushdown) must refuse on DV'd files.
     */
   final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
     bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty,
-    cs: Map[String, KeyStats] = Map.empty)
+    cs: Map[String, KeyStats] = Map.empty, dv: Option[Dv] = None)
+
+  /** Live (undeleted) rows of a file: physical count minus its DV. */
+  private[tables] def liveRows(f: AddFile): Long =
+    f.rows - f.dv.map(_.n).getOrElse(0L)
+
+  /** A deletion vector: `n` sorted parquet row POSITIONS, delta-varint
+    * encoded then base64'd (~1–3 bytes per position before base64) so the
+    * vector travels INLINE in the commit log — no sidecar files, nothing
+    * new for vacuum to track. Size is bounded by policy
+    * ([[DvMaxPositionsPerFile]]): past the bound a delete rewrites the
+    * file instead, which is also the cheaper physical plan there.
+    */
+  final case class Dv(n: Long, b64: String) {
+    def positions: Array[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val out = new Array[Long](n.toInt)
+      var i = 0; var at = 0; var prev = 0L
+      while (i < out.length) {
+        var shift = 0; var v = 0L; var b = 0L
+        do {
+          b = bytes(at) & 0xffL; at += 1
+          v |= (b & 0x7fL) << shift; shift += 7
+        } while ((b & 0x80L) != 0)
+        prev += v; out(i) = prev; i += 1
+      }
+      out
+    }
+  }
+
+  object Dv {
+    /** Encode strictly-increasing sorted positions. */
+    def of(sorted: Array[Long]): Dv = {
+      val buf = new java.io.ByteArrayOutputStream(sorted.length * 2)
+      var prev = 0L
+      sorted.foreach { p =>
+        var v = p - prev; prev = p
+        while ((v & ~0x7fL) != 0) { buf.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        buf.write(v.toInt)
+      }
+      Dv(sorted.length.toLong, java.util.Base64.getEncoder.encodeToString(buf.toByteArray))
+    }
+  }
+
+  /** A delete keeps a file and grows its DV only while the merged vector
+    * stays below this bound (≈ a 20 KB log entry); past it the file is
+    * REWRITTEN — at that density the rewrite is the cheaper plan anyway
+    * and the log stays metadata-sized at 100 TB.
+    */
+  private[tables] val DvMaxPositionsPerFile = 8192
+
+  /** A delete DVs a file only while the deleted fraction stays under half
+    * its live rows — past that, rewriting yields a smaller file AND a
+    * faster every-subsequent-read (no anti-join), so rewrite wins.
+    */
+  private[tables] val DvMaxFraction = 0.5
 
   /** Per-file data-skipping stats cover at most this many columns (Delta's
     * dataSkippingNumIndexedCols default) — the log stays O(files) with a
@@ -1951,6 +2147,7 @@ object GraftTable {
       }
       m.put("cs", cs)
     }
+    a.dv.foreach { d => m.put("dvn", d.n); m.put("dv", d.b64) }
     m
   }
 
@@ -1972,9 +2169,12 @@ object GraftTable {
           Option(em.get("rows")).map(_.asInstanceOf[Number].longValue))
       }.toMap)
       .getOrElse(Map.empty[String, KeyStats])
+    val dv = Option(m.get("dv")).map(b =>
+      Dv(m.get("dvn").asInstanceOf[Number].longValue, b.toString))
     AddFile(m.get("path").toString,
       m.get("rows").asInstanceOf[Number].longValue, stats,
-      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L), pv, cs)
+      Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+      pv, cs, dv)
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {
@@ -2016,7 +2216,4 @@ object GraftTable {
       parseAdd(node.get("add").asInstanceOf[java.util.Map[String, Object]])
     }.toSeq
 
-  /** `input_file_name()` returns a URI; our log stores bare names. */
-  private def uriMatches(uri: String, fileName: String): Boolean =
-    uri.endsWith("/" + fileName) || uri == fileName
 }

@@ -399,6 +399,43 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.table("gt.dc").columns.toSeq == Seq("k", "n", "v"))
   }
 
+  test("SQL DELETE goes merge-on-read; pushdown stays sound under vectors") {
+    warehouse
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    spark.sql("CREATE TABLE gt.dvt (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    // range(..., numPartitions = 1): exactly one file per insert, so the
+    // delete's routing and the pushdown's per-file reasoning are pinned
+    spark.sql("INSERT INTO gt.dvt SELECT id, CASE WHEN id = 400 THEN NULL " +
+      "ELSE CAST(id AS STRING) END FROM range(0, 500, 1, 1)")
+    spark.sql("INSERT INTO gt.dvt SELECT id, CAST(id AS STRING) FROM range(1000, 1100, 1, 1)")
+    val pathsBefore = sqlRows("SELECT path FROM gt.dvt.files")
+    spark.sql("DELETE FROM gt.dvt WHERE k >= 490 AND k < 500")
+    // 10 of 500 rows: the file is KEPT, a 10-position vector rides the log
+    assert(sqlRows("SELECT path FROM gt.dvt.files") == pathsBefore,
+      "sparse SQL DELETE rewrote a file instead of growing a vector")
+    assert(sqlRows("SELECT path, deleted_rows FROM gt.dvt.files")
+      .exists(_.last == 10L))
+    // COUNT(*) (rows − dv.n) and MAX (DV-free file's 1099 DOMINATES the
+    // DV'd file's physical bound 499) stay metadata answers — no Aggregate
+    val ok = spark.sql("SELECT COUNT(*) AS n, MAX(k) AS mx FROM gt.dvt")
+    assert(!ok.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+      ok.queryExecution.optimizedPlan.toString)
+    assert(ok.collect().toSeq.map(_.toSeq) == Seq(Seq(590L, 1099L)))
+    // MIN's candidate (1000) does NOT dominate the DV'd file's physical
+    // min (0 — the live minimum could be any surviving row): refuse, exact
+    val mn = spark.sql("SELECT MIN(k) AS mn FROM gt.dvt")
+    assert(mn.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+    assert(mn.head().getLong(0) == 0L)
+    // COUNT(v): the DV'd file has 0 < nulls < rows (the null at k=400
+    // might have been deleted as far as the log knows): refuse, exact
+    val cv = spark.sql("SELECT COUNT(v) AS nv FROM gt.dvt")
+    assert(cv.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]))
+    assert(cv.head().getLong(0) == 589L)
+    // the rows themselves are gone
+    assert(sqlRows("SELECT COUNT(*) FROM gt.dvt WHERE k BETWEEN 490 AND 499")
+      == Set(Seq(0L)))
+  }
+
   test("COUNT/MIN/MAX answered from log metadata; plan drops the Aggregate") {
     warehouse
     spark.sql("CREATE TABLE gt.agg (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")

@@ -56,7 +56,7 @@ class GraftTableModelSpec extends SparkTestBase {
     def snap(): Unit = past += ((t.version, model.toMap, vName))
 
     for (step <- 1 to 24) {
-      rnd.nextInt(11) match {
+      rnd.nextInt(12) match {
         case 0 => // append fresh keys
           val rows = fresh(rnd.nextInt(4) + 1)
           t.append(df(rows))
@@ -127,6 +127,14 @@ class GraftTableModelSpec extends SparkTestBase {
           rows.foreach { case (k, v) => model(k) = v }
           t.dropConstraint(cn)
           check(s"$step:constraint")
+        case 11 => // sparse single-key delete: exercises the deletion-vector
+          // vs full-file-drop routing boundary against whatever layout the
+          // preceding ops left behind
+          rnd.shuffle(model.keys.toSeq).headOption.foreach { k =>
+            t.deleteWhere(col("k") === k)
+            model.remove(k)
+          }
+          check(s"$step:deleteOne")
       }
       snap()
     }

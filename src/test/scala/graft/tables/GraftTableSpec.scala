@@ -918,4 +918,169 @@ class GraftTableSpec extends SparkTestBase {
       .collect().toSet == Set((2L, "DE", "b")))
     intercept[Exception] { t.scan(col("nope") === 1) } // analysis is the gate
   }
+
+  // ---- deletion vectors (merge-on-read DML) ------------------------------
+
+  private def dataFilesOnDisk(loc: String): Set[String] =
+    Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .toSet
+
+  test("dv codec round-trips sorted positions") {
+    val cases = Seq(Array.empty[Long], Array(0L), Array(0L, 1L, 2L),
+      Array(5L, 130L, 1000000L, (1L << 40) + 7),
+      (0L until 8192L by 3L).toArray)
+    cases.foreach { ps =>
+      val d = GraftTable.Dv.of(ps)
+      assert(d.n == ps.length.toLong)
+      assert(d.positions.toSeq == ps.toSeq, s"codec mangled ${ps.take(5).toSeq}…")
+    }
+  }
+
+  test("sparse delete grows a deletion vector — file kept, nothing written") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    val before = t.currentFiles
+    assert(before.size == 1 && before.head.dv.isEmpty)
+    val disk0 = dataFilesOnDisk(loc)
+    t.deleteWhere(col("k") <= 10L)
+    // merge-on-read: same physical file, a 10-position vector in the log,
+    // and NOT ONE new data file on disk
+    val after = t.currentFiles
+    assert(after.map(_.path) == before.map(_.path), "sparse delete rewrote the file")
+    assert(after.head.dv.map(_.n).contains(10L), after.head.dv)
+    assert(after.head.rows == 1000L, "physical row count must not change")
+    assert(dataFilesOnDisk(loc) == disk0, "sparse delete wrote a data file")
+    assert(t.snapshot().count() == 990L)
+    assert(t.snapshot().agg(min(col("k"))).head().getLong(0) == 11L)
+    // time travel to pre-delete still sees every row
+    assert(t.snapshot(Some(1L)).count() == 1000L)
+    // zone maps stay sound over-approximations: scan remains bit-exact
+    assert(t.scan(col("k") === 5L).count() == 0L)
+    assert(t.scan(col("k") === 500L).count() == 1L)
+  }
+
+  test("vectors merge across deletes; a dense delete rewrites instead") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    t.deleteWhere(col("k") <= 10L)
+    t.deleteWhere(col("k").between(11L, 25L))
+    val f = t.currentFiles.head
+    assert(f.dv.map(_.n).contains(25L), s"vectors did not merge: ${f.dv}")
+    assert(t.snapshot().count() == 975L)
+    // 600 of 975 live rows is past DvMaxFraction: copy-on-write kicks in
+    val path0 = f.path
+    t.deleteWhere(col("k") <= 625L)
+    val g = t.currentFiles
+    assert(!g.exists(_.path == path0), "dense delete kept the old file")
+    assert(g.forall(_.dv.isEmpty), "rewrite must purge the vector")
+    assert(t.snapshot().count() == 375L)
+    assert(t.snapshot().agg(min(col("k"))).head().getLong(0) == 626L)
+  }
+
+  test("fully-matched file is dropped outright; others untouched") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    t.append((101L to 200L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    val before = t.currentFiles.map(_.path).toSet
+    assert(before.size == 2)
+    t.deleteWhere(col("k") <= 100L)
+    val after = t.currentFiles
+    assert(after.size == 1 && after.forall(_.dv.isEmpty))
+    assert(before.contains(after.head.path), "untouched file was rewritten")
+    assert(t.snapshot().count() == 100L)
+  }
+
+  test("update goes merge-on-read: old rows DV'd out, new versions appended") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    val path0 = t.currentFiles.head.path
+    t.update(Map("v" -> lit("UP")), col("k") <= 10L)
+    val files = t.currentFiles
+    val orig = files.find(_.path == path0).getOrElse(
+      fail("sparse update rewrote the base file"))
+    assert(orig.dv.map(_.n).contains(10L), orig.dv)
+    val fresh = files.filterNot(_.path == path0)
+    assert(fresh.nonEmpty && fresh.map(f => GraftTable.liveRows(f)).sum == 10L,
+      s"expected 10 appended row versions, got $fresh")
+    assert(t.snapshot().count() == 1000L)
+    assert(t.snapshot().where(col("v") === "UP").count() == 10L)
+    assert(t.snapshot().where(col("k") <= 10L && col("v") =!= "UP").count() == 0L)
+  }
+
+  test("changes() nets DV deletes; fold invariant holds across mixed DML") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    t.deleteWhere(col("k") <= 5L)                         // v2: DV path
+    t.update(Map("v" -> lit("U")), col("k") === 100L)     // v3: DV + append
+    t.deleteWhere(col("k") <= 400L)                       // v4: rewrite path
+    // the DV commit's net diff is exactly the deleted rows
+    val v2 = t.changes(1L, 2L)
+    assert(v2.where(col("_change") === "insert").count() == 0L)
+    assert(v2.where(col("_change") === "delete").select("k")
+      .as[Long].collect().toSet == (1L to 5L).toSet)
+    // the DV-update commit nets to old-version-out, new-version-in
+    val v3 = t.changes(2L, 3L)
+    assert(v3.where(col("_change") === "delete").select("k", "v")
+      .as[(Long, String)].collect().toSet == Set((100L, "v100")))
+    assert(v3.where(col("_change") === "insert").select("k", "v")
+      .as[(Long, String)].collect().toSet == Set((100L, "U")))
+    // fold invariant over the whole range: snapshot(1) ⊎ ins ∖ del = latest
+    val feed = t.changes(1L, t.version)
+    val ins = feed.where(col("_change") === "insert").select("k", "v")
+    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val folded = t.snapshot(Some(1L)).unionByName(ins.toDF("k", "v"))
+      .exceptAll(del.toDF("k", "v"))
+    assert(folded.exceptAll(t.snapshot()).count() == 0L)
+    assert(t.snapshot().exceptAll(folded).count() == 0L)
+  }
+
+  test("compact purges vectors layout-only; time travel keeps applying them") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 300L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    t.deleteWhere(col("k") <= 12L)                        // v2: DV
+    val v2 = t.version
+    val c = t.compact()                                   // purge pass
+    assert(c > v2, "compact must engage on a DV'd file regardless of size")
+    assert(t.currentFiles.forall(_.dv.isEmpty), "compact kept a vector")
+    assert(t.currentFiles.forall(f => f.rows == GraftTable.liveRows(f)))
+    assert(t.snapshot().count() == 288L)
+    // layout-only: the feed across the compaction contributes nothing
+    assert(t.changes(v2, c).count() == 0L)
+    // time travel to the DV'd version still applies the vector
+    assert(t.snapshot(Some(v2)).count() == 288L)
+    assert(t.snapshot(Some(1L)).count() == 300L)
+  }
+
+  test("restore across a DV delete brings the rows back") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    t.deleteWhere(col("k") <= 7L)                         // v2: DV on the file
+    assert(t.snapshot().count() == 193L)
+    t.restore(1L)
+    // entry-level diff: the same path must be re-added WITHOUT its vector
+    assert(t.currentFiles.forall(_.dv.isEmpty), "restore kept the vector")
+    assert(t.snapshot().count() == 200L)
+    // and restoring back to the DV'd version re-applies it
+    t.restore(2L)
+    assert(t.snapshot().count() == 193L)
+    assert(t.currentFiles.exists(_.dv.exists(_.n == 7L)))
+  }
+
+  test("merge over a DV'd file: survivors exclude deleted rows") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    t.deleteWhere(col("k") <= 5L)                         // DV path
+    t.merge(Seq((50L, "M"), (999L, "NEW")).toDF("k", "v"))
+    val got = rows(t)
+    assert(got.size == 96)                                // 95 survivors + 1 new
+    assert(got((50L, "M")) && got((999L, "NEW")))
+    assert(!(1L to 5L).exists(k => got.exists(_._1 == k)), "deleted keys resurfaced")
+  }
 }

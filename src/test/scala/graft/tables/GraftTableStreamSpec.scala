@@ -416,13 +416,15 @@ class GraftTableStreamSpec extends SparkTestBase {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val loc = tmp()
-    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val t = GraftTable.create(spark, loc, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     val src = new GraftTableMicroBatchStream(loc, t.schema,
       new CaseInsensitiveStringMap(Map("skipChangeCommits" -> "true").asJava))
     // drain the create commit
     val o1 = src.latestOffset(src.initialOffset(), ReadLimit.allAvailable())
     assert(GraftVersionOffset.of(o1) == GraftVersionOffset(1L, 0L))
-    // a run of PURE change commits (remove-bearing): v2 delete, v3 overwrite
+    // a run of PURE change commits (remove-bearing): v2 delete (partial, so
+    // a file is rewritten/DV'd — a FULL delete would just drop the file and
+    // the overwrite after it would remove nothing), v3 overwrite
     t.deleteWhere(col("k") === 1L)
     t.overwrite(Seq((9L, "z")).toDF("k", "v"))
     // zero files are admitted, but the offset still ADVANCES past the run
