@@ -20,19 +20,34 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
 
-  /** Build + register the test tables as views when a data dir is given. */
-  def create(master: String = "local[*]", shufflePartitions: Int = 32,
-      tablesDir: Option[String] = None): SparkSession = {
-    val spark = builder(master, shufflePartitions).getOrCreate()
-    // getOrCreate may return a pre-existing session, whose extensions were
-    // fixed at creation — registering directly is idempotent either way
+  /** Post-build attachment for hooks that cannot ride
+    * SparkSessionExtensions (or that must survive `getOrCreate` returning a
+    * pre-existing session whose extensions were fixed at creation).
+    * Idempotent; called by [[create]] and by the test base.
+    */
+  def attach(spark: SparkSession): SparkSession = {
     graft.functions.expressions.HammingDistance.register(spark)
     graft.functions.expressions.CosineSimilarity.register(spark)
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.RewriteSingletonRepartition]))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.RewriteSingletonRepartition(spark))
+    // "User Provided Optimizers" is the one optimizer batch that runs AFTER
+    // V2ScanRelationPushDown — the only place the graft catalog's
+    // log-derived statistics can be re-attached past Spark's V1ScanWrapper
+    // (see GraftScanStatsRule) so JoinSelection can auto-broadcast
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.tables.GraftScanStatsRule))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.tables.GraftScanStatsRule)
     graft.plans.TopKPerGroup.ensureStrategy(spark)
+    spark
+  }
+
+  /** Build + register the test tables as views when a data dir is given. */
+  def create(master: String = "local[*]", shufflePartitions: Int = 32,
+      tablesDir: Option[String] = None): SparkSession = {
+    val spark = attach(builder(master, shufflePartitions).getOrCreate())
     tablesDir.foreach(Tables.registerAll(spark, _))
     spark
   }

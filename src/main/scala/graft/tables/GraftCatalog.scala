@@ -722,8 +722,42 @@ private[tables] final class GraftScanBuilder(
       shown.result().mkString(", ")))
   }
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = pushedAgg.fold(required)(_._1)
+
+    // REAL table statistics from the commit log (zone-map-pruned file
+    // sizes, DV-adjusted, scaled by the column-pruning ratio — the same
+    // shape Spark's own FileScan estimate uses): without this the V2
+    // relation reports `defaultSizeInBytes` (effectively infinite) and the
+    // planner NEVER auto-broadcasts a graft table, forcing a shuffle join
+    // however small the dimension side is. At 100 TB the fact table stays
+    // un-broadcast regardless (the estimate errs high, never low — an
+    // unresolvable predicate simply doesn't shrink it); the KB-scale
+    // dimension next to it now broadcasts. O(files) driver metadata.
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val (bytes, rows): (Long, Option[Long]) = pushedAgg match {
+          case Some(_) => (64L, Some(1L)) // one driver-derived row
+          case None =>
+            val preds = pushed.toSeq.flatMap(V1FilterConverter.toColumn)
+            val raw = gt.estimatedScanBytes(preds, pinned)
+            val ratio =
+              if (full.isEmpty) 1.0
+              else math.min(1.0, math.max(1, required.size).toDouble / full.size)
+            // row count only when nothing was pruned away under a filter —
+            // a filtered estimate knows bytes shrink but not row survival
+            val n = if (preds.isEmpty)
+              Some(gt.filesAt(pinned).map(GraftTable.liveRows).sum) else None
+            (math.max(1L, (raw * ratio).toLong), n)
+        }
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      }
+
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val relation: BaseRelation with TableScan = new BaseRelation with TableScan {

@@ -451,6 +451,33 @@ final class GraftTable private (
     readFiles(sel, asOf).where(pred)
   }
 
+  /** Log-estimated LIVE bytes a scan of version `asOf` under `preds` would
+    * read: the zone-map-pruned file set's on-disk sizes, scaled down by
+    * each file's deletion-vector fraction. Drives the catalog relation's
+    * `sizeInBytes` — Spark's planner auto-BROADCASTS a small (or
+    * selectively-filtered) graft table in joins instead of assuming the
+    * unknown-source default (effectively infinite, which forces a shuffle
+    * join however small the table is). O(files) driver metadata; a
+    * legacy file with no logged size estimates from its row count, and an
+    * unresolvable predicate simply doesn't prune — estimates only ever err
+    * HIGH, never low, so a broadcast decision is never tricked upward.
+    */
+  private[tables] def estimatedScanBytes(preds: Seq[Column], asOf: Long): Long = {
+    val files = activeFiles(asOf)
+    val schema = schemaAt(asOf)
+    val cm = colmapAt(asOf)
+    val kept = preds.foldLeft(files.filter(_.rows > 0)) { (fs0, pred) =>
+      resolveJoined(pred, schema, StructType(Nil)) match {
+        case Some(p) => fs0.filter(f => FilePruning.possible(p, intervalsOf(f, schema, cm)))
+        case None => fs0
+      }
+    }
+    kept.map { f =>
+      val sz = if (f.bytes > 0) f.bytes else f.rows * 64L // legacy: estimate
+      if (f.dv.isEmpty) sz else math.max(1L, sz * liveRows(f) / f.rows)
+    }.sum
+  }
+
   /** A file's known column intervals KEYED BY LOGICAL NAME (the predicate's
     * vocabulary): footer skipping stats (logged under stable physical
     * names — remapped through the version's colmap), the merge-key stats,

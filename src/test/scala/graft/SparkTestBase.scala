@@ -33,6 +33,6 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    GraftSession.attach(s)
   }
 }

@@ -436,6 +436,27 @@ class GraftCatalogSpec extends SparkTestBase {
       == Set(Seq(0L)))
   }
 
+  test("log-derived sizeInBytes: small graft tables auto-broadcast in joins") {
+    warehouse
+    spark.sql("CREATE TABLE gt.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO gt.dim SELECT id, CAST(id AS STRING) FROM range(50)")
+    // the fact side is big enough that the planner must not broadcast it
+    // (range reports 8 bytes/row), so a BroadcastHashJoin in the plan can
+    // only mean the graft side's statistics came through the V1 relation —
+    // without the sizeInBytes override it reports defaultSizeInBytes
+    // (effectively infinite) and the join degrades to sort-merge
+    val fact = spark.range(3000000L).toDF("k")
+    val joined = fact.join(spark.table("gt.dim"), "k") // NO broadcast hint
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft table did not auto-broadcast:\n$plan")
+    assert(joined.count() == 50L)
+    // a selective pushed filter shrinks the estimate too: still broadcast
+    val filtered = fact.join(spark.table("gt.dim").where($"k" < 10), "k")
+    assert(filtered.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(filtered.count() == 10L)
+  }
+
   test("COUNT/MIN/MAX answered from log metadata; plan drops the Aggregate") {
     warehouse
     spark.sql("CREATE TABLE gt.agg (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
