@@ -1625,7 +1625,60 @@ object Advanced extends QueryPack {
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_v1
-        |FROM live GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM live GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // SHALLOW CLONE under the gate: the clone is ONE metadata commit
+    // referencing the source's files (zero data copied — at 100 TB a
+    // dev/test fork is a sub-second commit), then lives its own life:
+    // a delete and an upsert MERGE land in the CLONE's root while the
+    // SOURCE stays bit-identical. The output aggregates BOTH sides, so a
+    // leak in either direction (clone DML mutating the source, or the
+    // clone misreading borrowed references) hash-diverges.
+    GraftQuery(
+      "q307_table_shallow_clone",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q307_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s,
+            new java.io.File(root, "src").getAbsolutePath,
+            base.coalesce(2), keyCol = Some("k"))
+          val c = t.cloneTo(new java.io.File(root, "fork").getAbsolutePath)
+          c.deleteWhere(col("prio") === "1-URGENT")
+          c.merge(base.where(col("k") % 5 === 0)
+            .withColumn("price_c", col("price_c") * 3))
+          val agg = (df: org.apache.spark.sql.DataFrame, side: String) =>
+            df.groupBy(col("prio"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("price_c")).cast("long").as("sum_price_c"))
+              .withColumn("side", lit(side))
+          materializeSmall(agg(t.snapshot(), "source")
+            .unionByName(agg(c.snapshot(), "fork"))
+            .orderBy(col("side"), col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |fork AS (
+        |  SELECT k, prio, price_c FROM base
+        |  WHERE prio <> '1-URGENT' AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, prio, price_c * 3 FROM base WHERE k % 5 = 0)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c, 'source' AS side
+        |FROM base GROUP BY prio
+        |UNION ALL
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c, 'fork' AS side
+        |FROM fork GROUP BY prio
+        |ORDER BY side, prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

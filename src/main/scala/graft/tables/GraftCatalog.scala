@@ -342,6 +342,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Resolve a procedure's dotted `table` argument to the memoized handle
     * (same cache the SQL data path uses — commits parse once).
     */
+  /** Filesystem path for a dotted name that need NOT exist yet (clone
+    * targets); parent namespace dirs are created, segment rules apply.
+    */
+  private def pathForDotted(dotted: String): String = {
+    val parts = dotted.split('.').toIndexedSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"illegal table name '$dotted'")
+    val p = pathOf(parts)
+    if (parts.size > 1) fs.mkdirs(p.getParent)
+    p.toString
+  }
+
   private def tableFor(dotted: String): GraftTable = {
     val parts = dotted.split('.').toIndexedSeq
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
@@ -376,7 +388,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       noSuchProcedure(ident,
         s"graft procedures live under $catalogName.system: " +
           s"CALL $catalogName.system.<proc>(...)")
-    GraftProcedures.load(tableFor, ident.name).getOrElse(
+    GraftProcedures.load(tableFor, ident.name, pathForDotted).getOrElse(
       noSuchProcedure(ident, "have " +
         GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
   }

@@ -31,14 +31,18 @@ private[tables] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("compact", "optimize", "vacuum", "restore")
+  def names: Seq[String] =
+    Seq("compact", "optimize", "vacuum", "restore", "clone")
 
-  def load(resolve: String => GraftTable, name: String): Option[UnboundProcedure] =
+  def load(resolve: String => GraftTable, name: String,
+      pathFor: String => String = _ => throw new UnsupportedOperationException(
+        "this catalog does not resolve destination paths")): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "compact" => Some(CompactProc(resolve))
       case "optimize" => Some(OptimizeProc(resolve))
       case "vacuum" => Some(VacuumProc(resolve))
       case "restore" => Some(RestoreProc(resolve))
+      case "clone" => Some(CloneProc(resolve, pathFor))
       case _ => None
     }
 
@@ -123,6 +127,31 @@ private[tables] object GraftProcedures {
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val v = table(input).restore(input.getLong(1))
       result(VersionSchema, v)
+    }
+  }
+
+  /** `CALL graft.system.clone(source => 'ns.t', target => 'ns.t2'
+    *  [, version => N])` — shallow clone: one metadata commit at the
+    * target referencing the source's files; zero data copied. See
+    * [[GraftTable.cloneTo]] for semantics and the source-vacuum hazard.
+    */
+  private case class CloneProc(resolve: String => GraftTable,
+      pathFor: String => String) extends GraftProc(resolve) {
+    override def name(): String = "clone"
+    override def description(): String =
+      "shallow-clone a table: one metadata commit referencing the source's files, zero data copied"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("source", StringType, "dotted source table under this catalog"),
+      reqParam("target", StringType, "dotted target table (must not exist)"),
+      param("version", LongType, "-1", "source version to clone (-1 = latest)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val src = table(input)
+      val target = input.getUTF8String(1)
+      require(target != null && target.numChars() > 0, "target must be non-empty")
+      val ver = input.getLong(2)
+      val t = src.cloneTo(pathFor(target.toString),
+        if (ver < 0) None else Some(ver))
+      result(VersionSchema, t.version)
     }
   }
 

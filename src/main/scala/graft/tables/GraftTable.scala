@@ -247,7 +247,17 @@ final class GraftTable private (
     val dvdDf =
       if (dvd.isEmpty) None
       else {
-        val deleted = dvd.flatMap(f => f.dv.get.positions.map(p => Row(f.path, p)))
+        // positions are keyed by the file's BASE name (what the parquet
+        // `_metadata.file_name` column yields) — entries referencing other
+        // roots (shallow clones) key the same way; UUID file names make
+        // base names unique, required here because a collision would
+        // cross-apply vectors
+        val names = dvd.map(f => baseName(f.path))
+        require(names.distinct.size == names.size,
+          s"duplicate data file base names in one read: " +
+            names.diff(names.distinct).distinct.mkString(","))
+        val deleted = dvd.flatMap(f =>
+          f.dv.get.positions.map(p => Row(baseName(f.path), p)))
         val delDf = spark.createDataFrame(deleted.asJava, StructType(Seq(
           StructField(FileNameCol, StringType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
@@ -298,6 +308,27 @@ final class GraftTable private (
   private def fs: FileSystem = new Path(location).getFileSystem(conf)
   private def logDir = new Path(location, LogDirName)
 
+  /** The file's base name — equal to the logged path for root-local files,
+    * the last segment for absolute (shallow-clone) references; this is the
+    * value the parquet `_metadata.file_name` column yields at scan time.
+    */
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** The logged paths that no longer exist on disk: one root listing
+    * answers every root-local name; absolute (shallow-clone) references
+    * probe directly, only on the paths that need it. Used by the loud
+    * vacuumed-file checks on time travel / change-feed / restore.
+    */
+  private def missing(paths: Seq[String]): Seq[String] = {
+    val (abs, local) = paths.distinct.partition(_.contains("/"))
+    val onDisk =
+      if (local.isEmpty) Set.empty[String]
+      else fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
+    local.filterNot(onDisk) ++ abs.filterNot { p =>
+      val pp = new Path(p); pp.getFileSystem(conf).exists(pp)
+    }
+  }
+
   /** Latest committed version (≥ 1 — creation is version 1). */
   def version: Long = listVersions(fs, logDir).lastOption.getOrElse(
     throw new IllegalStateException(s"no commits under $logDir"))
@@ -334,8 +365,7 @@ final class GraftTable private (
     val asOf = versionAsOf.getOrElse(version)
     val files = activeFiles(asOf)
     if (versionAsOf.isDefined) {
-      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-      val gone = files.map(_.path).filterNot(onDisk)
+      val gone = missing(files.map(_.path))
       if (gone.nonEmpty) throw new IllegalStateException(
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible — " +
@@ -369,8 +399,7 @@ final class GraftTable private (
     val kept = prunePartitions(tuples, partitionPred, schema)
     val sel = files.filter(f => kept(f.pv))
     if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
-      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-      val gone = sel.map(_.path).filterNot(onDisk)
+      val gone = missing(sel.map(_.path))
       if (gone.nonEmpty) throw new IllegalStateException(
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
@@ -442,8 +471,7 @@ final class GraftTable private (
     val sel = files.filter(_.rows > 0)
       .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema, cm)))
     if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
-      val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-      val gone = sel.map(_.path).filterNot(onDisk)
+      val gone = missing(sel.map(_.path))
       if (gone.nonEmpty) throw new IllegalStateException(
         s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
           s"(e.g. ${gone.head}); time travel to it is no longer possible")
@@ -648,7 +676,6 @@ final class GraftTable private (
     val liveTo: Map[String, String] =
       outSchema.fieldNames.toIndexedSeq.map(l => physName(cmTo, l) -> l).toMap
     def outNameOf(p: String): String = liveTo.getOrElse(p, s"__graft_dead_$p")
-    val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
     // the diff of commit v needs each REMOVED file's full log entry as it
     // stood at v-1 (its deletion vector in particular: a DV-delete commit
     // re-adds the same path with a grown vector, and the net deletes are
@@ -672,7 +699,7 @@ final class GraftTable private (
         // removed files were active at v-1; the file set is O(commit), and
         // the schema each file was WRITTEN under may be older still —
         // by-name parquet resolution against the version schema null-fills
-        val gone = (adds.map(_.path) ++ removes).filterNot(onDisk)
+        val gone = missing(adds.map(_.path) ++ removes)
         if (gone.nonEmpty) throw new IllegalStateException(
           s"changes($fromVersion, $toVersion) needs ${gone.size} file(s) " +
             s"reclaimed by vacuum() (e.g. ${gone.head}); the feed for commit " +
@@ -947,7 +974,7 @@ final class GraftTable private (
         .join(src.select(col(k)).distinct(), Seq(k), "left_semi")
         .select(col(FileNameCol)).distinct()
         .collect().map(_.getString(0)).toSet
-    val rewritten = candidates.filter(f => touched(f.path))
+    val rewritten = candidates.filter(f => touched(baseName(f.path)))
 
     val survivors =
       if (rewritten.isEmpty) None
@@ -1046,7 +1073,7 @@ final class GraftTable private (
           .join(prefixed, matchCond, "left_semi")
           .select(col(FileNameCol)).distinct()
           .collect().map(_.getString(0)).toSet
-        candidates.filter(f => touched(f.path))
+        candidates.filter(f => touched(baseName(f.path)))
       }
 
     // first-match-wins clause index (0 = no clause applies); when() treats
@@ -1146,21 +1173,21 @@ final class GraftTable private (
     val hitCounts: Map[String, Long] = readFiles(files, v, withMeta = true)
       .where(hit).groupBy(col(FileNameCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val touched = files.filter(f => hitCounts.contains(f.path))
+    val touched = files.filter(f => hitCounts.contains(baseName(f.path)))
     val dropped =
-      if (allowDrop) touched.filter(f => hitCounts(f.path) == liveRows(f))
+      if (allowDrop) touched.filter(f => hitCounts(baseName(f.path)) == liveRows(f))
       else Nil
     val droppedP = dropped.map(_.path).toSet
     val (dvFiles, rewrite) = touched.filterNot(f => droppedP(f.path))
       .partition { f =>
-        val hits = hitCounts(f.path)
+        val hits = hitCounts(baseName(f.path))
         val merged = hits + f.dv.map(_.n).getOrElse(0L)
         merged <= DvMaxPositionsPerFile && hits < liveRows(f) * DvMaxFraction
       }
     val dvAdds =
       if (dvFiles.isEmpty) Nil
       else {
-        val dvP = dvFiles.map(_.path).toSet
+        val dvP = dvFiles.map(f => baseName(f.path)).toSet
         val pos = readFiles(dvFiles, v, withMeta = true).where(hit)
           .select(col(FileNameCol), col(RowIdxCol))
           .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -1168,7 +1195,7 @@ final class GraftTable private (
         require(pos.keySet == dvP, "DML matched-row set changed mid-operation")
         dvFiles.map { f =>
           val all = (f.dv.map(_.positions).getOrElse(Array.empty[Long]) ++
-            pos(f.path)).distinct.sorted
+            pos(baseName(f.path))).distinct.sorted
           f.copy(dv = Some(Dv.of(all)))
         }
       }
@@ -1421,8 +1448,7 @@ final class GraftTable private (
     val v = version
     require(versionAsOf != v, s"table is already at version $v")
     val target = activeFiles(versionAsOf) // loud if the version is unknown
-    val onDisk = fs.listStatus(new Path(location)).map(_.getPath.getName).toSet
-    val gone = target.map(_.path).filterNot(onDisk)
+    val gone = missing(target.map(_.path))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"restore to version $versionAsOf needs ${gone.size} file(s) reclaimed " +
         s"by vacuum() (e.g. ${gone.head}); that version is no longer " +
@@ -1446,6 +1472,48 @@ final class GraftTable private (
       cur.filterNot(f => targetByPath.get(f.path).contains(f)).map(_.path),
       None, Some(restoredSchema), Some(restoredCm),
       Some(retiredAt(v).filterNot(revived.contains)))
+  }
+
+  /** SHALLOW CLONE: create a NEW table at `dest` whose create commit
+    * REFERENCES this table's active files (as fully-qualified absolute
+    * paths) — O(files) driver metadata, ZERO data copied or moved. At
+    * 100 TB a clone is a sub-second commit: the dev/test fork, the
+    * what-if branch, the pre-migration safety copy. The clone then lives
+    * its own life — appends/rewrites land in ITS root and retire the
+    * borrowed references file by file; deletion vectors, schema, column
+    * mapping, retired bindings, CHECK constraints, key and partitioning
+    * all carry over from the cloned version, and the clone's history
+    * STARTS at its create (time travel into the source's past happens on
+    * the source). `versionAsOf` clones a past version (time-travel clone).
+    *
+    * HAZARD, inherent to shallow clones everywhere: `vacuum()` on the
+    * SOURCE only knows the source's own snapshot — it can reclaim files
+    * the clone still references, after which clone reads of those files
+    * fail (time travel and the change feed fail loud with the names; a
+    * current-snapshot read fails at scan time). Re-materialize with
+    * `compact()`/`optimize()` on the clone to cut the dependency.
+    */
+  def cloneTo(dest: String, versionAsOf: Option[Long] = None): GraftTable = {
+    val asOf = versionAsOf.getOrElse(version)
+    val files = activeFiles(asOf)
+    val gone = missing(files.map(_.path))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"clone of version $asOf needs ${gone.size} file(s) reclaimed by " +
+        s"vacuum() (e.g. ${gone.head})")
+    val rootQ = fs.makeQualified(new Path(location))
+    val refs = files.map(f => f.copy(path =
+      if (f.path.contains("/")) f.path // a re-cloned reference stays as-is
+      else new Path(rootQ, f.path).toString))
+    val destPath = new Path(dest)
+    val dfs = destPath.getFileSystem(conf)
+    val destLog = new Path(destPath, LogDirName)
+    require(!dfs.exists(destLog), s"table already exists at $dest")
+    dfs.mkdirs(destLog)
+    writeCommit(dfs, destLog, 1L,
+      metaMap("clone", keyCol, schemaAt(asOf).json, None, partitionBy,
+        colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf)),
+      refs, Nil)
+    GraftTable.at(spark, dest)
   }
 
   /** Physically delete data files no longer in the CURRENT snapshot.

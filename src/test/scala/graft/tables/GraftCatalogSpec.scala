@@ -599,6 +599,28 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getMap[String, String](5).toMap == Map("kp" -> "k > 0"))
   }
 
+  test("CALL graft.system.clone: shallow clone through the SQL face") {
+    warehouse
+    spark.sql("CREATE TABLE gt.csrc (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gt.csrc SELECT id, CAST(id AS STRING) FROM range(0, 200, 1, 1)")
+    spark.sql("CALL gt.system.clone(source => 'csrc', target => 'cdst')")
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.cdst") == Set(Seq(200L)))
+    // zero data files under the clone's directory — metadata-only commit
+    val dataFiles = Option(new java.io.File(s"$warehouse/cdst").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(dataFiles.isEmpty, s"CALL clone copied data: ${dataFiles.toSeq}")
+    // divergence via SQL DML on the clone; source unchanged
+    spark.sql("DELETE FROM gt.cdst WHERE k < 50")
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.cdst") == Set(Seq(150L)))
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.csrc") == Set(Seq(200L)))
+    // cloning onto an existing table is loud
+    val e = intercept[Exception] {
+      spark.sql("CALL gt.system.clone(source => 'csrc', target => 'cdst')")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")

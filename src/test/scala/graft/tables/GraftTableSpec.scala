@@ -1072,6 +1072,87 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.currentFiles.exists(_.dv.exists(_.n == 7L)))
   }
 
+  // ---- shallow clone ------------------------------------------------------
+
+  test("shallow clone: one metadata commit, zero data files copied") {
+    val srcLoc = tmp()
+    val t = GraftTable.create(spark, srcLoc,
+      (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(2),
+      keyCol = Some("k"))
+    t.deleteWhere(col("k") <= 5L) // a DV rides the cloned reference
+    val cloneLoc = tmp()
+    val c = t.cloneTo(cloneLoc)
+    assert(c.version == 1L && c.keyCol.contains("k"))
+    // ZERO data files in the clone root — the commit references the source
+    assert(dataFilesOnDisk(cloneLoc).isEmpty, "clone copied data files")
+    assert(c.snapshot().count() == 495L)
+    assert(c.snapshot().agg(min(col("k"))).head().getLong(0) == 6L)
+    // reopen from disk: schema/key carried by the clone commit
+    val re = GraftTable.at(spark, cloneLoc)
+    assert(re.snapshot().as[(Long, String)].collect().toSet ==
+      t.snapshot().as[(Long, String)].collect().toSet)
+  }
+
+  test("clone diverges independently; source untouched; rewrites localize") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 300L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    val cloneLoc = tmp()
+    val c = t.cloneTo(cloneLoc)
+    // sparse delete on the clone: DVs the BORROWED (absolute) reference
+    c.deleteWhere(col("k") <= 10L)
+    assert(c.snapshot().count() == 290L)
+    assert(t.snapshot().count() == 300L, "clone DML leaked into the source")
+    assert(dataFilesOnDisk(cloneLoc).isEmpty, "sparse clone delete wrote data")
+    // update + merge write NEW files into the CLONE root only
+    c.update(Map("v" -> lit("CU")), col("k") === 100L)
+    c.merge(Seq((999L, "NEW")).toDF("k", "v"))
+    assert(dataFilesOnDisk(cloneLoc).nonEmpty)
+    assert(c.snapshot().where(col("v") === "CU").count() == 1L)
+    assert(c.snapshot().count() == 291L)
+    assert(t.snapshot().as[(Long, String)].collect().toSet ==
+      (1L to 300L).map(k => (k, s"v$k")).toSet)
+    // compact re-materializes: the dependency on the source is CUT
+    c.compact(smallFileBytes = 1L << 30, targetBytes = 1L << 30)
+    assert(c.currentFiles.forall(!_.path.contains("/")),
+      s"compact left borrowed references: ${c.currentFiles.map(_.path)}")
+    assert(c.snapshot().count() == 291L)
+    // the clone's own history time-travels to ITS create
+    assert(c.snapshot(Some(1L)).count() == 300L)
+    // and its change feed folds from its own v1
+    val feed = c.changes(1L, c.version)
+    val ins = feed.where(col("_change") === "insert").select("k", "v")
+    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val folded = c.snapshot(Some(1L)).unionByName(ins.toDF("k", "v"))
+      .exceptAll(del.toDF("k", "v"))
+    assert(folded.exceptAll(c.snapshot()).count() == 0L &&
+      c.snapshot().exceptAll(folded).count() == 0L)
+  }
+
+  test("clone carries colmap, constraints, partitioning; source vacuum is loud") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "US", "a"), (2L, "DE", "b"), (3L, "US", "c")).toDF("k", "region", "v"),
+      partitionBy = Seq("region"))
+    t.renameColumn("v", "label")
+    t.addConstraint("k_pos", "k > 0")
+    val c = t.cloneTo(tmp())
+    assert(c.schema.fieldNames.toSeq == Seq("k", "region", "label"))
+    assert(c.partitionBy == Seq("region"))
+    assert(c.constraints.keySet == Set("k_pos"))
+    // pre-rename physical names resolve through the cloned colmap
+    assert(c.snapshot().where(col("label") === "a").count() == 1L)
+    // partition pruning works off the cloned tuples
+    assert(c.snapshotWhere(col("region") === "US").count() == 2L)
+    // constraints enforce on the clone
+    intercept[Exception] { c.append(Seq((-1L, "FR", "x")).toDF("k", "region", "label")) }
+    // the documented hazard: source overwrite + vacuum reclaims files the
+    // clone still references — the clone's time travel fails LOUD
+    t.overwrite(Seq((9L, "JP", "z")).toDF("k", "region", "label"))
+    t.vacuum(retentionMs = 0L)
+    val e = intercept[IllegalStateException] { c.snapshot(Some(1L)).count() }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("merge over a DV'd file: survivors exclude deleted rows") {
     val t = GraftTable.create(spark, tmp(),
       (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
