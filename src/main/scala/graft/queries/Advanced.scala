@@ -1678,7 +1678,52 @@ object Advanced extends QueryPack {
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c, 'fork' AS side
         |FROM fork GROUP BY prio
-        |ORDER BY side, prio""".stripMargin)))
+        |ORDER BY side, prio""".stripMargin)),
+
+    // ATOMIC REPLACE TABLE under the gate: `replaceWith` swaps the table's
+    // ENTIRE definition — schema (a new derived column), key, and data —
+    // in ONE commit, history preserved. `n_v1` aggregates the PRE-replace
+    // era through time travel (each version carries its own schema), so a
+    // replace that leaked old rows, dropped history, or took extra commits
+    // hash-diverges. The SQL face (CREATE OR REPLACE ... AS SELECT through
+    // StagingTableCatalog) is spec-pinned; this runs the native op.
+    GraftQuery(
+      "q308_table_replace",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q308_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"))
+          t.replaceWith(
+            base.where(col("k") % 3 === 0)
+              .select(col("k"), col("prio"),
+                (col("price_c") * 2).as("cents2")),
+            newKeyCol = Some("k"))
+          val re = graft.tables.GraftTable.at(s, root.getAbsolutePath)
+          val nV1 = re.snapshot(Some(1L)).count()
+          materializeSmall(re.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("cents2")).cast("long").as("sum_cents2"))
+            .withColumn("n_v1", lit(nV1))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c * 2) AS BIGINT) AS sum_cents2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 2 = 0) AS n_v1
+        |FROM base WHERE k % 3 = 0
+        |GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

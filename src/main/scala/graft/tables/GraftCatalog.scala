@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * to the past must fail loud, not fork history.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -199,10 +200,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(t, identString(ident), Some(t.versionAt(timestamp / 1000L)))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val p = tablePath(ident)
-    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+  /** The pieces of a table DEFINITION shared by CREATE and the staged
+    * CREATE/REPLACE paths: identity partition columns, the merge key from
+    * TBLPROPERTIES ('key'), and declared CHECK constraints
+    * (TBLPROPERTIES 'constraint.<name>'), each validated against the
+    * declared schema BEFORE anything commits — a bad definition must fail
+    * cleanly, never strand a half-created table.
+    */
+  private def parseDefinition(schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : (Seq[String], Option[String], Map[String, String]) = {
     val partCols = partitions.toIndexedSeq.map { t =>
       require(t.name == "identity",
         s"graft-catalog supports PARTITIONED BY (col) only, got $t")
@@ -216,11 +223,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"table property 'key'='$k' is not a column of ${schema.fieldNames.mkString(",")}"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // TBLPROPERTIES ('constraint.<name>'='<predicate>') declare CHECK
-    // constraints at create time. Validate EVERY predicate against the
-    // declared schema BEFORE the create commit lands — a bad predicate
-    // must fail the CREATE cleanly, not strand a half-created table that
-    // blocks the corrected retry with TableAlreadyExists
     val declaredCons = properties.asScala.toSeq.sortBy(_._1).collect {
       case (k, v) if k.startsWith("constraint.") => k.stripPrefix("constraint.") -> v
     }
@@ -231,12 +233,63 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table property 'constraint.$n' = '$sql' does not resolve against " +
           s"the table schema ${schema.simpleString}: ${e.getMessage}", e) }
     }
-    val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols)
-    // the table is empty here, so existing-row validation is trivial; a
-    // CTAS's data insert lands AFTER and is enforced
-    declaredCons.foreach { case (n, sql) => t.addConstraint(n, sql) }
+    (partCols, keyCol, declaredCons.toMap)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val p = tablePath(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    val (partCols, keyCol, cons) = parseDefinition(schema, partitions, properties)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // constraints land IN the create commit (trivially valid on zero rows);
+    // a CTAS's data insert lands after and is enforced per row
+    val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols, cons)
     handles.put(p.toString, t)
     new GraftSqlTable(t, identString(ident), None)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------------
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, allowExisting = false,
+      requireExisting = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, allowExisting = true,
+      requireExisting = true)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, allowExisting = true,
+      requireExisting = false)
+
+  /** Stage an atomic CTAS / RTAS / CREATE-OR-REPLACE: NOTHING persists at
+    * stage time — the staged table captures the query's rows at write time
+    * and `commitStagedChanges()` lands everything as ONE log commit
+    * (`GraftTable.create` for a fresh table; `replaceWith` swaps schema,
+    * key, partitioning, constraints AND data while PRESERVING history —
+    * time travel to pre-replace versions keeps working). Any failure,
+    * including a CHECK violation in the new data, leaves the previous
+    * table state untouched; `abortStagedChanges` has nothing to undo.
+    */
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      allowExisting: Boolean, requireExisting: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val p = tablePath(ident)
+    val exists = isTableDir(p)
+    if (exists && !allowExisting) throw new TableAlreadyExistsException(ident)
+    if (!exists && requireExisting) throw new NoSuchTableException(ident)
+    val (partCols, keyCol, cons) = parseDefinition(schema, partitions, properties)
+    new GraftStagedTable(identString(ident), p.toString, schema, partCols,
+      keyCol, cons, spark, t => handles.put(p.toString, t))
   }
 
   /** `ALTER TABLE ... ADD COLUMNS` (metadata-only schema-evolution commit;
@@ -856,6 +909,76 @@ private[tables] final class GraftWriteBuilder(
       new GraftStreamingWrite(gt.location, gt.schema, queryId)
     }
   }
+}
+
+/** A table staged by atomic CTAS / RTAS / CREATE-OR-REPLACE
+  * ([[GraftCatalog.stage]]): the write face CAPTURES the query's DataFrame
+  * (the V1 bridge hands it over whole), and `commitStagedChanges()` lands
+  * the entire operation as ONE log commit — `GraftTable.create` with the
+  * data and declared constraints for a fresh table, `replaceWith` (schema +
+  * key + partitioning + constraints + data swap, history preserved) when
+  * the table exists. Nothing persists before the commit, so abort is free
+  * and any failure — including a CHECK violation in the new data — leaves
+  * the previous table untouched.
+  */
+private[tables] final class GraftStagedTable(
+    ident: String, path: String, tableSchema: StructType,
+    partCols: Seq[String], keyCol: Option[String], cons: Map[String, String],
+    spark: SparkSession, onCommitted: GraftTable => Unit)
+  extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  @volatile private var captured: Option[DataFrame] = None
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  // RTAS plans an OverwriteByExpression(true) against the staged table —
+  // "overwrite" of a not-yet-existing capture is simply the capture
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      override def truncate(): WriteBuilder = this
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.isEmpty || filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+          s"staged writes are full-table only, got ${filters.mkString(",")}")
+        this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // v1 insert is BY POSITION against the declared schema; the
+              // cast aligns residual nullability flags (same as the live
+              // table's write path). Captured, not written — the single
+              // atomic commit happens in commitStagedChanges().
+              captured = Some(data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+                .select(tableSchema.fields.toIndexedSeq.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)): _*))
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val df = captured.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema))
+    val logDir = new Path(path, "_graft_log")
+    val exists = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(logDir)
+    val t =
+      if (exists) {
+        GraftTable.at(spark, path).replaceWith(df, keyCol, partCols, cons)
+        // identity (key/partitioning) may have changed: re-open
+        GraftTable.at(spark, path)
+      }
+      else GraftTable.create(spark, path, df, keyCol, partCols, cons)
+    onCommitted(t)
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing was persisted
 }
 
 /** A read-only metadata table (`.history` / `.files`): rows are built on

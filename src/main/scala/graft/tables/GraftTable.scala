@@ -1474,6 +1474,64 @@ final class GraftTable private (
       Some(retiredAt(v).filterNot(revived.contains)))
   }
 
+  /** A constraint predicate must RESOLVE against the given schema (loud
+    * with the offending SQL, before anything commits).
+    */
+  private[tables] def validateConstraintSql(name: String, sql: String,
+      schema: StructType): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    try empty.where(coalesce(expr(sql), lit(true))).queryExecution.analyzed
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"constraint '$name' = '$sql' does not resolve against " +
+        s"${schema.simpleString}: ${e.getMessage}", e) }
+  }
+
+  /** ATOMIC REPLACE TABLE (RTAS): ONE commit swaps the table's entire
+    * definition — schema, key, partitioning, CHECK constraints — and its
+    * data. History is PRESERVED: time travel to pre-replace versions reads
+    * the old definition and rows (each version carries its own schema /
+    * column mapping / identity), and the version counter keeps counting.
+    * The new data is written under the new definition BEFORE the commit
+    * lands (files are invisible until then), so a failure — including a
+    * CHECK violation in the new data — leaves the old table untouched.
+    * Retired physical bindings stay retired across the replace (old files
+    * survive for time travel; a new column re-using such a name binds a
+    * fresh physical through the mapping, like re-ADD after DROP).
+    */
+  def replaceWith(df: DataFrame, newKeyCol: Option[String] = None,
+      newPartitionBy: Seq[String] = Nil,
+      newConstraints: Map[String, String] = Map.empty): Long = {
+    newKeyCol.foreach(k => require(df.columns.contains(k),
+      s"keyCol $k not in ${df.columns.mkString(",")}"))
+    newPartitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
+    require(newPartitionBy.distinct == newPartitionBy, "duplicate partition columns")
+    val v = version
+    val newSchema = df.schema
+    val cons = newConstraints.toSeq.sortBy(_._1)
+    cons.foreach { case (n, sql) => validateConstraintSql(n, sql, newSchema) }
+    // physical bindings retired by the OLD lineage stay unavailable (their
+    // values live on in time-travelable files): a new column with such a
+    // name gets a fresh physical through the mapping
+    val retired = retiredAt(v)
+    val cm = newSchema.fieldNames.toIndexedSeq.collect {
+      case n if retired.contains(n) =>
+        n -> s"${n}_r${UUID.randomUUID().toString.replace("-", "").take(8)}"
+    }.toMap
+    // write the new data under the NEW definition while the log still
+    // carries the old one — the swap is the one commit below
+    val t2 = new GraftTable(location, spark, newKeyCol, newSchema.json, newPartitionBy)
+    val adds = t2.writeData(df.select(newSchema.fieldNames.toIndexedSeq.map(col): _*),
+      consOverride = Some(cons), colmapOverride = Some(cm),
+      statsSchemaOverride = Some(newSchema),
+      keyColOverride = Some(newKeyCol), partitionByOverride = Some(newPartitionBy))
+    commit(v, "replace", adds, activeFiles(v).map(_.path),
+      newSchema = Some(newSchema), newColmap = Some(cm),
+      newRetired = Some(retired), newConstraints = Some(newConstraints),
+      newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy))
+  }
+
   /** SHALLOW CLONE: create a NEW table at `dest` whose create commit
     * REFERENCES this table's active files (as fully-qualified absolute
     * paths) — O(files) driver metadata, ZERO data copied or moved. At
@@ -1602,7 +1660,16 @@ final class GraftTable private (
     * scaffolding that dies with the tmp dir — partition identity lives in
     * the LOG, the object-store-friendly design.
     */
-  private def writeData(dfLogical: DataFrame): Seq[AddFile] = {
+  private def writeData(dfLogical: DataFrame,
+      consOverride: Option[Seq[(String, String)]] = None,
+      colmapOverride: Option[Map[String, String]] = None,
+      statsSchemaOverride: Option[StructType] = None,
+      keyColOverride: Option[Option[String]] = None,
+      partitionByOverride: Option[Seq[String]] = None): Seq[AddFile] = {
+    // the overrides serve REPLACE TABLE: the data is written under the NEW
+    // definition (schema/colmap/constraints/key/partitioning) while the log
+    // still carries the old one — the swap lands in the same commit
+    val partitionBy = partitionByOverride.getOrElse(this.partitionBy)
     // WRITE-TIME CHECK constraints: violation counts are computed INSIDE
     // the write job through an `observe` barrier (CollectMetrics — one
     // aggregate over the rows as they stream past, zero extra pass, and a
@@ -1612,7 +1679,7 @@ final class GraftTable private (
     // rename/commit — a violating write deletes the temp dir and throws,
     // so NOTHING becomes visible (Delta-invariant semantics). SQL CHECK:
     // a NULL predicate passes.
-    val cons = constraints.toSeq.sortBy(_._1)
+    val cons = consOverride.getOrElse(constraints.toSeq.sortBy(_._1))
     val obs = if (cons.isEmpty) None else Some(new org.apache.spark.sql.Observation())
     val guarded = obs.fold(dfLogical) { o =>
       val metrics = cons.map { case (nm, sqlText) =>
@@ -1623,7 +1690,7 @@ final class GraftTable private (
     // files store PHYSICAL column names (stable across renames): a version
     // race against a concurrent rename loses the commit and retries, so a
     // file can never land under a stale mapping
-    val cm = currentColmap
+    val cm = colmapOverride.getOrElse(currentColmap)
     val df =
       if (cm.isEmpty) guarded
       else guarded.toDF(guarded.columns.toIndexedSeq.map(physName(cm, _)): _*)
@@ -1669,7 +1736,9 @@ final class GraftTable private (
         val name = s"part-${UUID.randomUUID()}.parquet"
         val dest = new Path(location, name)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
-        val (rows, stats, cs) = footerStats(dest)
+        val (rows, stats, cs) =
+          footerStats(dest, keyColOverride.getOrElse(keyCol),
+            statsSchemaOverride.getOrElse(tableSchema))
         AddFile(name, rows, stats, st.getLen, pv, cs)
       }
     } finally fs.delete(tmp, true)
@@ -1696,7 +1765,8 @@ final class GraftTable private (
     }.toMap
   }
 
-  private def footerStats(p: Path): (Long, Option[KeyStats], Map[String, KeyStats]) = {
+  private def footerStats(p: Path, keyCol: Option[String],
+      tableSchema: StructType): (Long, Option[KeyStats], Map[String, KeyStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -1822,7 +1892,9 @@ final class GraftTable private (
       newColmap: Option[Map[String, String]] = None,
       newRetired: Option[Seq[String]] = None,
       newConstraints: Option[Map[String, String]] = None,
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      newKeyCol: Option[Option[String]] = None,
+      newPartitionBy: Option[Seq[String]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
@@ -1841,8 +1913,11 @@ final class GraftTable private (
     require(reused.isEmpty,
       s"physical column collision with DROPPED column(s): ${reused.mkString(",")} " +
         "— old files still hold their values; bind a fresh physical name")
+    // every commit carries the table identity (key + partitioning) so
+    // `at()` can read the LATEST definition — REPLACE TABLE may change both
     writeCommit(fs, logDir, next,
-      metaMap(op, keyCol, schema.json, txn, Nil, cm, retired, cons, dataChange),
+      metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
+        newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next))
@@ -2048,7 +2123,8 @@ object GraftTable {
     */
   def create(spark: SparkSession, location: String, df: DataFrame,
       keyCol: Option[String] = None,
-      partitionBy: Seq[String] = Nil): GraftTable = {
+      partitionBy: Seq[String] = Nil,
+      constraints: Map[String, String] = Map.empty): GraftTable = {
     keyCol.foreach(k => require(df.columns.contains(k), s"keyCol $k not in ${df.columns.mkString(",")}"))
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(",")}"))
@@ -2061,8 +2137,16 @@ object GraftTable {
     fs.mkdirs(logDir)
     val schemaJson = df.schema.json
     val t = new GraftTable(location, spark, keyCol, schemaJson, partitionBy)
-    writeCommit(fs, logDir, 1L, metaMap("create", keyCol, schemaJson, None, partitionBy),
-      t.writeData(t.alignSchema(df)), Nil)
+    // declared CHECK constraints land IN the create commit and gate its
+    // data — a violating CTAS commits NOTHING (single-commit atomicity),
+    // unlike create-then-addConstraint which could strand constraint-less
+    // data on a crash between the two commits
+    val cons = constraints.toSeq.sortBy(_._1)
+    cons.foreach { case (n, sql) => t.validateConstraintSql(n, sql, df.schema) }
+    writeCommit(fs, logDir, 1L,
+      metaMap("create", keyCol, schemaJson, None, partitionBy,
+        constraints = constraints),
+      t.writeData(t.alignSchema(df), consOverride = Some(cons)), Nil)
     t
   }
 
@@ -2074,7 +2158,9 @@ object GraftTable {
     val logDir = new Path(new Path(location), LogDirName)
     val fs = logDir.getFileSystem(conf)
     require(fs.exists(logDir), s"no table at $location")
-    val (meta, _, _) = readCommit(fs, logDir, listVersions(fs, logDir).head)
+    // identity comes from the LATEST commit: REPLACE TABLE may have
+    // redefined key and partitioning since creation
+    val (meta, _, _) = readCommit(fs, logDir, listVersions(fs, logDir).last)
     val key = Option(meta.get("keyCol").orNull).map(_.toString).filter(_.nonEmpty)
     val parts = Option(meta.get("partitionBy").orNull).map(_.toString)
       .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)

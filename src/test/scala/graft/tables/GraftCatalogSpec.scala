@@ -599,6 +599,52 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getMap[String, String](5).toMap == Map("kp" -> "k > 0"))
   }
 
+  test("atomic CREATE OR REPLACE: one commit, history kept, failure safe") {
+    warehouse
+    // CTAS through the staging path: data + constraints land in ONE commit
+    spark.sql("CREATE TABLE gt.rep TBLPROPERTIES ('key'='k', " +
+      "'constraint.k_pos'='k >= 0') AS SELECT id AS k, CAST(id AS STRING) AS v " +
+      "FROM range(0, 100, 1, 1)")
+    val t0 = GraftTable.at(spark, s"$warehouse/rep")
+    assert(t0.version == 1L, s"CTAS took ${t0.version} commits, expected 1")
+    assert(t0.constraints.keySet == Set("k_pos"))
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.rep") == Set(Seq(100L)))
+    // REPLACE swaps schema + key + partitioning + data in one commit;
+    // the version counter keeps counting — history is preserved
+    spark.sql("CREATE OR REPLACE TABLE gt.rep PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('key'='id') AS SELECT id, CAST(id % 3 AS STRING) AS part, " +
+      "id * 2 AS dbl FROM range(0, 30, 1, 1)")
+    assert(sqlRows("SELECT COUNT(*) AS n, SUM(dbl) AS s FROM gt.rep") ==
+      Set(Seq(30L, 870L)))
+    val t1 = GraftTable.at(spark, s"$warehouse/rep")
+    assert(t1.version == 2L, "replace must be ONE commit")
+    assert(t1.keyCol.contains("id") && t1.partitionBy == Seq("part"))
+    // new identity is live: merge on the new key, pruning on the new part
+    t1.merge(Seq((100L, "x", 7L)).toDF("id", "part", "dbl"))
+    assert(t1.snapshotWhere($"part" === "1").count() == 10L)
+    // time travel reads the PRE-replace schema and rows
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.rep VERSION AS OF 1") ==
+      Set(Seq(100L)))
+    assert(spark.sql("SELECT * FROM gt.rep VERSION AS OF 1").columns.toSeq ==
+      Seq("k", "v"))
+    // FAILED replace (CHECK violation in the new data) leaves the table
+    // untouched — nothing commits
+    val vBefore = GraftTable.at(spark, s"$warehouse/rep").version
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE gt.rep TBLPROPERTIES " +
+        "('constraint.pos'='n > 0') AS SELECT -1L AS n")
+    }
+    assert(GraftTable.at(spark, s"$warehouse/rep").version == vBefore,
+      "failed replace mutated the table")
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.rep") == Set(Seq(31L)))
+    // plain REPLACE TABLE (no AS SELECT) stages an empty new definition
+    spark.sql("REPLACE TABLE gt.rep (a BIGINT, b STRING)")
+    assert(spark.table("gt.rep").columns.toSeq == Seq("a", "b"))
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.rep") == Set(Seq(0L)))
+    // REPLACE of a missing table is loud
+    intercept[Exception] { spark.sql("REPLACE TABLE gt.rep_nope (a BIGINT)") }
+  }
+
   test("CALL graft.system.clone: shallow clone through the SQL face") {
     warehouse
     spark.sql("CREATE TABLE gt.csrc (k BIGINT, v STRING) TBLPROPERTIES ('key'='k')")
