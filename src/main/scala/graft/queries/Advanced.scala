@@ -1723,7 +1723,110 @@ object Advanced extends QueryPack {
         |  CAST(SUM(price_c * 2) AS BIGINT) AS sum_cents2,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 2 = 0) AS n_v1
         |FROM base WHERE k % 3 = 0
-        |GROUP BY prio ORDER BY prio""".stripMargin)))
+        |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // HISTORY EXPIRATION under the gate: after a multi-commit load
+    // (create → per-priority appends → a delete), `expireHistory` drops
+    // the commit files below the horizon — the horizon checkpoint carries
+    // the full net state, so the CURRENT aggregate and a change-feed range
+    // STARTING at the horizon are bit-identical to the unexpired table
+    // (the oracle replays the logical content, which expiration must not
+    // touch). At 100 TB commit rates the log itself is a scale surface:
+    // this is what keeps it O(retained window), not O(table lifetime).
+    GraftQuery(
+      "q309_table_expire_history",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q309_${java.util.UUID.randomUUID()}")
+        try {
+          val prios = base.select("prio").distinct()
+            .collect().map(_.getString(0)).sorted
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("prio") === prios.head), keyCol = Some("k"))
+          prios.tail.foreach(p => t.append(base.where(col("prio") === p)))
+          val horizon = t.version // pre-delete horizon
+          t.deleteWhere(col("k") % 7 === 0)
+          t.expireHistory(horizon)
+          // net deletes the feed saw since the horizon, per priority
+          val feedDel = t.changes(horizon, t.version)
+            .where(col("_change") === "delete")
+            .groupBy(col("prio")).agg(count(lit(1)).as("n_deleted"))
+          materializeSmall(t.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .join(feedDel, Seq("prio"), "left")
+            .withColumn("n_deleted", coalesce(col("n_deleted"), lit(0L)))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT prio,
+        |  CAST(COUNT(*) FILTER (WHERE k % 7 <> 0) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) FILTER (WHERE k % 7 <> 0) AS BIGINT) AS sum_price_c,
+        |  CAST(COUNT(*) FILTER (WHERE k % 7 = 0) AS BIGINT) AS n_deleted
+        |FROM base GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // CDF UPDATE CLASSIFICATION under the gate: `changes(classifyUpdates)`
+    // pairs each commit's net diff on the merge key — a key both deleted
+    // and inserted in ONE commit is an in-place row change, re-tagged
+    // update_preimage / update_postimage (the published CDF vocabulary),
+    // while genuine churn stays insert/delete. The aggregate fingerprints
+    // all four classes (pre sums OLD prices, post sums NEW — a pairing
+    // slip or tag swap hash-diverges).
+    GraftQuery(
+      "q310_table_cdf_update_images",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q310_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"))
+          t.merge(base.where(col("k") % 3 === 0)
+            .withColumn("price_c", col("price_c") * 2))       // v2
+          t.deleteWhere(col("k") % 10 === 0)                  // v3
+          materializeSmall(t.changes(1L, t.version, classifyUpdates = true)
+            .groupBy(col("_change"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .orderBy(col("_change")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |feed AS (
+        |  -- v2 merge: matched (even AND %3) pre/post pairs, odd-%3 inserts
+        |  SELECT 'update_preimage' AS _change, price_c FROM base
+        |  WHERE k % 2 = 0 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', price_c * 2 FROM base
+        |  WHERE k % 2 = 0 AND k % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', price_c * 2 FROM base
+        |  WHERE k % 2 <> 0 AND k % 3 = 0
+        |  UNION ALL
+        |  -- v3 delete of k % 10 = 0 rows from the POST-merge state
+        |  SELECT 'delete',
+        |    CASE WHEN k % 3 = 0 THEN price_c * 2 ELSE price_c END
+        |  FROM base WHERE k % 10 = 0)
+        |SELECT _change, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -32,7 +32,7 @@ private[tables] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "restore", "clone")
+    Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history")
 
   def load(resolve: String => GraftTable, name: String,
       pathFor: String => String = _ => throw new UnsupportedOperationException(
@@ -43,6 +43,7 @@ private[tables] object GraftProcedures {
       case "vacuum" => Some(VacuumProc(resolve))
       case "restore" => Some(RestoreProc(resolve))
       case "clone" => Some(CloneProc(resolve, pathFor))
+      case "expire_history" => Some(ExpireHistoryProc(resolve))
       case _ => None
     }
 
@@ -152,6 +153,26 @@ private[tables] object GraftProcedures {
       val t = src.cloneTo(pathFor(target.toString),
         if (ver < 0) None else Some(ver))
       result(VersionSchema, t.version)
+    }
+  }
+
+  /** `CALL graft.system.expire_history(table => 'ns.t', before_version
+    *  => N)` — bound the commit log: delete commit files below the horizon
+    * after making it self-sufficient (state + txn set checkpoint). See
+    * [[GraftTable.expireHistory]].
+    */
+  private case class ExpireHistoryProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "expire_history"
+    override def description(): String =
+      "delete commit-log history below a version (current reads, newer time travel, txn replays unaffected)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("before_version", LongType,
+        "versions below this are expired; it becomes the oldest"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val n = table(input).expireHistory(input.getLong(1))
+      result(StructType(Seq(StructField("expired_commits", IntegerType))), n)
     }
   }
 

@@ -656,13 +656,34 @@ final class GraftTable private (
     * (older commits' rows null-fill columns they predate). Like time
     * travel, the feed needs the referenced files — after `vacuum()` the
     * read fails loud with the reclaimed names.
+    *
+    * `classifyUpdates = true` (needs a keyed table) additionally PAIRS
+    * each commit's net diff on the merge key: a key both deleted and
+    * inserted in the SAME commit is an in-place row change, re-tagged
+    * `update_preimage` (the old row) / `update_postimage` (the new one) —
+    * the published CDF vocabulary, so downstream consumers can tell a
+    * value change from churn. Keys are snapshot-unique, so pairing is
+    * exact (at most one pre and one post per key per commit); deleting
+    * pre+post and inserting post ≡ the unclassified fold, invariant kept.
     */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long,
+      classifyUpdates: Boolean = false): DataFrame = {
+    val classifyKey = if (!classifyUpdates) None else Some(keyCol.getOrElse(
+      throw new IllegalArgumentException(
+        "changes(classifyUpdates = true) needs a table created with keyCol " +
+          "= Some(...) — update pairing happens on the merge key")))
     val all = listVersions(fs, logDir)
     require(fromVersion >= 0 && toVersion >= fromVersion,
       s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
     require(all.contains(toVersion) && (fromVersion == 0 || all.contains(fromVersion)),
       s"versions must exist under $logDir (have ${all.mkString(",")})")
+    // changes(0, …) folds from the creation commit — impossible once
+    // expireHistory dropped the prefix (the deleted commits' diffs are
+    // gone; the horizon checkpoint holds only their NET state)
+    require(fromVersion > 0 || all.headOption.contains(1L),
+      s"history before version ${all.headOption.getOrElse(0L)} has been " +
+        s"expired; changes($fromVersion, …) is no longer reconstructible — " +
+        s"the oldest available start is ${all.headOption.getOrElse(0L)}")
     val outSchema = schemaAt(toVersion)
     // physical→logical under the TO version, built from the LIVE columns
     // only: a column renamed inside the range still unions into ONE output
@@ -711,11 +732,27 @@ final class GraftTable private (
         }
         val added = readAs(adds, v)
         val removed = readAs(removedFiles, v)
-        val ins = added.exceptAll(removed)
-          .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
-        val del = removed.exceptAll(added)
-          .withColumn("_change", lit("delete")).withColumn("_version", lit(v))
-        widenTo(ins, outSchema).unionByName(widenTo(del, outSchema))
+        val ins0 = added.exceptAll(removed)
+        val del0 = removed.exceptAll(added)
+        val (ins, del) = classifyKey match {
+          case None =>
+            (ins0.withColumn("_change", lit("insert")),
+              del0.withColumn("_change", lit("delete")))
+          case Some(k) =>
+            // a key on BOTH sides of one commit's net diff is an in-place
+            // update: tag its old/new rows as the pre-/post-image pair
+            val updKeys = ins0.select(col(k)).intersect(del0.select(col(k)))
+              .withColumnRenamed(k, "__upd_k")
+            def tag(df: DataFrame, hit: String, miss: String): DataFrame =
+              df.join(broadcast(updKeys), col(k) === col("__upd_k"), "left")
+                .withColumn("_change",
+                  when(col("__upd_k").isNotNull, hit).otherwise(miss))
+                .drop("__upd_k")
+            (tag(ins0, "update_postimage", "insert"),
+              tag(del0, "update_preimage", "delete"))
+        }
+        widenTo(ins.withColumn("_version", lit(v)), outSchema)
+          .unionByName(widenTo(del.withColumn("_version", lit(v)), outSchema))
       }
     }
     val empty = {
@@ -915,10 +952,22 @@ final class GraftTable private (
     -1L // unreachable
   }
 
-  private def committedTxns: Set[String] =
-    listVersions(fs, logDir).flatMap { v =>
-      cachedCommit(v)._1.get("txn").flatMap(Option(_)).map(_.toString)
-    }.toSet
+  private def txnOf(v: Long): Option[String] =
+    cachedCommit(v)._1.get("txn").flatMap(Option(_)).map(_.toString)
+
+  private def committedTxns: Set[String] = {
+    val all = listVersions(fs, logDir)
+    // a txn-carrying checkpoint is COMPLETE for its prefix — scan only the
+    // tail (and after history expiration the prefix commits are GONE, so
+    // the carried set is the only record of their txns); a legacy
+    // checkpoint without the line means nothing was expired: full scan
+    val carried = listCheckpoints(fs, logDir).lastOption
+      .flatMap(cp => readCheckpointTxns(fs, logDir, cp).map(cp -> _))
+    carried match {
+      case Some((cp, txns)) => txns ++ all.filter(_ > cp).flatMap(txnOf)
+      case None => all.flatMap(txnOf).toSet
+    }
+  }
 
   /** Replace the whole table contents (snapshot-atomic). */
   def overwrite(df: DataFrame): Long = {
@@ -1532,6 +1581,46 @@ final class GraftTable private (
       newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy))
   }
 
+  /** EXPIRE HISTORY: physically delete the commit-log files (and
+    * checkpoints) of every version BELOW `beforeVersion`, bounding the
+    * log's storage and listing cost — at 100 TB commit rates (streaming
+    * epochs, per-merge commits) an unbounded log is itself a scale bug:
+    * snapshot assembly already reads checkpoint + tail, but `listVersions`
+    * and the log's footprint grow O(commits) forever without this.
+    *
+    * `beforeVersion` is first made SELF-SUFFICIENT: a checkpoint carrying
+    * its full active-file state AND the accumulated exactly-once txn ids
+    * is written (durably, BEFORE any deletion), so current reads, time
+    * travel at-or-after the horizon, `changes()` ranges starting
+    * at-or-after it, and idempotent txn replays all keep working
+    * bit-identically. Time travel and feeds BELOW the horizon fail LOUD
+    * (the versions no longer exist). Data files are untouched — run
+    * `vacuum()` for those; the two together bound the table's total
+    * metadata + storage. Returns the number of expired commits.
+    */
+  def expireHistory(beforeVersion: Long): Int = {
+    val all = listVersions(fs, logDir)
+    require(all.contains(beforeVersion),
+      s"version $beforeVersion does not exist (have ${all.head}..${all.last})")
+    val victims = all.filter(_ < beforeVersion)
+    if (victims.isEmpty) return 0
+    // self-sufficiency first: the horizon checkpoint must carry the txn
+    // set; a legacy txn-less checkpoint at the horizon is replaced (its
+    // content is a pure function of the log prefix, plus the txns line)
+    val txns = committedTxns
+    val cpP = checkpointPath(logDir, beforeVersion)
+    if (fs.exists(cpP) &&
+        txns.nonEmpty && readCheckpointTxns(fs, logDir, beforeVersion).isEmpty)
+      fs.delete(cpP, false)
+    if (!fs.exists(cpP))
+      writeCheckpoint(fs, logDir, beforeVersion, activeFiles(beforeVersion), txns)
+    require(fs.exists(cpP), s"could not materialize checkpoint at $beforeVersion")
+    victims.foreach(v => fs.delete(logPath(logDir, v), false))
+    listCheckpoints(fs, logDir).filter(_ < beforeVersion)
+      .foreach(v => fs.delete(checkpointPath(logDir, v), false))
+    victims.size
+  }
+
   /** SHALLOW CLONE: create a NEW table at `dest` whose create commit
     * REFERENCES this table's active files (as fully-qualified absolute
     * paths) — O(files) driver metadata, ZERO data copied or moved. At
@@ -1920,7 +2009,7 @@ final class GraftTable private (
         newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
-      writeCheckpoint(fs, logDir, next, activeFiles(next))
+      writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
     next
   }
 
@@ -2377,11 +2466,18 @@ object GraftTable {
     * its temp — no exception.
     */
   private def writeCheckpoint(fs: FileSystem, logDir: Path, v: Long,
-      files: Seq[AddFile]): Unit = {
+      files: Seq[AddFile], txns: Set[String] = Set.empty): Unit = {
     val tmp = new Path(logDir, s".tmp-checkpoint-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
       val sb = new StringBuilder
+      // the ACCUMULATED idempotent-txn ids of every commit <= v ride the
+      // checkpoint (sorted — racing handles must render identical bytes):
+      // history EXPIRATION deletes those commits, and a replayed
+      // exactly-once txn must stay a no-op across it
+      if (txns.nonEmpty)
+        sb.append(mapper.writeValueAsString(
+          Map("txns" -> txns.toSeq.sorted.asJava).asJava)).append('\n')
       files.foreach { a =>
         sb.append(mapper.writeValueAsString(Map("add" -> addNode(a)).asJava)).append('\n')
       }
@@ -2392,9 +2488,24 @@ object GraftTable {
   }
 
   private def readCheckpoint(fs: FileSystem, logDir: Path, v: Long): Seq[AddFile] =
-    readFully(fs, checkpointPath(logDir, v)).linesIterator.filter(_.nonEmpty).map { line =>
+    readFully(fs, checkpointPath(logDir, v)).linesIterator.filter(_.nonEmpty).flatMap { line =>
       val node = mapper.readValue(line, classOf[java.util.Map[String, Object]])
-      parseAdd(node.get("add").asInstanceOf[java.util.Map[String, Object]])
+      Option(node.get("add"))
+        .map(a => parseAdd(a.asInstanceOf[java.util.Map[String, Object]]))
     }.toSeq
+
+  /** The txn set a checkpoint carries: `Some` iff the checkpoint has an
+    * explicit txns line (then it is COMPLETE for versions <= cp and the
+    * caller may skip scanning them); `None` for legacy checkpoints, where
+    * every commit still exists and a full scan stays correct.
+    */
+  private def readCheckpointTxns(fs: FileSystem, logDir: Path, v: Long)
+      : Option[Set[String]] =
+    readFully(fs, checkpointPath(logDir, v)).linesIterator.filter(_.nonEmpty)
+      .flatMap { line =>
+        val node = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+        Option(node.get("txns")).map(_.asInstanceOf[java.util.List[Object]]
+          .asScala.map(_.toString).toSet)
+      }.nextOption()
 
 }

@@ -69,8 +69,9 @@ final class GraftTableChangeFeedSource extends StreamSourceProvider with DataSou
     val maxCommits = params.get("maxcommitspertrigger").map(_.toInt)
     maxCommits.foreach(n => require(n > 0,
       s"maxCommitsPerTrigger must be positive, got $n"))
+    val classify = params.get("classifyupdates").exists(_.toBoolean)
     new GraftTableChangeFeedStream(sqlContext.sparkSession,
-      location(parameters), startingVersion, maxCommits)
+      location(parameters), startingVersion, maxCommits, classify)
   }
 }
 
@@ -85,7 +86,8 @@ private[tables] object GraftTableChangeFeedStream {
 
 private[tables] final class GraftTableChangeFeedStream(
     spark: SparkSession, location: String, startingVersion: Long,
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None,
+    classifyUpdates: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -175,7 +177,7 @@ private[tables] final class GraftTableChangeFeedStream(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
-    val feed = table.changes(from, to)
+    val feed = table.changes(from, to, classifyUpdates)
     require(feed.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       anchored.fields.map(f => (f.name, f.dataType)).toSeq,
       s"the table's schema changed mid-stream (feed ${feed.schema.simpleString}, " +

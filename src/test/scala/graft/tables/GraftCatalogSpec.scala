@@ -667,6 +667,21 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("already exists"), e.getMessage)
   }
 
+  test("CALL graft.system.expire_history bounds the log via SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gt.exp (k BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO gt.exp VALUES ($i)"))
+    val t = GraftTable.at(spark, s"$warehouse/exp")
+    val horizon = t.version - 1
+    val out = spark.sql(
+      s"CALL gt.system.expire_history(table => 'exp', before_version => $horizon)")
+    assert(out.head().getInt(0) == (horizon - 1).toInt)
+    assert(sqlRows("SELECT COUNT(*) AS n FROM gt.exp") == Set(Seq(5L)))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gt.exp VERSION AS OF 1").collect()
+    }
+  }
+
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")

@@ -1072,6 +1072,72 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.currentFiles.exists(_.dv.exists(_.n == 7L)))
   }
 
+  test("changes(classifyUpdates): in-place changes pair as pre/post images") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), keyCol = Some("k"))
+    t.merge(Seq((1L, "NEW1"), (2L, "NEW2"), (200L, "INS")).toDF("k", "v")) // v2
+    t.deleteWhere(col("k") === 10L)                                        // v3
+    val f = t.changes(1L, t.version, classifyUpdates = true)
+      .select("_change", "k", "v").as[(String, Long, String)].collect().toSet
+    assert(f == Set(
+      ("update_preimage", 1L, "v1"), ("update_postimage", 1L, "NEW1"),
+      ("update_preimage", 2L, "v2"), ("update_postimage", 2L, "NEW2"),
+      ("insert", 200L, "INS"),
+      ("delete", 10L, "v10")), f)
+    // the classified feed folds identically (post ≡ insert, pre ≡ delete)
+    val plain = t.changes(1L, t.version).select("_change", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(plain.map(_._2) == f.map(_._2))
+    // unkeyed tables cannot pair: loud
+    val u = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    u.append(Seq((2L, "b")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      u.changes(1L, u.version, classifyUpdates = true)
+    }
+    assert(e.getMessage.contains("keyCol"), e.getMessage)
+  }
+
+  // ---- history expiration -------------------------------------------------
+
+  test("expireHistory bounds the log; reads, feeds, txn replays survive") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"),
+      keyCol = Some("k"))
+    // an exactly-once txn that must stay a no-op ACROSS expiration
+    val add = Seq((100L, "txn-row")).toDF("k", "v")
+    t.appendIfAbsent("daily-load-1", add)
+    (2L to 12L).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    t.deleteWhere(col("k") === 3L)
+    val vBefore = t.version
+    val horizon = vBefore - 2
+    val preSnap = t.snapshot().as[(Long, String)].collect().toSet
+    val preChanges = t.changes(horizon, vBefore).count()
+    val expired = t.expireHistory(horizon)
+    assert(expired == (horizon - 1).toInt, s"expired $expired")
+    // log files below the horizon are GONE
+    val logFiles = new java.io.File(loc, "_graft_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".json"))
+    assert(!logFiles.exists(_.contains(f"${horizon - 1}%020d")), logFiles.toSeq)
+    // current reads bit-identical; time travel at/after the horizon works
+    assert(t.snapshot().as[(Long, String)].collect().toSet == preSnap)
+    assert(t.snapshot(Some(horizon)).count() > 0)
+    assert(t.changes(horizon, vBefore).count() == preChanges)
+    // below the horizon: loud
+    intercept[Exception] { t.snapshot(Some(1L)) }
+    val e = intercept[Exception] { t.changes(0L, vBefore) }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // the CRUCIAL pin: a replayed pre-expiration txn is STILL a no-op
+    // (the txn set rides the horizon checkpoint)
+    val v0 = t.version
+    t.appendIfAbsent("daily-load-1", add)
+    assert(t.version == v0, "a replayed expired-era txn committed again")
+    assert(t.snapshot().where(col("k") === 100L).count() == 1L)
+    // the table keeps living: new commits, reopen, idempotent re-expire
+    t.append(Seq((200L, "post")).toDF("k", "v"))
+    assert(GraftTable.at(spark, loc).snapshot().count() == preSnap.size + 1L)
+    assert(t.expireHistory(horizon) == 0)
+  }
+
   // ---- shallow clone ------------------------------------------------------
 
   test("shallow clone: one metadata commit, zero data files copied") {
