@@ -1826,7 +1826,52 @@ object Advanced extends QueryPack {
         |  FROM base WHERE k % 10 = 0)
         |SELECT _change, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin)))
+        |FROM feed GROUP BY _change ORDER BY _change""".stripMargin)),
+
+    // BLOOM FILTER INDEX under the gate: a bloom-indexed key column
+    // (`setBloomFilter` → parquet split-block bitsets in every data file,
+    // BloomIndexSpec pins the file-level pruning) serves point lookups —
+    // an IN-list of known keys — through `scan`, which refutes files on
+    // the driver before any data read. Zone maps cannot prune hash-like
+    // key spreads; at 100 TB this is the published Hudi-bloom/Delta-bloom
+    // point-lookup path. The oracle replays the lookup relationally:
+    // pruning must be INVISIBLE in the result.
+    GraftQuery(
+      "q311_table_bloom_index_lookup",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q311_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0), keyCol = Some("k"))
+          t.setBloomFilter(Map("k" -> 100000L))
+          val prios = base.select("prio").distinct()
+            .collect().map(_.getString(0)).sorted
+          prios.foreach(p => t.append(base.where(col("prio") === p)))
+          // deterministic literal key set: the 7 smallest order keys
+          val keys = base.orderBy(col("k")).limit(7)
+            .select("k").collect().map(_.getLong(0)).toIndexedSeq
+          materializeSmall(t.scan(col("k").isin(keys: _*))
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |keys AS (SELECT k FROM base ORDER BY k LIMIT 7)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM base WHERE k IN (SELECT k FROM keys)
+        |GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -56,6 +56,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var root: Path = _
 
+  // ALTER TABLE … SET TBLPROPERTIES face of the bloom filter index:
+  //   'graft.bloom.columns' = 'c1,c2' | 'c1:200000,c2'   (UNSET clears)
+  //   'graft.bloom.ndv'     = '100000'                    (statement default)
+  private val BloomColsProp = "graft.bloom.columns"
+  private val BloomNdvProp = "graft.bloom.ndv"
+
   // one GraftTable handle per location: commit parses memoize per instance
   // (immutable files), so repeated SQL statements replay only NEW commits
   // instead of re-reading the whole log each time. Invalidation just drops
@@ -313,7 +319,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     var drop: Option[TableChange.DeleteColumn] = None
     var addCons: Option[org.apache.spark.sql.connector.catalog.constraints.Check] = None
     var dropCons: Option[TableChange.DropConstraint] = None
+    val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var clearBloom = false
     changes.foreach {
+      case s: TableChange.SetProperty =>
+        require(s.property == BloomColsProp || s.property == BloomNdvProp,
+          s"graft-catalog ALTER TABLE SET TBLPROPERTIES supports " +
+            s"'$BloomColsProp' / '$BloomNdvProp' only, got '${s.property}'")
+        setProps.put(s.property, s.value)
+      case r: TableChange.RemoveProperty =>
+        require(r.property == BloomColsProp,
+          s"graft-catalog ALTER TABLE UNSET TBLPROPERTIES supports " +
+            s"'$BloomColsProp' only, got '${r.property}'")
+        clearBloom = true
       case a: TableChange.AddConstraint =>
         a.constraint match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -350,10 +368,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val fields = adds.result()
     require(Seq(rename.nonEmpty, drop.nonEmpty, fields.nonEmpty,
-        addCons.nonEmpty, dropCons.nonEmpty).count(identity) <= 1,
+        addCons.nonEmpty, dropCons.nonEmpty,
+        setProps.nonEmpty || clearBloom).count(identity) <= 1,
       "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ADD COLUMNS / " +
-        "constraint changes (they would land as separate, non-atomic " +
-        "commits); issue separate statements")
+        "constraint changes / property changes (they would land as " +
+        "separate, non-atomic commits); issue separate statements")
+    require(!(setProps.nonEmpty && clearBloom),
+      "ALTER TABLE cannot SET and UNSET bloom properties in one statement")
+    require(setProps.isEmpty || setProps.contains(BloomColsProp),
+      s"'$BloomNdvProp' needs '$BloomColsProp' in the same statement " +
+        "(the NDV alone does not name the indexed columns)")
     rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
     drop.foreach { d =>
       val c = d.fieldNames()(0)
@@ -366,6 +390,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (t.constraints.contains(d.name) || !d.ifExists) t.dropConstraint(d.name)
     }
     if (fields.nonEmpty) t.addColumns(fields)
+    if (clearBloom) t.setBloomFilter(Map.empty)
+    setProps.get(BloomColsProp).foreach { colsSpec =>
+      // 'c1,c2' with an optional per-column 'c1:ndv'; the statement-level
+      // 'graft.bloom.ndv' (default 100000) covers the rest
+      val defaultNdv = setProps.get(BloomNdvProp).map { n =>
+        require(n.forall(_.isDigit) && n.nonEmpty,
+          s"'$BloomNdvProp' must be a positive integer, got '$n'")
+        n.toLong
+      }.getOrElse(100000L)
+      val cols = colsSpec.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        .map { spec =>
+          spec.split(':') match {
+            case Array(c) => c -> defaultNdv
+            case Array(c, n) if n.forall(_.isDigit) && n.nonEmpty => c.trim -> n.toLong
+            case _ => throw new IllegalArgumentException(
+              s"bad bloom column spec '$spec' (want 'col' or 'col:ndv')")
+          }
+        }
+      t.setBloomFilter(cols.toMap)
+    }
     loadTable(ident)
   }
 
@@ -834,10 +878,16 @@ private[tables] final class GraftScanBuilder(
               // the whole answer is one metadata-derived row — no data scan
               context.sparkContext.parallelize(Seq(row), 1)
             case None =>
-              val base = gt.snapshot(Some(pinned))
-              val filtered = pushed.foldLeft(base) { (df, f) =>
-                df.where(V1FilterConverter.toColumn(f).get)
-              }
+              // pushed filters route through `scan`, not `snapshot().where`:
+              // the SAME row filter lands on the parquet read either way
+              // (exactness preserved), but `scan` first prunes whole files
+              // on the DRIVER — zone-map interval analysis plus bloom-index
+              // refutation over O(files) log entries — so a selective SQL
+              // query never even opens the files it cannot match
+              val preds = pushed.toIndexedSeq.map(V1FilterConverter.toColumn(_).get)
+              val filtered =
+                if (preds.isEmpty) gt.snapshot(Some(pinned))
+                else gt.scan(preds.reduce(_ && _), Some(pinned))
               filtered.select(required.fieldNames.toIndexedSeq.map(col): _*).rdd
           }
       }

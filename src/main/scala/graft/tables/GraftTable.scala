@@ -127,6 +127,90 @@ final class GraftTable private (
   def constraints: Map[String, String] =
     listVersions(fs, logDir).lastOption.map(constraintsAt).getOrElse(Map.empty)
 
+  /** BLOOM FILTER INDEX config (PHYSICAL column name → expected NDV) in
+    * force at a version, carried forward in commit metadata like the
+    * column mapping. Physical names keep the config stable across
+    * renames; see [[BloomIndex]] for the design.
+    */
+  private def bloomAt(v: Long): Map[String, Long] =
+    cachedCommit(v)._1.get("bloom") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k, n) => k -> n.asInstanceOf[Number].longValue }.toMap
+      case _ => Map.empty
+    }
+
+  private def currentBloom: Map[String, Long] =
+    listVersions(fs, logDir).lastOption.map(bloomAt).getOrElse(Map.empty)
+
+  /** The live bloom-index config keyed by LOGICAL column name. */
+  def bloomFilterColumns: Map[String, Long] = {
+    val v = version
+    val cm = colmapAt(v)
+    val bl = bloomAt(v)
+    schemaAt(v).fieldNames.toIndexedSeq
+      .flatMap(l => bl.get(physName(cm, l)).map(l -> _)).toMap
+  }
+
+  /** Configure the table's bloom filter index in ONE metadata commit:
+    * every data file written from this commit on carries a parquet
+    * split-block bloom bitset per listed column (sized for `expected NDV`
+    * values), and equality lookups on those columns prune files on the
+    * driver through [[BloomIndex]]. Files written BEFORE the config have
+    * no bitset and are simply never pruned — no rewrite, results
+    * unchanged. An empty map clears the index. Columns are logical names;
+    * integral / string / date types only (equality on float/decimal/
+    * timestamp literals is not a probeable point domain here).
+    */
+  def setBloomFilter(cols: Map[String, Long]): Long = {
+    val v = version
+    val schema = schemaAt(v)
+    val cm = colmapAt(v)
+    val phys = cols.map { case (l, ndv) =>
+      require(ndv > 0, s"expected NDV for '$l' must be positive, got $ndv")
+      val f = schema.fields.find(_.name == l).getOrElse(throw new IllegalArgumentException(
+        s"no column '$l' in ${schema.fieldNames.mkString(",")}"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             org.apache.spark.sql.types.DateType => ()
+        case dt => throw new IllegalArgumentException(
+          s"bloom filter on '$l': unsupported type ${dt.simpleString} " +
+            "(integral, string and date columns only)")
+      }
+      physName(cm, l) -> ndv
+    }
+    commit(v, "setBloomFilter", Nil, Nil, newBloom = Some(phys))
+  }
+
+  /** Per-(file, physical column) bloom bitsets, one entry per row group
+    * (parquet primitive type + the bitset, None where the writer emitted
+    * none). Memoized — files are immutable — with a hard cap so a scan
+    * over many indexed files cannot hold unbounded bitset memory on the
+    * driver.
+    */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      Option[org.apache.parquet.column.values.bloomfilter.BloomFilter])]]
+
+  private def bloomBlocks(f: AddFile, physCol: String)
+      : Seq[(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+        Option[org.apache.parquet.column.values.bloomfilter.BloomFilter])] =
+    bloomCache.getOrElseUpdate((f.path, physCol), {
+      if (bloomCache.size >= BloomCacheMaxEntries) bloomCache.clear()
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(location, f.path), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == physCol) match {
+            case Some(cc) => (cc.getPrimitiveType.getPrimitiveTypeName,
+              Option(reader.getBloomFilterDataReader(b).readBloomFilter(cc)))
+            case None => // column chunk absent: nothing to refute with
+              (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY, None)
+          }
+        }
+      } finally reader.close()
+    })
+
   /** Add a CHECK constraint in one metadata commit. EXISTING rows are
     * validated first (one scan — the lakehouse ADD CONSTRAINT contract):
     * a violating table refuses the constraint rather than recording a lie.
@@ -448,6 +532,23 @@ final class GraftTable private (
     */
   def scan(pred: Column, versionAsOf: Option[Long] = None): DataFrame = {
     val asOf = versionAsOf.getOrElse(version)
+    val sel = scanCandidates(pred, asOf)
+    if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
+      val gone = missing(sel.map(_.path))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
+          s"(e.g. ${gone.head}); time travel to it is no longer possible")
+    }
+    readFiles(sel, asOf).where(pred)
+  }
+
+  /** The candidate files a `scan(pred)` of version `asOf` would read:
+    * zone-map interval pruning, then — for equality conjuncts on
+    * bloom-indexed columns — driver-side bitset refutation
+    * ([[BloomIndex]]). Package-private so specs pin the pruning itself,
+    * not just result equality.
+    */
+  private[tables] def scanCandidates(pred: Column, asOf: Long): Seq[AddFile] = {
     val files = activeFiles(asOf)
     val schema = schemaAt(asOf)
     // Resolve the predicate against the table schema by analyzing it over
@@ -470,13 +571,21 @@ final class GraftTable private (
     val cm = colmapAt(asOf)
     val sel = files.filter(_.rows > 0)
       .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema, cm)))
-    if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
-      val gone = missing(sel.map(_.path))
-      if (gone.nonEmpty) throw new IllegalStateException(
-        s"version $asOf references ${gone.size} file(s) reclaimed by vacuum() " +
-          s"(e.g. ${gone.head}); time travel to it is no longer possible")
+    // bloom refutation runs AFTER the interval pass (fewer footers to
+    // probe) and ONLY when the predicate carries an equality conjunct on
+    // an indexed column — any other scan pays nothing
+    val bl = bloomAt(asOf)
+    if (bl.isEmpty) sel
+    else {
+      val lookups = BloomIndex.pointLookups(predExpr).flatMap { case (l, vs) =>
+        val p = physName(cm, l)
+        if (bl.contains(p)) Some(p -> vs) else None
+      }
+      if (lookups.isEmpty) sel
+      else sel.filter(f => lookups.forall { case (p, vs) =>
+        BloomIndex.maybePresent(bloomBlocks(f, p), vs)
+      })
     }
-    readFiles(sel, asOf).where(pred)
   }
 
   /** Log-estimated LIVE bytes a scan of version `asOf` under `preds` would
@@ -878,7 +987,10 @@ final class GraftTable private (
     requireNoConstraintOn(name, "drop")
     val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
     commit(v, "dropColumn", Nil, Nil, None, Some(evolved), Some(cm - name),
-      Some((retiredAt(v) :+ physName(cm, name)).distinct))
+      Some((retiredAt(v) :+ physName(cm, name)).distinct),
+      // a dropped column's bloom entry goes with it (advisory metadata —
+      // no guard needed, unlike constraints)
+      newBloom = Some(bloomAt(v) - physName(cm, name)))
   }
 
   /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
@@ -1520,7 +1632,11 @@ final class GraftTable private (
       target.filterNot(f => curByPath.get(f.path).contains(f)),
       cur.filterNot(f => targetByPath.get(f.path).contains(f)).map(_.path),
       None, Some(restoredSchema), Some(restoredCm),
-      Some(retiredAt(v).filterNot(revived.contains)))
+      Some(retiredAt(v).filterNot(revived.contains)),
+      // bloom config is write POLICY, not data state: it carries forward
+      // across the restore, minus entries whose column the restored
+      // schema no longer has
+      newBloom = Some(bloomAt(v).view.filterKeys(revived.contains).toMap))
   }
 
   /** A constraint predicate must RESOLVE against the given schema (loud
@@ -1574,11 +1690,13 @@ final class GraftTable private (
     val adds = t2.writeData(df.select(newSchema.fieldNames.toIndexedSeq.map(col): _*),
       consOverride = Some(cons), colmapOverride = Some(cm),
       statsSchemaOverride = Some(newSchema),
-      keyColOverride = Some(newKeyCol), partitionByOverride = Some(newPartitionBy))
+      keyColOverride = Some(newKeyCol), partitionByOverride = Some(newPartitionBy),
+      bloomOverride = Some(Map.empty)) // a REPLACE defines a fresh table
     commit(v, "replace", adds, activeFiles(v).map(_.path),
       newSchema = Some(newSchema), newColmap = Some(cm),
       newRetired = Some(retired), newConstraints = Some(newConstraints),
-      newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy))
+      newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy),
+      newBloom = Some(Map.empty))
   }
 
   /** EXPIRE HISTORY: physically delete the commit-log files (and
@@ -1658,7 +1776,8 @@ final class GraftTable private (
     dfs.mkdirs(destLog)
     writeCommit(dfs, destLog, 1L,
       metaMap("clone", keyCol, schemaAt(asOf).json, None, partitionBy,
-        colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf)),
+        colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf),
+        bloom = bloomAt(asOf)),
       refs, Nil)
     GraftTable.at(spark, dest)
   }
@@ -1754,7 +1873,8 @@ final class GraftTable private (
       colmapOverride: Option[Map[String, String]] = None,
       statsSchemaOverride: Option[StructType] = None,
       keyColOverride: Option[Option[String]] = None,
-      partitionByOverride: Option[Seq[String]] = None): Seq[AddFile] = {
+      partitionByOverride: Option[Seq[String]] = None,
+      bloomOverride: Option[Map[String, Long]] = None): Seq[AddFile] = {
     // the overrides serve REPLACE TABLE: the data is written under the NEW
     // definition (schema/colmap/constraints/key/partitioning) while the log
     // still carries the old one — the swap lands in the same commit
@@ -1783,15 +1903,24 @@ final class GraftTable private (
     val df =
       if (cm.isEmpty) guarded
       else guarded.toDF(guarded.columns.toIndexedSeq.map(physName(cm, _)): _*)
+    // BLOOM INDEX: configured columns ride parquet's own per-column
+    // bloom-filter writer options (physical names — what the files store);
+    // readers probe the resulting footer bitsets, see [[BloomIndex]]
+    val bloomOpts = bloomOverride.getOrElse(currentBloom).flatMap {
+      case (p, ndv) => Seq(
+        s"parquet.bloom.filter.enabled#$p" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$p" -> ndv.toString)
+    }
     val tmp = new Path(location, s"_tmp-${UUID.randomUUID()}")
     try {
-      if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
+      if (partitionBy.isEmpty) df.write.options(bloomOpts).parquet(tmp.toString)
       else {
         val shadows = partitionBy.zipWithIndex.map { case (c, i) =>
           col(c).cast(StringType).as(s"__gp_$i")
         }
         df.select(col("*") +: shadows: _*)
-          .write.partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
+          .write.options(bloomOpts)
+          .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
           .parquet(tmp.toString)
       }
       // constraint verdict BEFORE any rename into the table root: the
@@ -1983,12 +2112,14 @@ final class GraftTable private (
       newConstraints: Option[Map[String, String]] = None,
       dataChange: Boolean = true,
       newKeyCol: Option[Option[String]] = None,
-      newPartitionBy: Option[Seq[String]] = None): Long = {
+      newPartitionBy: Option[Seq[String]] = None,
+      newBloom: Option[Map[String, Long]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
     val retired = newRetired.getOrElse(retiredAt(expected))
     val cons = newConstraints.getOrElse(constraintsAt(expected))
+    val bloom = newBloom.getOrElse(bloomAt(expected))
     // physical-uniqueness invariant: a NEW logical column whose name equals
     // a renamed column's retired physical name would collide in the files —
     // fail the commit, not the next read. Same for names RETIRED by DROP
@@ -2006,7 +2137,8 @@ final class GraftTable private (
     // `at()` can read the LATEST definition — REPLACE TABLE may change both
     writeCommit(fs, logDir, next,
       metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
-        newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange),
+        newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange,
+        bloom),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
@@ -2141,6 +2273,14 @@ object GraftTable {
     */
   private[tables] val MaxStatsColumns = 32
 
+  /** Driver-side bloom bitset cache bound: (file, column) entries. Parquet
+    * sizes a bitset from the expected NDV (KBs at the default 10⁵), so the
+    * cap bounds worst-case driver memory at a few hundred MB; overflow
+    * clears wholesale (files are immutable — re-probing just re-reads a
+    * footer).
+    */
+  private[tables] val BloomCacheMaxEntries = 512
+
   /** Hive's sentinel directory value for a null partition key. */
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -2261,7 +2401,8 @@ object GraftTable {
       colmap: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty,
-      dataChange: Boolean = true) = {
+      dataChange: Boolean = true,
+      bloom: Map[String, Long] = Map.empty) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -2283,6 +2424,11 @@ object GraftTable {
       val cj = new java.util.LinkedHashMap[String, Any]()
       constraints.foreach { case (n, s) => cj.put(n, s) }
       m.put("constraints", cj)
+    }
+    if (bloom.nonEmpty) {
+      val bj = new java.util.LinkedHashMap[String, Any]()
+      bloom.toSeq.sortBy(_._1).foreach { case (c, ndv) => bj.put(c, ndv) }
+      m.put("bloom", bj)
     }
     // layout-only commits (compact/optimize): rows unchanged, so change
     // feeds skip them without reading the rewritten files

@@ -734,4 +734,36 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql("DELETE FROM gt.hard WHERE rand() > 0.5"))
     assert(spark.sql("SELECT count(*) FROM gt.hard").head().getLong(0) == 1L)
   }
+
+  test("bloom index via TBLPROPERTIES: SET configures, UNSET clears, SELECT prunes") {
+    warehouse
+    spark.sql("CREATE TABLE gt.bloomy (id STRING, n BIGINT)")
+    spark.sql("ALTER TABLE gt.bloomy SET TBLPROPERTIES " +
+      "('graft.bloom.columns'='id', 'graft.bloom.ndv'='5000')")
+    val t = GraftTable.at(spark, s"$warehouse/bloomy")
+    assert(t.bloomFilterColumns == Map("id" -> 5000L))
+    // two single-file inserts with INTERLEAVED ids: zone maps cannot tell
+    // the files apart, so the SQL point lookup can only prune via bloom
+    spark.sql("INSERT INTO gt.bloomy SELECT concat('id', lpad(CAST(id * 2 AS STRING), 3, '0')), id " +
+      "FROM range(0, 50, 1, 1)") // one slice → one data file
+    spark.sql("INSERT INTO gt.bloomy SELECT concat('id', lpad(CAST(id * 2 + 1 AS STRING), 3, '0')), id " +
+      "FROM range(0, 50, 1, 1)")
+    assert(sqlRows("SELECT n FROM gt.bloomy WHERE id = 'id042'") == Set(Seq(21L)))
+    assert(spark.sql("SELECT * FROM gt.bloomy WHERE id = 'zz'").count() == 0)
+    // the SQL read path routes through scan(): the same candidates the
+    // API-level pin checks (one file per lookup)
+    import org.apache.spark.sql.functions.col
+    assert(t.scanCandidates(col("id") === "id042", t.version).size == 1)
+    // per-column NDV spec + UNSET
+    spark.sql("ALTER TABLE gt.bloomy SET TBLPROPERTIES ('graft.bloom.columns'='id:777,n')")
+    assert(GraftTable.at(spark, s"$warehouse/bloomy").bloomFilterColumns ==
+      Map("id" -> 777L, "n" -> 100000L))
+    spark.sql("ALTER TABLE gt.bloomy UNSET TBLPROPERTIES ('graft.bloom.columns')")
+    assert(GraftTable.at(spark, s"$warehouse/bloomy").bloomFilterColumns.isEmpty)
+    // unknown properties and mixing with other change kinds stay loud
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gt.bloomy SET TBLPROPERTIES ('some.random.prop'='1')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gt.bloomy SET TBLPROPERTIES ('graft.bloom.ndv'='9')"))
+  }
 }
