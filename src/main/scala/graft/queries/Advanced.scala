@@ -1871,6 +1871,52 @@ object Advanced extends QueryPack {
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM base WHERE k IN (SELECT k FROM keys)
+        |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // HIDDEN (TRANSFORM) PARTITIONING under the gate — the Iceberg
+    // partition-spec design: the table is laid out by bucket(8, k) +
+    // months(o_orderdate) while the USER only ever references the source
+    // columns. A month-range filter with an IN-list of keys prunes to the
+    // (bucket, month) cells on the driver (PartitionTransformsSpec pins
+    // file counts); the oracle replays the query relationally, so the
+    // pruning must be invisible in the result. At 100 TB this bounds a
+    // keyed time-slice lookup to files(cell) instead of files(table).
+    GraftQuery(
+      "q312_table_hidden_partitioning",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+            col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+          .where(col("d") >= "1995-01-01" && col("d") < "1995-07-01")
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q312_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0), partitionBy = Seq("bucket(8,k)", "months(d)"))
+          t.append(base.repartition(1))
+          val keys = base.orderBy(col("k")).limit(9)
+            .select("k").collect().map(_.getLong(0)).toIndexedSeq
+          materializeSmall(t.scan(col("k").isin(keys: _*) &&
+              col("d") >= "1995-01-01" && col("d") < "1995-04-01")
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS d, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'),
+        |keys AS (SELECT k FROM base ORDER BY k LIMIT 9)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM base WHERE k IN (SELECT k FROM keys)
+        |  AND d >= DATE '1995-01-01' AND d < DATE '1995-04-01'
         |GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */

@@ -217,12 +217,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String])
       : (Seq[String], Option[String], Map[String, String]) = {
     val partCols = partitions.toIndexedSeq.map { t =>
-      require(t.name == "identity",
-        s"graft-catalog supports PARTITIONED BY (col) only, got $t")
       val refs = t.references
       require(refs.length == 1 && refs(0).fieldNames.length == 1,
         s"partition transform must reference one top-level column, got $t")
-      refs(0).fieldNames()(0)
+      val src = refs(0).fieldNames()(0)
+      // the int argument of bucket/truncate (Spark parses it as a literal
+      // transform argument alongside the field reference)
+      def intArg: Int = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform $t needs an integer argument"))
+      t.name match {
+        case "identity" => src
+        case "bucket" => s"bucket($intArg,$src)"
+        case "days" | "months" | "years" => s"${t.name}($src)"
+        case "truncate" => s"truncate($intArg,$src)"
+        case other => throw new IllegalArgumentException(
+          s"graft-catalog supports PARTITIONED BY (col | bucket(n,col) | " +
+            s"days/months/years(col) | truncate(w,col)), got '$other' in $t")
+      }
     }
     val keyCol = Option(properties.get("key")).filter(_.nonEmpty)
     keyCol.foreach(k => require(schema.fieldNames.contains(k),

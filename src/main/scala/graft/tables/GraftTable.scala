@@ -60,6 +60,21 @@ final class GraftTable private (
 
   import GraftTable._
 
+  /** `partitionBy` elements parsed as partition SPECS — bare column names
+    * (identity, the legacy surface) or hidden-partitioning transforms
+    * (`bucket(8,k)`, `days(ts)`, `truncate(4,s)` — see
+    * [[PartitionTransforms]]). The raw strings stay the log encoding and
+    * the partition-tuple keys; the specs drive the shadow-column write
+    * layout and source-column file pruning.
+    */
+  private[tables] val partSpecs: Seq[PartitionTransforms.PartSpec] =
+    partitionBy.map(PartitionTransforms.parse)
+
+  /** The table columns the partitioning derives from (= the columns that
+    * cannot be renamed or dropped while the spec references them).
+    */
+  private def partSourceCols: Seq[String] = partSpecs.map(_.sourceCol)
+
   /** The schema is versioned WITH the data: every commit's metadata carries
     * the schema in force at that version, so time travel reads old versions
     * with their own (pre-evolution) schema.
@@ -476,6 +491,10 @@ final class GraftTable private (
   def snapshotWhere(partitionPred: Column, versionAsOf: Option[Long] = None): DataFrame = {
     require(partitionBy.nonEmpty, "snapshotWhere needs a partitioned table " +
       "(create with partitionBy = ...); use snapshot().where(...) otherwise")
+    require(partSpecs.forall(_.isInstanceOf[PartitionTransforms.Identity]),
+      "snapshotWhere takes predicates over identity partition COLUMNS; " +
+        "transform-partitioned tables prune point lookups on the source " +
+        "column automatically through scan(pred)")
     val asOf = versionAsOf.getOrElse(version)
     val files = activeFiles(asOf)
     val schema = schemaAt(asOf)
@@ -554,14 +573,19 @@ final class GraftTable private (
     // Resolve the predicate against the table schema by analyzing it over
     // an empty relation (also validates column references, loud), then
     // constant-fold so type-coercion casts around literals collapse back to
-    // typed literals the interval analysis can read.
+    // typed literals the interval analysis can read. RuntimeReplaceable
+    // wrappers (to_timestamp, to_date, …) must be rewritten to their
+    // replacements FIRST (the optimizer's ReplaceExpressions step) — the
+    // wrapper itself reports non-foldable and would hide a literal.
     val predExpr = {
-      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RuntimeReplaceable}
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       empty.where(pred).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(Literal.TrueLiteral).transformUp {
+        case rr: RuntimeReplaceable => rr.replacement
+      }.transformUp {
         case e if e.foldable => Literal.create(e.eval(), e.dataType)
       }
     }
@@ -571,18 +595,45 @@ final class GraftTable private (
     val cm = colmapAt(asOf)
     val sel = files.filter(_.rows > 0)
       .filter(f => FilePruning.possible(predExpr, intervalsOf(f, schema, cm)))
+    val pointLookups = BloomIndex.pointLookups(predExpr)
+    // HIDDEN-PARTITIONING prune: an equality / IN conjunct on a transform's
+    // SOURCE column admits only files whose logged partition value equals
+    // the transform of one of the literals — computed by the writer's own
+    // shadow expression (PartitionTransforms.transformedValues), so write
+    // and prune agree by construction. Identity specs already prune through
+    // intervalsOf; this stage costs nothing when no transform's source
+    // column carries a point lookup.
+    val selP = {
+      val stages = partSpecs
+        .filterNot(_.isInstanceOf[PartitionTransforms.Identity])
+        .flatMap { sp =>
+          for {
+            vs <- pointLookups.get(sp.sourceCol)
+            dt <- schema.fields.find(_.name == sp.sourceCol).map(_.dataType)
+            tvs <- PartitionTransforms.transformedValues(spark, sp, dt, vs)
+          } yield (sp.render, tvs.flatten.toSet)
+        }
+      stages.foldLeft(sel) { case (fs0, (key, admit)) =>
+        fs0.filter(_.pv.get(key) match {
+          // a null / missing partition value can hold anything the
+          // transform nulled out (or predates the spec): never refute
+          case Some(Some(s)) => admit.contains(s)
+          case _ => true
+        })
+      }
+    }
     // bloom refutation runs AFTER the interval pass (fewer footers to
     // probe) and ONLY when the predicate carries an equality conjunct on
     // an indexed column — any other scan pays nothing
     val bl = bloomAt(asOf)
-    if (bl.isEmpty) sel
+    if (bl.isEmpty) selP
     else {
-      val lookups = BloomIndex.pointLookups(predExpr).flatMap { case (l, vs) =>
+      val lookups = pointLookups.flatMap { case (l, vs) =>
         val p = physName(cm, l)
         if (bl.contains(p)) Some(p -> vs) else None
       }
-      if (lookups.isEmpty) sel
-      else sel.filter(f => lookups.forall { case (p, vs) =>
+      if (lookups.isEmpty) selP
+      else selP.filter(f => lookups.forall { case (p, vs) =>
         BloomIndex.maybePresent(bloomBlocks(f, p), vs)
       })
     }
@@ -740,12 +791,18 @@ final class GraftTable private (
     require(partitionBy.nonEmpty,
       "replacePartitions needs a partitioned table; use overwrite() otherwise")
     val aligned = alignSchema(df)
-    // O(distinct partitions) collect — the same bound the commit log holds
+    // O(distinct partitions) collect — the same bound the commit log holds;
+    // the tuple values come from the SAME shadow expressions the writer
+    // uses, so transform partitions replace whole transform cells
     val touched: Set[Map[String, Option[String]]] = aligned
-      .select(partitionBy.map(c => col(c).cast(StringType).as(c)): _*)
+      .select(partSpecs.zipWithIndex.map { case (sp, i) =>
+        val dt = aligned.schema.fields.find(_.name == sp.sourceCol)
+          .map(_.dataType).getOrElse(StringType)
+        sp.shadow(col(sp.sourceCol), dt).cast(StringType).as(s"__t_$i")
+      }: _*)
       .distinct().collect()
-      .map(r => partitionBy.zipWithIndex
-        .map { case (c, i) => c -> Option(r.getString(i)) }.toMap).toSet
+      .map(r => partSpecs.zipWithIndex
+        .map { case (sp, i) => sp.render -> Option(r.getString(i)) }.toMap).toSet
     val v = version
     val removes = activeFiles(v).filter(f => touched(f.pv)).map(_.path)
     commit(v, "replacePartitions", writeData(aligned), removes)
@@ -982,7 +1039,8 @@ final class GraftTable private (
     require(cur.fieldNames.contains(name),
       s"no column '$name' in ${cur.fieldNames.mkString(",")}")
     require(!keyCol.contains(name), "cannot drop the merge key column")
-    require(!partitionBy.contains(name), "cannot drop a partition column")
+    require(!partSourceCols.contains(name),
+      "cannot drop a partition (source) column")
     require(cur.fields.length > 1, "cannot drop the table's last column")
     requireNoConstraintOn(name, "drop")
     val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
@@ -1522,6 +1580,9 @@ final class GraftTable private (
       case Some(pred) =>
         require(partitionBy.nonEmpty,
           "optimize with a partition predicate needs a partitioned table")
+        require(partSpecs.forall(_.isInstanceOf[PartitionTransforms.Identity]),
+          "optimize's partition predicate addresses identity partition " +
+            "columns; on a transform-partitioned table optimize without it")
         val all = activeFiles(v)
         val kept = prunePartitions(all.map(_.pv).distinct, pred, schema)
         all.filter(f => kept(f.pv))
@@ -1669,9 +1730,8 @@ final class GraftTable private (
       newConstraints: Map[String, String] = Map.empty): Long = {
     newKeyCol.foreach(k => require(df.columns.contains(k),
       s"keyCol $k not in ${df.columns.mkString(",")}"))
-    newPartitionBy.foreach(c => require(df.columns.contains(c),
-      s"partition column $c not in ${df.columns.mkString(",")}"))
-    require(newPartitionBy.distinct == newPartitionBy, "duplicate partition columns")
+    PartitionTransforms.validate(
+      newPartitionBy.map(PartitionTransforms.parse), df.schema)
     val v = version
     val newSchema = df.schema
     val cons = newConstraints.toSeq.sortBy(_._1)
@@ -1915,9 +1975,17 @@ final class GraftTable private (
     try {
       if (partitionBy.isEmpty) df.write.options(bloomOpts).parquet(tmp.toString)
       else {
-        val shadows = partitionBy.zipWithIndex.map { case (c, i) =>
-          col(c).cast(StringType).as(s"__gp_$i")
-        }
+        // shadow columns carry each spec's PARTITION VALUE (identity: the
+        // column itself; transforms: bucket/day/prefix of it — see
+        // PartitionTransforms); source cols are never renamed, so they
+        // resolve by the same name on the physical df
+        val shadows = partitionBy.map(PartitionTransforms.parse)
+          .zipWithIndex.map { case (sp, i) =>
+            val dt = df.schema.fields.find(_.name == sp.sourceCol)
+              .map(_.dataType).getOrElse(throw new IllegalStateException(
+                s"partition source column '${sp.sourceCol}' missing from write"))
+            sp.shadow(col(sp.sourceCol), dt).cast(StringType).as(s"__gp_$i")
+          }
         df.select(col("*") +: shadows: _*)
           .write.options(bloomOpts)
           .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
@@ -2167,7 +2235,8 @@ final class GraftTable private (
       s"'$newName' is the retired physical name of a DROPPED column; " +
         "old files still hold its values — pick a different name")
     require(!keyCol.contains(oldName), "cannot rename the merge key column")
-    require(!partitionBy.contains(oldName), "cannot rename a partition column")
+    require(!partSourceCols.contains(oldName),
+      "cannot rename a partition (source) column")
     requireNoConstraintOn(oldName, "rename")
     val evolved = StructType(cur.fields.toIndexedSeq.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
@@ -2355,9 +2424,8 @@ object GraftTable {
       partitionBy: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty): GraftTable = {
     keyCol.foreach(k => require(df.columns.contains(k), s"keyCol $k not in ${df.columns.mkString(",")}"))
-    partitionBy.foreach(c => require(df.columns.contains(c),
-      s"partition column $c not in ${df.columns.mkString(",")}"))
-    require(partitionBy.distinct == partitionBy, "duplicate partition columns")
+    PartitionTransforms.validate(partitionBy.map(PartitionTransforms.parse),
+      df.schema)
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
@@ -2391,8 +2459,13 @@ object GraftTable {
     // redefined key and partitioning since creation
     val (meta, _, _) = readCommit(fs, logDir, listVersions(fs, logDir).last)
     val key = Option(meta.get("keyCol").orNull).map(_.toString).filter(_.nonEmpty)
-    val parts = Option(meta.get("partitionBy").orNull).map(_.toString)
-      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    val parts = Option(meta.get("partitionBy").orNull) match {
+      case Some(l: java.util.List[_]) => // transform specs (JSON list)
+        l.asScala.toSeq.map(_.toString)
+      case Some(s) => // legacy identity encoding: comma-joined column names
+        Option(s.toString).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+      case None => Nil
+    }
     new GraftTable(location, spark, key, meta("schema").toString, parts)
   }
 
@@ -2409,7 +2482,16 @@ object GraftTable {
     m.put("keyCol", keyCol.orNull)
     m.put("schema", schemaJson)
     txn.foreach(m.put("txn", _))
-    if (partitionBy.nonEmpty) m.put("partitionBy", partitionBy.mkString(","))
+    if (partitionBy.nonEmpty) {
+      // transform specs contain commas ("bucket(8,k)") — they ride a JSON
+      // list; identity-only tables keep the legacy comma-string encoding
+      // byte-for-byte so existing logs and their readers are untouched
+      if (partitionBy.exists(_.contains("("))) {
+        val pj = new java.util.ArrayList[String]()
+        partitionBy.foreach(pj.add)
+        m.put("partitionBy", pj)
+      } else m.put("partitionBy", partitionBy.mkString(","))
+    }
     if (colmap.nonEmpty) {
       val cmj = new java.util.LinkedHashMap[String, Any]()
       colmap.foreach { case (l, p) => cmj.put(l, p) }

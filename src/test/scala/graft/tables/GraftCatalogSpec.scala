@@ -766,4 +766,29 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(
       "ALTER TABLE gt.bloomy SET TBLPROPERTIES ('graft.bloom.ndv'='9')"))
   }
+
+  test("PARTITIONED BY transforms: bucket/days through SQL DDL prune and read back") {
+    warehouse
+    spark.sql("CREATE TABLE gt.hidden (k BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (bucket(4, k), days(ts))")
+    spark.sql("INSERT INTO gt.hidden SELECT id, " +
+      "timestamp'2024-05-01 08:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0), " +
+      "concat('v', id) FROM range(0, 60, 1, 1)")
+    val t = GraftTable.at(spark, s"$warehouse/hidden")
+    assert(t.partitionBy == Seq("bucket(4,k)", "days(ts)"))
+    // 4 buckets x 3 days = up to 12 files from the single-slice insert
+    assert(t.filesAt(t.version).count(_.rows > 0) == 12)
+    // a SQL point lookup on the SOURCE columns prunes through scan():
+    // bucket admits 1/4 of files, day admits 1/3 — one file survives
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val cands = t.scanCandidates(
+      col("k") === 7L &&
+        col("ts") === to_timestamp(lit("2024-05-02 08:00:00")), t.version)
+    assert(cands.size == 1, s"expected 1 candidate, got ${cands.size}")
+    assert(sqlRows("SELECT v FROM gt.hidden WHERE k = 7 AND " +
+      "ts = timestamp'2024-05-02 08:00:00'") == Set(Seq("v7")))
+    // unsupported transform stays loud
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gt.hidden2 (ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
+  }
 }
