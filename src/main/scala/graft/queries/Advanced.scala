@@ -1917,6 +1917,52 @@ object Advanced extends QueryPack {
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM base WHERE k IN (SELECT k FROM keys)
         |  AND d >= DATE '1995-01-01' AND d < DATE '1995-04-01'
+        |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // PARTITION EVOLUTION under the gate — the Iceberg spec-evolution
+    // design: the table starts identity-partitioned by priority, evolves
+    // to bucket(8, k) in one metadata-only commit (setPartitioning, no
+    // file rewritten), and a second era of data lands under the new
+    // layout. A keyed IN-lookup spanning BOTH eras prunes era-2 files by
+    // bucket while era-1 files (no bucket key) are kept conservatively —
+    // PartitionTransformsSpec pins the candidate counts; the oracle
+    // replays the union relationally, so evolution must be invisible in
+    // the result. At 100 TB this is re-partitioning three years of
+    // history without rewriting a byte of it.
+    GraftQuery(
+      "q313_table_partition_evolution",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q313_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0), partitionBy = Seq("prio"))
+          t.append(base.where(col("k") % 2 === 0).repartition(1)) // era 1
+          t.setPartitioning(Seq("bucket(8,k)"))
+          val t2 = graft.tables.GraftTable.at(s, root.getAbsolutePath)
+          t2.append(base.where(col("k") % 2 === 1).repartition(1)) // era 2
+          val keys = base.orderBy(col("k")).limit(10)
+            .select("k").collect().map(_.getLong(0)).toIndexedSeq
+          materializeSmall(t2.scan(col("k").isin(keys: _*))
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |keys AS (SELECT k FROM base ORDER BY k LIMIT 10)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM base WHERE k IN (SELECT k FROM keys)
         |GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */

@@ -499,7 +499,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       noSuchProcedure(ident,
         s"graft procedures live under $catalogName.system: " +
           s"CALL $catalogName.system.<proc>(...)")
-    GraftProcedures.load(tableFor, ident.name, pathForDotted).getOrElse(
+    GraftProcedures.load(tableFor, ident.name, pathForDotted,
+      dotted => handles.remove(pathOf(dotted.split('.').toIndexedSeq).toString)).getOrElse(
       noSuchProcedure(ident, "have " +
         GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", ")))
   }

@@ -32,11 +32,13 @@ private[tables] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history")
+    Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history",
+      "set_partitioning")
 
   def load(resolve: String => GraftTable, name: String,
       pathFor: String => String = _ => throw new UnsupportedOperationException(
-        "this catalog does not resolve destination paths")): Option[UnboundProcedure] =
+        "this catalog does not resolve destination paths"),
+      invalidate: String => Unit = _ => ()): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "compact" => Some(CompactProc(resolve))
       case "optimize" => Some(OptimizeProc(resolve))
@@ -44,6 +46,7 @@ private[tables] object GraftProcedures {
       case "restore" => Some(RestoreProc(resolve))
       case "clone" => Some(CloneProc(resolve, pathFor))
       case "expire_history" => Some(ExpireHistoryProc(resolve))
+      case "set_partitioning" => Some(SetPartitioningProc(resolve, invalidate))
       case _ => None
     }
 
@@ -113,6 +116,32 @@ private[tables] object GraftProcedures {
       val whereSql = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
       val v = table(input).optimize(cols, input.getLong(2),
         whereSql.map(org.apache.spark.sql.functions.expr))
+      result(VersionSchema, v)
+    }
+  }
+
+  /** Partition evolution through SQL — metadata-only spec change; the
+    * owning catalog's memoized handle is invalidated afterwards so the next
+    * statement writes under the new spec (a stale handle would fail the
+    * commit guard loud, but re-opening here keeps the SQL flow seamless).
+    */
+  private case class SetPartitioningProc(resolve: String => GraftTable,
+      invalidate: String => Unit) extends GraftProc(resolve) {
+    override def name(): String = "set_partitioning"
+    override def description(): String =
+      "change the partition spec going forward (metadata-only commit; " +
+        "existing files keep their layout and stay exact)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      param("specs", StringType, "''",
+        "semicolon-separated partition specs — identity column names or " +
+          "transforms like 'bucket(8,k);days(ts)'; empty = unpartitioned"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dotted = input.getUTF8String(0).toString
+      val specs = Option(input.getUTF8String(1)).map(_.toString).getOrElse("")
+        .split(';').toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+      val v = table(input).setPartitioning(specs)
+      invalidate(dotted)
       result(VersionSchema, v)
     }
   }

@@ -158,6 +158,13 @@ final class GraftTable private (
   private def currentBloom: Map[String, Long] =
     listVersions(fs, logDir).lastOption.map(bloomAt).getOrElse(Map.empty)
 
+  /** The partition spec strings in force at a version (every commit
+    * carries them — see metaMap). Backs the stale-handle commit guard and
+    * [[setPartitioning]].
+    */
+  private def partitionByAt(v: Long): Seq[String] =
+    GraftTable.decodePartitionBy(cachedCommit(v)._1.get("partitionBy"))
+
   /** The live bloom-index config keyed by LOGICAL column name. */
   def bloomFilterColumns: Map[String, Long] = {
     val v = version
@@ -498,9 +505,12 @@ final class GraftTable private (
     val asOf = versionAsOf.getOrElse(version)
     val files = activeFiles(asOf)
     val schema = schemaAt(asOf)
-    val tuples = files.map(_.pv).distinct
-    val kept = prunePartitions(tuples, partitionPred, schema)
-    val sel = files.filter(f => kept(f.pv))
+    // files from a pre-evolution spec may lack the current partition keys:
+    // they are KEPT unconditionally (the re-applied row filter below makes
+    // the result exact) — partition evolution must never lose their rows
+    val (tupled, legacy) = files.partition(f => partitionBy.forall(f.pv.contains))
+    val kept = prunePartitions(tupled.map(_.pv).distinct, partitionPred, schema)
+    val sel = tupled.filter(f => kept(f.pv)) ++ legacy
     if (versionAsOf.isDefined) { // same loud vacuum contract as snapshot()
       val gone = missing(sel.map(_.path))
       if (gone.nonEmpty) throw new IllegalStateException(
@@ -804,6 +814,15 @@ final class GraftTable private (
       .map(r => partSpecs.zipWithIndex
         .map { case (sp, i) => sp.render -> Option(r.getString(i)) }.toMap).toSet
     val v = version
+    // partition evolution makes "replace the whole partition" ambiguous for
+    // files still laid out under an older spec — those files' rows may
+    // belong to a touched cell without carrying its key. Loud, with the
+    // migration path named.
+    val unmigrated = activeFiles(v).filter(_.rows > 0)
+      .filterNot(f => partitionBy.forall(f.pv.contains))
+    require(unmigrated.isEmpty,
+      s"replacePartitions after partition evolution: ${unmigrated.size} " +
+        "file(s) predate the current spec; optimize() first to migrate them")
     val removes = activeFiles(v).filter(f => touched(f.pv)).map(_.path)
     commit(v, "replacePartitions", writeData(aligned), removes)
   }
@@ -1439,7 +1458,7 @@ final class GraftTable private (
     if (dvAdds.isEmpty && rewrite.isEmpty && dropped.isEmpty) return v
     val keepAdds =
       if (rewrite.isEmpty) Nil
-      else writeData(readFiles(rewrite, v).where(not(hit)))
+      else writeData(readFiles(rewrite, v).where(not(hit)), distribute = false)
     commit(v, "delete", dvAdds ++ keepAdds,
       (dvAdds ++ rewrite ++ dropped).map(_.path))
   }
@@ -1483,7 +1502,8 @@ final class GraftTable private (
       Seq(if (dvSrc.isEmpty) None else Some(applied(readFiles(dvSrc, v), onlyHits = true)),
         if (rewrite.isEmpty) None else Some(applied(readFiles(rewrite, v), onlyHits = false)))
         .flatten
-    val newAdds = if (pieces.isEmpty) Nil else writeData(pieces.reduce(_.unionByName(_)))
+    val newAdds = if (pieces.isEmpty) Nil
+      else writeData(pieces.reduce(_.unionByName(_)), distribute = false)
     commit(v, "update", dvAdds ++ newAdds, (dvAdds ++ rewrite).map(_.path))
   }
 
@@ -1507,7 +1527,7 @@ final class GraftTable private (
     if (small.size < 2 && !small.exists(_.dv.isDefined)) return v
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val merged = readFiles(small, v).coalesce(nOut)
-    commit(v, "compact", writeData(merged), small.map(_.path),
+    commit(v, "compact", writeData(merged, distribute = false), small.map(_.path),
       dataChange = false)
   }
 
@@ -1584,8 +1604,12 @@ final class GraftTable private (
           "optimize's partition predicate addresses identity partition " +
             "columns; on a transform-partitioned table optimize without it")
         val all = activeFiles(v)
-        val kept = prunePartitions(all.map(_.pv).distinct, pred, schema)
-        all.filter(f => kept(f.pv))
+        // pre-evolution files (no current partition keys) are INCLUDED in
+        // the rewrite: optimize is how old-spec files migrate to the
+        // current layout (rows unchanged — layout-only)
+        val (tupled, legacy) = all.partition(f => partitionBy.forall(f.pv.contains))
+        val kept = prunePartitions(tupled.map(_.pv).distinct, pred, schema)
+        tupled.filter(f => kept(f.pv)) ++ legacy
     }
     if (files.isEmpty) return v
     val nOut = math.max(1L,
@@ -1618,7 +1642,7 @@ final class GraftTable private (
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
     }
-    commit(v, "optimize", writeData(clustered), files.map(_.path),
+    commit(v, "optimize", writeData(clustered, distribute = false), files.map(_.path),
       dataChange = false)
   }
 
@@ -1934,7 +1958,8 @@ final class GraftTable private (
       statsSchemaOverride: Option[StructType] = None,
       keyColOverride: Option[Option[String]] = None,
       partitionByOverride: Option[Seq[String]] = None,
-      bloomOverride: Option[Map[String, Long]] = None): Seq[AddFile] = {
+      bloomOverride: Option[Map[String, Long]] = None,
+      distribute: Boolean = true): Seq[AddFile] = {
     // the overrides serve REPLACE TABLE: the data is written under the NEW
     // definition (schema/colmap/constraints/key/partitioning) while the log
     // still carries the old one — the swap lands in the same commit
@@ -1986,8 +2011,22 @@ final class GraftTable private (
                 s"partition source column '${sp.sourceCol}' missing from write"))
             sp.shadow(col(sp.sourceCol), dt).cast(StringType).as(s"__gp_$i")
           }
-        df.select(col("*") +: shadows: _*)
-          .write.options(bloomOpts)
+        val withShadows = df.select(col("*") +: shadows: _*)
+        // WRITE DISTRIBUTION (the Iceberg hash-distribution-mode default):
+        // without it, every one of T input tasks writes a file into every
+        // partition cell it sees — O(T × cells) small files per write, the
+        // classic partitioned-write file explosion at 100 TB. One AQE
+        // REBALANCE shuffle on the cell key bounds output at ~one file per
+        // cell while still SPLITTING a skewed cell across tasks (plain
+        // hash-repartition would serialize it). optimize()/compact() and
+        // DML file rewrites pass distribute=false: their input layout (the
+        // clustering being committed, or the surviving rows of one file)
+        // must reach the writer unshuffled.
+        val placed =
+          if (!distribute) withShadows
+          else withShadows.hint("rebalance",
+            partitionBy.indices.map(i => col(s"__gp_$i")): _*)
+        placed.write.options(bloomOpts)
           .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
           .parquet(tmp.toString)
       }
@@ -2188,6 +2227,18 @@ final class GraftTable private (
     val retired = newRetired.getOrElse(retiredAt(expected))
     val cons = newConstraints.getOrElse(constraintsAt(expected))
     val bloom = newBloom.getOrElse(bloomAt(expected))
+    // STALE-HANDLE guard: the partitioning this handle would record must
+    // match what the log says is in force at `expected` — after a
+    // setPartitioning / REPLACE from another handle, writing through THIS
+    // one would lay files out under the retired spec (and log a lie about
+    // the current one). Version conflicts catch racing writers; this
+    // catches the same-log sequential case.
+    if (newPartitionBy.isEmpty)
+      require(partitionByAt(expected) == partitionBy,
+        s"stale table handle: partitioning changed from " +
+          s"[${partitionBy.mkString(",")}] to " +
+          s"[${partitionByAt(expected).mkString(",")}] since this handle " +
+          "was opened; re-open with GraftTable.at(...)")
     // physical-uniqueness invariant: a NEW logical column whose name equals
     // a renamed column's retired physical name would collide in the files —
     // fail the commit, not the next read. Same for names RETIRED by DROP
@@ -2211,6 +2262,28 @@ final class GraftTable private (
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
     next
+  }
+
+  /** PARTITION EVOLUTION (the published Iceberg partition-spec-evolution
+    * design): change the table's partitioning in ONE metadata-only commit —
+    * no file rewritten. Files written from here on are laid out (and
+    * logged) under the new spec; files from earlier specs keep their old
+    * partition tuples, which stay per-file TRUE and keep pruning under
+    * their own keys, while pruning on the new spec's keys simply never
+    * refutes them (missing key = kept — conservative, exact after the row
+    * filter). `optimize()` rewrites migrate old files into the new layout.
+    * At 100 TB this is the difference between re-laying-out three years of
+    * history and just starting tomorrow's files under the better spec.
+    * THIS handle becomes write-stale after the commit (the stale-handle
+    * guard fails it loud) — re-open with `GraftTable.at(...)`.
+    */
+  def setPartitioning(specs: Seq[String]): Long = {
+    val v = version
+    val parsed = specs.map(PartitionTransforms.parse)
+    PartitionTransforms.validate(parsed, schemaAt(v))
+    require(specs != partitionByAt(v),
+      s"partitioning is already [${specs.mkString(",")}]")
+    commit(v, "setPartitioning", Nil, Nil, newPartitionBy = Some(specs))
   }
 
   /** Rename a column in ONE metadata-only commit (no file touched, O(1) at
@@ -2350,6 +2423,18 @@ object GraftTable {
     */
   private[tables] val BloomCacheMaxEntries = 512
 
+  /** Commit-meta `partitionBy` decode: transform specs ride a JSON list,
+    * identity-only tables the legacy comma-joined string.
+    */
+  private[tables] def decodePartitionBy(raw: Option[Any]): Seq[String] =
+    raw match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case Some(s) =>
+        Option(s).map(_.toString).filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Nil)
+      case None => Nil
+    }
+
   /** Hive's sentinel directory value for a null partition key. */
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
@@ -2459,13 +2544,7 @@ object GraftTable {
     // redefined key and partitioning since creation
     val (meta, _, _) = readCommit(fs, logDir, listVersions(fs, logDir).last)
     val key = Option(meta.get("keyCol").orNull).map(_.toString).filter(_.nonEmpty)
-    val parts = Option(meta.get("partitionBy").orNull) match {
-      case Some(l: java.util.List[_]) => // transform specs (JSON list)
-        l.asScala.toSeq.map(_.toString)
-      case Some(s) => // legacy identity encoding: comma-joined column names
-        Option(s.toString).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
-      case None => Nil
-    }
+    val parts = decodePartitionBy(meta.get("partitionBy"))
     new GraftTable(location, spark, key, meta("schema").toString, parts)
   }
 

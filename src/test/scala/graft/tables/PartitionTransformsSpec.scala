@@ -162,6 +162,80 @@ class PartitionTransformsSpec extends SparkTestBase {
     assert(e.getMessage.contains("scan"), s"want a pointer to scan(): ${e.getMessage}")
   }
 
+  test("write distribution: a 16-task append lands one file per partition cell") {
+    val df = (0L until 160L).map(i => (i, s"c${i % 3}")).toDF("k", "p").repartition(16)
+    val t = GraftTable.create(spark, tmp(), df.limit(0), partitionBy = Seq("p"))
+    t.append(df)
+    // without the rebalance-on-cell write distribution this would be up to
+    // 16 tasks x 3 cells = 48 files; with it, one file per cell
+    val files = t.filesAt(t.version).filter(_.rows > 0)
+    assert(files.size == 3, s"expected one file per cell, got ${files.size}")
+    assert(t.snapshot().count() == 160L)
+    // optimize keeps its own layout (distribute=false path) and stays green
+    t.optimize(Seq("k"), targetBytes = 1L << 20)
+    assert(t.snapshot().count() == 160L)
+  }
+
+  test("partition evolution: spec changes forward, old files stay exact, optimize migrates") {
+    val loc = tmp()
+    // parity-interleaved eras: era 1 = even keys, era 2 = odd keys, both
+    // spanning [0, 80) — zone maps cannot tell the eras apart, isolating
+    // the evolution semantics
+    def rows(ks: Seq[Long]) = ks.map(i => (i, s"r${(i / 2) % 2}", i * 10))
+      .toDF("k", "r", "n")
+    val era1 = rows(0L until 80L by 2)
+    val t1 = GraftTable.create(spark, loc, era1.repartition(1),
+      partitionBy = Seq("r"))
+    assert(t1.filesAt(t1.version).count(_.rows > 0) == 2) // r0 r1
+    // evolve to bucket(4,k); the OLD handle becomes write-stale — loud
+    t1.setPartitioning(Seq("bucket(4,k)"))
+    val e = intercept[IllegalArgumentException](
+      t1.append(Seq((100L, "r0", 0L)).toDF("k", "r", "n")))
+    assert(e.getMessage.contains("stale table handle"), e.getMessage)
+    val t2 = GraftTable.at(spark, loc)
+    assert(t2.partitionBy == Seq("bucket(4,k)"))
+    t2.append(rows(1L until 80L by 2).repartition(1)) // 4 bucket files
+    // reads span both eras exactly
+    assert(t2.snapshot().count() == 80L)
+    assert(t2.scan($"k" === 7L).select("n").as[Long].collect().toSeq == Seq(70L))
+    assert(t2.scan($"k" === 54L).select("n").as[Long].collect().toSeq == Seq(540L))
+    // bucket pruning admits era-1 files unconditionally (no bucket key)
+    // and exactly one era-2 file: 2 + 1
+    assert(t2.scanCandidates($"k" === 55L, t2.version).size == 3)
+    // snapshotWhere on the CURRENT identity-free spec is rejected; after
+    // evolving to identity it keeps pre-evolution rows (conservative read)
+    t2.setPartitioning(Seq("r"))
+    val t3 = GraftTable.at(spark, loc)
+    assert(t3.snapshotWhere($"r" === "r1").count() == 40L)
+    // replacePartitions refuses while unmigrated files remain, then works
+    // after optimize() migrates everything to the current spec
+    val r = intercept[IllegalArgumentException](
+      t3.replacePartitions(Seq((1000L, "r1", 1L)).toDF("k", "r", "n")))
+    assert(r.getMessage.contains("optimize"), r.getMessage)
+    t3.optimize(Seq("k"), targetBytes = 1L << 20)
+    assert(t3.currentFiles.filter(_.rows > 0).forall(_.pv.contains("r")))
+    t3.replacePartitions(Seq((1000L, "r1", 1L)).toDF("k", "r", "n"))
+    assert(t3.snapshot().where($"r" === "r1").count() == 1L)
+    assert(t3.snapshot().where($"r" === "r0").count() == 40L)
+    // time travel still serves every pre-evolution version
+    assert(t3.snapshot(Some(1L)).count() == 40L)
+  }
+
+  test("CALL graft.system.set_partitioning evolves the spec through SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pt-cat").toString
+    spark.conf.set("spark.sql.catalog.gpt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpt.root", dir)
+    spark.sql("CREATE TABLE gpt.evo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gpt.evo SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    spark.sql("CALL gpt.system.set_partitioning(table => 'evo', specs => 'bucket(4,k)')")
+    spark.sql("INSERT INTO gpt.evo SELECT id, concat('b', id) FROM range(10, 50, 1, 1)")
+    val t = GraftTable.at(spark, s"$dir/evo")
+    assert(t.partitionBy == Seq("bucket(4,k)"))
+    assert(t.currentFiles.count(f => f.rows > 0 && f.pv.contains("bucket(4,k)")) == 4)
+    assert(spark.sql("SELECT count(*) FROM gpt.evo WHERE k = 37").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM gpt.evo").head().getLong(0) == 50L)
+  }
+
   test("replacePartitions replaces whole transform partitions") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "old-a"), (2L, "old-b"), (11L, "old-c")).toDF("k", "s")
