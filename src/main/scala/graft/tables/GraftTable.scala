@@ -768,10 +768,35 @@ final class GraftTable private (
     val prefixedSchema = StructType(
       source.schema.fields.map(f => f.copy(name = s"__src_${f.name}")))
     val targetPrune = extraOn.flatMap(targetOnlyPrunable(_, schema, prefixedSchema))
+    // BUCKET-AWARE merge pruning: a hash-bucketed layout defeats key-RANGE
+    // stats (every file spans the domain), but makes the complementary
+    // prune exact — a file whose bucket is not among the SOURCE keys'
+    // buckets cannot hold any source key (same Murmur3 expression on both
+    // sides, no false negatives). One O(distinct buckets) job on the
+    // source; at 100 TB with bucket(256,k), a source touching 3 buckets
+    // reads ~3/256 of the candidates the range prune would keep. Applied
+    // only when source and target key types agree (hash domains differ
+    // otherwise).
+    val bucketAdmit: Option[(String, Set[String])] = partSpecs.collectFirst {
+      case b: PartitionTransforms.Bucket if b.sourceCol == k &&
+          source.schema.fields.find(_.name == k).map(_.dataType) ==
+            schema.fields.find(_.name == k).map(_.dataType) =>
+        val dt = schema.fields.find(_.name == k).get.dataType
+        val buckets = source.select(
+          b.shadow(col(k), dt).cast(org.apache.spark.sql.types.StringType))
+          .distinct().collect().flatMap(r => Option(r.getString(0))).toSet
+        (b.render, buckets)
+    }
     if (bounds.isNullAt(0)) Seq.empty // empty source: no file can match
     else files.filter(_.stats.forall(_.intersects(bounds.get(0), bounds.get(1))))
       .filter(f => targetPrune.forall(p =>
         f.rows == 0 || FilePruning.possible(p, intervalsOf(f, schema, colmapAt(v)))))
+      .filter(f => bucketAdmit.forall { case (key, admit) =>
+        f.pv.get(key) match {
+          case Some(Some(s)) => admit(s)
+          case _ => true // pre-spec / null-bucket file: cannot refute
+        }
+      })
   }
 
   /** The target columns the NOT MATCHED anti-join needs under `extraOn`:
@@ -1006,8 +1031,39 @@ final class GraftTable private (
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     val v = version
     val cur = schemaAt(v)
+    val validatedUnder = constraintsAt(v)
     val (aligned, newSchema) = alignEvolving(df, cur, mergeSchema)
-    commit(v, "append", writeData(aligned), Nil, None, Some(newSchema))
+    val adds = writeData(aligned)
+    // OPTIMISTIC-CONCURRENCY retry (the Delta ConflictChecker design for
+    // BLIND appends): an append reads nothing, so losing the version race
+    // to another writer is not a logical conflict — the already-written
+    // files are re-committed at the new head (data is written ONCE; only
+    // the O(1) log write retries). What CAN invalidate the written files is
+    // a concurrent change to what they were validated or laid out under:
+    // constraints (rows unchecked against the new one), schema/colmap (the
+    // files carry the old physical layout), partitioning or the merge key
+    // (commit's stale-handle guards) — each fails loud instead of retrying.
+    // At 100 TB this is what lets a thousand ingest writers share a table
+    // without serializing on anything but the log-rename itself.
+    var expected = v
+    var attempt = 0
+    while (true) {
+      try return commit(expected, "append", adds, Nil, None, Some(newSchema))
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+          val head = version
+          requireConstraintsUnchanged(validatedUnder)
+          if (schemaAt(head).json != cur.json || colmapAt(head) != colmapAt(v))
+            throw new IllegalStateException(
+              "append lost the race to a concurrent schema change; the " +
+                "written files were laid out under the previous schema — " +
+                "re-run the append against the new definition")
+          expected = head
+      }
+    }
+    -1L // unreachable
   }
 
   /** Schema evolution WITHOUT data: append nullable columns to the table
@@ -2239,6 +2295,14 @@ final class GraftTable private (
           s"[${partitionBy.mkString(",")}] to " +
           s"[${partitionByAt(expected).mkString(",")}] since this handle " +
           "was opened; re-open with GraftTable.at(...)")
+    // same guard for the merge key: AddFile key stats are keyed to it —
+    // committing stats computed for the OLD key under a NEW one would make
+    // merge's file pruning read them as the wrong column (unsound)
+    if (newKeyCol.isEmpty)
+      require(cachedCommit(expected)._1.get("keyCol")
+          .flatMap(Option(_)).map(_.toString) == keyCol,
+        "stale table handle: the merge key changed since this handle was " +
+          "opened; re-open with GraftTable.at(...)")
     // physical-uniqueness invariant: a NEW logical column whose name equals
     // a renamed column's retired physical name would collide in the files —
     // fail the commit, not the next read. Same for names RETIRED by DROP

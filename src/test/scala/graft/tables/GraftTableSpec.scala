@@ -308,6 +308,49 @@ class GraftTableSpec extends SparkTestBase {
       s"duplicate append commits: ${t.history.map(_.op)}")
   }
 
+  test("racing blind appends all land: OCC retry re-commits written files") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = GraftTable.create(spark, tmp(), Seq((0L, "z")).toDF("k", "v"))
+    val v0 = t.version
+    val fs = (1 to 8).map(i => Future {
+      t.append(Seq((i.toLong, s"w$i")).toDF("k", "v"))
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.version == v0 + 8, s"expected ${v0 + 8} versions, got ${t.version}")
+    assert(rows(t) == ((0L, "z") +: (1 to 8).map(i => (i.toLong, s"w$i"))).toSet)
+    assert(t.history.count(_.op == "append") == 8)
+  }
+
+  test("append retry refuses to sail past a concurrent definition change") {
+    // constraints: rows written before the constraint landed were never
+    // validated against it — the retry must fail loud, not commit them
+    val loc = tmp()
+    val t1 = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    t2.addConstraint("k_pos", "k > 0")
+    // t1's handle is NOT stale (constraints aren't identity), but its
+    // append raced nothing — next, force the race: pre-write via t1 with a
+    // conflicting commit in between is hard to time deterministically, so
+    // pin the guard directly at the commit layer instead
+    intercept[IllegalStateException] {
+      // simulate the retry path: the data was "validated" under NO
+      // constraints, and the table now has one
+      val m = classOf[GraftTable].getDeclaredMethod(
+        "requireConstraintsUnchanged", classOf[Map[String, String]])
+      m.setAccessible(true)
+      try m.invoke(t1, Map.empty[String, String])
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    // partitioning / merge-key changes: any commit from the stale handle is
+    // refused (covers the retry path and plain sequential misuse alike)
+    t2.setPartitioning(Seq("v"))
+    val e = intercept[IllegalArgumentException](
+      t1.append(Seq((2L, "b")).toDF("k", "v")))
+    assert(e.getMessage.contains("stale table handle"), e.getMessage)
+  }
+
   test("concurrent commit on the same version loses loudly") {
     val loc = tmp()
     val t1 = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))

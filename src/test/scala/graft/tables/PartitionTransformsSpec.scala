@@ -236,6 +236,25 @@ class PartitionTransformsSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gpt.evo").head().getLong(0) == 50L)
   }
 
+  test("merge on a bucketed key prunes candidates to the source's buckets") {
+    val base = (0L until 100L).map(i => (i, i * 10)).toDF("k", "n")
+    val t = GraftTable.create(spark, tmp(), base.limit(0),
+      keyCol = Some("k"), partitionBy = Seq("bucket(4,k)"))
+    t.append(base.repartition(1)) // 4 bucket files, each spanning the key range
+    // a one-key source admits exactly its bucket's file: key-RANGE stats
+    // keep all 4 (hash spread), the bucket prune keeps 1
+    val src = Seq((55L, 999L)).toDF("k", "n")
+    assert(t.mergeCandidateFiles(src, None).size == 1,
+      "bucket prune did not narrow the merge candidates")
+    t.mergeInto(src,
+      matched = Seq((None, Some(Map("n" -> col("__src_n"))))),
+      notMatched = Seq((None, Map("k" -> col("__src_k"), "n" -> col("__src_n")))))
+    assert(t.snapshot().where($"k" === 55L).select("n").as[Long].head() == 999L)
+    assert(t.snapshot().count() == 100L)
+    // the merge rewrote only the pruned candidate's bucket
+    assert(t.history.last.op == "merge")
+  }
+
   test("replacePartitions replaces whole transform partitions") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "old-a"), (2L, "old-b"), (11L, "old-c")).toDF("k", "s")
