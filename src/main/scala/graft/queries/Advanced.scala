@@ -1963,7 +1963,89 @@ object Advanced extends QueryPack {
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
         |FROM base WHERE k IN (SELECT k FROM keys)
-        |GROUP BY prio ORDER BY prio""".stripMargin)))
+        |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // q314 — GENERATED ALWAYS AS columns on the table layer (the Delta
+    // generated-column design): `y = year(d)` is declared at CREATE, never
+    // supplied by any writer — the append derives it per row inside the
+    // write job (null slot = computed), and the UPDATE that shifts `d`
+    // auto-recomputes it (the assignment touches the generation source, so
+    // the engine nulls-and-rederives; a stale supplied value would abort
+    // the write). The oracle replays the derivation relationally, so the
+    // computed column must agree with DuckDB's own year() everywhere. At
+    // 100 TB the point is layout: a trustworthy derived column is what
+    // hidden partitioning and zone maps cluster on.
+    GraftQuery(
+      "q314_table_generated_columns",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q314_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0), keyCol = Some("k"),
+            generatedColumns = Map("y" -> "year(d)"))
+          t.append(base.repartition(1)) // y computed per row in the write
+          t.update(Map("d" -> add_months(col("d"), 12)), col("k") % 10 === 0)
+          materializeSmall(t.snapshot()
+            .groupBy(col("y").cast("int").as("y"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("price_c")).cast("long").as("sum_price_c"))
+            .orderBy(col("y")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |adj AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 0 THEN d + INTERVAL 1 YEAR ELSE d END AS d,
+        |    price_c
+        |  FROM base)
+        |SELECT CAST(year(d) AS INT) AS y, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM adj GROUP BY y ORDER BY y""".stripMargin)),
+
+    // q315 — GENERATED ALWAYS AS IDENTITY on the table layer: a surrogate
+    // key assigned INSIDE the write job from the log-carried high-water
+    // mark (unique across commits, gappy by design — the distributed
+    // assigner encodes the partition in the high bits; a value is never
+    // reused, and a lost identity race fails loud instead of colliding).
+    // The values themselves are non-deterministic, so the oracle pins the
+    // INVARIANTS relationally: every row got a value, all values are
+    // distinct, and the data itself is untouched.
+    GraftQuery(
+      "q315_table_identity_columns",
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q315_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0),
+            identityColumns = Map("id" -> graft.tables.GraftTable.IdentitySpec(1L, 1L)))
+          t.append(base.where(col("k") % 2 === 0))
+          t.append(base.where(col("k") % 2 === 1))
+          materializeSmall(t.snapshot()
+            .agg(count(lit(1)).cast("long").as("n"),
+              count_distinct(col("id")).cast("long").as("n_ids"),
+              count(col("id")).cast("long").as("n_nonnull"),
+              sum(col("k")).cast("long").as("sum_k")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nonnull,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_k
+        |FROM customer""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -94,7 +94,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS (expr): Spark validates the expression at DDL
+      // time and ships it as field metadata under its own key; the table
+      // layer computes null slots and validates supplied values per row
+      // inside every write job (GraftTable.writeData)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // GENERATED ALWAYS/BY DEFAULT AS IDENTITY: values assigned inside
+      // the write from the log-carried high-water mark (GraftTable)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def invalidateTable(ident: Identifier): Unit =
     handles.remove(tablePath(ident).toString)
@@ -254,6 +264,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"the table schema ${schema.simpleString}: ${e.getMessage}", e) }
     }
     (partCols, keyCol, declaredCons.toMap)
+  }
+
+  /** The modern column-array CREATE: Spark's default bridge to the
+    * StructType variant drops `GENERATED ALWAYS AS` expressions on the
+    * floor (`v2ColumnsToStructType` encodes only defaults), so re-attach
+    * each column's generation expression as field metadata under Spark's
+    * own key before delegating — the table layer derives/validates
+    * through it on every write.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // CatalogV2Util is Scala-private[sql] but bytecode-public: reuse
+    // Spark's OWN column→struct conversion (it encodes DEFAULT values the
+    // way the analyzer expects) instead of re-implementing it
+    val base = {
+      val cls = Class.forName(
+        "org.apache.spark.sql.connector.catalog.CatalogV2Util$")
+      cls.getMethod("v2ColumnsToStructType",
+          classOf[Array[org.apache.spark.sql.connector.catalog.Column]])
+        .invoke(cls.getField("MODULE$").get(null), columns)
+        .asInstanceOf[StructType]
+    }
+    val withGen = StructType(base.fields.zip(columns).map { case (f, c) =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      Option(c.generationExpression()).filter(_.nonEmpty).foreach(e =>
+        mb.putString(GraftTable.GenerationExpressionKey, e))
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong(GraftTable.IdentityStartKey, s.getStart)
+        mb.putLong(GraftTable.IdentityStepKey, s.getStep)
+        mb.putBoolean(GraftTable.IdentityAllowExplicitKey, s.isAllowExplicitInsert)
+      }
+      f.copy(metadata = mb.build())
+    })
+    createTable(ident, withGen, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

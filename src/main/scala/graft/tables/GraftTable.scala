@@ -60,6 +60,11 @@ final class GraftTable private (
 
   import GraftTable._
 
+  /** One-shot race injector for OCC specs: invoked (and cleared) inside the
+    * next `commit` attempt, right before the physical log write.
+    */
+  @volatile private[tables] var onNextCommitAttempt: () => Unit = null
+
   /** `partitionBy` elements parsed as partition SPECS — bare column names
     * (identity, the legacy surface) or hidden-partitioning transforms
     * (`bucket(8,k)`, `days(ts)`, `truncate(4,s)` — see
@@ -264,6 +269,119 @@ final class GraftTable private (
       s"no constraint '$name' (have: ${cur.keys.toSeq.sorted.mkString(", ")})")
     commit(v, "dropConstraint", Nil, Nil, newConstraints = Some(cur - name))
   }
+
+  /** GENERATED ALWAYS AS columns of the current schema (name → generation
+    * expression SQL). Declared at CREATE (API `generatedColumns` or SQL
+    * `GENERATED ALWAYS AS (expr)`), carried as field metadata in the
+    * versioned schema JSON — time travel keeps each version's own set.
+    *
+    * Write semantics (Delta generated-column contract, enforced centrally
+    * in [[writeData]]): a NULL value in a generated column slot is
+    * COMPUTED from the expression (so inserts that omit the column — SQL
+    * null-fill, mergeInto unassigned inserts, API appends without the
+    * column — all get the derived value), and a supplied NON-NULL value
+    * must equal the expression's result, validated per row inside the
+    * write job — a mismatch aborts before anything commits. The invariant
+    * `col <=> expr` therefore holds on every committed row, which is what
+    * makes the column trustworthy for partition transforms and data
+    * skipping.
+    */
+  def generatedColumns: Map[String, String] = GraftTable.generatedOf(tableSchema)
+
+  /** Resolve + vet a generation expression: must resolve over the base
+    * (non-generated) columns only and be deterministic — a generated
+    * column is re-derivable by construction, the property every write
+    * validates against.
+    */
+  private[tables] def validateGeneratedSql(name: String, sql: String,
+      schema: StructType): Unit = {
+    val others = StructType(schema.fields.filterNot(_.name == name))
+    require(!GraftTable.generatedOf(others).keySet
+        .exists(g => constraintRefs(sql).exists(_.equalsIgnoreCase(g))),
+      s"generated column '$name' ($sql) references another generated column")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], others)
+    val analyzed =
+      try empty.select(expr(sql)).queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"generated column '$name' = '$sql' does not resolve against " +
+          s"${others.simpleString}: ${e.getMessage}", e) }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"generated column '$name' ($sql) must be deterministic")
+  }
+
+  /** IDENTITY columns of the current schema (name → start/step/mode).
+    * Assignment happens inside the write job: a NULL slot gets
+    * `hwm + (monotonically_increasing_id()+1) × step` — unique within the
+    * write by construction, unique ACROSS writes because every commit
+    * advances the logged high-water mark to the furthest assigned value
+    * (read from the same per-file stats that drive data skipping; identity
+    * columns are exempt from the stats column cap) and a write that loses
+    * the commit race to another identity-assigning write fails LOUD
+    * instead of committing possibly-colliding values (the published
+    * identity-conflict contract). Values are unique, monotone per write,
+    * and GAPPY — never dense row numbers; a keyed merge that replaces a
+    * row assigns it a fresh value (replace = delete + insert).
+    */
+  def identityColumns: Map[String, IdentitySpec] =
+    GraftTable.identityOf(tableSchema)
+
+  /** Identity high-water marks (name → furthest assigned value) at a
+    * version, carried in commit metadata like the column mapping.
+    */
+  private def idHwmAt(v: Long): Map[String, Long] =
+    cachedCommit(v)._1.get("idhwm") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k, n) => k -> n.asInstanceOf[Number].longValue }.toMap
+      case _ => Map.empty
+    }
+
+  private def currentIdHwm: Map[String, Long] =
+    listVersions(fs, logDir).lastOption.map(idHwmAt).getOrElse(Map.empty)
+
+  /** GENERATED ALWAYS identity columns may never be supplied or assigned
+    * (BY DEFAULT ones may); enforced on every aligned write input and on
+    * UPDATE/merge assignment sets.
+    */
+  private def requireIdentityInsertable(cols: Seq[String], schema: StructType,
+      what: String): Unit =
+    GraftTable.identityOf(schema).foreach { case (n, spec) =>
+      require(spec.allowExplicit || !cols.contains(n),
+        s"identity column '$n' is GENERATED ALWAYS — it cannot be " +
+          s"$what; omit it (or declare it BY DEFAULT)")
+    }
+
+  /** CHECK constraints plus the implicit generated-column checks — the
+    * complete per-row predicate set a WRITE must satisfy. The native
+    * streaming sink compiles these (its executors write rows positionally
+    * and cannot coalesce-compute, so a stream must SUPPLY generated
+    * values exactly; a mismatch aborts the epoch like any CHECK).
+    */
+  private[tables] def rowCheckSqls: Map[String, String] =
+    constraints ++ generatedColumns.map { case (n, e) =>
+      s"generated_$n" -> s"$n <=> ($e)" }
+
+  /** UPDATE-recompute semantics for generated columns (the Delta
+    * behavior): an assignment set that writes a generated column's SOURCE
+    * without setting the generated column itself gets the generated column
+    * nulled on the updated rows — writeData's coalesce then re-derives it
+    * from the NEW values. Setting it explicitly (including to a value that
+    * must match) is validated per row like any supplied value.
+    */
+  private def withAutoGenerated(assigns: Map[String, Column]): Map[String, Column] =
+    assigns ++ generatedColumns.collect {
+      case (n, e) if !assigns.contains(n) &&
+          constraintRefs(e).exists(r => assigns.keys.exists(_.equalsIgnoreCase(r))) =>
+        n -> lit(null)
+    }
+
+  private def requireNoGeneratedOn(colName: String, op: String): Unit =
+    generatedColumns.foreach { case (n, sql) =>
+      require(n == colName || !constraintRefs(sql).exists(_.equalsIgnoreCase(colName)),
+        s"cannot $op column '$colName': generated column '$n' ($sql) " +
+          s"derives from it — drop '$n' first")
+    }
 
   /** Column names a constraint references (for rename/drop guards). */
   private def constraintRefs(sql: String): Seq[String] =
@@ -849,7 +967,7 @@ final class GraftTable private (
       s"replacePartitions after partition evolution: ${unmigrated.size} " +
         "file(s) predate the current spec; optimize() first to migrate them")
     val removes = activeFiles(v).filter(f => touched(f.pv)).map(_.path)
-    commit(v, "replacePartitions", writeData(aligned), removes)
+    commit(v, "replacePartitions", writeData(aligned, idStrict = true), removes)
   }
 
   /** Row-level change feed between two versions: for every commit `v` in
@@ -1033,7 +1151,7 @@ final class GraftTable private (
     val cur = schemaAt(v)
     val validatedUnder = constraintsAt(v)
     val (aligned, newSchema) = alignEvolving(df, cur, mergeSchema)
-    val adds = writeData(aligned)
+    val adds = writeData(aligned, idStrict = true)
     // OPTIMISTIC-CONCURRENCY retry (the Delta ConflictChecker design for
     // BLIND appends): an append reads nothing, so losing the version race
     // to another writer is not a logical conflict — the already-written
@@ -1060,6 +1178,111 @@ final class GraftTable private (
               "append lost the race to a concurrent schema change; the " +
                 "written files were laid out under the previous schema — " +
                 "re-run the append against the new definition")
+          // identity values were assigned from the hwm at write time; a
+          // winner that advanced it may have claimed the same values
+          if (GraftTable.identityOf(cur).nonEmpty && idHwmAt(head) != idHwmAt(v))
+            throw new IllegalStateException(
+              "append lost the race to a concurrent identity-assigning " +
+                "write; the assigned values could collide — re-run the append")
+          expected = head
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** OCC retry for operations that READ the table before writing (merge /
+    * delete / update / compact / optimize) — the published ConflictChecker
+    * design at the WriteSerializable level: losing the log-rename race is
+    * not by itself a logical conflict. Every winner commit in
+    * `(expected, head]` is examined against this operation's write set and
+    * match predicate, and the already-written output is re-committed at the
+    * new head (data is written ONCE; only the O(1) log write retries) when
+    * the winner is provably disjoint:
+    *
+    *   - a winner that removed OR re-added any file this operation rewrites
+    *     / DV's / drops conflicts ALWAYS — the file state this op's output
+    *     replaces is gone, and a same-file DV race would clobber the other
+    *     writer's vector;
+    *   - a winner that ADDED data files `addsCouldMatch` cannot refute
+    *     conflicts — for a keyed merge that is any file whose key range
+    *     intersects the source's (the matched / not-matched decisions,
+    *     including key-uniqueness inserts, were taken without those rows);
+    *   - predicate DML and layout maintenance pass `addsCouldMatch = never`:
+    *     a concurrent blind append rebases cleanly, and the final state
+    *     equals the this-op-first serial order — the WriteSerializable
+    *     contract (log order is not the serialization order for blind
+    *     appends, exactly as published);
+    *   - layout-only winner commits (compact/optimize, `dataChange=false`)
+    *     are checked for file overlap only — table-wide row content is
+    *     unchanged, so a refuted file stays refuted;
+    *   - concurrent CHECK-constraint changes fail LOUD when the op wrote
+    *     NEW row content (`checkConstraints` — the rows were validated
+    *     under the old set); layout-only rewrites skip the guard (their
+    *     rows were already validated by `addConstraint`'s full-table scan);
+    *   - concurrent schema / column-mapping changes fail LOUD when the
+    *     output encodes the schema (`checkSchema`); layout-only rewrites
+    *     tolerate ADD COLUMN (their files null-fill by name exactly like
+    *     the inputs did) — and a REPLACE/RESTORE winner is caught by file
+    *     overlap, a partitioning or merge-key change by `commit`'s
+    *     stale-handle guards.
+    *
+    * At 100 TB this is what lets streaming ingest, GDPR deletes and
+    * background compaction share one table without serializing whole
+    * operations on each other — only true logical conflicts surface.
+    */
+  private def commitWithConflictCheck(readVersion: Long, op: String,
+      adds: Seq[AddFile], removes: Seq[String],
+      addsCouldMatch: AddFile => Boolean,
+      validatedUnder: Map[String, String],
+      newSchema: Option[StructType] = None,
+      dataChange: Boolean = true,
+      checkConstraints: Boolean = true,
+      checkSchema: Boolean = true,
+      assignsIdentity: Boolean = false): Long = {
+    var expected = readVersion
+    var attempt = 0
+    while (true) {
+      try return commit(expected, op, adds, removes, None, newSchema,
+        dataChange = dataChange)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= 50) throw e
+          val head = version
+          if (checkConstraints) requireConstraintsUnchanged(validatedUnder)
+          // an op that ASSIGNED identity values did so from readVersion's
+          // hwm — a winner advancing it may have claimed the same values
+          // (rewrites only carry existing values and pass false here)
+          if (assignsIdentity && idHwmAt(head) != idHwmAt(readVersion))
+            throw new IllegalStateException(
+              s"$op lost the race to a concurrent identity-assigning " +
+                "write; the assigned values could collide — re-run")
+          if (checkSchema && (schemaAt(head).json != schemaAt(readVersion).json ||
+              colmapAt(head) != colmapAt(readVersion)))
+            throw new IllegalStateException(
+              s"$op lost the race to a concurrent schema change; its output " +
+                "was computed under the previous schema — re-run against " +
+                "the new definition")
+          val mine = removes.toSet
+          ((expected + 1) to head).foreach { w =>
+            val (meta, wAdds, wRemoves) = cachedCommit(w)
+            val wOp = meta.getOrElse("op", "?").toString
+            val overlap =
+              (wRemoves.filter(mine) ++ wAdds.map(_.path).filter(mine)).distinct
+            if (overlap.nonEmpty) throw new ConcurrentCommitException(
+              s"$op conflicts with concurrent '$wOp' (version $w): it " +
+                s"modified ${overlap.size} file(s) this operation rewrites " +
+                s"(e.g. ${overlap.head}) — re-run on a fresh snapshot")
+            if (!meta.get("dataChange").contains(false)) {
+              val hot = wAdds.filter(a =>
+                a.rows > 0 && !mine(a.path) && addsCouldMatch(a))
+              if (hot.nonEmpty) throw new ConcurrentCommitException(
+                s"$op conflicts with concurrent '$wOp' (version $w): it " +
+                  s"added ${hot.size} file(s) whose rows this operation's " +
+                  s"match predicate could reach (e.g. ${hot.head.path}) — " +
+                  "re-run on a fresh snapshot")
+            }
+          }
           expected = head
       }
     }
@@ -1118,6 +1341,7 @@ final class GraftTable private (
       "cannot drop a partition (source) column")
     require(cur.fields.length > 1, "cannot drop the table's last column")
     requireNoConstraintOn(name, "drop")
+    requireNoGeneratedOn(name, "drop")
     val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
     commit(v, "dropColumn", Nil, Nil, None, Some(evolved), Some(cm - name),
       Some((retiredAt(v) :+ physName(cm, name)).distinct),
@@ -1140,7 +1364,7 @@ final class GraftTable private (
     else {
       val v = version
       val validatedUnder = constraintsAt(v)
-      try commit(v, "append", writeData(alignSchema(df)), Nil, Some(txnId))
+      try commit(v, "append", writeData(alignSchema(df), idStrict = true), Nil, Some(txnId))
       catch {
         case e: ConcurrentCommitException =>
           if (committedTxns.contains(txnId)) version
@@ -1217,7 +1441,7 @@ final class GraftTable private (
   /** Replace the whole table contents (snapshot-atomic). */
   def overwrite(df: DataFrame): Long = {
     val v = version
-    commit(v, "overwrite", writeData(alignSchema(df)), activeFiles(v).map(_.path))
+    commit(v, "overwrite", writeData(alignSchema(df), idStrict = true), activeFiles(v).map(_.path))
   }
 
   /** Upsert by `keyCol`: target rows whose key appears in `source` are
@@ -1240,6 +1464,10 @@ final class GraftTable private (
     // version read here)
     val v = version
     val cur = schemaAt(v)
+    // a merge source must not carry a GENERATED ALWAYS identity column
+    // (replaced rows would smuggle caller-chosen values past assignment)
+    requireIdentityInsertable(source.columns.toSeq, cur,
+      "supplied in a merge source")
     val (src, evolved) = alignEvolving(source, cur, mergeSchema)
     // one aggregate guards both invariants: null keys (which the semi/anti
     // joins would silently drop, and which count_distinct would miscount as
@@ -1282,8 +1510,16 @@ final class GraftTable private (
           else lit(null).cast(f.dataType).as(f.name)
         }: _*))
     val newData = survivors.fold(src)(_.unionByName(src))
-    commit(v, "merge", writeData(newData), rewritten.map(_.path), None,
-      Some(evolved))
+    val validatedUnder = constraintsAt(v)
+    // a winner-added file whose key range the source's bounds intersect
+    // could hold keys this merge decided about without seeing — conflict;
+    // a file with no key stats can't be refuted (conservative)
+    val couldMatch: AddFile => Boolean =
+      if (bounds.isNullAt(0)) _ => false
+      else f => f.stats.forall(_.intersects(bounds.get(0), bounds.get(1)))
+    commitWithConflictCheck(v, "merge", writeData(newData),
+      rewritten.map(_.path), couldMatch, validatedUnder, Some(evolved),
+      assignsIdentity = GraftTable.identityOf(cur).nonEmpty)
   }
 
   /** GENERALIZED MERGE — the full conditional-clause surface on top of the
@@ -1337,7 +1573,13 @@ final class GraftTable private (
         notMatchedBySource.flatMap(_._2).flatMap(_.keys))
       .foreach(c => require(schema.fieldNames.contains(c),
         s"merge assignment column '$c' not in ${schema.fieldNames.mkString(",")}"))
+    requireIdentityInsertable(
+      (matched.flatMap(_._2).flatMap(_.keys) ++ notMatched.flatMap(_._2.keys) ++
+        notMatchedBySource.flatMap(_._2).flatMap(_.keys)).distinct,
+      schema, "assigned by MERGE")
     require(source.columns.contains(k), s"merge source lacks key column '$k'")
+    requireIdentityInsertable(source.columns.toSeq, schema,
+      "supplied in a merge source")
 
     val uniq = source.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
       count_distinct(col(k)).as("d")).head()
@@ -1382,11 +1624,13 @@ final class GraftTable private (
       else {
         // one clause space: matched clauses guard on a source hit, NMBS
         // clauses on a miss — mutually exclusive, so one ordered fold
+        // update assignments re-derive generated columns whose sources
+        // they touch (withAutoGenerated) — Delta's update-recompute rule
         val clauses: Seq[(Column, Option[Map[String, Column]])] =
           matched.map { case (c, a) =>
-            (srcK.isNotNull && c.getOrElse(lit(true)), a) } ++
+            (srcK.isNotNull && c.getOrElse(lit(true)), a.map(withAutoGenerated)) } ++
           notMatchedBySource.map { case (c, a) =>
-            (srcK.isNull && c.getOrElse(lit(true)), a) }
+            (srcK.isNull && c.getOrElse(lit(true)), a.map(withAutoGenerated)) }
         val joined = readFiles(rewritten, v)
           .join(prefixed, matchCond, "left")
           .withColumn("__action", actionIdx(clauses.map(_._1)))
@@ -1443,7 +1687,15 @@ final class GraftTable private (
       case (None, None) => v // nothing touched, nothing to insert
       case (s, i) =>
         val newData = (s.toSeq ++ i.toSeq).reduce(_.unionByName(_))
-        commit(v, "merge", writeData(newData), rewritten.map(_.path))
+        val validatedUnder = constraintsAt(v)
+        // source key bounds computed only if a race actually happens
+        lazy val bounds = source.agg(min(col(k)), max(col(k))).head()
+        val couldMatch: AddFile => Boolean = f =>
+          !bounds.isNullAt(0) &&
+            f.stats.forall(_.intersects(bounds.get(0), bounds.get(1)))
+        commitWithConflictCheck(v, "merge", writeData(newData),
+          rewritten.map(_.path), couldMatch, validatedUnder,
+          assignsIdentity = GraftTable.identityOf(schema).nonEmpty)
     }
   }
 
@@ -1512,11 +1764,15 @@ final class GraftTable private (
     val hit = coalesce(cond, lit(false))
     val (dvAdds, rewrite, dropped) = routeDml(files, v, hit, allowDrop = true)
     if (dvAdds.isEmpty && rewrite.isEmpty && dropped.isEmpty) return v
+    val validatedUnder = constraintsAt(v)
     val keepAdds =
       if (rewrite.isEmpty) Nil
       else writeData(readFiles(rewrite, v).where(not(hit)), distribute = false)
-    commit(v, "delete", dvAdds ++ keepAdds,
-      (dvAdds ++ rewrite ++ dropped).map(_.path))
+    // predicate DML tolerates concurrent blind appends (rebased state ==
+    // delete-first serial order, the WriteSerializable contract); only a
+    // winner touching a file this delete rewrites/DVs/drops conflicts
+    commitWithConflictCheck(v, "delete", dvAdds ++ keepAdds,
+      (dvAdds ++ rewrite ++ dropped).map(_.path), _ => false, validatedUnder)
   }
 
   /** Row-level UPDATE: rows where `cond` is TRUE get the assignment
@@ -1530,11 +1786,13 @@ final class GraftTable private (
     * O(touched files). Densely-matched files take the classic
     * touched-file rewrite.
     */
-  def update(assignments: Map[String, Column], cond: Column): Long = {
-    require(assignments.nonEmpty, "update needs at least one assignment")
+  def update(assignments0: Map[String, Column], cond: Column): Long = {
+    require(assignments0.nonEmpty, "update needs at least one assignment")
     val schema = tableSchema
-    assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+    assignments0.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update column '$k' not in ${schema.fieldNames.mkString(",")}"))
+    requireIdentityInsertable(assignments0.keys.toSeq, schema, "assigned by UPDATE")
+    val assignments = withAutoGenerated(assignments0)
     val v = version
     val files = activeFiles(v)
     if (files.isEmpty) return v
@@ -1558,9 +1816,12 @@ final class GraftTable private (
       Seq(if (dvSrc.isEmpty) None else Some(applied(readFiles(dvSrc, v), onlyHits = true)),
         if (rewrite.isEmpty) None else Some(applied(readFiles(rewrite, v), onlyHits = false)))
         .flatten
+    val validatedUnder = constraintsAt(v)
     val newAdds = if (pieces.isEmpty) Nil
       else writeData(pieces.reduce(_.unionByName(_)), distribute = false)
-    commit(v, "update", dvAdds ++ newAdds, (dvAdds ++ rewrite).map(_.path))
+    // same WriteSerializable contract as deleteWhere: blind appends rebase
+    commitWithConflictCheck(v, "update", dvAdds ++ newAdds,
+      (dvAdds ++ rewrite).map(_.path), _ => false, validatedUnder)
   }
 
   /** Coalesce small files — the operational fix for the small-files
@@ -1583,8 +1844,15 @@ final class GraftTable private (
     if (small.size < 2 && !small.exists(_.dv.isDefined)) return v
     val nOut = math.max(1L, (small.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val merged = readFiles(small, v).coalesce(nOut)
-    commit(v, "compact", writeData(merged, distribute = false), small.map(_.path),
-      dataChange = false)
+    // maintenance must not die to unrelated ingest: a concurrent blind
+    // append rebases (the new small files just miss this compaction); only
+    // a winner touching a compaction INPUT conflicts. Rows are unchanged
+    // table-wide, so neither the constraint nor the schema guard applies
+    // (a concurrent ADD CONSTRAINT validated these very rows; ADD COLUMN
+    // null-fills the rewrite exactly like its inputs).
+    commitWithConflictCheck(v, "compact", writeData(merged, distribute = false),
+      small.map(_.path), _ => false, Map.empty, dataChange = false,
+      checkConstraints = false, checkSchema = false)
   }
 
   /** OPTIMIZE: rewrite every active data file CLUSTERED on `clusterBy`, in
@@ -1698,8 +1966,13 @@ final class GraftTable private (
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
     }
-    commit(v, "optimize", writeData(clustered, distribute = false), files.map(_.path),
-      dataChange = false)
+    // same rebase contract as compact(): blind appends don't kill a
+    // long-running OPTIMIZE — at 100 TB the clustering rewrite takes long
+    // enough that ingest WILL land during it
+    commitWithConflictCheck(v, "optimize",
+      writeData(clustered, distribute = false), files.map(_.path),
+      _ => false, Map.empty, dataChange = false,
+      checkConstraints = false, checkSchema = false)
   }
 
   /** Z-value from 8-bit RANKS: per dimension, ~255 order-statistic
@@ -1827,11 +2100,15 @@ final class GraftTable private (
     // write the new data under the NEW definition while the log still
     // carries the old one — the swap is the one commit below
     val t2 = new GraftTable(location, spark, newKeyCol, newSchema.json, newPartitionBy)
+    GraftTable.generatedOf(newSchema).foreach { case (n, e) =>
+      t2.validateGeneratedSql(n, e, newSchema) }
     val adds = t2.writeData(df.select(newSchema.fieldNames.toIndexedSeq.map(col): _*),
       consOverride = Some(cons), colmapOverride = Some(cm),
       statsSchemaOverride = Some(newSchema),
       keyColOverride = Some(newKeyCol), partitionByOverride = Some(newPartitionBy),
-      bloomOverride = Some(Map.empty)) // a REPLACE defines a fresh table
+      bloomOverride = Some(Map.empty), // a REPLACE defines a fresh table
+      genOverride = Some(GraftTable.generatedOf(newSchema)),
+      idOverride = Some(GraftTable.identityOf(newSchema)), idStrict = true)
     commit(v, "replace", adds, activeFiles(v).map(_.path),
       newSchema = Some(newSchema), newColmap = Some(cm),
       newRetired = Some(retired), newConstraints = Some(newConstraints),
@@ -1957,20 +2234,35 @@ final class GraftTable private (
   }
 
   /** Enforce identical column sets; reorder to table column order. */
+  /** Null-fill generated columns `df` omits — writeData derives them from
+    * their expressions (null slot = computed, the generated-column
+    * contract), so writers never have to supply a derived value.
+    */
+  private def fillGenerated(df: DataFrame, schema: StructType): DataFrame =
+    (GraftTable.generatedOf(schema).keySet ++
+      GraftTable.identityOf(schema).keySet).toSeq.sorted
+      .filterNot(df.columns.contains)
+      .foldLeft(df) { (d, n) =>
+        val dt = schema.fields.find(_.name == n).get.dataType
+        d.withColumn(n, lit(null).cast(dt))
+      }
+
   private def alignSchema(df: DataFrame): DataFrame = {
     val schema = tableSchema
-    require(df.columns.toSet == schema.fieldNames.toSet,
+    val filled = fillGenerated(df, schema)
+    require(filled.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch: table has ${schema.fieldNames.mkString(",")}, " +
-        s"got ${df.columns.mkString(",")}")
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        s"got ${filled.columns.mkString(",")}")
+    filled.select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Strict alignment, or (mergeSchema) the evolved (df', schema'):
     * schema' = current fields ++ df-only fields; df' selects every schema'
     * column, null-filling the ones `df` lacks. Type conflicts are loud.
     */
-  private def alignEvolving(df: DataFrame, cur: StructType,
+  private def alignEvolving(df0: DataFrame, cur: StructType,
       mergeSchema: Boolean): (DataFrame, StructType) = {
+    val df = fillGenerated(df0, cur)
     if (!mergeSchema) {
       require(df.columns.toSet == cur.fieldNames.toSet,
         s"schema mismatch: table has ${cur.fieldNames.mkString(",")}, " +
@@ -2015,11 +2307,59 @@ final class GraftTable private (
       keyColOverride: Option[Option[String]] = None,
       partitionByOverride: Option[Seq[String]] = None,
       bloomOverride: Option[Map[String, Long]] = None,
+      genOverride: Option[Map[String, String]] = None,
+      idOverride: Option[Map[String, IdentitySpec]] = None,
+      idStrict: Boolean = false,
       distribute: Boolean = true): Seq[AddFile] = {
     // the overrides serve REPLACE TABLE: the data is written under the NEW
     // definition (schema/colmap/constraints/key/partitioning) while the log
     // still carries the old one — the swap lands in the same commit
     val partitionBy = partitionByOverride.getOrElse(this.partitionBy)
+    // GENERATED ALWAYS AS columns, enforced at the ONE place every write
+    // funnels through: a NULL slot is computed from the expression (the
+    // [[generatedColumns]] contract — SQL null-fill, unassigned merge
+    // inserts and API omissions all derive here), and supplied non-null
+    // values are validated per row by an implicit `col <=> (expr)` check
+    // riding the same observe barrier as CHECK constraints. Rewrite paths
+    // (update survivors, compaction, optimize) pass rows that already hold
+    // the invariant, so the coalesce is a no-op there by construction.
+    // GENERATED ALWAYS identity strictness (user-facing writes only,
+    // `idStrict`): Spark has no analyzer-side enforcement for V2
+    // connectors, and the SQL INSERT path null-fills an omitted identity
+    // column before this funnel — so "was a value supplied?" is a per-ROW
+    // question, answered by a pre-fill observe metric in the same write
+    // pass. Rewrite paths (update/delete/compact survivors) legitimately
+    // carry values and pass idStrict = false.
+    val idSpecs0 = idOverride.getOrElse(GraftTable.identityOf(tableSchema))
+      .toSeq.sortBy(_._1).filter { case (n, _) => dfLogical.columns.contains(n) }
+    val strictIds = if (!idStrict) Nil else idSpecs0.filterNot(_._2.allowExplicit)
+    val obsId =
+      if (strictIds.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation())
+    val dfStrict = obsId.fold(dfLogical) { o =>
+      val ms = strictIds.map { case (n, _) =>
+        sum(when(col(n).isNotNull, 1L).otherwise(0L)).as(n) }
+      dfLogical.observe(o, ms.head, ms.tail: _*)
+    }
+    val gens = genOverride.getOrElse(GraftTable.generatedOf(tableSchema))
+      .toSeq.sortBy(_._1).filter { case (n, _) => dfLogical.columns.contains(n) }
+    val dfGen0 = gens.foldLeft(dfStrict) { case (d, (n, e)) =>
+      val dt = d.schema.fields.find(_.name == n).get.dataType
+      d.withColumn(n, coalesce(col(n), expr(e).cast(dt)))
+    }
+    // IDENTITY assignment (see [[identityColumns]]): null slots get
+    // hwm + (mid+1)×step — unique within the write, gappy by design
+    // (monotonically_increasing_id encodes the partition in the high
+    // bits); rewrite paths carry non-null values through untouched
+    val idSpecs = idSpecs0
+    val hwm0 = currentIdHwm
+    val dfGen = idSpecs.foldLeft(dfGen0) { case (d, (n, spec)) =>
+      val base = hwm0.getOrElse(n, spec.start - spec.step)
+      val dt = d.schema.fields.find(_.name == n).get.dataType
+      d.withColumn(n, coalesce(col(n),
+        (lit(base) + (monotonically_increasing_id() + lit(1L)) * lit(spec.step))
+          .cast(dt)))
+    }
     // WRITE-TIME CHECK constraints: violation counts are computed INSIDE
     // the write job through an `observe` barrier (CollectMetrics — one
     // aggregate over the rows as they stream past, zero extra pass, and a
@@ -2029,13 +2369,16 @@ final class GraftTable private (
     // rename/commit — a violating write deletes the temp dir and throws,
     // so NOTHING becomes visible (Delta-invariant semantics). SQL CHECK:
     // a NULL predicate passes.
-    val cons = consOverride.getOrElse(constraints.toSeq.sortBy(_._1))
+    val cons = consOverride.getOrElse(constraints.toSeq.sortBy(_._1)) ++
+      // post-coalesce the check only fires on supplied values that
+      // CONTRADICT the expression (computed slots match trivially)
+      gens.map { case (n, e) => s"generated_$n" -> s"$n <=> ($e)" }
     val obs = if (cons.isEmpty) None else Some(new org.apache.spark.sql.Observation())
-    val guarded = obs.fold(dfLogical) { o =>
+    val guarded = obs.fold(dfGen) { o =>
       val metrics = cons.map { case (nm, sqlText) =>
         sum(when(!coalesce(expr(sqlText), lit(true)), 1L).otherwise(0L)).as(nm)
       }
-      dfLogical.observe(o, metrics.head, metrics.tail: _*)
+      dfGen.observe(o, metrics.head, metrics.tail: _*)
     }
     // files store PHYSICAL column names (stable across renames): a version
     // race against a concurrent rename loses the commit and retries, so a
@@ -2089,6 +2432,18 @@ final class GraftTable private (
       // constraint verdict BEFORE any rename into the table root: the
       // write job finished, so the observation is complete; a violation
       // aborts here and the finally sweeps the temp dir — zero visibility
+      obsId.foreach { o =>
+        val row = o.get
+        def n(nm: String): Long =
+          row.get(nm).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Number].longValue)
+        val supplied = strictIds.collect {
+          case (nm, _) if n(nm) > 0 => s"'$nm': ${n(nm)} row(s)"
+        }
+        if (supplied.nonEmpty) throw new IllegalArgumentException(
+          "identity column is GENERATED ALWAYS — a value cannot be " +
+            s"supplied (nothing committed): ${supplied.mkString("; ")}; " +
+            "omit it (or declare it BY DEFAULT)")
+      }
       obs.foreach { o =>
         val row = o.get // blocks until the completed write's metrics land
         def n(nm: String): Long = // sum over zero rows is null
@@ -2119,7 +2474,10 @@ final class GraftTable private (
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
         val (rows, stats, cs) =
           footerStats(dest, keyColOverride.getOrElse(keyCol),
-            statsSchemaOverride.getOrElse(tableSchema))
+            statsSchemaOverride.getOrElse(tableSchema),
+            // identity hwm is recovered from these stats at commit time —
+            // the columns must never fall off the stats column cap
+            idSpecs.map { case (n, _) => physName(cm, n) }.toSet)
         AddFile(name, rows, stats, st.getLen, pv, cs)
       }
     } finally fs.delete(tmp, true)
@@ -2147,7 +2505,8 @@ final class GraftTable private (
   }
 
   private def footerStats(p: Path, keyCol: Option[String],
-      tableSchema: StructType): (Long, Option[KeyStats], Map[String, KeyStats]) = {
+      tableSchema: StructType,
+      priorityCols: Set[String] = Set.empty): (Long, Option[KeyStats], Map[String, KeyStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -2188,7 +2547,7 @@ final class GraftTable private (
           }
         }
       }
-      (rows, stats, skippingStats(blocks))
+      (rows, stats, skippingStats(blocks, priorityCols))
     } finally reader.close()
   }
 
@@ -2206,7 +2565,8 @@ final class GraftTable private (
     * literal), so each path gates on what IT will see.
     */
   private def skippingStats(
-      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]): Map[String, KeyStats] = {
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      priorityCols: Set[String] = Set.empty): Map[String, KeyStats] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     def kindOf(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[String] = {
@@ -2254,7 +2614,8 @@ final class GraftTable private (
               nulls, Some(fileRows)))
         }
       }
-    }.take(MaxStatsColumns).toMap
+    }.toSeq.sortBy { case (n, _) => !priorityCols.contains(n) } // priority first, stable
+      .take(MaxStatsColumns + priorityCols.size).toMap
   }
 
   // package-private: the spec drives a stale-version commit directly to
@@ -2316,12 +2677,34 @@ final class GraftTable private (
     require(reused.isEmpty,
       s"physical column collision with DROPPED column(s): ${reused.mkString(",")} " +
         "— old files still hold their values; bind a fresh physical name")
+    // IDENTITY high-water marks advance to the furthest value visible in
+    // the commit's adds (rewrites re-add values ≤ hwm, so only genuine
+    // assignments move it) and are carried forward FOREVER — restore /
+    // replace never reuse a value. Identity columns are exempt from the
+    // stats cap, so the adds always carry the needed per-file max/min.
+    val idHwm: Map[String, Long] = {
+      val prev = idHwmAt(expected)
+      val specs = GraftTable.identityOf(schema)
+      if (specs.isEmpty) prev
+      else prev ++ specs.flatMap { case (n, spec) =>
+        val assigned = adds.flatMap(_.cs.get(physName(cm, n)))
+          .map(ks => if (spec.step > 0) ks.max.toLong else ks.min.toLong)
+        val all = prev.get(n).toSeq ++ assigned
+        if (all.isEmpty) None
+        else Some(n -> (if (spec.step > 0) all.max else all.min))
+      }
+    }
+    // one-shot test hook: lets specs land a concurrent commit between this
+    // attempt's version read and its log write, making OCC races
+    // deterministic (never set outside tests)
+    val hook = onNextCommitAttempt
+    if (hook != null) { onNextCommitAttempt = null; hook() }
     // every commit carries the table identity (key + partitioning) so
     // `at()` can read the LATEST definition — REPLACE TABLE may change both
     writeCommit(fs, logDir, next,
       metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
         newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange,
-        bloom),
+        bloom, idHwm),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
@@ -2375,6 +2758,7 @@ final class GraftTable private (
     require(!partSourceCols.contains(oldName),
       "cannot rename a partition (source) column")
     requireNoConstraintOn(oldName, "rename")
+    requireNoGeneratedOn(oldName, "rename")
     val evolved = StructType(cur.fields.toIndexedSeq.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val p = physName(cm, oldName)
@@ -2397,6 +2781,54 @@ object GraftTable {
     */
   private[tables] val FileNameCol = "__graft_file"
   private[tables] val RowIdxCol = "__graft_row_idx"
+
+  /** Field-metadata key of a GENERATED ALWAYS AS expression — Spark's own
+    * key (`GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY`), so columns
+    * declared through SQL `CREATE TABLE (… GENERATED ALWAYS AS (expr))`
+    * land here with no translation and DESCRIBE round-trips them.
+    */
+  private[tables] val GenerationExpressionKey = "GENERATION_EXPRESSION"
+
+  /** Field-metadata keys of a GENERATED … AS IDENTITY column — Spark's own
+    * (`IdentityColumn.IDENTITY_INFO_*`), so SQL-declared identity columns
+    * land here with no translation.
+    */
+  private[tables] val IdentityStartKey = "identity.start"
+  private[tables] val IdentityStepKey = "identity.step"
+  private[tables] val IdentityAllowExplicitKey = "identity.allowExplicitInsert"
+
+  /** One identity column's declaration: values are `start, start+step, …`
+    * (unique, NOT dense — the distributed assigner leaves gaps, the
+    * published identity contract); `allowExplicit = false` is GENERATED
+    * ALWAYS (supplying the column is refused), `true` is BY DEFAULT
+    * (supplied non-null values pass through, null slots are assigned).
+    */
+  final case class IdentitySpec(start: Long, step: Long,
+      allowExplicit: Boolean = false) {
+    require(step != 0, "identity step must be non-zero")
+  }
+
+  /** Identity columns declared in a schema's field metadata. */
+  private[tables] def identityOf(s: StructType): Map[String, IdentitySpec] =
+    s.fields.toIndexedSeq.flatMap { f =>
+      if (f.metadata.contains(IdentityStartKey))
+        Some(f.name -> IdentitySpec(
+          f.metadata.getLong(IdentityStartKey),
+          f.metadata.getLong(IdentityStepKey),
+          f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey)))
+      else None
+    }.toMap
+
+  /** The generated columns (name → generation expression SQL) declared in
+    * a schema's field metadata.
+    */
+  private[tables] def generatedOf(s: StructType): Map[String, String] =
+    s.fields.toIndexedSeq.flatMap { f =>
+      if (f.metadata.contains(GenerationExpressionKey))
+        Some(f.name -> f.metadata.getString(GenerationExpressionKey))
+      else None
+    }.toMap
 
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
@@ -2571,28 +3003,85 @@ object GraftTable {
   def create(spark: SparkSession, location: String, df: DataFrame,
       keyCol: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      constraints: Map[String, String] = Map.empty): GraftTable = {
-    keyCol.foreach(k => require(df.columns.contains(k), s"keyCol $k not in ${df.columns.mkString(",")}"))
+      constraints: Map[String, String] = Map.empty,
+      generatedColumns: Map[String, String] = Map.empty,
+      identityColumns: Map[String, IdentitySpec] = Map.empty): GraftTable = {
+    // GENERATED ALWAYS AS columns declared via the API are COMPUTED here
+    // and their expressions attached as field metadata under Spark's own
+    // key; SQL-declared ones arrive already attached in df's schema and
+    // flow through untouched. Either way the expression is versioned with
+    // the schema and every later write derives/validates through it.
+    // IDENTITY columns likewise: declared here as BIGINT null slots (the
+    // write assigns), metadata under Spark's identity.* keys.
+    (generatedColumns.keySet ++ identityColumns.keySet).foreach { n =>
+      require(!df.columns.contains(n),
+        s"generated/identity column '$n' must not be supplied at create") }
+    require(generatedColumns.keySet.intersect(identityColumns.keySet).isEmpty,
+      "a column cannot be both generated and identity")
+    val withGen = generatedColumns.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (n, e)) => d.withColumn(n, expr(e)) }
+    val withId = identityColumns.toSeq.sortBy(_._1).foldLeft(withGen) {
+      case (d, (n, _)) => d.withColumn(n, lit(null).cast(LongType)) }
+    val schemaWithGen = StructType(withId.schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      generatedColumns.get(f.name).foreach(e =>
+        mb.putString(GenerationExpressionKey, e))
+      identityColumns.get(f.name).foreach { s =>
+        mb.putLong(IdentityStartKey, s.start)
+        mb.putLong(IdentityStepKey, s.step)
+        mb.putBoolean(IdentityAllowExplicitKey, s.allowExplicit)
+      }
+      f.copy(metadata = mb.build())
+    })
+    // SQL-declared identity columns arrive in df's metadata: vet them all
+    identityOf(schemaWithGen).foreach { case (n, _) =>
+      schemaWithGen.fields.find(_.name == n).map(_.dataType).get match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"identity column '$n' must be integral, got ${dt.simpleString}")
+      }
+    }
+    keyCol.foreach(k => require(schemaWithGen.fieldNames.contains(k),
+      s"keyCol $k not in ${schemaWithGen.fieldNames.mkString(",")}"))
     PartitionTransforms.validate(partitionBy.map(PartitionTransforms.parse),
-      df.schema)
+      schemaWithGen)
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(location)
     val fs = root.getFileSystem(conf)
     val logDir = new Path(root, LogDirName)
     require(!fs.exists(logDir), s"table already exists at $location")
     fs.mkdirs(logDir)
-    val schemaJson = df.schema.json
+    val schemaJson = schemaWithGen.json
     val t = new GraftTable(location, spark, keyCol, schemaJson, partitionBy)
+    val gens = generatedOf(schemaWithGen)
+    gens.foreach { case (n, e) => t.validateGeneratedSql(n, e, schemaWithGen) }
     // declared CHECK constraints land IN the create commit and gate its
     // data — a violating CTAS commits NOTHING (single-commit atomicity),
     // unlike create-then-addConstraint which could strand constraint-less
     // data on a crash between the two commits
     val cons = constraints.toSeq.sortBy(_._1)
-    cons.foreach { case (n, sql) => t.validateConstraintSql(n, sql, df.schema) }
+    cons.foreach { case (n, sql) => t.validateConstraintSql(n, sql, schemaWithGen) }
+    // aligned by construction (withId carries exactly the declared
+    // columns); alignSchema's GENERATED-ALWAYS presence check must not
+    // fire on create's own null identity slots
+    val ids = identityOf(schemaWithGen)
+    val adds = t.writeData(
+      withId.select(schemaWithGen.fieldNames.toIndexedSeq.map(col): _*),
+      consOverride = Some(cons), genOverride = Some(gens),
+      idOverride = Some(ids), idStrict = true)
+    // the create commit seeds the identity high-water marks from its own
+    // assigned values (later commits go through commit(), which advances)
+    val idHwmCreate = ids.flatMap { case (n, spec) =>
+      val assigned = adds.flatMap(_.cs.get(n))
+        .map(ks => if (spec.step > 0) ks.max.toLong else ks.min.toLong)
+      if (assigned.isEmpty) None
+      else Some(n -> (if (spec.step > 0) assigned.max else assigned.min))
+    }
     writeCommit(fs, logDir, 1L,
       metaMap("create", keyCol, schemaJson, None, partitionBy,
-        constraints = constraints),
-      t.writeData(t.alignSchema(df), consOverride = Some(cons)), Nil)
+        constraints = constraints, idHwm = idHwmCreate),
+      adds, Nil)
     t
   }
 
@@ -2618,7 +3107,8 @@ object GraftTable {
       retired: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty,
       dataChange: Boolean = true,
-      bloom: Map[String, Long] = Map.empty) = {
+      bloom: Map[String, Long] = Map.empty,
+      idHwm: Map[String, Long] = Map.empty) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -2654,6 +3144,11 @@ object GraftTable {
       val bj = new java.util.LinkedHashMap[String, Any]()
       bloom.toSeq.sortBy(_._1).foreach { case (c, ndv) => bj.put(c, ndv) }
       m.put("bloom", bj)
+    }
+    if (idHwm.nonEmpty) {
+      val ij = new java.util.LinkedHashMap[String, Any]()
+      idHwm.toSeq.sortBy(_._1).foreach { case (c, v) => ij.put(c, v) }
+      m.put("idhwm", ij)
     }
     // layout-only commits (compact/optimize): rows unchanged, so change
     // feeds skip them without reading the rewritten files

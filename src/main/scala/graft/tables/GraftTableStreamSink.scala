@@ -49,6 +49,15 @@ private[tables] final class GraftStreamingWrite(
 
   GraftParquetReaderFactory.requireSupported(schema)
 
+  // identity assignment needs the commit-time high-water-mark protocol the
+  // batch funnel provides; the sink's executor writers can't claim ranges
+  // safely — route identity tables through foreachBatch + appendIfAbsent
+  require(GraftTable.identityOf(
+      GraftTable.at(SparkSession.active, location).schema).isEmpty,
+    "streaming writes to a table with IDENTITY columns are not supported; " +
+      "use foreachBatch with appendIfAbsent (identity values are assigned " +
+      "by the batch write path)")
+
   /** CHECK constraints compiled to row-level Catalyst predicates at query
     * start (Delta-invariant semantics for the native sink): each predicate
     * is analyzed against the stream's LOGICAL schema (full coercion, NULL
@@ -67,7 +76,9 @@ private[tables] final class GraftStreamingWrite(
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    GraftTable.at(spark, location).constraints.toSeq.sortBy(_._1).map {
+    // constraints PLUS the implicit generated-column checks (a stream
+    // supplies generated values exactly; writers can't compute-on-null)
+    GraftTable.at(spark, location).rowCheckSqls.toSeq.sortBy(_._1).map {
       case (nm, sqlText) =>
         val analyzed = empty.where(coalesce(expr(sqlText), lit(true)))
           .queryExecution.analyzed
@@ -141,7 +152,7 @@ private[tables] final class GraftStreamingWrite(
     // dropped) mid-run must fail the epoch loud — committing rows the new
     // constraint never saw would contradict addConstraint's validated
     // contract; a restart re-compiles against the live set
-    val liveCons = table.constraints
+    val liveCons = table.rowCheckSqls
     if (liveCons != anchoredConstraints) throw new IllegalStateException(
       s"the table's CHECK constraints changed under the streaming write " +
         s"(anchored ${anchoredConstraints.keys.toSeq.sorted.mkString(",")}, " +

@@ -791,4 +791,36 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(
       "CREATE TABLE gt.hidden2 (ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
   }
+
+  test("GENERATED ALWAYS AS columns derive through SQL DDL + INSERT + UPDATE") {
+    warehouse
+    spark.sql("CREATE TABLE gt.gen_t (k BIGINT, v STRING, " +
+      "vu STRING GENERATED ALWAYS AS (upper(v))) USING graft")
+    // insert without the generated column: null-filled by Spark's default
+    // resolution, derived per row inside the write
+    spark.sql("INSERT INTO gt.gen_t (k, v) VALUES (1, 'a'), (2, 'b')")
+    assert(sqlRows("SELECT k, v, vu FROM gt.gen_t ORDER BY k") ==
+      Set(Seq(1L, "a", "A"), Seq(2L, "b", "B")))
+    // UPDATE of the source recomputes the derived value
+    spark.sql("UPDATE gt.gen_t SET v = 'z' WHERE k = 2")
+    assert(sqlRows("SELECT k, vu FROM gt.gen_t ORDER BY k") ==
+      Set(Seq(1L, "A"), Seq(2L, "Z")))
+    // the expression is declared schema metadata on the V2 table
+    val t = GraftTable.at(spark, s"$warehouse/gen_t")
+    assert(t.generatedColumns == Map("vu" -> "upper(v)"))
+  }
+
+  test("GENERATED ALWAYS AS IDENTITY assigns unique values through SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gt.id_t (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gt.id_t (k, v) VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gt.id_t (k, v) VALUES (3, 'c')")
+    val rows = spark.sql("SELECT id, k FROM gt.id_t").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).distinct.length == 3,
+      s"identity collision: ${rows.map(_.getLong(0)).mkString(",")}")
+    val t = GraftTable.at(spark, s"$warehouse/id_t")
+    assert(t.identityColumns == Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
+  }
 }

@@ -367,6 +367,245 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(t1) == before)
   }
 
+  // ---- GENERATED ALWAYS AS columns
+
+  test("generated columns: derived at create/append/merge, validated when supplied") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "x")).toDF("k", "v"), keyCol = Some("k"),
+      generatedColumns = Map("vu" -> "upper(v)"))
+    assert(t.generatedColumns == Map("vu" -> "upper(v)"))
+    def vu(): Set[(Long, String)] =
+      t.snapshot().select("k", "vu").as[(Long, String)].collect().toSet
+    assert(vu() == Set((1L, "X")))
+    // append WITHOUT the column → derived per row inside the write
+    t.append(Seq((2L, "y")).toDF("k", "v"))
+    // append WITH a matching value → accepted
+    t.append(Seq((3L, "z", "Z")).toDF("k", "v", "vu"))
+    // a contradicting supplied value aborts and commits NOTHING
+    val v = t.version
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((4L, "w", "nope")).toDF("k", "v", "vu"))
+    }
+    assert(e.getMessage.contains("generated_vu"), e.getMessage)
+    assert(t.version == v, "violating append committed")
+    // merge source without the column → derived on insert AND replace
+    t.merge(Seq((2L, "q"), (5L, "r")).toDF("k", "v"))
+    assert(vu() == Set((1L, "X"), (2L, "Q"), (3L, "Z"), (5L, "R")))
+  }
+
+  test("generated columns: UPDATE on a source column auto-recomputes") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"),
+      generatedColumns = Map("vu" -> "upper(v)"))
+    t.update(Map("v" -> concat(col("v"), lit("!"))), col("k") === 1L)
+    assert(t.snapshot().select("k", "v", "vu").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "a!", "A!"), (2L, "b", "B")))
+    // assigning the generated column a contradicting value aborts
+    intercept[IllegalArgumentException] {
+      t.update(Map("v" -> lit("c"), "vu" -> lit("WRONG")), col("k") === 2L)
+    }
+    assert(t.snapshot().where(col("k") === 2L).select("vu").head().getString(0) == "B")
+    // assigning it NULL explicitly re-derives
+    t.update(Map("vu" -> lit(null)), col("k") === 2L)
+    assert(t.snapshot().where(col("k") === 2L).select("vu").head().getString(0) == "B")
+  }
+
+  test("generated columns: source rename/drop guarded, generated col droppable") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v"),
+      generatedColumns = Map("vu" -> "upper(v)"))
+    val e1 = intercept[IllegalArgumentException](t.renameColumn("v", "w"))
+    assert(e1.getMessage.contains("derives from it"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](t.dropColumn("v"))
+    assert(e2.getMessage.contains("derives from it"), e2.getMessage)
+    // nondeterministic / self-referential expressions are refused at create
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"),
+        generatedColumns = Map("r" -> "rand()"))
+    }
+    // dropping the generated column itself frees the source
+    t.dropColumn("vu")
+    t.renameColumn("v", "w")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "w"))
+  }
+
+  // ---- GENERATED ... AS IDENTITY columns
+
+  test("identity columns: unique values across appends, ALWAYS refuses supplied") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      identityColumns = Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+    t.append(Seq((5L, "e")).toDF("k", "v"))
+    val ids = t.snapshot().select("id").as[Long].collect()
+    assert(ids.length == 5 && ids.distinct.length == 5,
+      s"identity values not unique: ${ids.mkString(",")}")
+    assert(ids.forall(_ >= 1L), s"value below start: ${ids.min}")
+    // GENERATED ALWAYS: supplying or assigning the column is refused
+    val e1 = intercept[IllegalArgumentException] {
+      t.append(Seq((6L, "f", 99L)).toDF("k", "v", "id"))
+    }
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      t.update(Map("id" -> lit(0L)), col("k") === 1L)
+    }
+    assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
+  }
+
+  test("identity BY DEFAULT: explicit values pass, hwm advances past them") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a")).toDF("k", "v"),
+      identityColumns = Map("id" ->
+        GraftTable.IdentitySpec(1L, 1L, allowExplicit = true)))
+    // explicit value accepted; the next assignment must not collide with it
+    t.append(Seq((2L, "b", 1000L)).toDF("k", "v", "id"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val byK = t.snapshot().select("k", "id").as[(Long, Long)].collect().toMap
+    assert(byK(2L) == 1000L)
+    assert(byK(3L) > 1000L,
+      s"assigned value ${byK(3L)} did not advance past the explicit 1000")
+    assert(byK.values.toSeq.distinct.size == 3)
+  }
+
+  test("identity race: concurrent identity-assigning append fails loud") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"),
+      identityColumns = Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
+    val t2 = GraftTable.at(spark, loc)
+    t.onNextCommitAttempt = () => t2.append(Seq((2L, "b")).toDF("k", "v"))
+    val e = intercept[IllegalStateException] {
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // the winner's values stand; a re-run assigns fresh ones beyond them
+    val t3 = GraftTable.at(spark, loc)
+    t3.append(Seq((3L, "c")).toDF("k", "v"))
+    val ids = t3.snapshot().select("id").as[Long].collect()
+    assert(ids.distinct.length == 3, s"collision after re-run: ${ids.mkString(",")}")
+  }
+
+  // ---- DML conflict detection + rebase (ConflictChecker / WriteSerializable)
+
+  test("merge rebases over a concurrent disjoint-key append") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    val t2 = GraftTable.at(spark, loc)
+    // the append lands between the merge's version read and its log write
+    t.onNextCommitAttempt = () => t2.append(Seq((100L, "x")).toDF("k", "v"))
+    t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"))
+    // both operations landed, data written once each, merge re-committed
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "C"), (100L, "x")))
+    assert(t.history.map(_.op) == Seq("create", "append", "merge"))
+  }
+
+  test("merge conflicts loud on a concurrent append inside its key range") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    val t2 = GraftTable.at(spark, loc)
+    // key 3 is inside the source's [2,3] bounds: the merge's not-matched
+    // insert decision for key 3 was taken without seeing it — rebasing
+    // would commit a duplicate key
+    t.onNextCommitAttempt = () => t2.append(Seq((3L, "x")).toDF("k", "v"))
+    val e = intercept[GraftTable.ConcurrentCommitException] {
+      t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("match predicate"), e.getMessage)
+    // the merge committed NOTHING; the winner's append stands alone
+    val re = GraftTable.at(spark, loc)
+    assert(re.history.map(_.op) == Seq("create", "append"))
+    assert(rows(re) == Set((1L, "a"), (2L, "b"), (3L, "x")))
+  }
+
+  test("merge conflicts loud when a concurrent delete touches a rewritten file") {
+    val loc = tmp()
+    // one file holding BOTH keys, so the delete and the merge contend on it
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), keyCol = Some("k"))
+    val t2 = GraftTable.at(spark, loc)
+    t.onNextCommitAttempt = () => t2.deleteWhere(col("k") === 1L)
+    val e = intercept[GraftTable.ConcurrentCommitException] {
+      t.merge(Seq((2L, "B")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("this operation rewrites"), e.getMessage)
+    // winner's delete stands; the merge never landed
+    assert(rows(GraftTable.at(spark, loc)) == Set((2L, "b")))
+  }
+
+  test("delete rebases over a concurrent blind append (WriteSerializable)") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((10L, "c")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    // the appended row MATCHES the delete predicate: the rebased state is
+    // the delete-first serial order, so the appended row SURVIVES — the
+    // published WriteSerializable contract (log order is not the
+    // serialization order for blind appends)
+    t.onNextCommitAttempt = () => t2.append(Seq((0L, "late")).toDF("k", "v"))
+    t.deleteWhere(col("k") <= 2L)
+    assert(rows(t) == Set((10L, "c"), (0L, "late")))
+    assert(t.history.map(_.op) ==
+      Seq("create", "append", "append", "delete"))
+  }
+
+  test("two deletes racing on the same file conflict loud (DV clobber guard)") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1))
+    val t2 = GraftTable.at(spark, loc)
+    // both deletes route merge-on-read against the SAME file; a rebase
+    // would clobber the winner's deletion vector
+    t.onNextCommitAttempt = () => t2.deleteWhere(col("k") === 1L)
+    intercept[GraftTable.ConcurrentCommitException] {
+      t.deleteWhere(col("k") === 2L)
+    }
+    // winner's delete stands alone
+    assert(rows(GraftTable.at(spark, loc)) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("update rebases over a concurrent append; constraint race fails loud") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    t.onNextCommitAttempt = () => t2.append(Seq((10L, "c")).toDF("k", "v"))
+    t.update(Map("v" -> upper(col("v"))), col("k") === 2L)
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (10L, "c")))
+    // a concurrent CHECK-constraint change invalidates the written rows —
+    // the retry must fail loud, never rebase past it
+    val t3 = GraftTable.at(spark, loc)
+    t3.onNextCommitAttempt = () => t2.addConstraint("v_nn", "v IS NOT NULL")
+    val e = intercept[IllegalStateException] {
+      t3.update(Map("v" -> lower(col("v"))), col("k") === 1L)
+    }
+    assert(e.getMessage.contains("constraints changed concurrently"), e.getMessage)
+  }
+
+  test("compact rebases over concurrent ingest, conflicts on input overlap") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    // blind append during the compaction rewrite: rebase — the new file
+    // simply misses this compaction; nothing is lost, nothing duplicated
+    t.onNextCommitAttempt = () => t2.append(Seq((3L, "c")).toDF("k", "v"))
+    t.compact()
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.history.last.op == "compact")
+    // a winner DELETING from a compaction input conflicts (the compacted
+    // output would resurrect the deleted rows)
+    val t3 = GraftTable.at(spark, loc)
+    t3.append(Seq((4L, "d")).toDF("k", "v")) // ensure ≥2 small files again
+    val t4 = GraftTable.at(spark, loc)
+    t3.onNextCommitAttempt = () => t4.deleteWhere(col("k") === 1L)
+    intercept[GraftTable.ConcurrentCommitException] { t3.compact() }
+    assert(rows(GraftTable.at(spark, loc)) ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("vacuum reclaims only unreferenced files; current snapshot intact") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
