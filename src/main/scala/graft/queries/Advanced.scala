@@ -2045,7 +2045,60 @@ object Advanced extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n_ids,
         |  CAST(COUNT(*) AS BIGINT) AS n_nonnull,
         |  CAST(SUM(c_custkey) AS BIGINT) AS sum_k
-        |FROM customer""".stripMargin)))
+        |FROM customer""".stripMargin)),
+
+    // q316 — BATCH change-data-feed read: the `graft-table-cdf` format's
+    // RelationProvider face serves `changes(from, to)` to plain
+    // `spark.read` (the TVF-style batch CDC surface next to the API and
+    // the stream). A create → merge → delete history is read back as net
+    // row diffs and aggregated by change kind; the oracle replays the
+    // whole CDC algebra relationally (merge inserts = the source, merge
+    // deletes = matched old rows, delete deletes = post-merge rows under
+    // the predicate — rewrite survivors must cancel or the counts drift).
+    GraftQuery(
+      "q316_table_batch_cdf",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q316_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"))
+          t.merge(base.where(col("k") % 3 === 0)
+            .withColumn("p", col("p") + 7L))
+          t.deleteWhere(col("k") < 800L)
+          materializeSmall(s.read.format("graft-table-cdf")
+            .option("path", root.getAbsolutePath)
+            .option("startingVersion", "1").load()
+            .groupBy(col("_change"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("p")).cast("long").as("sum_p"))
+            .orderBy(col("_change")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH c AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |after2 AS (
+        |  SELECT * FROM m
+        |  UNION ALL SELECT * FROM c WHERE k NOT IN (SELECT k FROM m)),
+        |del AS (
+        |  SELECT p FROM c WHERE k IN (SELECT k FROM m)
+        |  UNION ALL SELECT p FROM after2 WHERE k < 800)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS _change, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS sum_p FROM del
+        |  UNION ALL
+        |  SELECT 'insert' AS _change, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS sum_p FROM m)
+        |ORDER BY _change""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -2369,6 +2369,12 @@ final class GraftTable private (
     // rename/commit — a violating write deletes the temp dir and throws,
     // so NOTHING becomes visible (Delta-invariant semantics). SQL CHECK:
     // a NULL predicate passes.
+    // NOT NULL is deliberately NOT inferred from schema nullability:
+    // DataFrame nullability is advisory in Spark (Seq.toDF marks
+    // primitives non-nullable as an artifact), and the engine's pinned
+    // null-filling semantics (merge-insert unassigned columns, evolution
+    // null-fill) depend on it — declare NOT NULL explicitly as a CHECK
+    // constraint (`c IS NOT NULL`, the q303 surface) to enforce it.
     val cons = consOverride.getOrElse(constraints.toSeq.sortBy(_._1)) ++
       // post-coalesce the check only fires on supplied values that
       // CONTRADICT the expression (computed slots match trivially)

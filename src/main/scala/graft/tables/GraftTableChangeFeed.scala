@@ -3,7 +3,7 @@ package graft.tables
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** STREAMING change-data feed of a [[GraftTable]] — the row-level
@@ -45,9 +45,37 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * produce (cancelling) work here — `exceptAll` over the rewritten files —
   * the inherent cost of reconstructing CDC without persisted change files.
   */
-final class GraftTableChangeFeedSource extends StreamSourceProvider with DataSourceRegister {
+final class GraftTableChangeFeedSource extends StreamSourceProvider
+  with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table-cdf"
+
+  /** BATCH face of the same feed — `spark.read.format("graft-table-cdf")`
+    * with `startingVersion` (exclusive, default 0 = from create) /
+    * `endingVersion` (inclusive, default current) / `classifyUpdates`.
+    * The relation's scan IS the `changes()` plan (per-commit exceptAll
+    * over the touched files, fully distributed — `needConversion = false`
+    * hands Spark the internal rows directly, the documented V1 contract),
+    * so SQL users get the change feed without the stream machinery:
+    * `spark.read.format("graft-table-cdf").option("path", l).load()`.
+    */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val t = GraftTable.at(ctx.sparkSession, location(parameters))
+    val from = params.get("startingversion").map(_.toLong).getOrElse(0L)
+    val to = params.get("endingversion").map(_.toLong).getOrElse(t.version)
+    val classify = params.get("classifyupdates").exists(_.toBoolean)
+    val df = t.changes(from, to, classify)
+    new BaseRelation with TableScan {
+      override val sqlContext: SQLContext = ctx
+      override val schema: StructType = df.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    }
+  }
 
   private def location(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -429,6 +429,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.schema.fieldNames.toSeq == Seq("k", "w"))
   }
 
+  // ---- batch CDF read (the SQL face of changes())
+
+  test("batch CDF read equals the changes() API, classifyUpdates carries") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"))
+    t.deleteWhere(col("k") === 1L)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val api = t.changes(1L, t.version)
+    val batch = spark.read.format("graft-table-cdf")
+      .option("path", loc).option("startingVersion", "1").load()
+    assert(canon(batch) == canon(api))
+    // default range = (0, current]: includes the create commit's inserts
+    val full = spark.read.format("graft-table-cdf").option("path", loc).load()
+    assert(canon(full) == canon(t.changes(0L, t.version)))
+    // classifyUpdates re-tags the merge's in-place change as pre/post image
+    val classified = spark.read.format("graft-table-cdf")
+      .option("path", loc).option("startingVersion", "1")
+      .option("classifyUpdates", "true").load()
+    assert(canon(classified) == canon(t.changes(1L, t.version, classifyUpdates = true)))
+    assert(classified.where(col("_change") === "update_preimage").count() == 1)
+  }
+
   // ---- GENERATED ... AS IDENTITY columns
 
   test("identity columns: unique values across appends, ALWAYS refuses supplied") {
