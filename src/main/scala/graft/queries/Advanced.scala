@@ -2098,7 +2098,51 @@ object Advanced extends QueryPack {
         |  UNION ALL
         |  SELECT 'insert' AS _change, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(p) AS BIGINT) AS sum_p FROM m)
-        |ORDER BY _change""".stripMargin)))
+        |ORDER BY _change""".stripMargin)),
+
+    // q317 — STATIC partition overwrite (`INSERT OVERWRITE … PARTITION
+    // (p = '…')`, the daily-reload pattern): one priority's partition is
+    // replaced wholesale with re-derived rows in ONE commit — untouched
+    // partitions' files are not rewritten, not even re-listed (driver-side
+    // tuple pruning), and a reloaded row outside the target partition
+    // would abort inside the write job. The oracle replays the reload
+    // relationally, so partition-scoped replacement must be exact.
+    GraftQuery(
+      "q317_table_partition_overwrite",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q317_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.limit(0), partitionBy = Seq("prio"))
+          t.append(base)
+          val reload = base.where(col("prio") === "1-URGENT")
+            .withColumn("p", col("p") - 5L)
+          t.overwriteWhere(col("prio") === "1-URGENT", "`prio` = '1-URGENT'",
+            reload)
+          materializeSmall(t.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("p")).cast("long").as("sum_p"))
+            .orderBy(col("prio")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |  FROM orders),
+        |adj AS (
+        |  SELECT k, prio,
+        |    CASE WHEN prio = '1-URGENT' THEN p - 5 ELSE p END AS p
+        |  FROM base)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(p) AS BIGINT) AS sum_p
+        |FROM adj GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

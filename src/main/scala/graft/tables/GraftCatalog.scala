@@ -633,6 +633,21 @@ private[tables] final class GraftSqlTable(
     case None => gt.schema
   }
 
+  /** The table's partition specs as V2 transforms — what the analyzer
+    * validates `INSERT OVERWRITE … PARTITION (...)` clauses and SHOW
+    * CREATE TABLE against.
+    */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    gt.partitionBy.map(s => PartitionTransforms.parse(s) match {
+      case PartitionTransforms.Identity(c) => Expressions.identity(c)
+      case PartitionTransforms.Bucket(n, c) => Expressions.bucket(n, c)
+      case PartitionTransforms.TimeUnit(u, c) => Expressions.apply(u, Expressions.column(c))
+      case PartitionTransforms.Truncate(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+    }).toArray
+  }
+
   /** The live CHECK constraints as the DSv2 constraints surface (SHOW /
     * DESCRIBE integration and the analyzer's ADD/DROP CONSTRAINT path).
     * Enforced + validated: adds validate existing rows, writes validate
@@ -654,7 +669,8 @@ private[tables] final class GraftSqlTable(
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(gt, pinnedRead, asOf.isDefined, schema(), options)
@@ -977,17 +993,56 @@ private[tables] final class GraftScanBuilder(
   */
 private[tables] final class GraftWriteBuilder(
     gt: GraftTable, queryId: String, querySchema: StructType)
-  extends WriteBuilder with SupportsOverwrite {
+  extends WriteBuilder with SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var replace = false
+  private var dynamic = false
+  // static `INSERT OVERWRITE … PARTITION (p = 'A')`: the partition filter
+  // as (Column predicate, its SQL text for the in-job row-scope check)
+  private var staticPartition: Option[(org.apache.spark.sql.Column, String)] = None
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic` /
+    * `DataFrameWriterV2.overwritePartitions()`): every partition present
+    * in the data is replaced wholesale — exactly
+    * [[GraftTable.replacePartitions]]'s one-commit contract.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.isEmpty || filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
-      s"graft-catalog supports full-table INSERT OVERWRITE only, " +
-        s"got filters ${filters.mkString(",")}")
-    replace = true
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[sources.AlwaysTrue])) {
+      replace = true
+      return this
+    }
+    // static partition overwrite: equality filters on identity partition
+    // columns only — anything else stays loud, never a silent full replace
+    val idParts = gt.partitionBy.toSet
+    def lit(v: Any): (org.apache.spark.sql.Column, String) = v match {
+      case s: String =>
+        (org.apache.spark.sql.functions.lit(s), "'" + s.replace("'", "''") + "'")
+      case n @ (_: java.lang.Number | _: java.lang.Boolean) =>
+        (org.apache.spark.sql.functions.lit(n), n.toString)
+      case other => throw new IllegalArgumentException(
+        s"INSERT OVERWRITE PARTITION: unsupported literal $other " +
+          s"(${other.getClass.getSimpleName}); string/numeric/boolean only")
+    }
+    val parts = filters.toSeq.map {
+      case sources.EqualTo(att, v) if idParts.contains(att) =>
+        val (c, sql) = lit(v)
+        (col(att) === c, s"`$att` = $sql")
+      case sources.EqualNullSafe(att, v) if idParts.contains(att) =>
+        val (c, sql) = lit(v)
+        (col(att) <=> c, s"`$att` <=> $sql")
+      case sources.IsNull(att) if idParts.contains(att) =>
+        (col(att).isNull, s"`$att` IS NULL")
+      case f => throw new IllegalArgumentException(
+        s"INSERT OVERWRITE supports a full table or equality on partition " +
+          s"columns [${gt.partitionBy.mkString(",")}]; got $f")
+    }
+    staticPartition = Some((parts.map(_._1).reduce(_ && _),
+      parts.map(_._2).mkString(" AND ")))
     this
   }
 
@@ -1003,12 +1058,21 @@ private[tables] final class GraftWriteBuilder(
           val aligned = data.toDF(gt.schema.fieldNames.toIndexedSeq: _*)
             .select(gt.schema.fields.toIndexedSeq.map(f =>
               col(f.name).cast(f.dataType).as(f.name)): _*)
-          if (replace || overwrite) gt.overwrite(aligned) else gt.append(aligned)
+          if (dynamic) {
+            if (gt.partitionBy.isEmpty) gt.overwrite(aligned)
+            else gt.replacePartitions(aligned)
+          } else staticPartition match {
+            case Some((pred, sql)) => gt.overwriteWhere(pred, sql, aligned)
+            case None =>
+              if (replace || overwrite) gt.overwrite(aligned)
+              else gt.append(aligned)
+          }
         }
       }
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!replace, "streaming INSERT OVERWRITE is not supported; " +
-        "a stream appends — overwrite the table with a batch write")
+      require(!replace && !dynamic && staticPartition.isEmpty,
+        "streaming INSERT OVERWRITE is not supported; " +
+          "a stream appends — overwrite the table with a batch write")
       require(gt.partitionBy.isEmpty, "streaming writes to a PARTITIONED " +
         "graft table are not supported; use foreachBatch + appendIfAbsent")
       // executor writers encode by POSITION — a name/type permutation in

@@ -78,6 +78,16 @@ final case class GraftSqlDmlRule(session: SparkSession)
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val gt = requireLive(graftTarget(m.targetTable).get, "MERGE INTO")
       translateMerge(m, gt)
+
+    // dynamic partition overwrite (`partitionOverwriteMode=dynamic` /
+    // DataFrameWriterV2.overwritePartitions): Spark has no V1 fallback for
+    // OverwritePartitionsDynamic, so route it to the native one-commit
+    // replacePartitions here — same delegation as UPDATE / MERGE
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if o.query.resolved && graftTarget(o.table).isDefined =>
+      val gt = requireLive(graftTarget(o.table).get, "dynamic INSERT OVERWRITE")
+      GraftReplacePartitionsSqlCommand(gt,
+        org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, o.query))
   }
 
   /** Lower a MERGE. The exact upsert shape (`ON t.k = s.k WHEN MATCHED
@@ -246,6 +256,21 @@ private[tables] final case class GraftUpdateSqlCommand(
 }
 
 /** Upsert `MERGE INTO` lowered to the native key-pruned merge. */
+private[tables] final case class GraftReplacePartitionsSqlCommand(
+    gt: GraftTable, data: DataFrame)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // the analyzer already aligned the query to the table positionally;
+    // rename + cast exactly like the V1 insert path does
+    val aligned = data.toDF(gt.schema.fieldNames.toIndexedSeq: _*)
+      .select(gt.schema.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (gt.partitionBy.isEmpty) gt.overwrite(aligned)
+    else gt.replacePartitions(aligned)
+    Seq.empty
+  }
+}
+
 private[tables] final case class GraftMergeSqlCommand(gt: GraftTable, source: DataFrame)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {

@@ -1444,6 +1444,45 @@ final class GraftTable private (
     commit(v, "overwrite", writeData(alignSchema(df), idStrict = true), activeFiles(v).map(_.path))
   }
 
+  /** STATIC partition overwrite — the SQL `INSERT OVERWRITE … PARTITION
+    * (p = 'A')` form: every file in the partitions `partitionPred` selects
+    * is removed and `df`'s rows written, ONE snapshot-atomic commit. The
+    * predicate may reference identity partition COLUMNS only (same
+    * contract as [[snapshotWhere]]; `predSql` is its SQL text), file
+    * selection is driver-side against the log's partition tuples (no
+    * listing, no data read for untouched partitions — at 100 TB the daily
+    * static reload must not look at three years of files), and EVERY
+    * incoming row must satisfy the predicate — checked inside the write
+    * job like a CHECK constraint, so replacing partition A can never
+    * smuggle rows into partition B (violation aborts, nothing commits).
+    */
+  def overwriteWhere(partitionPred: Column, predSql: String, df: DataFrame): Long = {
+    require(partitionBy.nonEmpty,
+      "overwriteWhere needs a partitioned table; use overwrite() otherwise")
+    require(partSpecs.forall(_.isInstanceOf[PartitionTransforms.Identity]),
+      "overwriteWhere takes predicates over identity partition COLUMNS; " +
+        "transform-partitioned tables reload whole cells via replacePartitions")
+    val v = version
+    val schema = schemaAt(v)
+    val files = activeFiles(v)
+    // same partition-evolution guard as replacePartitions: a file laid out
+    // under an older spec has no defined cell membership here
+    val unmigrated = files.filter(_.rows > 0)
+      .filterNot(f => partitionBy.forall(f.pv.contains))
+    require(unmigrated.isEmpty,
+      s"overwriteWhere after partition evolution: ${unmigrated.size} " +
+        "file(s) predate the current spec; optimize() first to migrate them")
+    val kept = prunePartitions(
+      files.filter(f => partitionBy.forall(f.pv.contains)).map(_.pv).distinct,
+      partitionPred, schema)
+    val removes = files.filter(f => kept(f.pv)).map(_.path)
+    val scoped = constraints.toSeq.sortBy(_._1) :+
+      ("overwrite_partition_scope" -> predSql)
+    val adds = writeData(alignSchema(df), consOverride = Some(scoped),
+      idStrict = true)
+    commit(v, "overwritePartitions", adds, removes)
+  }
+
   /** Upsert by `keyCol`: target rows whose key appears in `source` are
     * replaced, all other source rows are inserted, untouched FILES are not
     * rewritten. Source keys must be unique (checked, loud).

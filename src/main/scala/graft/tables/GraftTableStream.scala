@@ -56,13 +56,47 @@ import org.apache.spark.util.SerializableConfiguration
   * `maxBytesPerTrigger` (admission caps; a trigger always admits at least
   * one file so the stream makes progress even past an oversized file).
   */
-final class GraftTableStreamSource extends TableProvider with DataSourceRegister {
+final class GraftTableStreamSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.RelationProvider {
   override def shortName(): String = "graft-table"
 
   private def location(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-table source needs .option(\"path\", ...)")
     p
+  }
+
+  /** BATCH face for non-catalog users: `spark.read.format("graft-table")
+    * .option("path", l)` serves the current snapshot, `versionAsOf` /
+    * `timestampAsOf` (epoch millis or `yyyy-mm-dd hh:mm:ss`) time-travel.
+    * The DataFrameReader tries the V2 table first, sees no BATCH_READ
+    * capability and falls back here (the documented V1 route); the
+    * relation's scan IS the snapshot plan — physical column resolution,
+    * deletion vectors and per-version schema all included, any schema
+    * (the stream face's flat-atomic restriction does not apply).
+    */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val t = GraftTable.at(ctx.sparkSession, params.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table needs .option(\"path\", ...)")))
+    val asOf: Option[Long] = params.get("versionasof").map(_.toLong)
+      .orElse(params.get("timestampasof").map { s =>
+        val ms = scala.util.Try(s.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(s).getTime)
+        t.versionAt(ms)
+      })
+    val df = t.snapshot(asOf)
+    new org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+      override val sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override val schema: StructType = df.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -792,6 +792,37 @@ class GraftCatalogSpec extends SparkTestBase {
       "CREATE TABLE gt.hidden2 (ts TIMESTAMP) PARTITIONED BY (hours(ts))"))
   }
 
+  test("INSERT OVERWRITE: static PARTITION replaces one cell, dynamic mode per-cell") {
+    warehouse
+    spark.sql("CREATE TABLE gt.po (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gt.po VALUES (1, 'A'), (2, 'B'), (3, 'B')")
+    // static form: only partition A is replaced; B untouched (not re-listed)
+    spark.sql("INSERT OVERWRITE gt.po PARTITION (p = 'A') VALUES (10)")
+    assert(sqlRows("SELECT k, p FROM gt.po") ==
+      Set(Seq(10L, "A"), Seq(2L, "B"), Seq(3L, "B")))
+    val t = GraftTable.at(spark, s"$warehouse/po")
+    assert(t.history.last.op == "overwritePartitions")
+    // a row OUTSIDE the static partition cannot be smuggled in: the scope
+    // check aborts inside the write job and commits NOTHING
+    val v = t.version
+    val e = intercept[IllegalArgumentException] {
+      t.overwriteWhere(org.apache.spark.sql.functions.col("p") === "A",
+        "`p` = 'A'", Seq((9L, "B")).toDF("k", "p"))
+    }
+    assert(e.getMessage.contains("overwrite_partition_scope"), e.getMessage)
+    assert(GraftTable.at(spark, s"$warehouse/po").version == v,
+      "violating partition overwrite committed")
+    // dynamic mode: partitions present in the data are replaced, others kept
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE gt.po VALUES (20, 'B')")
+      assert(sqlRows("SELECT k, p FROM gt.po") ==
+        Set(Seq(10L, "A"), Seq(20L, "B")))
+      assert(GraftTable.at(spark, s"$warehouse/po").history.last.op ==
+        "replacePartitions")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("GENERATED ALWAYS AS columns derive through SQL DDL + INSERT + UPDATE") {
     warehouse
     spark.sql("CREATE TABLE gt.gen_t (k BIGINT, v STRING, " +

@@ -149,4 +149,181 @@ class GraftTableModelSpec extends SparkTestBase {
     val fin = t.snapshot().as[(Long, String)].collect().toSeq.sorted
     assert(folded == fin, "change feed does not fold to the final state")
   }
+
+  test("random ops on a GENERATED + IDENTITY table keep derivation and uniqueness") {
+    val rnd = new Random(20260815L)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def df(rows: Iterable[(Long, String)]): DataFrame = rows.toSeq.toDF("k", "v")
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val ks = Iterator.continually(rnd.nextInt(200).toLong)
+        .filterNot(model.contains).distinct.take(n).toSeq
+      ks.map(k => k -> s"v$k-${rnd.nextInt(100)}")
+    }
+    val init = fresh(6)
+    init.foreach { case (k, v) => model(k) = v }
+    val t = GraftTable.create(spark, tmp(), df(init), keyCol = Some("k"),
+      generatedColumns = Map("vu" -> "upper(v)"),
+      identityColumns = Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
+
+    // every newly-ASSIGNED identity value must land beyond everything seen
+    // before (the hwm contract); surviving rows keep their values
+    var prevIds = Set.empty[Long]
+    var prevMax = 0L
+
+    def check(op: String): Unit = {
+      val rows = t.snapshot()
+        .select(col("k"), col("v"), col("vu"), col("id"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(rows.map(r => (r._1, r._2)).toSet == model.toSet,
+        s"after $op: data ${rows.map(r => (r._1, r._2)).toSet} != model")
+      rows.foreach { case (k, v, vu, _) =>
+        assert(vu == v.toUpperCase, s"after $op: vu '$vu' != upper('$v') at k=$k") }
+      val ids = rows.map(_._4)
+      assert(ids.distinct.size == ids.size,
+        s"after $op: identity collision among ${ids.sorted.mkString(",")}")
+      val assigned = ids.toSet -- prevIds
+      assert(assigned.forall(_ > prevMax),
+        s"after $op: assigned ids $assigned not beyond prior max $prevMax")
+      prevIds ++= ids
+      prevMax = math.max(prevMax, if (ids.isEmpty) prevMax else ids.max)
+    }
+    check("create")
+
+    for (step <- 1 to 18) {
+      rnd.nextInt(7) match {
+        case 0 =>
+          val rows = fresh(rnd.nextInt(4) + 1)
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          check(s"$step:append")
+        case 1 =>
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => k -> s"m$k-$step")
+          val ins = fresh(rnd.nextInt(3))
+          val src = upd ++ ins
+          if (src.nonEmpty) {
+            t.merge(df(src)) // replaced rows get FRESH identity values
+            src.foreach { case (k, v) => model(k) = v }
+          }
+          check(s"$step:merge")
+        case 2 =>
+          val lo = rnd.nextInt(200).toLong
+          t.deleteWhere(col("k").between(lo, lo + 40L))
+          model.filterInPlace((k, _) => !(k >= lo && k <= lo + 40L))
+          check(s"$step:delete")
+        case 3 => // update v: vu must auto-recompute, id must be KEPT
+          val before = t.snapshot().select(col("k"), col("id"))
+            .as[(Long, Long)].collect().toMap
+          val m = rnd.nextInt(4) + 2
+          t.update(Map("v" -> concat(col("v"), lit(s"x$step"))), col("k") % m === 0L)
+          model.mapValuesInPlace((k, v) => if (k % m == 0) s"${v}x$step" else v)
+          val after = t.snapshot().select(col("k"), col("id"))
+            .as[(Long, Long)].collect().toMap
+          assert(after == before,
+            s"$step:update changed identity values (update must keep them)")
+          check(s"$step:update")
+        case 4 =>
+          rnd.shuffle(model.keys.toSeq).headOption.foreach { k =>
+            t.deleteWhere(col("k") === k)
+            model.remove(k)
+          }
+          check(s"$step:deleteOne")
+        case 5 =>
+          t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
+          check(s"$step:compact")
+        case 6 =>
+          if (model.nonEmpty) t.optimize(Seq("k"), targetBytes = 16L << 10)
+          check(s"$step:optimize")
+      }
+    }
+  }
+
+  test("OCC chaos: a concurrent disjoint append before every commit always rebases") {
+    val rnd = new Random(20260816L)
+    val loc = tmp()
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def df(rows: Iterable[(Long, String)]): DataFrame = rows.toSeq.toDF("k", "v")
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val ks = Iterator.continually(rnd.nextInt(200).toLong)
+        .filterNot(model.contains).distinct.take(n).toSeq
+      ks.map(k => k -> s"v$k-${rnd.nextInt(100)}")
+    }
+    val init = fresh(6)
+    init.foreach { case (k, v) => model(k) = v }
+    val t = GraftTable.create(spark, loc, df(init), keyCol = Some("k"))
+    val t2 = GraftTable.at(spark, loc)
+    // winner keys live in [500, 700) — provably outside every op's key
+    // range and predicate band, so the conflict check must ALWAYS rebase
+    var nextWinner = 500L
+    def arm(): Seq[(Long, String)] = {
+      val w = Seq(nextWinner -> s"w$nextWinner")
+      nextWinner += 1
+      t.onNextCommitAttempt = () => t2.append(df(w))
+      w
+    }
+    def settle(w: Seq[(Long, String)]): Unit = {
+      // an op that early-returned never reached commit: the hook did not
+      // fire and the winner never existed — disarm it
+      if (t.onNextCommitAttempt != null) t.onNextCommitAttempt = null
+      else w.foreach { case (k, v) => model(k) = v }
+    }
+    def check(op: String): Unit = {
+      val got = t.snapshot().select(col("k"), col("v"))
+        .as[(Long, String)].collect().toSet
+      assert(got == model.toSet, s"after $op: $got != ${model.toSet}")
+    }
+    for (step <- 1 to 14) {
+      rnd.nextInt(5) match {
+        case 0 =>
+          val rows = fresh(rnd.nextInt(3) + 1)
+          val w = arm()
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          settle(w)
+          check(s"$step:append+race")
+        case 1 =>
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => k -> s"m$k-$step")
+          val ins = fresh(rnd.nextInt(2))
+          val src = upd ++ ins
+          if (src.nonEmpty) {
+            val w = arm()
+            t.merge(df(src))
+            src.foreach { case (k, v) => model(k) = v }
+            settle(w)
+          }
+          check(s"$step:merge+race")
+        case 2 =>
+          val lo = rnd.nextInt(200).toLong
+          val w = arm()
+          // the op serializes FIRST (rebase = op-then-winner order), so its
+          // model effect applies to the PRE-winner state
+          t.deleteWhere(col("k").between(lo, lo + 40L))
+          model.filterInPlace((k, _) => !(k >= lo && k <= lo + 40L))
+          settle(w)
+          check(s"$step:delete+race")
+        case 3 =>
+          val m = rnd.nextInt(4) + 2
+          val w = arm()
+          t.update(Map("v" -> concat(col("v"), lit(s"x$step"))), col("k") % m === 0L)
+          // update-first serial order: the winner's row is NOT updated
+          model.mapValuesInPlace((k, v) => if (k % m == 0) s"${v}x$step" else v)
+          settle(w)
+          check(s"$step:update+race")
+        case 4 =>
+          val w = arm()
+          t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
+          settle(w)
+          check(s"$step:compact+race")
+      }
+    }
+    // the whole mixed racing history still folds through the change feed
+    val feed = t.changes(1L, t.version)
+    val ins = feed.where(col("_change") === "insert").select(col("k"), col("v"))
+    val del = feed.where(col("_change") === "delete").select(col("k"), col("v"))
+    val folded = t.snapshot(Some(1L)).unionAll(ins).exceptAll(del)
+      .as[(Long, String)].collect().toSeq.sorted
+    val fin = t.snapshot().as[(Long, String)].collect().toSeq.sorted
+    assert(folded == fin, "racing history's change feed does not fold")
+  }
 }

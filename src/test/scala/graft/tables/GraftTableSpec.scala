@@ -429,6 +429,23 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.schema.fieldNames.toSeq == Seq("k", "w"))
   }
 
+  // ---- path-based batch read (the non-catalog spark.read face)
+
+  test("spark.read.format(graft-table) serves snapshots and time travel") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    def read(opts: (String, String)*): Set[(Long, String)] =
+      opts.foldLeft(spark.read.format("graft-table").option("path", loc)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().as[(Long, String)].collect().toSet
+    assert(read() == Set((1L, "a"), (2L, "b")))
+    assert(read("versionAsOf" -> "1") == Set((1L, "a")))
+    // timestampAsOf: the newest commit at-or-before version 1's timestamp
+    val ts1 = t.history.find(_.version == 1L).get.ts
+    assert(read("timestampAsOf" -> ts1.toString) == Set((1L, "a")))
+  }
+
   // ---- batch CDF read (the SQL face of changes())
 
   test("batch CDF read equals the changes() API, classifyUpdates carries") {
