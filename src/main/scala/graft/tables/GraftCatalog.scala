@@ -154,10 +154,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val schema = StructType(Seq(
           StructField("version", LongType), StructField("op", StringType),
           StructField("ts", LongType), StructField("added", IntegerType),
-          StructField("removed", IntegerType), StructField("rows_added", LongType)))
+          StructField("removed", IntegerType), StructField("rows_added", LongType),
+          StructField("rows_removed", LongType), StructField("bytes_added", LongType)))
         Some(new GraftMetadataTable(identString(ident), schema, () =>
           t.history.map(h =>
-            Row(h.version, h.op, h.ts, h.added, h.removed, h.rowsAdded))))
+            Row(h.version, h.op, h.ts, h.added, h.removed, h.rowsAdded,
+              h.rowsRemoved, h.bytesAdded))))
       case "files" =>
         val schema = StructType(Seq(
           StructField("path", StringType), StructField("rows", LongType),

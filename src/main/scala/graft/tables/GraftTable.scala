@@ -1130,14 +1130,23 @@ final class GraftTable private (
         cachedCommit(vs.head)._1.get("ts").map(_.toString).getOrElse("?")))
   }
 
-  /** Commit metadata for every version, oldest first. */
-  def history: Seq[CommitInfo] =
+  /** Commit metadata for every version, oldest first — one forward fold
+    * over memoized log entries, so removed-row metrics come from each
+    * removed file's entry AS IT STOOD before the commit (DV'd files count
+    * their live rows).
+    */
+  def history: Seq[CommitInfo] = {
+    var act = Map.empty[String, AddFile]
     listVersions(fs, logDir).map { v =>
       val (meta, adds, removes) = cachedCommit(v)
+      val rowsRemoved = removes.flatMap(act.get).map(liveRows).sum
+      act = act -- removes ++ adds.map(a => a.path -> a)
       CommitInfo(v, meta.getOrElse("op", "?").toString,
         meta.get("ts").map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-        adds.size, removes.size, adds.map(liveRows).sum)
+        adds.size, removes.size, adds.map(liveRows).sum,
+        rowsRemoved, adds.map(_.bytes).sum)
     }
+  }
 
   /** Append rows. With `mergeSchema = true` the schema may EVOLVE: new
     * columns in `df` extend the table schema (old files read them as null
@@ -3039,8 +3048,13 @@ object GraftTable {
     x.length - y.length
   }
 
+  /** One commit's summary, with DESCRIBE-HISTORY-style operation metrics
+    * (rowsRemoved / bytesAdded reconstructed from the retained log —
+    * commits whose removed files predate an expired horizon report 0).
+    */
   final case class CommitInfo(version: Long, op: String, ts: Long,
-    added: Int, removed: Int, rowsAdded: Long)
+    added: Int, removed: Int, rowsAdded: Long,
+    rowsRemoved: Long = 0L, bytesAdded: Long = 0L)
 
   /** Create a new table at `location` from `df`. Fails if a table (log
     * dir) already exists there. `keyCol` enables merge + file pruning.

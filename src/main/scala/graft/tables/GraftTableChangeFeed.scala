@@ -63,8 +63,12 @@ final class GraftTableChangeFeedSource extends StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     val t = GraftTable.at(ctx.sparkSession, location(parameters))
-    val from = params.get("startingversion").map(_.toLong).getOrElse(0L)
-    val to = params.get("endingversion").map(_.toLong).getOrElse(t.version)
+    def tsVersion(s: String): Long = t.versionAt(
+      scala.util.Try(s.toLong).getOrElse(java.sql.Timestamp.valueOf(s).getTime))
+    val from = params.get("startingversion").map(_.toLong)
+      .orElse(params.get("startingtimestamp").map(tsVersion)).getOrElse(0L)
+    val to = params.get("endingversion").map(_.toLong)
+      .orElse(params.get("endingtimestamp").map(tsVersion)).getOrElse(t.version)
     val classify = params.get("classifyupdates").exists(_.toBoolean)
     val df = t.changes(from, to, classify)
     new BaseRelation with TableScan {
@@ -92,7 +96,16 @@ final class GraftTableChangeFeedSource extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val startingVersion = params.get("startingversion").map(_.toLong).getOrElse(0L)
+    // startingTimestamp (epoch millis or `yyyy-mm-dd hh:mm:ss`): changes
+    // AFTER that wall-clock instant — resolved to the newest version
+    // at-or-before it, which the exclusive startingVersion then skips
+    val startingVersion = params.get("startingversion").map(_.toLong)
+      .orElse(params.get("startingtimestamp").map { s =>
+        val ms = scala.util.Try(s.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(s).getTime)
+        GraftTable.at(sqlContext.sparkSession, location(parameters)).versionAt(ms)
+      })
+      .getOrElse(0L)
     require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
     val maxCommits = params.get("maxcommitspertrigger").map(_.toInt)
     maxCommits.foreach(n => require(n > 0,

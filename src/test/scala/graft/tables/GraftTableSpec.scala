@@ -429,6 +429,23 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.schema.fieldNames.toSeq == Seq("k", "w"))
   }
 
+  // ---- history operation metrics
+
+  test("history reports per-commit row/byte metrics from the log fold") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), keyCol = Some("k"))
+    t.deleteWhere(col("k") === 1L)
+    val h = t.history
+    assert(h.head.op == "create" && h.head.rowsAdded == 2 &&
+      h.head.rowsRemoved == 0 && h.head.bytesAdded > 0)
+    val del = h.last
+    assert(del.op == "delete")
+    // whichever route the delete took (DV re-add or rewrite), the NET rows
+    // removed must be exactly one
+    assert(del.rowsRemoved - del.rowsAdded == 1,
+      s"delete metrics: removed ${del.rowsRemoved}, added ${del.rowsAdded}")
+  }
+
   // ---- path-based batch read (the non-catalog spark.read face)
 
   test("spark.read.format(graft-table) serves snapshots and time travel") {
@@ -469,6 +486,11 @@ class GraftTableSpec extends SparkTestBase {
       .option("classifyUpdates", "true").load()
     assert(canon(classified) == canon(t.changes(1L, t.version, classifyUpdates = true)))
     assert(classified.where(col("_change") === "update_preimage").count() == 1)
+    // timestamp bounds resolve to versions (newest at-or-before)
+    val ts1 = t.history.find(_.version == 1L).get.ts
+    val byTs = spark.read.format("graft-table-cdf")
+      .option("path", loc).option("startingTimestamp", ts1.toString).load()
+    assert(canon(byTs) == canon(api))
   }
 
   // ---- GENERATED ... AS IDENTITY columns
