@@ -2142,7 +2142,128 @@ object Advanced extends QueryPack {
         |  FROM base)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(p) AS BIGINT) AS sum_p
-        |FROM adj GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM adj GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // q318 — IDENTITY × MERGE interplay: an upsert against an identity
+    // table replaces matched rows (fresh surrogate values — replace =
+    // delete + insert) and inserts the rest, and the uniqueness invariant
+    // must hold across create + merge (the hwm advances through the merge
+    // commit). The oracle replays the upsert relationally and pins the
+    // invariants: distinct ids == rows, data == merged state.
+    GraftQuery(
+      "q318_table_identity_merge",
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q318_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"),
+            identityColumns = Map("id" -> graft.tables.GraftTable.IdentitySpec(1L, 1L)))
+          t.merge(base.where(col("k") % 3 === 0).withColumn("bal", col("bal") + 11L))
+          materializeSmall(t.snapshot()
+            .agg(count(lit(1)).cast("long").as("n"),
+              count_distinct(col("id")).cast("long").as("n_ids"),
+              sum(col("bal")).cast("long").as("sum_bal")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH c AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (
+        |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) + 11 AS bal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |merged AS (
+        |  SELECT * FROM m
+        |  UNION ALL SELECT * FROM c WHERE k NOT IN (SELECT k FROM m))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  CAST(SUM(bal) AS BIGINT) AS sum_bal
+        |FROM merged""".stripMargin)),
+
+    // q319 — path-based time travel: the non-catalog
+    // `spark.read.format("graft-table").option("versionAsOf", v)` face
+    // reads version 2's exact state after a later delete changed the
+    // table — the oracle replays the pre-delete state relationally, so
+    // snapshot isolation across the format boundary must be exact.
+    GraftQuery(
+      "q319_table_path_time_travel",
+      (s, dir) => {
+        val base = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+            col("n_regionkey").as("r"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q319_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") < 10), keyCol = Some("k"))
+          t.append(base.where(col("k") >= 10)) // version 2 = full nation
+          t.deleteWhere(col("r") === 0L)       // version 3 drops region 0
+          materializeSmall(s.read.format("graft-table")
+            .option("path", root.getAbsolutePath)
+            .option("versionAsOf", "2").load()
+            .groupBy(col("r"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              min(col("name")).as("first_name"))
+            .orderBy(col("r")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT n_regionkey AS r, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY r ORDER BY r""".stripMargin)),
+
+    // q320 — history operation metrics under the oracle: per-op
+    // rows_added / rows_removed from the log fold must replay the exact
+    // row algebra of a create → append → delete → merge history (rewrite
+    // survivors COUNT here — metrics are per-commit file totals, which is
+    // what DESCRIBE HISTORY reports — so the oracle derives them from the
+    // same touched-file semantics relationally).
+    GraftQuery(
+      "q320_table_history_metrics",
+      (s, dir) => {
+        val base = Tables(s, dir, "region")
+          .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q320_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") < 3).repartition(1), keyCol = Some("k"))
+          t.append(base.where(col("k") >= 3).repartition(1))
+          t.deleteWhere(col("k") === 0L) // 1 of 3 rows in file 1: DV or rewrite
+          import s.implicits._
+          materializeSmall(t.history.toDF()
+            .select(col("version"), col("op"),
+              col("rowsAdded").as("rows_added"),
+              col("rowsRemoved").as("rows_removed"))
+            .orderBy(col("version")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      // the delete's physical route (DV re-add vs rewrite) decides the
+      // per-commit file totals: 1 of 3 live rows (<50%, ≤8192) always
+      // takes the DV route, whose re-add keeps 2 live rows — derived
+      // relationally as (rows in file 1) - (deleted rows)
+      Some("""WITH f1 AS (SELECT r_regionkey AS k FROM region WHERE r_regionkey < 3),
+        |f2 AS (SELECT r_regionkey AS k FROM region WHERE r_regionkey >= 3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM f1) AS rows_added,
+        |    CAST(0 AS BIGINT) AS rows_removed
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'append',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM f2), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'delete',
+        |    (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM f1),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM f1))
+        |ORDER BY version""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -49,6 +49,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time-travel loads (`VERSION AS OF v`) return a READ-ONLY table — a write
   * to the past must fail loud, not fork history.
   */
+private[tables] object GraftCatalog {
+  /** V2 columns → StructType, PRESERVING generated-column expressions and
+    * identity specs as field metadata under Spark's own keys. Spark's
+    * default bridge (`CatalogV2Util.v2ColumnsToStructType` — Scala-private
+    * but bytecode-public, invoked reflectively so its DEFAULT-value
+    * encoding stays exactly the analyzer's) drops both on the floor.
+    */
+  def structWithColumnMetadata(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
+    val base = {
+      val cls = Class.forName(
+        "org.apache.spark.sql.connector.catalog.CatalogV2Util$")
+      cls.getMethod("v2ColumnsToStructType",
+          classOf[Array[org.apache.spark.sql.connector.catalog.Column]])
+        .invoke(cls.getField("MODULE$").get(null), columns)
+        .asInstanceOf[StructType]
+    }
+    StructType(base.fields.zip(columns).map { case (f, c) =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      Option(c.generationExpression()).filter(_.nonEmpty).foreach(e =>
+        mb.putString(GraftTable.GenerationExpressionKey, e))
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong(GraftTable.IdentityStartKey, s.getStart)
+        mb.putLong(GraftTable.IdentityStepKey, s.getStep)
+        mb.putBoolean(GraftTable.IdentityAllowExplicitKey, s.isAllowExplicitInsert)
+      }
+      f.copy(metadata = mb.build())
+    })
+  }
+}
+
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
@@ -277,32 +309,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // CatalogV2Util is Scala-private[sql] but bytecode-public: reuse
-    // Spark's OWN column→struct conversion (it encodes DEFAULT values the
-    // way the analyzer expects) instead of re-implementing it
-    val base = {
-      val cls = Class.forName(
-        "org.apache.spark.sql.connector.catalog.CatalogV2Util$")
-      cls.getMethod("v2ColumnsToStructType",
-          classOf[Array[org.apache.spark.sql.connector.catalog.Column]])
-        .invoke(cls.getField("MODULE$").get(null), columns)
-        .asInstanceOf[StructType]
-    }
-    val withGen = StructType(base.fields.zip(columns).map { case (f, c) =>
-      val mb = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-      Option(c.generationExpression()).filter(_.nonEmpty).foreach(e =>
-        mb.putString(GraftTable.GenerationExpressionKey, e))
-      Option(c.identityColumnSpec()).foreach { s =>
-        mb.putLong(GraftTable.IdentityStartKey, s.getStart)
-        mb.putLong(GraftTable.IdentityStepKey, s.getStep)
-        mb.putBoolean(GraftTable.IdentityAllowExplicitKey, s.isAllowExplicitInsert)
-      }
-      f.copy(metadata = mb.build())
-    })
-    createTable(ident, withGen, partitions, properties)
-  }
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTable(ident, GraftCatalog.structWithColumnMetadata(columns),
+      partitions, properties)
+
+  // the staged DDL forms (atomic CTAS / RTAS / CREATE OR REPLACE) have the
+  // same default Column[]→StructType bridge that drops generated/identity
+  // metadata — route them through the preserving conversion too
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, GraftCatalog.structWithColumnMetadata(columns),
+      partitions, properties)
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, GraftCatalog.structWithColumnMetadata(columns),
+      partitions, properties)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreateOrReplace(ident, GraftCatalog.structWithColumnMetadata(columns),
+      partitions, properties)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {

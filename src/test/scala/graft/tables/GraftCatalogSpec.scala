@@ -841,6 +841,17 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(t.generatedColumns == Map("vu" -> "upper(v)"))
   }
 
+  test("CREATE OR REPLACE preserves generated-column metadata (staged DDL)") {
+    warehouse
+    spark.sql("CREATE TABLE gt.gor (k BIGINT, v STRING) USING graft")
+    spark.sql("CREATE OR REPLACE TABLE gt.gor (k BIGINT, v STRING, " +
+      "vu STRING GENERATED ALWAYS AS (upper(v))) USING graft")
+    spark.sql("INSERT INTO gt.gor (k, v) VALUES (1, 'a')")
+    assert(sqlRows("SELECT k, vu FROM gt.gor") == Set(Seq(1L, "A")))
+    val t = GraftTable.at(spark, s"$warehouse/gor")
+    assert(t.generatedColumns == Map("vu" -> "upper(v)"))
+  }
+
   test("GENERATED ALWAYS AS IDENTITY assigns unique values through SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.id_t (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
