@@ -2263,7 +2263,46 @@ object Advanced extends QueryPack {
         |  SELECT CAST(3 AS BIGINT), 'delete',
         |    (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM f1),
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM f1))
-        |ORDER BY version""".stripMargin)))
+        |ORDER BY version""".stripMargin)),
+
+    // q321 — UNIQUE KEY enforcement happy path: a table declared
+    // uniqueKey at create takes disjoint appends and key-replacing merges
+    // (the paths that PRESERVE the invariant) while every write pays the
+    // in-batch + pruned-probe validation; the oracle replays the history
+    // relationally, and distinct keys must equal rows by construction.
+    GraftQuery(
+      "q321_table_unique_key",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q321_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"),
+            uniqueKey = true)
+          t.append(base.where(col("k") % 2 === 1))
+          t.merge(base.where(col("k") % 7 === 0)
+            .withColumn("p", col("p") + 3L))
+          materializeSmall(t.snapshot()
+            .agg(count(lit(1)).cast("long").as("n"),
+              count_distinct(col("k")).cast("long").as("n_keys"),
+              sum(col("p")).cast("long").as("sum_p")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, p + 3 AS p FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k, p FROM base WHERE k % 7 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(SUM(p) AS BIGINT) AS sum_p
+        |FROM merged""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

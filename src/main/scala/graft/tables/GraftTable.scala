@@ -340,6 +340,55 @@ final class GraftTable private (
   private def currentIdHwm: Map[String, Long] =
     listVersions(fs, logDir).lastOption.map(idHwmAt).getOrElse(Map.empty)
 
+  /** Whether this table enforces UNIQUE merge keys on every write (opt-in
+    * at create). The merge/CDF machinery ASSUMES snapshot-unique keys
+    * (update classification pairs on them; merge replaces per key) — with
+    * enforcement on, a plain append can no longer silently break that
+    * invariant. Delta/Iceberg leave PKs informational; this is the
+    * stricter-by-declaration variant, priced per write (one aggregate on
+    * the batch + one key-range/zone-map-pruned semi-join against files the
+    * write does not replace — at 100 TB a clustered key prunes that probe
+    * to a sliver; a hash-spread key should carry a bloom index).
+    */
+  def uniqueKeyEnforced: Boolean = keyCol.exists(k =>
+    tableSchema.fields.find(_.name == k).exists(f =>
+      f.metadata.contains(GraftTable.KeyUniqueKey) &&
+        f.metadata.getBoolean(GraftTable.KeyUniqueKey)))
+
+  /** Validate `df` against the UNIQUE-key declaration (no-op when off):
+    * in-batch duplicates and null keys are refused, then the key must not
+    * already exist in any surviving file (`excludePaths` = the files this
+    * write removes). Runs BEFORE anything is written — a violation
+    * commits nothing and writes nothing.
+    */
+  private def requireUniqueKeys(df: DataFrame, excludePaths: Set[String],
+      what: String): Unit = {
+    if (!uniqueKeyEnforced) return
+    val k = keyCol.get
+    val agg = df.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
+      count_distinct(col(k)).as("d"), min(col(k)).as("lo"),
+      max(col(k)).as("hi")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      s"$what violates UNIQUE KEY '$k': ${agg.getLong(0) - agg.getLong(1)} " +
+        "null key(s)")
+    require(agg.getLong(1) == agg.getLong(2),
+      s"$what violates UNIQUE KEY '$k': " +
+        s"${agg.getLong(1) - agg.getLong(2)} duplicate key(s) in the batch")
+    if (agg.getLong(0) == 0) return
+    val v = version
+    val candidates = activeFiles(v)
+      .filterNot(f => excludePaths.contains(f.path))
+      .filter(f => f.rows > 0 &&
+        f.stats.forall(_.intersects(agg.get(3), agg.get(4))))
+    if (candidates.isEmpty) return
+    val hits = readFiles(candidates, v).select(col(k))
+      .join(df.select(col(k)).distinct(), Seq(k), "left_semi")
+      .limit(1).count()
+    require(hits == 0,
+      s"$what violates UNIQUE KEY '$k': at least one key already exists " +
+        "in the table")
+  }
+
   /** GENERATED ALWAYS identity columns may never be supplied or assigned
     * (BY DEFAULT ones may); enforced on every aligned write input and on
     * UPDATE/merge assignment sets.
@@ -967,6 +1016,7 @@ final class GraftTable private (
       s"replacePartitions after partition evolution: ${unmigrated.size} " +
         "file(s) predate the current spec; optimize() first to migrate them")
     val removes = activeFiles(v).filter(f => touched(f.pv)).map(_.path)
+    requireUniqueKeys(aligned, removes.toSet, "replacePartitions")
     commit(v, "replacePartitions", writeData(aligned, idStrict = true), removes)
   }
 
@@ -1160,6 +1210,7 @@ final class GraftTable private (
     val cur = schemaAt(v)
     val validatedUnder = constraintsAt(v)
     val (aligned, newSchema) = alignEvolving(df, cur, mergeSchema)
+    requireUniqueKeys(aligned, Set.empty, "append")
     val adds = writeData(aligned, idStrict = true)
     // OPTIMISTIC-CONCURRENCY retry (the Delta ConflictChecker design for
     // BLIND appends): an append reads nothing, so losing the version race
@@ -1193,6 +1244,11 @@ final class GraftTable private (
             throw new IllegalStateException(
               "append lost the race to a concurrent identity-assigning " +
                 "write; the assigned values could collide — re-run the append")
+          // the uniqueness probe ran against the PREVIOUS head: a winner
+          // may have inserted the same keys — re-validate by re-running
+          if (uniqueKeyEnforced) throw new IllegalStateException(
+            "append lost the race on a UNIQUE KEY table; re-run the " +
+              "append so uniqueness re-validates against the new head")
           expected = head
       }
     }
@@ -1373,7 +1429,9 @@ final class GraftTable private (
     else {
       val v = version
       val validatedUnder = constraintsAt(v)
-      try commit(v, "append", writeData(alignSchema(df), idStrict = true), Nil, Some(txnId))
+      val aligned = alignSchema(df)
+      requireUniqueKeys(aligned, Set.empty, "append")
+      try commit(v, "append", writeData(aligned, idStrict = true), Nil, Some(txnId))
       catch {
         case e: ConcurrentCommitException =>
           if (committedTxns.contains(txnId)) version
@@ -1450,7 +1508,9 @@ final class GraftTable private (
   /** Replace the whole table contents (snapshot-atomic). */
   def overwrite(df: DataFrame): Long = {
     val v = version
-    commit(v, "overwrite", writeData(alignSchema(df), idStrict = true), activeFiles(v).map(_.path))
+    val aligned = alignSchema(df)
+    requireUniqueKeys(aligned, activeFiles(v).map(_.path).toSet, "overwrite")
+    commit(v, "overwrite", writeData(aligned, idStrict = true), activeFiles(v).map(_.path))
   }
 
   /** STATIC partition overwrite — the SQL `INSERT OVERWRITE … PARTITION
@@ -1487,7 +1547,9 @@ final class GraftTable private (
     val removes = files.filter(f => kept(f.pv)).map(_.path)
     val scoped = constraints.toSeq.sortBy(_._1) :+
       ("overwrite_partition_scope" -> predSql)
-    val adds = writeData(alignSchema(df), consOverride = Some(scoped),
+    val alignedOw = alignSchema(df)
+    requireUniqueKeys(alignedOw, removes.toSet, "partition overwrite")
+    val adds = writeData(alignedOw, consOverride = Some(scoped),
       idStrict = true)
     commit(v, "overwritePartitions", adds, removes)
   }
@@ -1735,6 +1797,9 @@ final class GraftTable private (
       case (None, None) => v // nothing touched, nothing to insert
       case (s, i) =>
         val newData = (s.toSeq ++ i.toSeq).reduce(_.unionByName(_))
+        // insert clauses may assign ANY key expression — under UNIQUE KEY
+        // the merged output must still be globally unique
+        requireUniqueKeys(newData, rewritten.map(_.path).toSet, "merge")
         val validatedUnder = constraintsAt(v)
         // source key bounds computed only if a race actually happens
         lazy val bounds = source.agg(min(col(k)), max(col(k))).head()
@@ -1840,6 +1905,10 @@ final class GraftTable private (
     assignments0.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update column '$k' not in ${schema.fieldNames.mkString(",")}"))
     requireIdentityInsertable(assignments0.keys.toSeq, schema, "assigned by UPDATE")
+    keyCol.filter(_ => uniqueKeyEnforced).foreach(k =>
+      require(!assignments0.contains(k),
+        s"cannot reassign the UNIQUE merge key '$k' via UPDATE — " +
+          "use merge (or delete + insert)"))
     val assignments = withAutoGenerated(assignments0)
     val v = version
     val files = activeFiles(v)
@@ -2843,6 +2912,12 @@ object GraftTable {
     */
   private[tables] val GenerationExpressionKey = "GENERATION_EXPRESSION"
 
+  /** Field-metadata key (on the merge-key field) of the opt-in UNIQUE
+    * enforcement: when set, every write that can introduce rows validates
+    * the key's global uniqueness before committing.
+    */
+  private[tables] val KeyUniqueKey = "graft.keyUnique"
+
   /** Field-metadata keys of a GENERATED … AS IDENTITY column — Spark's own
     * (`IdentityColumn.IDENTITY_INFO_*`), so SQL-declared identity columns
     * land here with no translation.
@@ -3064,7 +3139,10 @@ object GraftTable {
       partitionBy: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty,
       generatedColumns: Map[String, String] = Map.empty,
-      identityColumns: Map[String, IdentitySpec] = Map.empty): GraftTable = {
+      identityColumns: Map[String, IdentitySpec] = Map.empty,
+      uniqueKey: Boolean = false): GraftTable = {
+    require(!uniqueKey || keyCol.isDefined,
+      "uniqueKey enforcement needs a merge key (keyCol = Some(...))")
     // GENERATED ALWAYS AS columns declared via the API are COMPUTED here
     // and their expressions attached as field metadata under Spark's own
     // key; SQL-declared ones arrive already attached in df's schema and
@@ -3091,8 +3169,22 @@ object GraftTable {
         mb.putLong(IdentityStepKey, s.step)
         mb.putBoolean(IdentityAllowExplicitKey, s.allowExplicit)
       }
+      if (uniqueKey && keyCol.contains(f.name))
+        mb.putBoolean(KeyUniqueKey, true)
       f.copy(metadata = mb.build())
     })
+    // the create batch itself must honor the declaration (no files to
+    // probe yet — in-batch nulls/duplicates only)
+    if (uniqueKey) {
+      val k = keyCol.get
+      val agg = withId.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.count(col(k)).as("nn"),
+        org.apache.spark.sql.functions.count_distinct(col(k)).as("d")).head()
+      require(agg.getLong(0) == agg.getLong(1) && agg.getLong(1) == agg.getLong(2),
+        s"create violates UNIQUE KEY '$k': null or duplicate keys in the data")
+    }
     // SQL-declared identity columns arrive in df's metadata: vet them all
     identityOf(schemaWithGen).foreach { case (n, _) =>
       schemaWithGen.fields.find(_.name == n).map(_.dataType).get match {

@@ -58,6 +58,13 @@ private[tables] final class GraftStreamingWrite(
       "use foreachBatch with appendIfAbsent (identity values are assigned " +
       "by the batch write path)")
 
+  // uniqueness needs a pre-commit probe against the snapshot; the sink's
+  // executor writers commit files directly — route through foreachBatch +
+  // appendIfAbsent, whose batch path enforces the declaration
+  require(!GraftTable.at(SparkSession.active, location).uniqueKeyEnforced,
+    "streaming writes to a UNIQUE KEY table are not supported; " +
+      "use foreachBatch with appendIfAbsent")
+
   /** CHECK constraints compiled to row-level Catalyst predicates at query
     * start (Delta-invariant semantics for the native sink): each predicate
     * is analyzed against the stream's LOGICAL schema (full coercion, NULL

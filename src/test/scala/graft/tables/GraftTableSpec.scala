@@ -429,6 +429,71 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.schema.fieldNames.toSeq == Seq("k", "w"))
   }
 
+  // ---- UNIQUE KEY enforcement (opt-in)
+
+  test("unique key: writes validate in-batch and against surviving files") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"),
+      uniqueKey = true)
+    assert(t.uniqueKeyEnforced)
+    t.append(Seq((3L, "c")).toDF("k", "v")) // disjoint: fine
+    val v = t.version
+    val e1 = intercept[IllegalArgumentException] {
+      t.append(Seq((4L, "d"), (4L, "e")).toDF("k", "v"))
+    }
+    assert(e1.getMessage.contains("duplicate key"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, "z")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    assert(t.version == v, "violating write committed")
+    // merge REPLACES key 2 — uniqueness preserved, allowed
+    t.merge(Seq((2L, "B"), (5L, "E")).toDF("k", "v"))
+    // UPDATE must not reassign the unique key
+    val e3 = intercept[IllegalArgumentException] {
+      t.update(Map("k" -> lit(9L)), col("k") === 1L)
+    }
+    assert(e3.getMessage.contains("UNIQUE merge key"), e3.getMessage)
+    // overwrite replaces everything but still refuses in-batch duplicates
+    intercept[IllegalArgumentException] {
+      t.overwrite(Seq((7L, "x"), (7L, "y")).toDF("k", "v"))
+    }
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "c"), (5L, "E")))
+    // declaration guards
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(),
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"), keyCol = Some("k"),
+        uniqueKey = true)
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"),
+        uniqueKey = true) // no keyCol
+    }
+  }
+
+  test("unique key: commit races fail loud; forged merge-insert keys refused") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"),
+      keyCol = Some("k"), uniqueKey = true)
+    val t2 = GraftTable.at(spark, loc)
+    // the uniqueness probe ran against the pre-race head — the rebase
+    // must not sail past it
+    t.onNextCommitAttempt = () => t2.append(Seq((2L, "b")).toDF("k", "v"))
+    val e = intercept[IllegalStateException] {
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("UNIQUE KEY"), e.getMessage)
+    assert(rows(GraftTable.at(spark, loc)) == Set((1L, "a"), (2L, "b")))
+    // a NOT MATCHED clause forging a constant key that already exists
+    val e4 = intercept[IllegalArgumentException] {
+      t2.mergeInto(Seq((99L, "q")).toDF("k", "v"),
+        matched = Seq.empty,
+        notMatched = Seq((None,
+          Map("k" -> lit(1L), "v" -> col("__src_v")))))
+    }
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+  }
+
   // ---- history operation metrics
 
   test("history reports per-commit row/byte metrics from the log fold") {
