@@ -213,12 +213,16 @@ private[tables] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       reqParam("table", StringType, "dotted table name under this catalog"),
       param("retention_ms", LongType, (7L * 24 * 60 * 60 * 1000).toString,
-        "grace window: younger unreferenced files are kept (in-flight writers)"))
+        "grace window: younger unreferenced files are kept (in-flight writers)"),
+      param("dry_run", BooleanType, "false",
+        "report what would be reclaimed without deleting anything"))
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val deleted = table(input).vacuum(input.getLong(1))
+      val dryRun = !input.isNullAt(2) && input.getBoolean(2)
+      val deleted = table(input).vacuum(input.getLong(1), dryRun)
       result(
-        StructType(Seq(StructField("deleted_files", LongType))),
-        deleted.size.toLong)
+        StructType(Seq(StructField("deleted_files", LongType),
+          StructField("dry_run", BooleanType))),
+        deleted.size.toLong, dryRun)
     }
   }
 }

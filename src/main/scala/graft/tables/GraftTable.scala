@@ -2328,7 +2328,8 @@ final class GraftTable private (
     * lakehouse discipline) makes vacuum safe alongside live writers; pass
     * `0L` only when the caller holds the table exclusively.
     */
-  def vacuum(retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+  def vacuum(retentionMs: Long = DefaultVacuumRetentionMs,
+      dryRun: Boolean = false): Seq[String] = {
     require(retentionMs >= 0, "retentionMs must be >= 0")
     val live = activeFiles(version).map(_.path).toSet
     val horizon = System.currentTimeMillis() - retentionMs
@@ -2339,6 +2340,10 @@ final class GraftTable private (
           !live(n) && st.getModificationTime <= horizon
       }
       .map(_.getPath.getName)
+    // DRY RUN (the published VACUUM … DRY RUN contract): report what a
+    // real run would reclaim — including which time-travel horizons die —
+    // and touch NOTHING
+    if (dryRun) return orphans
     orphans.foreach(n => fs.delete(new Path(location, n), false))
     // crashed writers can also strand `.tmp-*` staging files in the log
     // dir (a commit/checkpoint written but never renamed); they are never

@@ -705,10 +705,19 @@ class GraftCatalogSpec extends SparkTestBase {
     // files still exist — metadata-only re-reference)
     spark.sql(s"CALL gt.system.restore(table => 'mnt', version => ${ver})")
     assert(GraftTable.at(spark, s"$warehouse/mnt").history.last.op == "restore")
+    // DRY RUN reports what would be reclaimed and touches nothing
+    val wouldDelete = spark.sql(
+      "CALL gt.system.vacuum(table => 'mnt', retention_ms => 0, dry_run => true)")
+      .head().getLong(0)
+    assert(wouldDelete > 0L, "dry-run vacuum found nothing reclaimable")
+    assert(GraftTable.at(spark, s"$warehouse/mnt")
+      .snapshot(Some(ver)).count() == 3L,
+      "dry-run vacuum deleted files (time travel died)")
     // vacuum with a zero retention window reclaims the unreferenced files
     val deleted = spark.sql("CALL gt.system.vacuum(table => 'mnt', retention_ms => 0)")
       .head().getLong(0)
-    assert(deleted > 0L, "vacuum reclaimed nothing after compact+optimize+restore")
+    assert(deleted == wouldDelete,
+      s"real vacuum deleted $deleted but dry run predicted $wouldDelete")
     // rows survive the whole maintenance pass
     assert(sqlRows("SELECT k, v FROM gt.mnt") ==
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
