@@ -238,6 +238,74 @@ class GraftTableModelSpec extends SparkTestBase {
     }
   }
 
+  test("random ops on a UNIQUE KEY table: invariant holds, violations refused") {
+    val rnd = new Random(20260817L)
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def df(rows: Iterable[(Long, String)]): DataFrame = rows.toSeq.toDF("k", "v")
+    def fresh(n: Int): Seq[(Long, String)] = {
+      val ks = Iterator.continually(rnd.nextInt(150).toLong)
+        .filterNot(model.contains).distinct.take(n).toSeq
+      ks.map(k => k -> s"v$k-${rnd.nextInt(100)}")
+    }
+    val init = fresh(6)
+    init.foreach { case (k, v) => model(k) = v }
+    val t = GraftTable.create(spark, tmp(), df(init), keyCol = Some("k"),
+      uniqueKey = true)
+
+    def check(op: String): Unit = {
+      val got = t.snapshot().as[(Long, String)].collect().toSeq
+      assert(got.toSet == model.toSet, s"after $op: ${got.toSet} != ${model.toSet}")
+      assert(got.map(_._1).distinct.size == got.size,
+        s"after $op: UNIQUE KEY violated: ${got.map(_._1).sorted.mkString(",")}")
+    }
+    check("create")
+
+    for (step <- 1 to 16) {
+      rnd.nextInt(6) match {
+        case 0 => // disjoint append: allowed
+          val rows = fresh(rnd.nextInt(3) + 1)
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          check(s"$step:append")
+        case 1 => // an append re-inserting a LIVE key must be refused whole
+          if (model.nonEmpty) {
+            val dup = model.keys.head -> "DUP"
+            val ok = fresh(1)
+            intercept[IllegalArgumentException] {
+              t.append(df(ok :+ dup))
+            }
+            check(s"$step:appendDupRefused") // nothing committed
+          }
+        case 2 => // merge may replace + insert (preserves the invariant)
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => k -> s"m$k-$step")
+          val ins = fresh(rnd.nextInt(2))
+          val src = upd ++ ins
+          if (src.nonEmpty) {
+            t.merge(df(src))
+            src.foreach { case (k, v) => model(k) = v }
+          }
+          check(s"$step:merge")
+        case 3 =>
+          val lo = rnd.nextInt(150).toLong
+          t.deleteWhere(col("k").between(lo, lo + 30L))
+          model.filterInPlace((k, _) => !(k >= lo && k <= lo + 30L))
+          check(s"$step:delete")
+        case 4 => // deleting a key frees it for a later re-insert
+          rnd.shuffle(model.keys.toSeq).headOption.foreach { k =>
+            t.deleteWhere(col("k") === k)
+            model.remove(k)
+            t.append(df(Seq(k -> s"re$k-$step")))
+            model(k) = s"re$k-$step"
+          }
+          check(s"$step:deleteReinsert")
+        case 5 =>
+          t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
+          check(s"$step:compact")
+      }
+    }
+  }
+
   test("OCC chaos: a concurrent disjoint append before every commit always rebases") {
     val rnd = new Random(20260816L)
     val loc = tmp()
