@@ -713,6 +713,39 @@ class GraftTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("constraints changed concurrently"), e.getMessage)
   }
 
+  test("delete rebases over a layout-only winner touching disjoint files") {
+    val loc = tmp()
+    // two partitions → two file sets the ops can touch disjointly
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "x", "a"), (2L, "x", "b"), (10L, "y", "c"), (11L, "y", "d"))
+        .toDF("k", "p", "v").repartition(1),
+      keyCol = Some("k"), partitionBy = Seq("p"))
+    val t2 = GraftTable.at(spark, loc)
+    // winner: a layout-only OPTIMIZE scoped to partition y; loser: a
+    // delete whose touched files live in partition x — disjoint, so the
+    // delete must rebase (dataChange=false winners are checked for file
+    // overlap only)
+    t.onNextCommitAttempt =
+      () => t2.optimize(Seq("k"), partitionPred = Some(col("p") === "y"))
+    t.deleteWhere(col("k") === 1L && col("p") === "x")
+    assert(t.history.map(_.op).takeRight(2) == Seq("optimize", "delete"))
+    assert(t.snapshot().select("k").as[Long].collect().toSet ==
+      Set(2L, 10L, 11L))
+  }
+
+  test("merge rebases over a metadata-only winner (bloom config commit)") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    val t2 = GraftTable.at(spark, loc)
+    // a metadata-only commit adds/removes nothing: every conflict rule
+    // passes vacuously and the merge re-commits at the new head
+    t.onNextCommitAttempt = () => t2.setBloomFilter(Map("v" -> 100L))
+    t.merge(Seq((2L, "B"), (3L, "C")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (3L, "C")))
+    assert(GraftTable.at(spark, loc).bloomFilterColumns == Map("v" -> 100L))
+  }
+
   test("compact rebases over concurrent ingest, conflicts on input overlap") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
