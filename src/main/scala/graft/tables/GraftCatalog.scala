@@ -257,6 +257,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * declared schema BEFORE anything commits — a bad definition must fail
     * cleanly, never strand a half-created table.
     */
+  /** `TBLPROPERTIES ('key.unique' = 'true')` — the SQL face of the opt-in
+    * UNIQUE KEY enforcement: the flag rides the key field's metadata in
+    * the versioned schema (exactly where the API declaration puts it), so
+    * every write path enforces it identically.
+    */
+  private def withUniqueKeyMeta(schema: StructType, keyCol: Option[String],
+      properties: util.Map[String, String]): StructType = {
+    val unique = Option(properties.get("key.unique")).exists(_.toBoolean)
+    if (!unique) return schema
+    require(keyCol.isDefined,
+      "TBLPROPERTIES 'key.unique' = 'true' needs 'key' = '<column>' too")
+    StructType(schema.fields.map(f =>
+      if (keyCol.contains(f.name))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putBoolean(GraftTable.KeyUniqueKey, true).build())
+      else f))
+  }
+
   private def parseDefinition(schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String])
       : (Seq[String], Option[String], Map[String, String]) = {
@@ -343,7 +362,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
     val (partCols, keyCol, cons) = parseDefinition(schema, partitions, properties)
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      withUniqueKeyMeta(schema, keyCol, properties))
     // constraints land IN the create commit (trivially valid on zero rows);
     // a CTAS's data insert lands after and is enforced per row
     val t = GraftTable.create(spark, p.toString, empty, keyCol, partCols, cons)
@@ -389,7 +409,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (exists && !allowExisting) throw new TableAlreadyExistsException(ident)
     if (!exists && requireExisting) throw new NoSuchTableException(ident)
     val (partCols, keyCol, cons) = parseDefinition(schema, partitions, properties)
-    new GraftStagedTable(identString(ident), p.toString, schema, partCols,
+    new GraftStagedTable(identString(ident), p.toString,
+      withUniqueKeyMeta(schema, keyCol, properties), partCols,
       keyCol, cons, spark, t => handles.put(p.toString, t))
   }
 

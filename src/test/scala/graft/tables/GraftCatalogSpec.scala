@@ -850,6 +850,23 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(t.generatedColumns == Map("vu" -> "upper(v)"))
   }
 
+  test("TBLPROPERTIES key.unique enforces uniqueness through SQL writes") {
+    warehouse
+    spark.sql("CREATE TABLE gt.uk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k', 'key.unique' = 'true')")
+    val t = GraftTable.at(spark, s"$warehouse/uk")
+    assert(t.uniqueKeyEnforced)
+    spark.sql("INSERT INTO gt.uk VALUES (1, 'a'), (2, 'b')")
+    // an insert re-using a live key is refused whole, nothing committed
+    val v = GraftTable.at(spark, s"$warehouse/uk").version
+    intercept[Exception](spark.sql("INSERT INTO gt.uk VALUES (3, 'c'), (2, 'dup')"))
+    assert(GraftTable.at(spark, s"$warehouse/uk").version == v)
+    assert(sqlRows("SELECT k, v FROM gt.uk") == Set(Seq(1L, "a"), Seq(2L, "b")))
+    // declaring unique without a key is loud
+    intercept[Exception](spark.sql("CREATE TABLE gt.uk2 (k BIGINT) " +
+      "TBLPROPERTIES ('key.unique' = 'true')"))
+  }
+
   test("CREATE OR REPLACE preserves generated-column metadata (staged DDL)") {
     warehouse
     spark.sql("CREATE TABLE gt.gor (k BIGINT, v STRING) USING graft")
