@@ -249,6 +249,11 @@ final class GraftTable private (
   def addConstraint(name: String, predicateSql: String): Long = {
     require(name.nonEmpty && predicateSql.nonEmpty,
       "addConstraint needs a name and a predicate")
+    require(!name.startsWith(GraftTable.ReservedConstraintPrefix),
+      s"constraint name '$name' uses the reserved " +
+        s"'${GraftTable.ReservedConstraintPrefix}' prefix (engine-internal " +
+        "checks — generated-column validation, partition-scope guards — " +
+        "live in that namespace)")
     val v = version
     val cur = constraintsAt(v)
     require(!cur.contains(name),
@@ -295,7 +300,16 @@ final class GraftTable private (
     */
   private[tables] def validateGeneratedSql(name: String, sql: String,
       schema: StructType): Unit = {
-    val others = StructType(schema.fields.filterNot(_.name == name))
+    // identity columns are assigned AFTER generated columns derive
+    // (writeData order), so a generation expression over an identity column
+    // would compute from a null slot and then fail its own `g <=> expr`
+    // check on every write — refuse the declaration here instead
+    val ids = GraftTable.identityOf(schema).keySet
+    require(!ids.exists(i => constraintRefs(sql).exists(_.equalsIgnoreCase(i))),
+      s"generated column '$name' ($sql) references an identity column — " +
+        "identity values are assigned after generated columns derive")
+    val others = StructType(schema.fields.filterNot(f =>
+      f.name == name || ids.contains(f.name)))
     require(!GraftTable.generatedOf(others).keySet
         .exists(g => constraintRefs(sql).exists(_.equalsIgnoreCase(g))),
       s"generated column '$name' ($sql) references another generated column")
@@ -409,7 +423,7 @@ final class GraftTable private (
     */
   private[tables] def rowCheckSqls: Map[String, String] =
     constraints ++ generatedColumns.map { case (n, e) =>
-      s"generated_$n" -> s"$n <=> ($e)" }
+      s"${GraftTable.ReservedConstraintPrefix}generated_$n" -> s"$n <=> ($e)" }
 
   /** UPDATE-recompute semantics for generated columns (the Delta
     * behavior): an assignment set that writes a generated column's SOURCE
@@ -1245,10 +1259,21 @@ final class GraftTable private (
               "append lost the race to a concurrent identity-assigning " +
                 "write; the assigned values could collide — re-run the append")
           // the uniqueness probe ran against the PREVIOUS head: a winner
-          // may have inserted the same keys — re-validate by re-running
-          if (uniqueKeyEnforced) throw new IllegalStateException(
-            "append lost the race on a UNIQUE KEY table; re-run the " +
-              "append so uniqueness re-validates against the new head")
+          // that landed NEW ROW CONTENT may have inserted the same keys —
+          // re-validate by re-running. Layout-only winners (compact/
+          // optimize, dataChange=false) and empty commits cannot introduce
+          // keys, so routine background maintenance rebases cleanly.
+          if (uniqueKeyEnforced) {
+            val rowBearing = ((expected + 1) to head).exists { w =>
+              val (meta, wAdds, wRemoves) = cachedCommit(w)
+              !meta.get("dataChange").contains(false) &&
+                (wAdds.exists(_.rows > 0) || wRemoves.nonEmpty)
+            }
+            if (rowBearing) throw new IllegalStateException(
+              "append lost the race on a UNIQUE KEY table to a concurrent " +
+                "row-changing commit; re-run the append so uniqueness " +
+                "re-validates against the new head")
+          }
           expected = head
       }
     }
@@ -1545,8 +1570,13 @@ final class GraftTable private (
       files.filter(f => partitionBy.forall(f.pv.contains)).map(_.pv).distinct,
       partitionPred, schema)
     val removes = files.filter(f => kept(f.pv)).map(_.path)
+    // NULL-STRICT scope check (pred IS TRUE, not SQL-CHECK null-passes): a
+    // row with a NULL partition value does not belong to the replaced
+    // partitions, so letting it through would write it into the surviving
+    // null partition — duplicating rows the overwrite never removed
     val scoped = constraints.toSeq.sortBy(_._1) :+
-      ("overwrite_partition_scope" -> predSql)
+      (s"${GraftTable.ReservedConstraintPrefix}overwrite_partition_scope" ->
+        s"coalesce(($predSql), false)")
     val alignedOw = alignSchema(df)
     requireUniqueKeys(alignedOw, removes.toSet, "partition overwrite")
     val adds = writeData(alignedOw, consOverride = Some(scoped),
@@ -2175,6 +2205,10 @@ final class GraftTable private (
     */
   private[tables] def validateConstraintSql(name: String, sql: String,
       schema: StructType): Unit = {
+    require(!name.startsWith(GraftTable.ReservedConstraintPrefix),
+      s"constraint name '$name' uses the reserved " +
+        s"'${GraftTable.ReservedConstraintPrefix}' prefix (engine-internal " +
+        "checks live in that namespace)")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     try empty.where(coalesce(expr(sql), lit(true))).queryExecution.analyzed
@@ -2219,6 +2253,7 @@ final class GraftTable private (
     val t2 = new GraftTable(location, spark, newKeyCol, newSchema.json, newPartitionBy)
     GraftTable.generatedOf(newSchema).foreach { case (n, e) =>
       t2.validateGeneratedSql(n, e, newSchema) }
+    GraftTable.vetIdentityTypes(newSchema)
     val adds = t2.writeData(df.select(newSchema.fieldNames.toIndexedSeq.map(col): _*),
       consOverride = Some(cons), colmapOverride = Some(cm),
       statsSchemaOverride = Some(newSchema),
@@ -2500,7 +2535,8 @@ final class GraftTable private (
     val cons = consOverride.getOrElse(constraints.toSeq.sortBy(_._1)) ++
       // post-coalesce the check only fires on supplied values that
       // CONTRADICT the expression (computed slots match trivially)
-      gens.map { case (n, e) => s"generated_$n" -> s"$n <=> ($e)" }
+      gens.map { case (n, e) =>
+        s"${GraftTable.ReservedConstraintPrefix}generated_$n" -> s"$n <=> ($e)" }
     val obs = if (cons.isEmpty) None else Some(new org.apache.spark.sql.Observation())
     val guarded = obs.fold(dfGen) { o =>
       val metrics = cons.map { case (nm, sqlText) =>
@@ -2942,6 +2978,32 @@ object GraftTable {
     require(step != 0, "identity step must be non-zero")
   }
 
+  /** Constraint names starting with this prefix are engine-internal
+    * (implicit generated-column checks, the partition-overwrite scope
+    * guard) — [[GraftTable.addConstraint]] and the DDL faces refuse user
+    * constraints in this namespace, so an internal check can never be
+    * silently shadowed in `rowCheckSqls` or clash as an observe metric.
+    */
+  private[tables] val ReservedConstraintPrefix = "_graft_"
+
+  /** Identity columns must be BIGINT (the Delta contract): the distributed
+    * assigner's values embed the partition index in bits 33+ of
+    * `monotonically_increasing_id`, so ANY narrower integral type would
+    * silently wrap on a multi-partition write (partition 1's first value
+    * collides with partition 0's), corrupting both uniqueness and the
+    * stats-recovered high-water mark. Refused at declaration, loud.
+    */
+  private[tables] def vetIdentityTypes(s: StructType): Unit =
+    identityOf(s).keys.foreach { n =>
+      s.fields.find(_.name == n).map(_.dataType).get match {
+        case LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"identity column '$n' must be BIGINT, got ${dt.simpleString}: " +
+            "the distributed assigner encodes the partition index in the " +
+            "value's high bits, so narrower types would wrap and collide")
+      }
+    }
+
   /** Identity columns declared in a schema's field metadata. */
   private[tables] def identityOf(s: StructType): Map[String, IdentitySpec] =
     s.fields.toIndexedSeq.flatMap { f =>
@@ -3191,13 +3253,7 @@ object GraftTable {
         s"create violates UNIQUE KEY '$k': null or duplicate keys in the data")
     }
     // SQL-declared identity columns arrive in df's metadata: vet them all
-    identityOf(schemaWithGen).foreach { case (n, _) =>
-      schemaWithGen.fields.find(_.name == n).map(_.dataType).get match {
-        case ByteType | ShortType | IntegerType | LongType => ()
-        case dt => throw new IllegalArgumentException(
-          s"identity column '$n' must be integral, got ${dt.simpleString}")
-      }
-    }
+    vetIdentityTypes(schemaWithGen)
     keyCol.foreach(k => require(schemaWithGen.fieldNames.contains(k),
       s"keyCol $k not in ${schemaWithGen.fieldNames.mkString(",")}"))
     PartitionTransforms.validate(partitionBy.map(PartitionTransforms.parse),

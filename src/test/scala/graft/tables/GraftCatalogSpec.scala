@@ -891,4 +891,21 @@ class GraftCatalogSpec extends SparkTestBase {
     val t = GraftTable.at(spark, s"$warehouse/id_t")
     assert(t.identityColumns == Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
   }
+
+  test("SQL DDL: narrow identity and generated-over-identity refused loud") {
+    warehouse
+    // INT identity would wrap under the partition-encoded assigner
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.id_narrow (id INT GENERATED ALWAYS AS " +
+        "IDENTITY, k BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("must be BIGINT"), e.getMessage)
+    // a generation expression over an identity column would derive from a
+    // null slot (identity assigns AFTER generated columns compute)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gt.gen_id (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY, g BIGINT GENERATED ALWAYS AS (id + 1), k BIGINT) USING graft")
+    }
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+  }
 }

@@ -613,6 +613,75 @@ class GraftTableSpec extends SparkTestBase {
     assert(ids.distinct.length == 3, s"collision after re-run: ${ids.mkString(",")}")
   }
 
+  // ---- round-13 hardening (ADVICE r12)
+
+  test("identity columns must be BIGINT — narrower types would wrap") {
+    // the API path declares BIGINT slots itself; a narrow type can only
+    // arrive via schema metadata (SQL DDL / REPLACE) — forge one and vet
+    import org.apache.spark.sql.types._
+    val idMeta = new MetadataBuilder()
+      .putLong("identity.start", 1L).putLong("identity.step", 1L).build()
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType, true, idMeta),
+      StructField("k", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrow)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), df)
+    }
+    assert(e.getMessage.contains("must be BIGINT"), e.getMessage)
+    // REPLACE with a narrow identity definition is refused the same way
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    val e2 = intercept[IllegalArgumentException] { t.replaceWith(df) }
+    assert(e2.getMessage.contains("must be BIGINT"), e2.getMessage)
+  }
+
+  test("overwriteWhere is null-strict: NULL partition rows cannot smuggle in") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, Option("A")), (2L, Option("B")), (3L, None: Option[String]))
+        .toDF("k", "p"), partitionBy = Seq("p"))
+    val v = t.version
+    // a NULL p row passes `p = 'A'` under SQL-CHECK null-passes semantics
+    // but does NOT belong to the replaced partition — must abort
+    val e = intercept[IllegalArgumentException] {
+      t.overwriteWhere(col("p") === "A", "`p` = 'A'",
+        Seq((10L, Option("A")), (11L, None: Option[String])).toDF("k", "p"))
+    }
+    assert(e.getMessage.contains("overwrite_partition_scope"), e.getMessage)
+    assert(t.version == v, "violating partition overwrite committed")
+    // the surviving null partition still holds exactly its original row
+    assert(t.snapshot().where(col("p").isNull).count() == 1)
+  }
+
+  test("unique key: append rebases past a layout-only compact winner") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"),
+      uniqueKey = true)
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val t2 = GraftTable.at(spark, loc)
+    // a dataChange=false winner cannot introduce keys — the append's
+    // already-written files re-commit at the new head instead of failing
+    t.onNextCommitAttempt = () => t2.compact()
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(GraftTable.at(spark, loc).history.map(_.op) ==
+      Seq("create", "append", "compact", "append"))
+  }
+
+  test("user constraints cannot use the reserved _graft_ prefix") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      t.addConstraint("_graft_generated_v", "v IS NOT NULL")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"),
+        constraints = Map("_graft_scope" -> "k > 0"))
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   // ---- DML conflict detection + rebase (ConflictChecker / WriteSerializable)
 
   test("merge rebases over a concurrent disjoint-key append") {
