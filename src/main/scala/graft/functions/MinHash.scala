@@ -20,7 +20,9 @@ object MinHash {
 
   private val M = 2147483647L // 2^31 - 1
 
-  private def coefficients(numHashes: Int): Array[(Long, Long)] = {
+  // private[graft]: the DuckDB oracle for q40 embeds these as literals so
+  // the replayed signature pipeline stays in sync with this definition
+  private[graft] def coefficients(numHashes: Int): Array[(Long, Long)] = {
     val rng = new java.util.Random(987654321L)
     Array.fill(numHashes) {
       (1L + rng.nextInt((M - 1).toInt), rng.nextInt(M.toInt).toLong)

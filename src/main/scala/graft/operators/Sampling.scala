@@ -1,16 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{instr, lit, md5, substring}
 
-/** Bernoulli sampling with the reference CLI's input validation
+/** Sampling primitives with the reference CLI's input validation
   * (`cli/Sample.java:125-127`): a fraction outside (0, 1] is refused up
   * front instead of silently sampling nothing or everything.
   */
 object Sampling {
 
+  /** Seeded RNG Bernoulli (Spark's native sampler) — kept for reference
+    * parity; deterministic for a fixed seed AND fixed partitioning, but the
+    * draw is engine- and layout-dependent. Prefer [[bernoulliByHash]] when
+    * the selection must be reproducible across engines or corpus regrowth.
+    */
   def bernoulli(df: DataFrame, fraction: Double, seed: Long): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"sample fraction must be in (0, 1], got $fraction")
     df.sample(withReplacement = false, fraction = fraction, seed = seed)
+  }
+
+  /** 12-bit content-addressed bucket (0..4095) from the md5 of `key`, via
+    * the instr-arithmetic hex subset both Spark and DuckDB evaluate
+    * identically (the q73 split-assignment trick). md5 is uniform per
+    * digit, so `bucket < round(p·4096)` is a Bernoulli(p) draw that is a
+    * pure function of the key.
+    */
+  def hashBucket(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    def hx(i: Int) = instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+    hx(1) * 256 + hx(2) * 16 + hx(3)
+  }
+
+  /** Deterministic content-addressed Bernoulli: keep a row iff its
+    * [[hashBucket]] falls under `round(fraction·4096)`. Same inclusion
+    * probability as the RNG sampler but reproducible across engines, runs,
+    * cluster sizes, AND corpus regrowth — a row's fate is a pure function
+    * of its key, so re-sampling a regrown corpus never migrates rows (the
+    * property training-data splits rely on), and the selection is
+    * replayable in ANSI SQL for oracle checking.
+    */
+  def bernoulliByHash(df: DataFrame, fraction: Double, key: Column): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"sample fraction must be in (0, 1], got $fraction")
+    df.filter(hashBucket(key) < lit(math.round(fraction * 4096.0).toInt))
   }
 }

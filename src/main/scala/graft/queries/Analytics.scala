@@ -202,36 +202,62 @@ object Analytics extends QueryPack {
         |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
         |ORDER BY c_custkey""".stripMargin)),
 
-    // Bernoulli sample (reference `cli/Sample.java:99`): RNG differs across
-    // engines, so no SQL oracle — the driver records a rows-only check; exact
-    // semantics are pinned in ScalaTest instead.
+    // Bernoulli sample (reference `cli/Sample.java:99`), content-addressed:
+    // each line is kept iff its md5 bucket falls under round(0.01·4096) —
+    // the same inclusion probability as an RNG draw but a pure function of
+    // the row key, so the sample is reproducible across engines, runs, and
+    // corpus regrowth AND hash-checkable against the SQL oracle. The seeded
+    // RNG sampler (engine-dependent draw) stays available as
+    // Sampling.bernoulli for reference parity.
     GraftQuery(
       "q23_sample_bernoulli",
       (s, dir) => {
-        graft.operators.Sampling.bernoulli(
-          Tables(s, dir, "lineitem"), fraction = 0.01, seed = 42L)
+        graft.operators.Sampling.bernoulliByHash(
+          Tables(s, dir, "lineitem"), fraction = 0.01,
+          key = concat_ws("-", col("l_orderkey"), col("l_linenumber")))
           .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
             col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber")
       },
-      None),
+      Some("""WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_quantity,
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(h, 3, 1)) - 1) AS bucket
+        |  FROM (SELECT *, md5(l_orderkey || '-' || l_linenumber) AS h
+        |        FROM lineitem))
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM b WHERE bucket < 41
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
-    // Stratified sample (per-stratum Bernoulli fractions, seeded) — the
-    // class-balancing primitive for training-data curation. RNG differs
-    // across engines → rows-only; fraction bounds pinned in ScalaTest.
+    // Stratified sample (per-stratum Bernoulli fractions) — the
+    // class-balancing primitive for training-data curation. Same
+    // content-addressed draw as q23 with a per-stratum threshold, so the
+    // balance is reproducible and oracle-checkable.
     GraftQuery(
       "q64_sample_stratified",
       (s, dir) => {
+        // round(frac·4096): 0.02→82, 0.01→41, 0.005→20
+        val thr = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 82)
+          .when(col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), 41)
+          .otherwise(20)
         Tables(s, dir, "orders")
-          .stat.sampleBy("o_orderpriority",
-            fractions = Map(
-              "1-URGENT" -> 0.02, "2-HIGH" -> 0.02, "3-MEDIUM" -> 0.01,
-              "4-NOT SPECIFIED" -> 0.01, "5-LOW" -> 0.005),
-            seed = 42L)
+          .filter(graft.operators.Sampling.hashBucket(col("o_orderkey")) < thr)
           .select(col("o_orderkey"), col("o_orderpriority"))
           .orderBy("o_orderkey")
       },
-      None),
+      Some("""WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 +
+        |    (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(h, 3, 1)) - 1) AS bucket
+        |  FROM (SELECT *, md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders))
+        |SELECT o_orderkey, o_orderpriority FROM b
+        |WHERE bucket < CASE o_orderpriority
+        |  WHEN '1-URGENT' THEN 82 WHEN '2-HIGH' THEN 82
+        |  WHEN '3-MEDIUM' THEN 41 WHEN '4-NOT SPECIFIED' THEN 41
+        |  ELSE 20 END
+        |ORDER BY o_orderkey""".stripMargin)),
 
     // HLL approximate distinct: approximate by construction → rows-only check.
     GraftQuery(

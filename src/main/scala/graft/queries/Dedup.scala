@@ -4,16 +4,50 @@ import graft.{GraftQuery, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface over `documents` (north-star ops): exact hash
-  * dedup and n-gram Jaccard near-dup with SQL oracles; MinHash+LSH and
-  * SimHash variants live in [[graft.functions.MinHash]] and land as
-  * rows-only queries (portable-hash oracle is pinned in ScalaTest against
-  * the exact-Jaccard query instead).
+  * dedup, n-gram Jaccard near-dup, MinHash+LSH and SimHash variants — ALL
+  * hash-checked against SQL oracles (the sketch pipelines are md5/integer
+  * arithmetic by design, so DuckDB replays them exactly; ScalaTest
+  * additionally pins est≈exact-Jaccard).
   *
   * Scale notes: exact dedup is one hash-shuffle on the digest; the shingle
   * self-join is bounded by LSH-style banding before the pairwise check at
   * 100 TB (see q40), never a full cross join.
   */
 object Dedup extends QueryPack {
+
+  /** MinHash permutation coefficients as a SQL VALUES body — built from the
+    * SAME definition the engine hashes with, so the q40 oracle can never
+    * drift from [[graft.functions.MinHash]].
+    */
+  private val minhashCoeffVals: String =
+    graft.functions.MinHash.coefficients(16).zipWithIndex
+      .map { case ((a, b), k) => s"($k, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+
+  /** Shared CTE body replaying [[graft.functions.SimHash.fingerprints]] in
+    * ANSI SQL: h60 = first 15 hex digits of md5 (the TokenHasher contract),
+    * per-bit majority vote over the document's words.
+    */
+  private val simhashFingerprintCtes: String =
+    """w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |    x -> x <> '')) AS word
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+      |  FROM w),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM wh CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY doc_id, b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(b AS INTEGER))
+      |             ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |       FROM w GROUP BY doc_id)""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -120,8 +154,10 @@ object Dedup extends QueryPack {
     // MinHash + LSH banding: signatures from md5-derived shingle hashes
     // (engine-portable), banded into buckets, candidate pairs within a
     // bucket. Estimated similarity = fraction of matching signature slots.
-    // Oracle omitted (rows-only): correctness is pinned in ScalaTest
-    // against q39's exact Jaccard on the same data.
+    // The whole pipeline is md5/integer arithmetic, so the oracle replays
+    // it exactly: h60 via hex-cast, the 16 affine permutations as literal
+    // coefficients from the engine's own definition, banding via list
+    // slices. est≈exact-Jaccard is additionally pinned in ScalaTest.
     GraftQuery(
       "q40_dedup_minhash_lsh",
       (s, dir) => {
@@ -131,10 +167,41 @@ object Dedup extends QueryPack {
           numHashes = 16, bands = 4, shingleSize = 3)
           .orderBy("d1", "d2")
       },
-      None),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |    FOR i IN generate_series(1, len(ws) - 2)]) AS s
+        |  FROM t),
+        |hh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+        |  FROM sh),
+        |c(k, a, b) AS (VALUES $minhashCoeffVals),
+        |slots AS (
+        |  SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS v
+        |  FROM hh CROSS JOIN c GROUP BY doc_id, k),
+        |sigs AS (SELECT doc_id, list(v ORDER BY k) AS sig FROM slots GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, j AS band,
+        |    array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS bkey
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        |est AS (
+        |  SELECT d1, d2,
+        |    len([i FOR i IN range(1, 17) IF s1.sig[i] = s2.sig[i]]) / 16.0 AS est_sim
+        |  FROM cand JOIN sigs s1 ON s1.doc_id = cand.d1
+        |            JOIN sigs s2 ON s2.doc_id = cand.d2)
+        |SELECT d1, d2, round(est_sim, 4) AS est_sim FROM est
+        |WHERE est_sim >= 0.25 ORDER BY d1, d2""".stripMargin)),
 
-    // SimHash (64-bit, md5-derived word hashes): per-doc fingerprint plus
-    // hamming-close pair count. Rows-only for the same portability reason.
+    // SimHash (60-bit, md5-derived word hashes): per-doc fingerprint.
+    // Pure md5/bit arithmetic — the oracle replays the per-bit majority
+    // vote exactly.
     GraftQuery(
       "q41_dedup_simhash",
       (s, dir) => {
@@ -142,7 +209,9 @@ object Dedup extends QueryPack {
         SimHash.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH $simhashFingerprintCtes
+        |SELECT fp.doc_id, simhash, n_tokens
+        |FROM fp JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Capstone curation pipeline (the end-to-end shape a training-data run
     // takes): language gate → quality gates (length, alpha ratio, stopword
@@ -218,7 +287,9 @@ object Dedup extends QueryPack {
     // Banded SimHash near-dup join: pigeonhole banding shuffles on
     // (band, key) so only same-band docs meet (sub-quadratic), distance
     // filtered by the codegen'd hamming64 Catalyst expression. Exactness
-    // vs brute force is pinned in HammingDistanceSpec.
+    // vs brute force is pinned in HammingDistanceSpec; the oracle replays
+    // the fingerprints AND the 6×10-bit banding (same pigeonhole guarantee,
+    // so the replay is sub-quadratic in DuckDB too).
     GraftQuery(
       "q53_dedup_simhash_banded",
       (s, dir) => {
@@ -229,7 +300,18 @@ object Dedup extends QueryPack {
           maxDist = 5)
           .orderBy("d1", "d2")
       },
-      None),
+      Some(s"""WITH $simhashFingerprintCtes,
+        |banded AS (
+        |  SELECT doc_id, simhash, j AS band,
+        |    (simhash >> CAST(j*10 AS INTEGER)) & 1023 AS bkey
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 6)) AS j)),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+        |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS dist
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+        |SELECT d1, d2, dist FROM pairs WHERE dist <= 5
+        |ORDER BY d1, d2""".stripMargin)),
 
     // Substring-level duplication (the Lee et al. '22 "Deduplicating
     // Training Data" problem shape): fixed 48-char windows at stride 16

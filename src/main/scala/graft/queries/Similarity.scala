@@ -163,8 +163,11 @@ object Similarity extends QueryPack {
     // Rows-only; recall vs brute force and the nProbe==nLists exactness
     // degeneration are pinned in IvfIndexSpec.
     // int8-quantized top-k: store 4× smaller, dequantize on the fly, search
-    // exact — the memory/recall rung below full-precision ANN. Rows-only;
-    // roundtrip error and cosine preservation are pinned in QuantizeSpec.
+    // exact — the memory/recall rung below full-precision ANN. The
+    // quantize→dequantize roundtrip is deterministic double arithmetic
+    // (scale = max|x|/127, round half-up matches in both engines), so the
+    // oracle replays it and reuses q42's bit-identical cosine fold.
+    // Roundtrip error and cosine preservation are pinned in QuantizeSpec.
     GraftQuery(
       "q63_similarity_quantized_topk",
       (s, dir) => {
@@ -178,7 +181,34 @@ object Similarity extends QueryPack {
             round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
           .orderBy("query_id", "rnk")
       },
-      None),
+      Some("""WITH e0 AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb0
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, emb0,
+        |    list_reduce([abs(x) FOR x IN emb0],
+        |      (a, b) -> CASE WHEN a >= b THEN a ELSE b END) / 127.0 AS q_scale
+        |  FROM e0),
+        |e AS (
+        |  SELECT vec_id,
+        |    [(CASE WHEN q_scale = 0.0 THEN 0.0 ELSE round(x / q_scale) END)
+        |     * q_scale FOR x IN emb0] AS emb
+        |  FROM sc),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb, norm2 AS qn FROM n WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_reduce([qemb[i] * emb[i] FOR i IN generate_series(1, len(emb))], (a, b) -> a + b)
+        |      / (sqrt(qn) * sqrt(norm2)) AS sim
+        |  FROM n, q WHERE n.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     GraftQuery(
       "q59_similarity_ann_ivf",
