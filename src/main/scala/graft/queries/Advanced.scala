@@ -2302,7 +2302,51 @@ object Advanced extends QueryPack {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
         |  CAST(SUM(p) AS BIGINT) AS sum_p
-        |FROM merged""".stripMargin)))
+        |FROM merged""".stripMargin)),
+
+    // q322 — TYPE WIDENING (metadata-only ALTER COLUMN TYPE): a table
+    // created with an INT measure widens it to BIGINT in one O(1) commit
+    // (no file rewritten — parquet readers convert the int era at scan
+    // time), then takes values beyond int range; the aggregate folds BOTH
+    // file eras under the widened type. The oracle replays the final state
+    // relationally.
+    GraftQuery(
+      "q322_table_type_widening",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("int").as("k"),
+            expr("CAST(round(o_totalprice) AS INT)").as("q"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q322_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 3 === 0), keyCol = Some("k"))
+          t.widenColumn("q", org.apache.spark.sql.types.LongType)
+          // the long era would overflow INT — only legal after the widening
+          t.append(base.where(col("k") % 3 =!= 0)
+            .select(col("k"), (col("q").cast("long") + 5000000000L).as("q")))
+          materializeSmall(t.snapshot()
+            .groupBy((col("k") % 3 === 0).as("old_era"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("q")).cast("long").as("sum_q"),
+              min(col("q")).cast("long").as("min_q"),
+              max(col("q")).cast("long").as("max_q"))
+            .orderBy("old_era"))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |    CAST(round(o_totalprice) AS INTEGER) AS q FROM orders),
+        |t AS (
+        |  SELECT k, CAST(q AS BIGINT) AS q FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, CAST(q AS BIGINT) + 5000000000 FROM base WHERE k % 3 <> 0)
+        |SELECT k % 3 = 0 AS old_era, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(MIN(q) AS BIGINT) AS min_q,
+        |  CAST(MAX(q) AS BIGINT) AS max_q
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

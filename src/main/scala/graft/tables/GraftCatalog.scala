@@ -419,8 +419,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the log-carried column mapping — physical file names never change, so
     * every era's files keep resolving), and `DROP COLUMN` (metadata-only:
     * the physical binding is RETIRED; time travel keeps the column in old
-    * versions; re-adding the name binds a FRESH physical name). Type
-    * changes stay loud: pretending would corrupt by-name resolution.
+    * versions; re-adding the name binds a FRESH physical name), and
+    * `ALTER COLUMN ... TYPE` for WIDENING promotions only (metadata-only;
+    * parquet readers convert old files at scan time — see
+    * [[GraftTable.widenColumn]]). Any other type change stays loud:
+    * pretending would corrupt by-name resolution.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
@@ -433,6 +436,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     var rename: Option[TableChange.RenameColumn] = None
     var drop: Option[TableChange.DeleteColumn] = None
+    var widen: Option[TableChange.UpdateColumnType] = None
     var addCons: Option[org.apache.spark.sql.connector.catalog.constraints.Check] = None
     var dropCons: Option[TableChange.DropConstraint] = None
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -478,23 +482,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(drop.isEmpty, "one DROP COLUMN per ALTER TABLE statement " +
           "(each drop is its own commit; batching them is not atomic)")
         drop = Some(d)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft-catalog supports top-level ALTER COLUMN TYPE only, got ${u.fieldNames.mkString(".")}")
+        require(widen.isEmpty, "one ALTER COLUMN TYPE per ALTER TABLE " +
+          "statement (each widening is its own commit)")
+        widen = Some(u)
       case c => throw new UnsupportedOperationException(
-        s"graft-catalog ALTER TABLE supports ADD COLUMNS, RENAME COLUMN and " +
-          s"DROP COLUMN, got $c")
+        s"graft-catalog ALTER TABLE supports ADD COLUMNS, RENAME COLUMN, " +
+          s"DROP COLUMN and ALTER COLUMN TYPE (widening), got $c")
     }
     val fields = adds.result()
-    require(Seq(rename.nonEmpty, drop.nonEmpty, fields.nonEmpty,
+    require(Seq(rename.nonEmpty, drop.nonEmpty, widen.nonEmpty, fields.nonEmpty,
         addCons.nonEmpty, dropCons.nonEmpty,
         setProps.nonEmpty || clearBloom).count(identity) <= 1,
-      "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ADD COLUMNS / " +
-        "constraint changes / property changes (they would land as " +
-        "separate, non-atomic commits); issue separate statements")
+      "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ALTER COLUMN " +
+        "TYPE / ADD COLUMNS / constraint changes / property changes (they " +
+        "would land as separate, non-atomic commits); issue separate " +
+        "statements")
     require(!(setProps.nonEmpty && clearBloom),
       "ALTER TABLE cannot SET and UNSET bloom properties in one statement")
     require(setProps.isEmpty || setProps.contains(BloomColsProp),
       s"'$BloomNdvProp' needs '$BloomColsProp' in the same statement " +
         "(the NDV alone does not name the indexed columns)")
     rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
+    widen.foreach(u => t.widenColumn(u.fieldNames()(0), u.newDataType()))
     drop.foreach { d =>
       val c = d.fieldNames()(0)
       // IF EXISTS: the only tolerated absence; anything else stays loud

@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Minimal transactional table layer over parquet — the lakehouse surface
   * (VERDICT r7 "What's missing" #3) built from scratch on public primitives
@@ -2410,7 +2410,16 @@ final class GraftTable private (
     require(filled.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch: table has ${schema.fieldNames.mkString(",")}, " +
         s"got ${filled.columns.mkString(",")}")
-    filled.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // inputs narrower than a WIDENED column up-cast losslessly, so the
+    // upstream job that still produces the old type keeps working across
+    // the transition; any other mismatch flows through unchanged
+    val dfTypes = filled.schema.fields.map(x => x.name -> x.dataType).toMap
+    filled.select(schema.fields.toIndexedSeq.map { f =>
+      if (dfTypes(f.name) != f.dataType &&
+          GraftTable.isSafeWidening(dfTypes(f.name), f.dataType))
+        col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    }: _*)
   }
 
   /** Strict alignment, or (mergeSchema) the evolved (df', schema'):
@@ -2427,15 +2436,20 @@ final class GraftTable private (
     }
     val dfFields = df.schema.fields.map(f => f.name -> f).toMap
     cur.fields.foreach { f =>
-      dfFields.get(f.name).foreach(g => require(g.dataType == f.dataType,
+      dfFields.get(f.name).foreach(g => require(g.dataType == f.dataType ||
+        GraftTable.isSafeWidening(g.dataType, f.dataType),
         s"type conflict on '${f.name}': table ${f.dataType}, data ${g.dataType}"))
     }
     val newFields = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
       .map(_.copy(nullable = true)) // old files read the new column as null
     val evolved = StructType(cur.fields.toIndexedSeq ++ newFields)
     val aligned = df.select(evolved.fields.toIndexedSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+      // narrower input into a WIDENED column: lossless up-cast (see
+      // alignSchema) so the file stores the declared type
+      else if (dfFields(f.name).dataType != f.dataType)
+        col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
     }: _*)
     (aligned, evolved)
   }
@@ -2897,6 +2911,52 @@ final class GraftTable private (
     commit(v, "setPartitioning", Nil, Nil, newPartitionBy = Some(specs))
   }
 
+  /** TYPE WIDENING (the published Delta type-widening contract): change a
+    * column to a strictly wider type in ONE metadata-only commit — no file
+    * is touched, O(1) at any table size. Safe promotions only:
+    * tinyint→smallint→int→bigint, float→double, and decimal where both the
+    * integral room (p−s) and the scale may only grow; anything else —
+    * narrowing, cross-family — is refused loud (rewrite the table instead).
+    *
+    * Read path: Spark 4's parquet readers (vectorized AND row-based)
+    * perform widening conversions at scan time, so files written before
+    * the change read under the new type with no cast node, files written
+    * after store it natively, and time travel keeps each version's own
+    * type. Data-skipping survives: integral zone-map/key stats are logged
+    * as longs already, so int-era and long-era files prune under one
+    * comparator (float/decimal columns never pruned numerically).
+    * Writes: inputs in the OLD (narrower) type up-cast losslessly inside
+    * alignment, so upstream jobs keep working across the transition.
+    *
+    * Refused for partition SOURCE columns (a bucket transform hashes the
+    * value — hash(5:int) ≠ hash(5:long), so old files' cell membership
+    * would silently diverge) and for columns a generation expression
+    * derives or reads (the derived value's type is part of the declared
+    * contract). The merge key CAN widen — its stats are type-stable.
+    */
+  def widenColumn(name: String, newType: DataType): Long = {
+    val v = version
+    val cur = schemaAt(v)
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' in ${cur.fieldNames.mkString(",")}"))
+    require(GraftTable.isSafeWidening(f.dataType, newType),
+      s"cannot change column '$name' from ${f.dataType.simpleString} to " +
+        s"${newType.simpleString}: only widening promotions are supported " +
+        "(tinyint→smallint→int→bigint, float→double, decimal growing " +
+        "integral room and scale); rewrite the table for anything else")
+    require(!partSourceCols.contains(name),
+      s"cannot widen partition (source) column '$name': transform hashes " +
+        "are type-dependent, so old files' cell membership would diverge")
+    requireNoGeneratedOn(name, "widen")
+    require(!GraftTable.generatedOf(cur).contains(name),
+      s"cannot widen generated column '$name': its type follows its " +
+        "generation expression")
+    val evolved = StructType(cur.fields.toIndexedSeq.map(x =>
+      if (x.name == name) x.copy(dataType = newType) else x))
+    commit(v, "widenColumn", Nil, Nil, None, Some(evolved))
+  }
+
   /** Rename a column in ONE metadata-only commit (no file touched, O(1) at
     * any table size): the logical name rebinds, the physical name in the
     * files stays. Time travel reads pre-rename versions under their own
@@ -2985,6 +3045,25 @@ object GraftTable {
     * silently shadowed in `rowCheckSqls` or clash as an observe metric.
     */
   private[tables] val ReservedConstraintPrefix = "_graft_"
+
+  /** Safe widening promotions (the published type-widening matrix, minus
+    * the date→timestamp family): every old value converts losslessly and
+    * parquet's readers perform the conversion at scan time. Identity (no
+    * change) is NOT a widening — callers must request a strictly wider
+    * type.
+    */
+  private[tables] def isSafeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          (b.precision - b.scale) >= (a.precision - a.scale) &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case _ => false
+    }
 
   /** Identity columns must be BIGINT (the Delta contract): the distributed
     * assigner's values embed the partition index in bits 33+ of

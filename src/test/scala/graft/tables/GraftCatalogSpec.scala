@@ -892,6 +892,31 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(t.identityColumns == Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE widens through SQL; narrowing loud") {
+    warehouse
+    spark.sql("CREATE TABLE gt.widen_t (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gt.widen_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gt.widen_t ALTER COLUMN k TYPE BIGINT")
+    // the catalog serves the widened schema; old files read converted
+    assert(spark.table("gt.widen_t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO gt.widen_t VALUES (5000000000, 'c')")
+    assert(sqlRows("SELECT k, v FROM gt.widen_t") ==
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(5000000000L, "c")))
+    val t = GraftTable.at(spark, s"$warehouse/widen_t")
+    assert(t.history.map(_.op).contains("widenColumn"))
+    // narrowing is refused by Spark's own analyzer (upcast-only contract)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gt.widen_t ALTER COLUMN k TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e.getMessage)
+    // int→string is an "up-cast" to the analyzer but NOT a storage-safe
+    // widening (old files keep int32 pages) — the catalog refuses it loud
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gt.widen_t ALTER COLUMN v TYPE BINARY"))
+    assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e2.getMessage.contains("widening"), e2.getMessage)
+  }
+
   test("SQL DDL: narrow identity and generated-over-identity refused loud") {
     warehouse
     // INT identity would wrap under the partition-encoded assigner

@@ -682,6 +682,73 @@ class GraftTableSpec extends SparkTestBase {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  // ---- TYPE WIDENING (metadata-only ALTER COLUMN TYPE)
+
+  test("widenColumn: int→long metadata-only; both eras read, old type time-travels") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), keyCol = Some("k"))
+    assert(t.schema("k").dataType == IntegerType)
+    val nFiles = t.filesAt(t.version).size
+    t.widenColumn("k", LongType)
+    // metadata-only: no file written or rewritten
+    assert(t.filesAt(t.version).size == nFiles)
+    assert(t.history.last.op == "widenColumn")
+    assert(t.schema("k").dataType == LongType)
+    // the int-era file reads under the widened type (parquet scan-time
+    // conversion, no cast node), and a value beyond int range now fits
+    t.append(Seq((5000000000L, "c")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (5000000000L, "c")))
+    // time travel keeps the pre-widening version's own type
+    assert(t.snapshot(Some(1L)).schema("k").dataType == IntegerType)
+    // a still-narrow upstream input up-casts losslessly after the widening
+    t.append(Seq((7, "d")).toDF("k", "v"))
+    // keyed merge still prunes/replaces across both file eras
+    t.merge(Seq((2L, "B")).toDF("k", "v"))
+    assert(rows(t) == Set((1L, "a"), (2L, "B"), (5000000000L, "c"), (7L, "d")))
+    // reopen from disk: the widened schema comes from the log
+    assert(GraftTable.at(spark, loc).schema("k").dataType == LongType)
+  }
+
+  test("widenColumn: float→double and decimal growth; unsafe changes loud") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 1.5f), (2L, 2.5f)).toDF("k", "f"))
+    t.widenColumn("f", DoubleType)
+    assert(t.snapshot().select("f").as[Double].collect().toSet == Set(1.5, 2.5))
+    // narrowing and cross-family are refused loud
+    val e1 = intercept[IllegalArgumentException](t.widenColumn("k", IntegerType))
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    intercept[IllegalArgumentException](t.widenColumn("k", StringType))
+    intercept[IllegalArgumentException](t.widenColumn("f", FloatType))
+    intercept[IllegalArgumentException](t.widenColumn("nope", LongType))
+    // decimal: integral room and scale may only grow
+    val td = GraftTable.create(spark, tmp(),
+      Seq((1L, BigDecimal("1.25"))).toDF("k", "m")
+        .withColumn("m", col("m").cast(DecimalType(10, 2))))
+    td.widenColumn("m", DecimalType(20, 4))
+    assert(td.snapshot().select("m").as[java.math.BigDecimal].collect()
+      .head.compareTo(new java.math.BigDecimal("1.25")) == 0)
+    // (10,2)→(10,4) would shrink integral room: loud
+    intercept[IllegalArgumentException](td.widenColumn("m", DecimalType(10, 6)))
+  }
+
+  test("widenColumn: partition-source and generated columns are refused") {
+    import org.apache.spark.sql.types.LongType
+    val tp = GraftTable.create(spark, tmp(),
+      Seq((1, "a")).toDF("c", "v"), partitionBy = Seq("c"))
+    val e = intercept[IllegalArgumentException](tp.widenColumn("c", LongType))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    val tg = GraftTable.create(spark, tmp(),
+      Seq((1, "a")).toDF("k", "v"),
+      generatedColumns = Map("g" -> "k + 1"))
+    val e2 = intercept[IllegalArgumentException](tg.widenColumn("k", LongType))
+    assert(e2.getMessage.contains("derives"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](tg.widenColumn("g", LongType))
+    assert(e3.getMessage.contains("generated"), e3.getMessage)
+  }
+
   // ---- DML conflict detection + rebase (ConflictChecker / WriteSerializable)
 
   test("merge rebases over a concurrent disjoint-key append") {
