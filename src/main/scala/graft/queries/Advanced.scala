@@ -2346,7 +2346,47 @@ object Advanced extends QueryPack {
         |SELECT k % 3 = 0 AS old_era, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(MIN(q) AS BIGINT) AS min_q,
         |  CAST(MAX(q) AS BIGINT) AS max_q
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q323 — BRANCH refs / write-audit-publish: stage an ingest on an
+    // isolated branch (invisible to main), run the audit there (a DML fix
+    // plus a CHECK-style gate), publish via fastForward as ONE atomic main
+    // commit. Exercises branch create (O(files) metadata), branch-side
+    // deletion vectors on inherited references, and the publish diff; the
+    // oracle replays the published state relationally.
+    GraftQuery(
+      "q323_table_branch_wap",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q323_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"))
+          val b = t.createBranch("ingest")
+          b.append(base.where(col("k") % 2 === 1)) // staged, invisible to main
+          b.deleteWhere(col("prio") === "5-LOW")   // the audit's fix-up
+          // audit gate on the BRANCH: nothing publishes if it fails
+          require(b.snapshot().where(col("p") <= 0L).limit(1).count() == 0,
+            "audit failed: non-positive price staged")
+          t.fastForward("ingest")
+          materializeSmall(t.snapshot()
+            .groupBy(col("prio"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("p")).cast("long").as("sum_p"))
+            .orderBy("prio"))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT o_orderpriority AS prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_p
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -228,15 +228,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF <v>` time travel (read-only). */
+  /** `VERSION AS OF <v>` time travel (read-only); a non-numeric version
+    * string names a BRANCH (`VERSION AS OF 'audit'` — the WAP read face;
+    * branch names may not start with a digit, so the spaces never
+    * collide).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft table versions are commit numbers; got '$version'")
+    version.toLongOption match {
+      case Some(v) => new GraftSqlTable(handle(p), identString(ident), Some(v))
+      case None =>
+        val t = handle(p)
+        if (t.listBranches.contains(version))
+          new GraftSqlTable(t.branch(version),
+            s"${identString(ident)}@$version", None)
+        else throw new IllegalArgumentException(
+          s"graft table versions are commit numbers or branch names; got " +
+            s"'$version' (branches: ${t.listBranches.mkString(", ")})")
     }
-    new GraftSqlTable(handle(p), identString(ident), Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` time travel (read-only): Spark hands the

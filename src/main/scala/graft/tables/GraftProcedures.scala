@@ -33,7 +33,7 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history",
-      "set_partitioning")
+      "set_partitioning", "create_branch", "fast_forward", "drop_branch")
 
   def load(resolve: String => GraftTable, name: String,
       pathFor: String => String = _ => throw new UnsupportedOperationException(
@@ -47,6 +47,9 @@ private[tables] object GraftProcedures {
       case "clone" => Some(CloneProc(resolve, pathFor))
       case "expire_history" => Some(ExpireHistoryProc(resolve))
       case "set_partitioning" => Some(SetPartitioningProc(resolve, invalidate))
+      case "create_branch" => Some(CreateBranchProc(resolve))
+      case "fast_forward" => Some(FastForwardProc(resolve, invalidate))
+      case "drop_branch" => Some(DropBranchProc(resolve))
       case _ => None
     }
 
@@ -198,10 +201,67 @@ private[tables] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       reqParam("table", StringType, "dotted table name under this catalog"),
       reqParam("before_version", LongType,
-        "versions below this are expired; it becomes the oldest"))
+        "versions below this are expired; it becomes the oldest"),
+      param("dry_run", BooleanType, "false",
+        "report how many commits would be expired (and validate the " +
+          "horizon) without writing or deleting anything"))
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val n = table(input).expireHistory(input.getLong(1))
-      result(StructType(Seq(StructField("expired_commits", IntegerType))), n)
+      val dryRun = !input.isNullAt(2) && input.getBoolean(2)
+      val n = table(input).expireHistory(input.getLong(1), dryRun)
+      result(StructType(Seq(StructField("expired_commits", IntegerType),
+        StructField("dry_run", BooleanType))), n, dryRun)
+    }
+  }
+
+  /** WAP branch surface: `create_branch` cuts an isolated writable branch
+    * at the current version, `fast_forward` publishes its net state back
+    * as one atomic commit (and consumes it), `drop_branch` abandons it.
+    * See [[GraftTable.createBranch]].
+    */
+  private case class CreateBranchProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "cut a writable branch at the current version (write-audit-publish)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("name", StringType, "branch name ([A-Za-z_][A-Za-z0-9_-]*)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = table(input)
+      val name = input.getUTF8String(1).toString
+      t.createBranch(name)
+      result(StructType(Seq(StructField("branch_point", LongType))),
+        t.branchPoint(name))
+    }
+  }
+
+  private case class FastForwardProc(resolve: String => GraftTable,
+      invalidate: String => Unit) extends GraftProc(resolve) {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch: main's state becomes the branch's state in one atomic commit; the branch is consumed"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("name", StringType, "branch to publish"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dotted = input.getUTF8String(0).toString
+      val v = table(input).fastForward(input.getUTF8String(1).toString)
+      invalidate(dotted)
+      result(VersionSchema, v)
+    }
+  }
+
+  private case class DropBranchProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "abandon a branch: its local files and log are deleted; main is untouched"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("name", StringType, "branch to drop"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      table(input).dropBranch(input.getUTF8String(1).toString)
+      result(StructType(Seq(StructField("dropped", BooleanType))), true)
     }
   }
 

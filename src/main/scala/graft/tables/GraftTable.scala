@@ -2285,11 +2285,15 @@ final class GraftTable private (
     * `vacuum()` for those; the two together bound the table's total
     * metadata + storage. Returns the number of expired commits.
     */
-  def expireHistory(beforeVersion: Long): Int = {
+  def expireHistory(beforeVersion: Long, dryRun: Boolean = false): Int = {
     val all = listVersions(fs, logDir)
     require(all.contains(beforeVersion),
       s"version $beforeVersion does not exist (have ${all.head}..${all.last})")
     val victims = all.filter(_ < beforeVersion)
+    // DRY RUN (vacuum parity): validate the horizon and report the commit
+    // count a real run would expire — including whether it would have to
+    // materialize the self-sufficiency checkpoint — touching NOTHING
+    if (dryRun) return victims.size
     if (victims.isEmpty) return 0
     // self-sufficiency first: the horizon checkpoint must carry the txn
     // set; a legacy txn-less checkpoint at the horizon is replaced (its
@@ -2327,8 +2331,11 @@ final class GraftTable private (
     * current-snapshot read fails at scan time). Re-materialize with
     * `compact()`/`optimize()` on the clone to cut the dependency.
     */
-  def cloneTo(dest: String, versionAsOf: Option[Long] = None): GraftTable = {
-    val asOf = versionAsOf.getOrElse(version)
+  def cloneTo(dest: String, versionAsOf: Option[Long] = None): GraftTable =
+    cloneInternal(dest, versionAsOf.getOrElse(version), "clone", Map.empty)
+
+  private def cloneInternal(dest: String, asOf: Long, op: String,
+      extraMeta: Map[String, Any]): GraftTable = {
     val files = activeFiles(asOf)
     val gone = missing(files.map(_.path))
     if (gone.nonEmpty) throw new IllegalStateException(
@@ -2344,11 +2351,163 @@ final class GraftTable private (
     require(!dfs.exists(destLog), s"table already exists at $dest")
     dfs.mkdirs(destLog)
     writeCommit(dfs, destLog, 1L,
-      metaMap("clone", keyCol, schemaAt(asOf).json, None, partitionBy,
+      metaMap(op, keyCol, schemaAt(asOf).json, None, partitionBy,
         colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf),
-        bloom = bloomAt(asOf)),
+        bloom = bloomAt(asOf), idHwm = idHwmAt(asOf)) ++ extraMeta,
       refs, Nil)
     GraftTable.at(spark, dest)
+  }
+
+  // ---- BRANCH refs (write-audit-publish) --------------------------------
+
+  private def branchesRoot = new Path(location, GraftTable.BranchDirName)
+  private def branchDir(name: String) = new Path(branchesRoot, name)
+
+  private def requireBranchName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '_' || c == '-') && !name.head.isDigit,
+      s"illegal branch name '$name' (want [A-Za-z_][A-Za-z0-9_-]*; numeric " +
+        "names would collide with version-number time travel)")
+
+  /** Branch names currently present (published branches are consumed). */
+  def listBranches: Seq[String] =
+    if (!fs.exists(branchesRoot)) Nil
+    else fs.listStatus(branchesRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+
+  /** Cut a BRANCH at the current version — the write-audit-publish
+    * pattern (Iceberg branch semantics, realized on the shallow-clone
+    * machinery): the branch starts as an O(files) metadata commit
+    * referencing the current snapshot, takes any sequence of writes/DML
+    * through the full table machinery (constraints, merge, history) while
+    * staying INVISIBLE to the main table, and [[fastForward]] publishes
+    * its net state back as ONE atomic main commit. `vacuum()` on the main
+    * table respects files a live branch references. Read it via
+    * [[branch]], SQL `VERSION AS OF '<name>'`, or
+    * `CALL graft.system.create_branch / fast_forward / drop_branch`.
+    */
+  def createBranch(name: String): GraftTable = {
+    requireBranchName(name)
+    val v = version
+    require(!fs.exists(branchDir(name)),
+      s"branch '$name' already exists (drop it or pick another name)")
+    cloneInternal(branchDir(name).toString, v, "createBranch",
+      Map("branchPoint" -> v))
+  }
+
+  /** Open an existing branch as a table handle (its own log/history). */
+  def branch(name: String): GraftTable = {
+    requireBranchName(name)
+    require(fs.exists(branchDir(name)),
+      s"no branch '$name' (have: ${listBranches.mkString(", ")})")
+    GraftTable.at(spark, branchDir(name).toString)
+  }
+
+  /** The main-table version a branch was cut at. */
+  def branchPoint(name: String): Long =
+    branch(name).cachedCommit(1L)._1.get("branchPoint")
+      .map(_.asInstanceOf[Number].longValue).getOrElse(
+        throw new IllegalStateException(s"'$name' is not a branch (no branch point)"))
+
+  /** Drop an (unpublished) branch: its local files and log go with it. */
+  def dropBranch(name: String): Unit = {
+    requireBranchName(name)
+    require(fs.exists(branchDir(name)),
+      s"no branch '$name' (have: ${listBranches.mkString(", ")})")
+    fs.delete(branchDir(name), true)
+  }
+
+  /** PUBLISH a branch (fast-forward): main's state becomes the branch's
+    * state in ONE snapshot-atomic commit, and the branch is consumed. The
+    * audit step runs on the branch (CHECK constraints, reconciliation
+    * queries); nothing is visible on main until this commit lands — the
+    * WAP quality gate for 100 TB ingest. Sound only when main has NOT
+    * advanced past the branch point (the fast-forward precondition —
+    * refused loud otherwise) and the branch carries DATA changes only
+    * (schema/constraint/key/partitioning divergence is refused: DDL does
+    * not ride a publish). Branch-local data files are RENAMED into the
+    * main root (an O(files) filesystem move, no data copied) so the
+    * published table is self-contained and the consumed branch dir can
+    * vanish.
+    */
+  def fastForward(name: String): Long = {
+    val b = branch(name)
+    val bHead = b.version
+    val bp = branchPoint(name)
+    val head = version
+    require(head == bp,
+      s"cannot fast-forward '$name': main advanced from version $bp to " +
+        s"$head since the branch was cut — re-branch from the new head " +
+        "and re-apply the changes")
+    // DDL parity: a publish carries data, not definitions
+    require(b.schemaAt(bHead).json == schemaAt(bp).json &&
+        b.colmapAt(bHead) == colmapAt(bp) &&
+        b.constraintsAt(bHead) == constraintsAt(bp) &&
+        b.keyCol == keyCol && b.partitionBy == partitionBy,
+      s"cannot fast-forward '$name': the branch changed the table " +
+        "DEFINITION (schema/column mapping/constraints/key/partitioning); " +
+        "apply DDL on the main table, then re-branch")
+    val rootQ = fs.makeQualified(new Path(location)).toString
+    // classify the branch's active files against main's state at the
+    // branch point: inherited references map back to root-local names;
+    // branch-local files move into the main root
+    def toMain(p: String): Option[String] =
+      if (!p.contains("/")) None // branch-local
+      else if (p.startsWith(rootQ + "/")) Some(p.substring(rootQ.length + 1))
+      else Some(p) // inherited absolute ref beyond this root (re-clone)
+    val bFiles = b.filesAt(bHead)
+    val mainNow = activeFiles(bp).map(f => f.path -> f).toMap
+    val moved = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      val adds = bFiles.flatMap { f =>
+        toMain(f.path) match {
+          case Some(mp) =>
+            val asMain = f.copy(path = mp)
+            // unchanged inherited reference: still active on main, no-op;
+            // a changed entry (deletion vector added on the branch) re-adds
+            if (mainNow.get(mp).contains(asMain)) None else Some(asMain)
+          case None =>
+            val src = new Path(branchDir(name), f.path)
+            val dst = new Path(location, f.path)
+            require(!fs.exists(dst),
+              s"fast-forward name collision on ${f.path} in the main root")
+            require(fs.rename(src, dst), s"could not move $src into $location")
+            moved += f.path
+            Some(f)
+        }
+      }
+      val covered = bFiles.flatMap(f => toMain(f.path)).toSet
+      val removes = mainNow.keys.filterNot(covered).toSeq ++
+        adds.map(_.path).filter(mainNow.contains) // changed entries re-add
+      commit(bp, "fastForward", adds, removes)
+    } catch {
+      case e: Throwable =>
+        // the publish did not land: return moved files to the branch so it
+        // stays intact for a retry
+        moved.foreach { p =>
+          fs.rename(new Path(location, p), new Path(branchDir(name), p))
+        }
+        throw e
+    }
+    fs.delete(branchDir(name), true)
+    version
+  }
+
+  /** Root-local main-table files referenced by any LIVE branch — excluded
+    * from vacuum: a branch's inherited references must survive until the
+    * branch publishes or drops. O(branches × their logs), driver-side.
+    */
+  private def branchReferencedLocal(): Set[String] = {
+    val rootQ = fs.makeQualified(new Path(location)).toString
+    listBranches.flatMap { n =>
+      val bLog = new Path(branchDir(n), LogDirName)
+      val versions = listVersions(fs, bLog)
+      val fromCp = listCheckpoints(fs, bLog)
+        .flatMap(v => readCheckpoint(fs, bLog, v))
+      val fromCommits = versions.flatMap(v => readCommit(fs, bLog, v)._2)
+      (fromCp ++ fromCommits).map(_.path)
+        .filter(_.startsWith(rootQ + "/")).map(_.substring(rootQ.length + 1))
+    }.toSet
   }
 
   /** Physically delete data files no longer in the CURRENT snapshot.
@@ -2366,7 +2525,9 @@ final class GraftTable private (
   def vacuum(retentionMs: Long = DefaultVacuumRetentionMs,
       dryRun: Boolean = false): Seq[String] = {
     require(retentionMs >= 0, "retentionMs must be >= 0")
-    val live = activeFiles(version).map(_.path).toSet
+    // files a live (unpublished) branch references are NOT orphans — the
+    // branch's lineage needs them until it publishes or drops
+    val live = activeFiles(version).map(_.path).toSet ++ branchReferencedLocal()
     val horizon = System.currentTimeMillis() - retentionMs
     val orphans = fs.listStatus(new Path(location)).toSeq
       .filter { st =>
@@ -2995,6 +3156,9 @@ final class GraftTable private (
 object GraftTable {
 
   private val LogDirName = "_graft_log"
+
+  /** Per-table directory holding live (unpublished) branch tables. */
+  private val BranchDirName = "_graft_branches"
   private val mapper = new ObjectMapper()
 
   /** Internal metadata column names exposed by `readFiles(withMeta=true)`:

@@ -673,6 +673,11 @@ class GraftCatalogSpec extends SparkTestBase {
     (1 to 5).foreach(i => spark.sql(s"INSERT INTO gt.exp VALUES ($i)"))
     val t = GraftTable.at(spark, s"$warehouse/exp")
     val horizon = t.version - 1
+    // dry run: reports the would-be count, touches nothing (vacuum parity)
+    val dry = spark.sql(s"CALL gt.system.expire_history(table => 'exp', " +
+      s"before_version => $horizon, dry_run => true)").head()
+    assert(dry.getInt(0) == (horizon - 1).toInt && dry.getBoolean(1))
+    spark.sql("SELECT * FROM gt.exp VERSION AS OF 1").collect() // still there
     val out = spark.sql(
       s"CALL gt.system.expire_history(table => 'exp', before_version => $horizon)")
     assert(out.head().getInt(0) == (horizon - 1).toInt)
@@ -680,6 +685,38 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM gt.exp VERSION AS OF 1").collect()
     }
+  }
+
+  test("WAP branch via SQL: CALL create_branch / VERSION AS OF / fast_forward") {
+    warehouse
+    spark.sql("CREATE TABLE gt.wap (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gt.wap VALUES (1, 'a'), (2, 'b')")
+    val bp = spark.sql(
+      "CALL gt.system.create_branch(table => 'wap', name => 'audit')")
+      .head().getLong(0)
+    assert(bp == GraftTable.at(spark, s"$warehouse/wap").version)
+    // write to the branch through the API handle; main stays untouched
+    val t = GraftTable.at(spark, s"$warehouse/wap")
+    t.branch("audit").append(Seq((3L, "c")).toDF("k", "v"))
+    assert(sqlRows("SELECT k FROM gt.wap") == Set(Seq(1L), Seq(2L)))
+    // the WAP read face: VERSION AS OF '<branch>' serves the branch state
+    assert(sqlRows("SELECT k FROM gt.wap VERSION AS OF 'audit'") ==
+      Set(Seq(1L), Seq(2L), Seq(3L)))
+    // a bogus ref names the live branches in the error
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gt.wap VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("audit"), e.getMessage)
+    // publish: main serves the branch state; the branch is consumed
+    spark.sql("CALL gt.system.fast_forward(table => 'wap', name => 'audit')")
+    assert(sqlRows("SELECT k FROM gt.wap") == Set(Seq(1L), Seq(2L), Seq(3L)))
+    assert(GraftTable.at(spark, s"$warehouse/wap").listBranches.isEmpty)
+    // drop_branch abandons without publishing
+    spark.sql("CALL gt.system.create_branch(table => 'wap', name => 'tmp')")
+    GraftTable.at(spark, s"$warehouse/wap").branch("tmp")
+      .append(Seq((9L, "z")).toDF("k", "v"))
+    spark.sql("CALL gt.system.drop_branch(table => 'wap', name => 'tmp')")
+    assert(sqlRows("SELECT k FROM gt.wap") == Set(Seq(1L), Seq(2L), Seq(3L)))
   }
 
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {

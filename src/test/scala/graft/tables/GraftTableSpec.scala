@@ -682,6 +682,110 @@ class GraftTableSpec extends SparkTestBase {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  // ---- BRANCH refs (write-audit-publish)
+
+  test("branch: writes are invisible to main until fastForward publishes them") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    val b = t.createBranch("audit")
+    assert(t.branchPoint("audit") == t.version)
+    assert(t.listBranches == Seq("audit"))
+    // ingest + DML on the branch through the full machinery
+    b.append(Seq((3L, "c"), (4L, "d")).toDF("k", "v"))
+    b.deleteWhere(col("k") === 1L)
+    b.merge(Seq((2L, "B")).toDF("k", "v"))
+    // main is untouched; the branch sees its own state
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    assert(rows(b) == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    // audit passed → publish: ONE atomic main commit, branch consumed
+    val v = t.fastForward("audit")
+    assert(rows(t) == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    assert(t.history.last.op == "fastForward" && t.history.last.version == v)
+    assert(t.listBranches.isEmpty)
+    // published state is self-contained: reopen + read from disk
+    assert(rows(GraftTable.at(spark, loc)) == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    // pre-publish main state still time-travels
+    assert(rows(t, Some(v - 1)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("branch: publish refused when main advanced or DDL diverged; branch intact") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val b = t.createBranch("wap")
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    // main moves past the branch point → fast-forward precondition fails
+    t.append(Seq((9L, "z")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](t.fastForward("wap"))
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    // the branch survives the refused publish (retry-able after re-branch)
+    assert(rows(t.branch("wap")) == Set((1L, "a"), (2L, "b")))
+    t.dropBranch("wap")
+    // DDL divergence is refused: a publish carries data, not definitions
+    val b2 = t.createBranch("ddl")
+    b2.addConstraint("k_pos", "k > 0")
+    val e2 = intercept[IllegalArgumentException](t.fastForward("ddl"))
+    assert(e2.getMessage.contains("DEFINITION"), e2.getMessage)
+    t.dropBranch("ddl")
+    intercept[IllegalArgumentException](t.branch("nope"))
+    intercept[IllegalArgumentException](t.createBranch("1bad"))
+  }
+
+  test("branch: deletion vector cut on a branch publishes; vacuum respects refs") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    val b = t.createBranch("gdpr")
+    // sparse delete on the branch lands as a DV on the INHERITED reference
+    b.deleteWhere(col("k") === 7L)
+    assert(rows(b).size == 99)
+    // main rewrites everything (overwrite) — its old file is now unreferenced
+    // by MAIN, but the live branch still needs it: vacuum must keep it
+    t.overwrite(Seq((999L, "x")).toDF("k", "v"))
+    assert(t.vacuum(retentionMs = 0L).isEmpty,
+      "vacuum reclaimed a branch-referenced file")
+    assert(rows(b).size == 99, "branch read broke after vacuum")
+    // abandon the branch → the file becomes a true orphan
+    t.dropBranch("gdpr")
+    assert(t.vacuum(retentionMs = 0L).nonEmpty)
+  }
+
+  test("branch: publish carries a branch-side DV back onto the main file") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"))
+    val b = t.createBranch("fix")
+    b.deleteWhere(col("k") === 7L)
+    b.append(Seq((101L, "new")).toDF("k", "v"))
+    t.fastForward("fix")
+    assert(t.snapshot().count() == 100) // 99 survivors + 1 new
+    assert(t.snapshot().where(col("k") === 7L).count() == 0)
+    assert(t.snapshot().where(col("k") === 101L).count() == 1)
+  }
+
+  test("clone/branch of an identity table carries the high-water mark") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      identityColumns = Map("id" -> GraftTable.IdentitySpec(1L, 1L)))
+    val c = t.cloneTo(tmp())
+    c.append(Seq((3L, "c")).toDF("k", "v"))
+    val cloneIds = c.snapshot().select("id").as[Long].collect()
+    assert(cloneIds.distinct.length == 3,
+      s"clone identity collision: ${cloneIds.mkString(",")}")
+    val b = t.createBranch("ids")
+    b.append(Seq((4L, "d")).toDF("k", "v"))
+    t.fastForward("ids")
+    val ids = t.snapshot().select("id").as[Long].collect()
+    assert(ids.distinct.length == 3, s"branch identity collision: ${ids.mkString(",")}")
+    // the published assignment advances MAIN's hwm (no later collision)
+    t.append(Seq((5L, "e")).toDF("k", "v"))
+    val ids2 = t.snapshot().select("id").as[Long].collect()
+    assert(ids2.distinct.length == 4, s"post-publish collision: ${ids2.mkString(",")}")
+  }
+
   // ---- TYPE WIDENING (metadata-only ALTER COLUMN TYPE)
 
   test("widenColumn: int→long metadata-only; both eras read, old type time-travels") {
