@@ -2386,7 +2386,56 @@ object Advanced extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_p
         |FROM orders WHERE o_orderpriority <> '5-LOW'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q324 — SQL DML with uncorrelated subqueries: `DELETE … WHERE col IN
+    // (SELECT …)` lowers to the keyed semi-join delete (the erasure list is
+    // joined, never collected — the GDPR day-one shape) and `UPDATE … WHERE
+    // EXISTS (uncorrelated) AND residue` to a statement-constant gate on
+    // the plain update. Correlated shapes stay loud naming the MERGE route
+    // (pinned in GraftCatalogSpec). Oracle replays both relationally.
+    GraftQuery(
+      "q324_table_delete_in_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val cat = s"gq324_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_cat_$cat")
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.tables.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root.getAbsolutePath)
+        try {
+          s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('key'='k') AS
+            SELECT o_orderkey AS k, o_custkey AS cust, o_orderpriority AS prio,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders""")
+          s.sql(s"""DELETE FROM $cat.t WHERE cust IN
+            (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0)""")
+          s.sql(s"""UPDATE $cat.t SET price_c = price_c + 7
+            WHERE EXISTS (SELECT 1 FROM region WHERE r_name = 'EUROPE')
+              AND prio = '1-URGENT'""")
+          materializeSmall(s.sql(s"""SELECT prio, COUNT(*) AS n,
+            CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.t GROUP BY prio ORDER BY prio"""))
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.root")
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |kept AS (
+        |  SELECT * FROM base WHERE cust NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0)),
+        |upd AS (
+        |  SELECT prio,
+        |    CASE WHEN prio = '1-URGENT' THEN price_c + 7 ELSE price_c END
+        |      AS price_c
+        |  FROM kept)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+        |FROM upd GROUP BY prio ORDER BY prio""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -1,8 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Cast, EqualTo, Exists, Expression, InSubquery, Not, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -73,7 +73,28 @@ final case class GraftSqlDmlRule(session: SparkSession)
             s"graft SQL UPDATE supports top-level columns only, got $other")
         }
       }
-      GraftUpdateSqlCommand(gt, assigns, u.condition.map(toSql(_, "UPDATE WHERE")))
+      u.condition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
+        case Some(cond) =>
+          // uncorrelated EXISTS gate: constant for the whole statement —
+          // evaluate once at run, then the plain-residue update (or no-op)
+          val (gate, negate, residue) = existsGate(cond, "UPDATE")
+          GraftGatedDmlSqlCommand(gt,
+            org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, gate),
+            negate, residue.map(toSql(_, "UPDATE WHERE")), Some(assigns))
+        case None =>
+          GraftUpdateSqlCommand(gt, assigns, u.condition.map(toSql(_, "UPDATE WHERE")))
+      }
+
+    // DELETE with a subquery condition (plain DELETEs keep the
+    // SupportsDelete filter path): an uncorrelated `col IN (SELECT …)`
+    // lowers to the keyed semi-join delete, an uncorrelated [NOT] EXISTS
+    // to a constant-gated predicate delete; anything correlated stays
+    // loud naming the MERGE route.
+    case d: DeleteFromTable
+        if d.resolved && graftTarget(d.table).isDefined &&
+          d.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      val gt = requireLive(graftTarget(d.table).get, "DELETE")
+      translateSubqueryDelete(d, gt)
 
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val gt = requireLive(graftTarget(m.targetTable).get, "MERGE INTO")
@@ -88,6 +109,87 @@ final case class GraftSqlDmlRule(session: SparkSession)
       val gt = requireLive(graftTarget(o.table).get, "dynamic INSERT OVERWRITE")
       GraftReplacePartitionsSqlCommand(gt,
         org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, o.query))
+  }
+
+  private def andConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      andConjuncts(l) ++ andConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def uncastExpr(e: Expression): Expression = e match {
+    case c: Cast => uncastExpr(c.child)
+    case other => other
+  }
+
+  /** Split `cond` into ONE uncorrelated [NOT] EXISTS conjunct + a plain
+    * residue: (subquery plan, negated?, residue). Loud on anything else.
+    */
+  private def existsGate(cond: Expression,
+      op: String): (LogicalPlan, Boolean, Option[Expression]) = {
+    val (subq, plain) = andConjuncts(cond)
+      .partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def loud(what: String): Nothing = throw new UnsupportedOperationException(
+      s"graft SQL $op: $what; supported subquery shapes: one uncorrelated " +
+        "[NOT] EXISTS (SELECT …) conjunct" +
+        (if (op == "DELETE") " or one uncorrelated `col IN (SELECT …)` conjunct"
+         else "") +
+        " plus plain predicates — correlated subqueries go through " +
+        "MERGE INTO … WHEN MATCHED or the programmatic GraftTable API")
+    if (subq.size != 1) loud(s"${subq.size} subquery conjuncts")
+    val residue = plain.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))
+    subq.head match {
+      case e: Exists if e.outerAttrs.isEmpty => (e.plan, false, residue)
+      case Not(e: Exists) if e.outerAttrs.isEmpty => (e.plan, true, residue)
+      case e: Exists => loud(s"EXISTS is correlated (outer refs: " +
+        s"${e.outerAttrs.map(_.sql).mkString(", ")})")
+      case other => loud(s"unsupported subquery conjunct ${other.sql}")
+    }
+  }
+
+  /** Lower `DELETE … WHERE <cond with a subquery>`: the `col IN (SELECT …)`
+    * conjunct becomes the keyed semi-join delete ([[GraftTable
+    * .deleteMatching]] — the key set is joined, never collected); an
+    * uncorrelated [NOT] EXISTS becomes a statement-constant gate on the
+    * plain-residue delete.
+    */
+  private def translateSubqueryDelete(d: DeleteFromTable, gt: GraftTable): LogicalPlan = {
+    val (subq, plain) = andConjuncts(d.condition)
+      .partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def loud(what: String): Nothing = throw new UnsupportedOperationException(
+      s"graft SQL DELETE: $what; supported subquery shapes: one " +
+        "uncorrelated `col IN (SELECT …)` or uncorrelated [NOT] EXISTS " +
+        "conjunct plus plain predicates — correlated subqueries (and NOT " +
+        "IN, whose null semantics are a footgun) go through MERGE INTO … " +
+        "WHEN MATCHED THEN DELETE or the programmatic GraftTable API")
+    if (subq.size != 1) loud(s"${subq.size} subquery conjuncts")
+    val residueSql = plain.reduceOption(
+        org.apache.spark.sql.catalyst.expressions.And(_, _))
+      .map(toSql(_, "DELETE WHERE"))
+    subq.head match {
+      case InSubquery(Seq(value), l) if l.outerAttrs.isEmpty =>
+        val on = uncastExpr(value) match {
+          case a: AttributeReference => a.name
+          case other => loud(s"IN must test a top-level column, got ${other.sql}")
+        }
+        GraftDeleteMatchingSqlCommand(gt,
+          org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, l.plan),
+          on, residueSql)
+      case _: InSubquery => loud("the IN subquery is correlated")
+      case Not(_: InSubquery) => loud("NOT IN is not lowered")
+      case e: Exists if e.outerAttrs.isEmpty =>
+        GraftGatedDmlSqlCommand(gt,
+          org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, e.plan),
+          negate = false, residueSql, assignments = None)
+      case Not(e: Exists) if e.outerAttrs.isEmpty =>
+        GraftGatedDmlSqlCommand(gt,
+          org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, e.plan),
+          negate = true, residueSql, assignments = None)
+      case e: Exists => loud(s"EXISTS is correlated (outer refs: " +
+        s"${e.outerAttrs.map(_.sql).mkString(", ")})")
+      case other => loud(s"unsupported subquery conjunct ${other.sql}")
+    }
   }
 
   /** Lower a MERGE. The exact upsert shape (`ON t.k = s.k WHEN MATCHED
@@ -239,6 +341,40 @@ final case class GraftSqlDmlRule(session: SparkSession)
     }
     GraftMergeIntoSqlCommand(gt, src, matched, notMatched, notMatchedBySource,
       extraOnSql)
+  }
+}
+
+/** `DELETE … WHERE col IN (SELECT …)` lowered to the keyed semi-join
+  * delete; the key frame evaluates lazily inside the op (never collected).
+  */
+private[tables] final case class GraftDeleteMatchingSqlCommand(
+    gt: GraftTable, keys: DataFrame, on: String, residueSql: Option[String])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.deleteMatching(keys, on, residueSql.map(expr).getOrElse(lit(true)))
+    Seq.empty
+  }
+}
+
+/** `DELETE/UPDATE … WHERE [NOT] EXISTS (<uncorrelated>)` — the gate is
+  * constant for the statement: probe ONE row of the subquery at run time,
+  * then either the plain-residue op or a no-op.
+  */
+private[tables] final case class GraftGatedDmlSqlCommand(
+    gt: GraftTable, gate: DataFrame, negate: Boolean,
+    residueSql: Option[String],
+    assignments: Option[Seq[(String, String)]])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val exists = gate.limit(1).count() > 0
+    if (exists != negate) {
+      val cond = residueSql.map(expr).getOrElse(lit(true))
+      assignments match {
+        case Some(a) => gt.update(a.map { case (c, s) => c -> expr(s) }.toMap, cond)
+        case None => gt.deleteWhere(cond)
+      }
+    }
+    Seq.empty
   }
 }
 

@@ -1858,9 +1858,20 @@ final class GraftTable private (
     * files' positions transit the driver, ≤ DvMaxPositionsPerFile each.
     */
   private def routeDml(files: Seq[AddFile], v: Long, hit: Column,
+      allowDrop: Boolean): (Seq[AddFile], Seq[AddFile], Seq[AddFile]) =
+    routeDmlMarked(files, v, _.where(hit), allowDrop)
+
+  /** [[routeDml]] generalized over how hits are MARKED: `mark` narrows a
+    * snapshot frame to its matched rows — a predicate for deleteWhere/
+    * update, a semi-join for the keyed [[deleteMatching]] (a key set from
+    * a subquery may be arbitrarily large, so it must never become a
+    * collected literal list).
+    */
+  private def routeDmlMarked(files: Seq[AddFile], v: Long,
+      mark: DataFrame => DataFrame,
       allowDrop: Boolean): (Seq[AddFile], Seq[AddFile], Seq[AddFile]) = {
-    val hitCounts: Map[String, Long] = readFiles(files, v, withMeta = true)
-      .where(hit).groupBy(col(FileNameCol)).agg(count(lit(1)).as("n"))
+    val hitCounts: Map[String, Long] = mark(readFiles(files, v, withMeta = true))
+      .groupBy(col(FileNameCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val touched = files.filter(f => hitCounts.contains(baseName(f.path)))
     val dropped =
@@ -1877,7 +1888,7 @@ final class GraftTable private (
       if (dvFiles.isEmpty) Nil
       else {
         val dvP = dvFiles.map(f => baseName(f.path)).toSet
-        val pos = readFiles(dvFiles, v, withMeta = true).where(hit)
+        val pos = mark(readFiles(dvFiles, v, withMeta = true))
           .select(col(FileNameCol), col(RowIdxCol))
           .collect().map(r => (r.getString(0), r.getLong(1)))
           .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
@@ -1916,6 +1927,70 @@ final class GraftTable private (
     // winner touching a file this delete rewrites/DVs/drops conflicts
     commitWithConflictCheck(v, "delete", dvAdds ++ keepAdds,
       (dvAdds ++ rewrite ++ dropped).map(_.path), _ => false, validatedUnder)
+  }
+
+  /** KEYED DELETE (the `DELETE … WHERE col IN (SELECT …)` primitive, e.g.
+    * a GDPR erasure list): remove rows whose `on` value appears in `keys`
+    * — IN semantics (null keys never match) — optionally further gated by
+    * a plain `residue` predicate (hit = residue AND membership). The key
+    * set is joined, NEVER collected: candidate files are pruned driver-side
+    * by the logged zone maps for `on` against the key bounds (one tiny
+    * aggregate over the key frame), matched rows are found with one
+    * semi-join, and the touched files route merge-on-read / copy-on-write /
+    * drop exactly like [[deleteWhere]]. At 100 TB an erasure list of any
+    * size costs: key-frame aggregate + semi-join over the PRUNED sliver +
+    * O(matched) writes.
+    */
+  def deleteMatching(keys0: DataFrame, on: String,
+      residue: Column = lit(true)): Long = {
+    val v = version
+    val schema = schemaAt(v)
+    require(schema.fieldNames.contains(on),
+      s"no column '$on' in ${schema.fieldNames.mkString(",")}")
+    require(keys0.columns.length == 1,
+      s"deleteMatching takes a ONE-column key frame, got ${keys0.columns.mkString(",")}")
+    val colType = schema(on).dataType
+    val keyType = keys0.schema.fields.head.dataType
+    // compare in the WIDER of the two types (lossless on both sides);
+    // incomparable families fail loud at cast analysis
+    val cmpType =
+      if (GraftTable.isSafeWidening(colType, keyType)) keyType else colType
+    val kc = "__graft_in_key"
+    val keys = keys0.toDF(kc).where(col(kc).isNotNull)
+      .select(col(kc).cast(cmpType).as(kc)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = keys.agg(min(col(kc)), max(col(kc))).head()
+      if (bounds.isNullAt(0)) return v // empty key set: nothing can match
+      val phys = physName(colmapAt(v), on)
+      val files = activeFiles(v).filter { f =>
+        f.rows > 0 && f.cs.get(phys).forall(
+          _.intersects(bounds.get(0), bounds.get(1)))
+      }
+      if (files.isEmpty) return v
+      val hitPred = coalesce(residue, lit(false))
+      val onCmp = col(on).cast(cmpType)
+      val mark: DataFrame => DataFrame =
+        df => df.where(hitPred).join(keys, onCmp === col(kc), "left_semi")
+      val (dvAdds, rewrite, dropped) =
+        routeDmlMarked(files, v, mark, allowDrop = true)
+      if (dvAdds.isEmpty && rewrite.isEmpty && dropped.isEmpty) return v
+      val validatedUnder = constraintsAt(v)
+      val keepAdds =
+        if (rewrite.isEmpty) Nil
+        else {
+          // survivors = NOT (residue AND member): one left join against the
+          // distinct key frame marks membership without duplicating rows
+          val marked = readFiles(rewrite, v)
+            .join(keys.withColumn("__graft_in_hit", lit(true)),
+              onCmp === col(kc), "left")
+          writeData(marked
+            .where(!(hitPred && coalesce(col("__graft_in_hit"), lit(false))))
+            .drop(kc, "__graft_in_hit"), distribute = false)
+        }
+      commitWithConflictCheck(v, "delete", dvAdds ++ keepAdds,
+        (dvAdds ++ rewrite ++ dropped).map(_.path), _ => false, validatedUnder)
+    } finally keys.unpersist()
   }
 
   /** Row-level UPDATE: rows where `cond` is TRUE get the assignment

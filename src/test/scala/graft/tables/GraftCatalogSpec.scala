@@ -687,6 +687,45 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("DML with uncorrelated subqueries: IN-delete joins, EXISTS gates; correlated loud") {
+    warehouse
+    spark.sql("CREATE TABLE gt.subq (k BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gt.subq VALUES (1,'a',10),(2,'b',20),(3,'a',30),(4,'c',40)")
+    spark.sql("CREATE TABLE gt.erasure (uid BIGINT)")
+    spark.sql("INSERT INTO gt.erasure VALUES (1), (3), (99)")
+    // IN-subquery delete → keyed semi-join (the list is never collected)
+    spark.sql("DELETE FROM gt.subq WHERE k IN (SELECT uid FROM gt.erasure)")
+    assert(sqlRows("SELECT k FROM gt.subq") == Set(Seq(2L), Seq(4L)))
+    // IN + plain residue conjunct: only the residue-passing member deletes
+    spark.sql("INSERT INTO gt.subq VALUES (5,'a',50),(6,'b',60)")
+    spark.sql("DELETE FROM gt.subq WHERE grp = 'a' AND " +
+      "k IN (SELECT uid + 4 FROM gt.erasure)")
+    assert(sqlRows("SELECT k FROM gt.subq") == Set(Seq(2L), Seq(4L), Seq(6L)))
+    // uncorrelated EXISTS gate on UPDATE: true → residue update applies
+    spark.sql("UPDATE gt.subq SET v = v + 1 WHERE grp = 'b' AND " +
+      "EXISTS (SELECT 1 FROM gt.erasure WHERE uid = 99)")
+    assert(sqlRows("SELECT k, v FROM gt.subq WHERE grp = 'b'") ==
+      Set(Seq(2L, 21L), Seq(6L, 61L)))
+    // false gate → statement is a no-op
+    spark.sql("UPDATE gt.subq SET v = 0 WHERE " +
+      "EXISTS (SELECT 1 FROM gt.erasure WHERE uid = 12345)")
+    assert(sqlRows("SELECT CAST(SUM(v) AS BIGINT) AS s FROM gt.subq") ==
+      Set(Seq(122L)))
+    // NOT EXISTS (empty subquery) gates the residue delete ON
+    spark.sql("DELETE FROM gt.subq WHERE grp = 'c' AND " +
+      "NOT EXISTS (SELECT 1 FROM gt.erasure WHERE uid = 12345)")
+    assert(sqlRows("SELECT k FROM gt.subq") == Set(Seq(2L), Seq(6L)))
+    // correlated stays loud and names the MERGE route
+    val e = intercept[Exception](spark.sql("DELETE FROM gt.subq t WHERE " +
+      "EXISTS (SELECT 1 FROM gt.erasure e WHERE e.uid = t.k)"))
+    assert(e.getMessage.contains("MERGE"), e.getMessage)
+    // NOT IN stays loud (null-semantics footgun)
+    val e2 = intercept[Exception](spark.sql(
+      "DELETE FROM gt.subq WHERE k NOT IN (SELECT uid FROM gt.erasure)"))
+    assert(e2.getMessage.contains("NOT IN"), e2.getMessage)
+  }
+
   test("WAP branch via SQL: CALL create_branch / VERSION AS OF / fast_forward") {
     warehouse
     spark.sql("CREATE TABLE gt.wap (k BIGINT, v STRING) " +
