@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CONTENTION CONTEXT: the host's 1-min load average at start and end
+    // rides the artifact, so an n_retimed drift across rounds is
+    // attributable — a re-time burst with load >> bench CPUs is neighbor
+    // contention, with idle load it is a real plan change worth chasing
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // warm-up: JIT/codegen paths and parquet footers, so per-query numbers
     // measure the query, not first-use costs of the shared machinery
     Tables.all.foreach { t =>
@@ -102,13 +109,15 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg
+    val loadJson = f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"bench_cpus":$cpus"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,$loadJson,"sf":"$sfDir"}""")
     // compact summary as the LAST line: the driver keeps only the tail of
     // stdout, and with 100+ queries the full line above loses its head
     // (metric/value) to truncation — this one always survives intact
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_retimed":$retried,"n_warm_retimed":$warmRetimed,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"n_retimed":$retried,"n_warm_retimed":$warmRetimed,$loadJson%s,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
