@@ -55,8 +55,8 @@ class GraftTableModelSpec extends SparkTestBase {
     past += ((t.version, model.toMap, vName))
     def snap(): Unit = past += ((t.version, model.toMap, vName))
 
-    for (step <- 1 to 24) {
-      rnd.nextInt(12) match {
+    for (step <- 1 to 30) {
+      rnd.nextInt(15) match {
         case 0 => // append fresh keys
           val rows = fresh(rnd.nextInt(4) + 1)
           t.append(df(rows))
@@ -135,6 +135,44 @@ class GraftTableModelSpec extends SparkTestBase {
             model.remove(k)
           }
           check(s"$step:deleteOne")
+        case 12 => // type-widening cycle mid-history: an INT column lands,
+          // takes an int-era write, widens to BIGINT (metadata-only),
+          // takes a beyond-int-range write, both eras read, then drops —
+          // composed against whatever layout/renames/restores came before
+          import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+          t.addColumns(Seq(StructField("x", IntegerType)))
+          val r1 = fresh(1)
+          t.append(df(r1).withColumn("x", (col("k") % 100).cast("int")))
+          r1.foreach { case (k, v) => model(k) = v }
+          t.widenColumn("x", LongType)
+          val r2 = fresh(1)
+          t.append(df(r2).withColumn("x", col("k") + 5000000000L))
+          r2.foreach { case (k, v) => model(k) = v }
+          assert(t.snapshot().schema("x").dataType == LongType,
+            s"$step: widened column did not read as BIGINT")
+          assert(t.snapshot().where(col("x") > 4000000000L).count() == 1,
+            s"$step: long-era value lost across the widening")
+          t.dropColumn("x")
+          check(s"$step:widenCycle")
+        case 13 => // WAP cycle: branch writes stay invisible, then publish
+          // or abandon — against the current colmap/layout
+          val b = t.createBranch(s"b$step")
+          val rows = fresh(rnd.nextInt(2) + 1)
+          b.append(df(rows))
+          check(s"$step:branchInvisible") // main must NOT see them yet
+          if (rnd.nextBoolean()) {
+            t.fastForward(s"b$step")
+            rows.foreach { case (k, v) => model(k) = v }
+          } else t.dropBranch(s"b$step")
+          check(s"$step:branchCycle")
+        case 14 => // keyed IN-delete (the erasure-list primitive) against
+          // whatever file layout the preceding ops left
+          val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          if (ks.nonEmpty) {
+            t.deleteMatching(ks.toDF("erase_k"), "k")
+            ks.foreach(model.remove)
+          }
+          check(s"$step:deleteMatching")
       }
       snap()
     }

@@ -853,6 +853,36 @@ class GraftTableSpec extends SparkTestBase {
     assert(e3.getMessage.contains("generated"), e3.getMessage)
   }
 
+  test("widenColumn: change feed spans the widening under the TO-version type") {
+    import org.apache.spark.sql.types.LongType
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), keyCol = Some("k"))
+    t.deleteWhere(col("k") === 2)            // int-era delete
+    t.widenColumn("k", LongType)
+    t.append(Seq((5000000000L, "c")).toDF("k", "v"))
+    t.merge(Seq((1L, "A")).toDF("k", "v"))   // long-era in-place change
+    val feed = t.changes(0L, t.version)
+    // pre-widening slices coerce up: ONE long column across both eras
+    assert(feed.schema("k").dataType == LongType)
+    val byChange = feed.groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // create 2 + append 1 + merge-post 1 inserts; deleteWhere 1 + merge-pre
+    // 1 deletes — the net algebra is unchanged by the widening
+    assert(byChange == Map("insert" -> 4L, "delete" -> 2L),
+      s"unexpected feed mix: $byChange")
+    // fold invariant across the widening: snapshot(0) + inserts - deletes
+    val ins = feed.where(col("_change") === "insert").select("k", "v")
+    val del = feed.where(col("_change") === "delete").select("k", "v")
+    val folded = ins.exceptAll(del).as[(Long, String)].collect().toSet
+    assert(folded == rows(t))
+    // the batch CDF face agrees
+    val cdf = spark.read.format("graft-table-cdf")
+      .option("path", loc).option("startingVersion", "0").load()
+    assert(cdf.schema("k").dataType == LongType)
+    assert(cdf.count() == feed.count())
+  }
+
   // ---- DML conflict detection + rebase (ConflictChecker / WriteSerializable)
 
   test("merge rebases over a concurrent disjoint-key append") {
