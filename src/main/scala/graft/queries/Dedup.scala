@@ -24,6 +24,42 @@ object Dedup extends QueryPack {
       .map { case ((a, b), k) => s"($k, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
 
+  /** Shared CTE body replaying [[graft.functions.MinHash.candidatePairs]]
+    * in ANSI SQL through the `est` frame (h60 hex-cast, literal affine
+    * coefficients, 4×4 banding, matching-slot estimate) — used by q40's
+    * oracle and, with a recursive-closure tail, q69's.
+    */
+  private lazy val minhashPairCtes: String =
+    s"""t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |    FOR i IN generate_series(1, len(ws) - 2)]) AS s
+      |  FROM t),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+      |  FROM sh),
+      |c(k, a, b) AS (VALUES $minhashCoeffVals),
+      |slots AS (
+      |  SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS v
+      |  FROM hh CROSS JOIN c GROUP BY doc_id, k),
+      |sigs AS (SELECT doc_id, list(v ORDER BY k) AS sig FROM slots GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, j AS band,
+      |    array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS bkey
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+      |  FROM banded l JOIN banded r
+      |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      |est AS (
+      |  SELECT d1, d2,
+      |    len([i FOR i IN range(1, 17) IF s1.sig[i] = s2.sig[i]]) / 16.0 AS est_sim
+      |  FROM cand JOIN sigs s1 ON s1.doc_id = cand.d1
+      |            JOIN sigs s2 ON s2.doc_id = cand.d2)""".stripMargin
+
   /** Shared CTE body replaying [[graft.functions.SimHash.fingerprints]] in
     * ANSI SQL: h60 = first 15 hex digits of md5 (the TokenHasher contract),
     * per-bit majority vote over the document's words.
@@ -167,35 +203,7 @@ object Dedup extends QueryPack {
           numHashes = 16, bands = 4, shingleSize = 3)
           .orderBy("d1", "d2")
       },
-      Some(s"""WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |    FOR i IN generate_series(1, len(ws) - 2)]) AS s
-        |  FROM t),
-        |hh AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
-        |  FROM sh),
-        |c(k, a, b) AS (VALUES $minhashCoeffVals),
-        |slots AS (
-        |  SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS v
-        |  FROM hh CROSS JOIN c GROUP BY doc_id, k),
-        |sigs AS (SELECT doc_id, list(v ORDER BY k) AS sig FROM slots GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, j AS band,
-        |    array_to_string(list_slice(sig, j*4 + 1, j*4 + 4), ',') AS bkey
-        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
-        |cand AS (
-        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-        |  FROM banded l JOIN banded r
-        |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-        |est AS (
-        |  SELECT d1, d2,
-        |    len([i FOR i IN range(1, 17) IF s1.sig[i] = s2.sig[i]]) / 16.0 AS est_sim
-        |  FROM cand JOIN sigs s1 ON s1.doc_id = cand.d1
-        |            JOIN sigs s2 ON s2.doc_id = cand.d2)
+      Some(s"""WITH $minhashPairCtes
         |SELECT d1, d2, round(est_sim, 4) AS est_sim FROM est
         |WHERE est_sim >= 0.25 ORDER BY d1, d2""".stripMargin)),
 
@@ -262,9 +270,14 @@ object Dedup extends QueryPack {
         |GROUP BY source ORDER BY source""".stripMargin)),
 
     // Dedup clusters: MinHash-LSH candidate pairs → connected components →
-    // one survivor (min doc_id) per cluster with the member list. Rows-only
-    // (iterative fixpoint isn't single-statement SQL); component correctness
-    // is pinned in ConnectedComponentsSpec.
+    // one survivor (min doc_id) per cluster with the member list. The
+    // engine runs iterative min-label propagation (O(diameter) shuffles —
+    // the 100 TB path); the ORACLE replays the same fixpoint as a
+    // recursive-CTE transitive closure over the replayed pair set
+    // (component = min reachable id — identical by definition; the closure
+    // is fine at oracle scale because pairs are the OUTPUT of LSH pruning).
+    // Distributed≡driver equality is additionally pinned in
+    // ConnectedComponentsSpec.
     GraftQuery(
       "q69_dedup_clusters",
       (s, dir) => {
@@ -282,7 +295,22 @@ object Dedup extends QueryPack {
             concat_ws(",", array_sort(collect_list(col("node")))).as("members"))
           .orderBy("component")
       },
-      None),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT d1, d2 FROM est WHERE est_sim >= 0.25),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS node, least(a, MIN(b)) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT CAST(component AS BIGINT) AS component,
+        |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        |  CAST(MIN(node) AS BIGINT) AS survivor_id,
+        |  array_to_string(list(node ORDER BY node), ',') AS members
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
     // Banded SimHash near-dup join: pigeonhole banding shuffles on
     // (band, key) so only same-band docs meet (sub-quadratic), distance

@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
+  /** q44's random hyperplanes — a fixed-seed LCG, shared by the Spark
+    * bucket computation AND the oracle's literal rendering so the two can
+    * never drift. Double.toString round-trips exactly, so the replayed
+    * dot products are bit-identical.
+    */
+  private def lshPlanes(nTables: Int, k: Int, dim: Int): Array[Array[Array[Double]]] = {
+    var state = 42L
+    def nextUnit(): Double = {
+      state = (state * 6364136223846793005L + 1442695040888963407L)
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(nTables, k, dim)(nextUnit())
+  }
+
+  /** The q44 planes as a SQL VALUES body `(t, j, plane DOUBLE[])`. */
+  private lazy val lshPlaneVals: String =
+    lshPlanes(10, 5, 64).zipWithIndex.flatMap { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (plane, j) =>
+        s"($t, $j, [${plane.mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
   /** (vec_id, emb array<double>, norm2 double) projection. */
   private def normed(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -103,20 +125,18 @@ object Similarity extends QueryPack {
     // deterministic hyperplanes (seeded LCG literals). A pair is a candidate
     // if it shares a bucket in ANY table — L·(collision p)^k is the standard
     // recall knob; one table of many planes has near-zero recall on a
-    // spread-out corpus. Rows-only check — recall ≥ floor vs brute-force
-    // q42 is pinned in ScalaTest.
+    // spread-out corpus. Fully oracle-checked since r13: the planes render
+    // as round-trip double literals from the SAME generator, and the bucket
+    // sign bits / cosine scores replay as the q42-style index-ordered folds
+    // — bit-identical. Recall ≥ floor vs brute-force q42 additionally
+    // pinned in ScalaTest.
     GraftQuery(
       "q44_similarity_ann_lsh",
       (s, dir) => {
         val dim = 64
         val k = 5 // planes per table
         val nTables = 10
-        var state = 42L
-        def nextUnit(): Double = {
-          state = (state * 6364136223846793005L + 1442695040888963407L)
-          ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-        }
-        val planes = Array.fill(nTables, k, dim)(nextUnit())
+        val planes = lshPlanes(nTables, k, dim)
         // bucket computation as primitive loops per partition — a giant
         // literal SQL expression for L·k·dim terms chokes Catalyst
         val planesB = s.sparkContext.broadcast(planes)
@@ -156,7 +176,41 @@ object Similarity extends QueryPack {
             round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
           .orderBy("query_id", "rnk")
       },
-      None),
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e),
+        |p(t, j, plane) AS (VALUES $lshPlaneVals),
+        |bits AS (
+        |  SELECT vec_id, t, j,
+        |    CASE WHEN list_reduce([plane[i] * emb[i]
+        |        FOR i IN generate_series(1, 64)], (a, b) -> a + b) >= 0
+        |      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END AS bit
+        |  FROM n CROSS JOIN p),
+        |bk AS (SELECT vec_id, t, CAST(SUM(bit) AS BIGINT) AS bucket
+        |       FROM bits GROUP BY vec_id, t),
+        |qb AS (SELECT vec_id AS query_id, t, bucket FROM bk WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        |  FROM qb JOIN bk b ON b.t = qb.t AND b.bucket = qb.bucket
+        |  WHERE b.vec_id <> qb.query_id),
+        |sims AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_reduce([qn.emb[i] * nn.emb[i]
+        |        FOR i IN generate_series(1, len(nn.emb))], (a, b) -> a + b)
+        |      / (sqrt(qn.norm2) * sqrt(nn.norm2)) AS sim
+        |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id
+        |              JOIN n nn ON nn.vec_id = c.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // IVF inverted-list ANN (the second scale path next to q44's LSH):
     // deterministic seeded centroids, nProbe of nLists lists searched.
