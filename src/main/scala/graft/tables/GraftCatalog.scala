@@ -224,6 +224,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             t.keyCol.orNull, t.partitionBy, t.constraints,
             t.colmapNow, hist.head.ts, hist.last.ts))
         }))
+      case "branches" =>
+        // live (unpublished) WAP branches: name, the main version they were
+        // cut at, and their own head — O(branches) driver metadata
+        val schema = StructType(Seq(
+          StructField("name", StringType),
+          StructField("branch_point", LongType),
+          StructField("head_version", LongType)))
+        Some(new GraftMetadataTable(identString(ident), schema, () =>
+          t.listBranches.map(n =>
+            Row(n, t.branchPoint(n), t.branch(n).version))))
       case _ => None
     }
   }

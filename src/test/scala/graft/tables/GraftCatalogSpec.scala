@@ -754,8 +754,16 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql("CALL gt.system.create_branch(table => 'wap', name => 'tmp')")
     GraftTable.at(spark, s"$warehouse/wap").branch("tmp")
       .append(Seq((9L, "z")).toDF("k", "v"))
+    // the .branches metadata table lists live refs with both pointers
+    val bi = spark.table("gt.wap.branches").collect()
+    // head_version counts the BRANCH's own log (clone-create=1, +append=2);
+    // branch_point is the MAIN version the branch was cut at
+    assert(bi.length == 1 && bi.head.getString(0) == "tmp" &&
+      bi.head.getLong(1) == GraftTable.at(spark, s"$warehouse/wap").version &&
+      bi.head.getLong(2) == 2L, bi.mkString(","))
     spark.sql("CALL gt.system.drop_branch(table => 'wap', name => 'tmp')")
     assert(sqlRows("SELECT k FROM gt.wap") == Set(Seq(1L), Seq(2L), Seq(3L)))
+    assert(spark.table("gt.wap.branches").isEmpty)
   }
 
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {

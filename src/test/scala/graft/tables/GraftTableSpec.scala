@@ -751,6 +751,22 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.vacuum(retentionMs = 0L).nonEmpty)
   }
 
+  test("branch: publish losing the commit race rolls moved files back") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val b = t.createBranch("r")
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    // a winner lands between fastForward's version check and its log write
+    val t2 = GraftTable.at(spark, loc)
+    t.onNextCommitAttempt = () => t2.append(Seq((9L, "z")).toDF("k", "v"))
+    intercept[GraftTable.ConcurrentCommitException](t.fastForward("r"))
+    // the branch survives INTACT (its local file was moved back) and main
+    // holds only the winner — the publish can re-apply after re-branching
+    assert(rows(t.branch("r")) == Set((1L, "a"), (2L, "b")))
+    assert(rows(GraftTable.at(spark, loc)) == Set((1L, "a"), (9L, "z")))
+    t.dropBranch("r")
+  }
+
   test("branch: publish carries a branch-side DV back onto the main file") {
     val loc = tmp()
     val t = GraftTable.create(spark, loc,
