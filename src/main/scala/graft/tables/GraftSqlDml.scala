@@ -176,6 +176,8 @@ final case class GraftSqlDmlRule(session: SparkSession)
         GraftDeleteMatchingSqlCommand(gt,
           org.apache.spark.sql.graftbridge.GraftPlanBridge.ofRows(session, l.plan),
           on, residueSql)
+      case InSubquery(vs, _) if vs.size != 1 =>
+        loud(s"multi-column IN (${vs.size} values) is not lowered")
       case _: InSubquery => loud("the IN subquery is correlated")
       case Not(_: InSubquery) => loud("NOT IN is not lowered")
       case e: Exists if e.outerAttrs.isEmpty =>

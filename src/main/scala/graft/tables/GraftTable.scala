@@ -2463,6 +2463,12 @@ final class GraftTable private (
     */
   def createBranch(name: String): GraftTable = {
     requireBranchName(name)
+    // a branch OF a branch would reference main-root files that main's
+    // vacuum branch-scan (one level deep) cannot see — refuse rather than
+    // silently create a lineage vacuum could orphan
+    require(!location.contains(s"/${GraftTable.BranchDirName}/"),
+      "cannot branch a branch: publish or drop this branch first, then " +
+        "branch the main table")
     val v = version
     require(!fs.exists(branchDir(name)),
       s"branch '$name' already exists (drop it or pick another name)")

@@ -729,6 +729,11 @@ class GraftTableSpec extends SparkTestBase {
     t.dropBranch("ddl")
     intercept[IllegalArgumentException](t.branch("nope"))
     intercept[IllegalArgumentException](t.createBranch("1bad"))
+    // a branch of a branch would escape main-vacuum's one-level scan: loud
+    val b3 = t.createBranch("outer")
+    val e3 = intercept[IllegalArgumentException](b3.createBranch("inner"))
+    assert(e3.getMessage.contains("branch a branch"), e3.getMessage)
+    t.dropBranch("outer")
   }
 
   test("branch: deletion vector cut on a branch publishes; vacuum respects refs") {
