@@ -2435,7 +2435,51 @@ object Advanced extends QueryPack {
         |  FROM kept)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
-        |FROM upd GROUP BY prio ORDER BY prio""".stripMargin)))
+        |FROM upd GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // q325 — MERGE-driven AUTO-WIDENING (schema evolution + type widening
+    // in one commit): an upstream that drifted from INT to BIGINT upserts
+    // with mergeSchema = true — the measure column widens metadata-only in
+    // the merge's own commit, int-era survivors read converted, and the
+    // final aggregate folds replaced + inserted + untouched rows under the
+    // widened type. The oracle replays the upsert relationally.
+    GraftQuery(
+      "q325_table_merge_type_widening",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice) AS INT)").as("q"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q325_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 2 === 0), keyCol = Some("k"))
+          // the drifted upstream: BIGINT measure, beyond-int-range values,
+          // replacing the thirds and inserting odd thirds
+          t.merge(base.where(col("k") % 3 === 0)
+            .select(col("k"), (col("q").cast("long") + 5000000000L).as("q")),
+            mergeSchema = true)
+          materializeSmall(t.snapshot()
+            .groupBy((col("k") % 3 === 0).as("merged"))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("q")).cast("long").as("sum_q"),
+              max(col("q")).cast("long").as("max_q"))
+            .orderBy("merged"))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(round(o_totalprice) AS INTEGER) AS BIGINT) AS q
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, q + 5000000000 AS q FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, q FROM base WHERE k % 2 = 0 AND k % 3 <> 0)
+        |SELECT k % 3 = 0 AS merged, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(MAX(q) AS BIGINT) AS max_q
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -1214,8 +1214,10 @@ final class GraftTable private (
 
   /** Append rows. With `mergeSchema = true` the schema may EVOLVE: new
     * columns in `df` extend the table schema (old files read them as null
-    * via by-name parquet resolution), and columns `df` lacks are written as
-    * null. Same-name columns must keep their type — a conflict is loud,
+    * via by-name parquet resolution), columns `df` lacks are written as
+    * null, and a same-name column arriving STRICTLY WIDER auto-widens the
+    * table column ([[widenColumn]] semantics riding the same commit).
+    * Narrower inputs up-cast losslessly; any other type conflict is loud,
     * never a silent cast. The evolved schema is versioned with the commit,
     * so time travel keeps each version's own schema.
     */
@@ -2666,7 +2668,14 @@ final class GraftTable private (
 
   /** Strict alignment, or (mergeSchema) the evolved (df', schema'):
     * schema' = current fields ++ df-only fields; df' selects every schema'
-    * column, null-filling the ones `df` lacks. Type conflicts are loud.
+    * column, null-filling the ones `df` lacks. A same-name column whose
+    * incoming type is NARROWER up-casts losslessly; one that is strictly
+    * WIDER (a drifted upstream, the most common evolution event after
+    * add-column) AUTO-WIDENS the table column under `mergeSchema = true` —
+    * exactly [[widenColumn]]'s metadata-only semantics riding the same
+    * evolution commit, with the same guards (partition-source and
+    * generation-referenced columns refuse). Any other conflict is loud,
+    * never a silent cast.
     */
   private def alignEvolving(df0: DataFrame, cur: StructType,
       mergeSchema: Boolean): (DataFrame, StructType) = {
@@ -2677,18 +2686,38 @@ final class GraftTable private (
           s"got ${df.columns.mkString(",")} (pass mergeSchema = true to evolve)")
     }
     val dfFields = df.schema.fields.map(f => f.name -> f).toMap
-    cur.fields.foreach { f =>
-      dfFields.get(f.name).foreach(g => require(g.dataType == f.dataType ||
-        GraftTable.isSafeWidening(g.dataType, f.dataType),
-        s"type conflict on '${f.name}': table ${f.dataType}, data ${g.dataType}"))
+    val keptFields = cur.fields.toIndexedSeq.map { f =>
+      dfFields.get(f.name) match {
+        case Some(g) if g.dataType == f.dataType => f
+        case Some(g) if GraftTable.isSafeWidening(g.dataType, f.dataType) =>
+          f // narrower input: up-cast below, schema unchanged
+        case Some(g) if mergeSchema &&
+            GraftTable.isSafeWidening(f.dataType, g.dataType) =>
+          // wider input under mergeSchema: auto-widen the table column
+          require(!partSourceCols.contains(f.name),
+            s"cannot auto-widen partition (source) column '${f.name}': " +
+              "transform hashes are type-dependent")
+          requireNoGeneratedOn(f.name, "auto-widen")
+          require(!GraftTable.generatedOf(cur).contains(f.name),
+            s"cannot auto-widen generated column '${f.name}'")
+          f.copy(dataType = g.dataType)
+        case Some(g) =>
+          throw new IllegalArgumentException(
+            s"type conflict on '${f.name}': table ${f.dataType}, data " +
+              s"${g.dataType}" + (if (!mergeSchema &&
+                GraftTable.isSafeWidening(f.dataType, g.dataType))
+                " (a safe widening — pass mergeSchema = true to evolve)"
+              else ""))
+        case None => f
+      }
     }
     val newFields = df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
       .map(_.copy(nullable = true)) // old files read the new column as null
-    val evolved = StructType(cur.fields.toIndexedSeq ++ newFields)
+    val evolved = StructType(keptFields ++ newFields)
     val aligned = df.select(evolved.fields.toIndexedSeq.map { f =>
       if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
-      // narrower input into a WIDENED column: lossless up-cast (see
-      // alignSchema) so the file stores the declared type
+      // narrower input into a (possibly just-widened) column: lossless
+      // up-cast so the file stores the declared type
       else if (dfFields(f.name).dataType != f.dataType)
         col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)

@@ -859,6 +859,32 @@ class GraftTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](td.widenColumn("m", DecimalType(10, 6)))
   }
 
+  test("mergeSchema auto-widens a drifted wider upstream; strict stays loud") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), keyCol = Some("k"))
+    assert(t.schema("k").dataType == IntegerType)
+    // strict append with a WIDER source names the evolution route
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((5000000000L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    // mergeSchema = true: the table column widens in the SAME commit
+    t.append(Seq((5000000000L, "c")).toDF("k", "v"), mergeSchema = true)
+    assert(t.schema("k").dataType == LongType)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (5000000000L, "c")))
+    assert(t.snapshot(Some(1L)).schema("k").dataType == IntegerType)
+    // merge(mergeSchema = true) widens too, across both file eras
+    val t2 = GraftTable.create(spark, tmp(),
+      Seq((1, 10), (2, 20)).toDF("k", "n"), keyCol = Some("k"))
+    t2.merge(Seq((2L, 6000000000L), (3L, 7000000000L)).toDF("k", "n"),
+      mergeSchema = true)
+    assert(t2.schema("k").dataType == LongType &&
+      t2.schema("n").dataType == LongType)
+    assert(t2.snapshot().as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 6000000000L), (3L, 7000000000L)))
+  }
+
   test("widenColumn: partition-source and generated columns are refused") {
     import org.apache.spark.sql.types.LongType
     val tp = GraftTable.create(spark, tmp(),
