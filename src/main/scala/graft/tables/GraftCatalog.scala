@@ -93,6 +93,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   //   'graft.bloom.ndv'     = '100000'                    (statement default)
   private val BloomColsProp = "graft.bloom.columns"
   private val BloomNdvProp = "graft.bloom.ndv"
+  //   'graft.sort.by' = 'c1,c2'  — write-time task-local sort order
+  //   (UNSET clears); see GraftTable.setSortOrder
+  private val SortByProp = "graft.sort.by"
 
   // one GraftTable handle per location: commit parses memoize per instance
   // (immutable files), so repeated SQL statements replay only NEW commits
@@ -461,17 +464,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     var dropCons: Option[TableChange.DropConstraint] = None
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var clearBloom = false
+    var clearSort = false
     changes.foreach {
       case s: TableChange.SetProperty =>
-        require(s.property == BloomColsProp || s.property == BloomNdvProp,
+        require(s.property == BloomColsProp || s.property == BloomNdvProp ||
+            s.property == SortByProp,
           s"graft-catalog ALTER TABLE SET TBLPROPERTIES supports " +
-            s"'$BloomColsProp' / '$BloomNdvProp' only, got '${s.property}'")
+            s"'$BloomColsProp' / '$BloomNdvProp' / '$SortByProp' only, " +
+            s"got '${s.property}'")
         setProps.put(s.property, s.value)
       case r: TableChange.RemoveProperty =>
-        require(r.property == BloomColsProp,
+        require(r.property == BloomColsProp || r.property == SortByProp,
           s"graft-catalog ALTER TABLE UNSET TBLPROPERTIES supports " +
-            s"'$BloomColsProp' only, got '${r.property}'")
-        clearBloom = true
+            s"'$BloomColsProp' / '$SortByProp' only, got '${r.property}'")
+        if (r.property == SortByProp) clearSort = true else clearBloom = true
       case a: TableChange.AddConstraint =>
         a.constraint match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -513,16 +519,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"DROP COLUMN and ALTER COLUMN TYPE (widening), got $c")
     }
     val fields = adds.result()
+    // bloom and sort land as SEPARATE commits — one property family per
+    // statement, same non-atomicity doctrine as the structural changes
+    val bloomTouched = setProps.contains(BloomColsProp) ||
+      setProps.contains(BloomNdvProp) || clearBloom
+    val sortTouched = setProps.contains(SortByProp) || clearSort
     require(Seq(rename.nonEmpty, drop.nonEmpty, widen.nonEmpty, fields.nonEmpty,
         addCons.nonEmpty, dropCons.nonEmpty,
-        setProps.nonEmpty || clearBloom).count(identity) <= 1,
+        bloomTouched, sortTouched).count(identity) <= 1,
       "ALTER TABLE cannot mix RENAME COLUMN / DROP COLUMN / ALTER COLUMN " +
-        "TYPE / ADD COLUMNS / constraint changes / property changes (they " +
-        "would land as separate, non-atomic commits); issue separate " +
-        "statements")
-    require(!(setProps.nonEmpty && clearBloom),
+        "TYPE / ADD COLUMNS / constraint changes / bloom properties / sort " +
+        "properties (they would land as separate, non-atomic commits); " +
+        "issue separate statements")
+    require(!((setProps.contains(BloomColsProp) ||
+        setProps.contains(BloomNdvProp)) && clearBloom),
       "ALTER TABLE cannot SET and UNSET bloom properties in one statement")
-    require(setProps.isEmpty || setProps.contains(BloomColsProp),
+    require(!(setProps.contains(SortByProp) && clearSort),
+      "ALTER TABLE cannot SET and UNSET the sort order in one statement")
+    require(!setProps.contains(BloomNdvProp) || setProps.contains(BloomColsProp),
       s"'$BloomNdvProp' needs '$BloomColsProp' in the same statement " +
         "(the NDV alone does not name the indexed columns)")
     rename.foreach(r => t.renameColumn(r.fieldNames()(0), r.newName))
@@ -557,6 +571,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         }
       t.setBloomFilter(cols.toMap)
+    }
+    if (clearSort) t.setSortOrder(Nil)
+    setProps.get(SortByProp).foreach { spec =>
+      t.setSortOrder(spec.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
     }
     loadTable(ident)
   }

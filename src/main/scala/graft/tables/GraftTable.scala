@@ -163,6 +163,68 @@ final class GraftTable private (
   private def currentBloom: Map[String, Long] =
     listVersions(fs, logDir).lastOption.map(bloomAt).getOrElse(Map.empty)
 
+  /** WRITE-TIME SORT ORDER (physical column names) in force at a version,
+    * carried forward in commit metadata like the bloom config. See
+    * [[setSortOrder]].
+    */
+  private def sortAt(v: Long): Seq[String] =
+    cachedCommit(v)._1.get("sort") match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+      case _ => Nil
+    }
+
+  private def currentSort: Seq[String] =
+    listVersions(fs, logDir).lastOption.map(sortAt).getOrElse(Nil)
+
+  /** The live write-time sort order, keyed by LOGICAL column name. */
+  def sortOrder: Seq[String] = {
+    val v = version
+    val cm = colmapAt(v)
+    val srt = sortAt(v)
+    val byPhys = schemaAt(v).fieldNames.toIndexedSeq
+      .map(l => physName(cm, l) -> l).toMap
+    srt.flatMap(byPhys.get)
+  }
+
+  /** Declare a WRITE-TIME SORT ORDER in ONE metadata commit (the Iceberg
+    * sorted-table + range-write-distribution contract): every user-facing
+    * write from this commit on — append / overwrite / merge output — lands
+    * files that OWN disjoint sort-key ranges. Unpartitioned tables pay one
+    * range shuffle per write (AQE coalesces it, so a small append is still
+    * one file) plus a task-local sort; partitioned tables keep the
+    * per-cell rebalance and add the task-local sort (row-group stats
+    * tighten; cross-cell-file disjointness is optimize()'s job). No
+    * existing file is touched, and rewrite paths (optimize/compact/DML
+    * survivors) keep their own layout — an OPTIMIZE's Z-order clustering
+    * must not be re-sorted by a different key on the way out. At 100 TB
+    * this is the difference between every scan of a time-keyed table
+    * pruning on arrival and paying a full-table OPTIMIZE first. An empty
+    * list clears the order. Columns are logical names; orderable atomic
+    * types only. SQL face: `ALTER TABLE t SET TBLPROPERTIES
+    * ('graft.sort.by' = 'c1,c2')` / UNSET to clear.
+    */
+  def setSortOrder(cols: Seq[String]): Long = {
+    val v = version
+    val schema = schemaAt(v)
+    val cm = colmapAt(v)
+    require(cols.distinct == cols, "duplicate sort columns")
+    val phys = cols.map { l =>
+      val f = schema.fields.find(_.name == l).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$l' in ${schema.fieldNames.mkString(",")}"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: StructType => throw new IllegalArgumentException(
+          s"sort order on '$l': unsupported type ${f.dataType.simpleString} " +
+            "(orderable atomic columns only)")
+        case _ => ()
+      }
+      physName(cm, l)
+    }
+    commit(v, "setSortOrder", Nil, Nil, newSort = Some(phys))
+  }
+
   /** The partition spec strings in force at a version (every commit
     * carries them — see metaMap). Backs the stale-handle commit guard and
     * [[setPartitioning]].
@@ -1437,9 +1499,10 @@ final class GraftTable private (
     val evolved = StructType(cur.fields.toIndexedSeq.filterNot(_.name == name))
     commit(v, "dropColumn", Nil, Nil, None, Some(evolved), Some(cm - name),
       Some((retiredAt(v) :+ physName(cm, name)).distinct),
-      // a dropped column's bloom entry goes with it (advisory metadata —
-      // no guard needed, unlike constraints)
-      newBloom = Some(bloomAt(v) - physName(cm, name)))
+      // a dropped column's bloom/sort entries go with it (advisory
+      // metadata — no guard needed, unlike constraints)
+      newBloom = Some(bloomAt(v) - physName(cm, name)),
+      newSort = Some(sortAt(v).filterNot(_ == physName(cm, name))))
   }
 
   /** Idempotent append for exactly-once streaming sinks: `txnId` (e.g.
@@ -2271,10 +2334,11 @@ final class GraftTable private (
       cur.filterNot(f => targetByPath.get(f.path).contains(f)).map(_.path),
       None, Some(restoredSchema), Some(restoredCm),
       Some(retiredAt(v).filterNot(revived.contains)),
-      // bloom config is write POLICY, not data state: it carries forward
-      // across the restore, minus entries whose column the restored
-      // schema no longer has
-      newBloom = Some(bloomAt(v).view.filterKeys(revived.contains).toMap))
+      // bloom/sort config is write POLICY, not data state: it carries
+      // forward across the restore, minus entries whose column the
+      // restored schema no longer has
+      newBloom = Some(bloomAt(v).view.filterKeys(revived.contains).toMap),
+      newSort = Some(sortAt(v).filter(revived.contains)))
   }
 
   /** A constraint predicate must RESOLVE against the given schema (loud
@@ -2337,12 +2401,13 @@ final class GraftTable private (
       keyColOverride = Some(newKeyCol), partitionByOverride = Some(newPartitionBy),
       bloomOverride = Some(Map.empty), // a REPLACE defines a fresh table
       genOverride = Some(GraftTable.generatedOf(newSchema)),
-      idOverride = Some(GraftTable.identityOf(newSchema)), idStrict = true)
+      idOverride = Some(GraftTable.identityOf(newSchema)), idStrict = true,
+      sortOverride = Some(Nil))
     commit(v, "replace", adds, activeFiles(v).map(_.path),
       newSchema = Some(newSchema), newColmap = Some(cm),
       newRetired = Some(retired), newConstraints = Some(newConstraints),
       newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy),
-      newBloom = Some(Map.empty))
+      newBloom = Some(Map.empty), newSort = Some(Nil))
   }
 
   /** EXPIRE HISTORY: physically delete the commit-log files (and
@@ -2430,7 +2495,8 @@ final class GraftTable private (
     writeCommit(dfs, destLog, 1L,
       metaMap(op, keyCol, schemaAt(asOf).json, None, partitionBy,
         colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf),
-        bloom = bloomAt(asOf), idHwm = idHwmAt(asOf)) ++ extraMeta,
+        bloom = bloomAt(asOf), idHwm = idHwmAt(asOf),
+        sort = sortAt(asOf)) ++ extraMeta,
       refs, Nil)
     GraftTable.at(spark, dest)
   }
@@ -2752,7 +2818,8 @@ final class GraftTable private (
       genOverride: Option[Map[String, String]] = None,
       idOverride: Option[Map[String, IdentitySpec]] = None,
       idStrict: Boolean = false,
-      distribute: Boolean = true): Seq[AddFile] = {
+      distribute: Boolean = true,
+      sortOverride: Option[Seq[String]] = None): Seq[AddFile] = {
     // the overrides serve REPLACE TABLE: the data is written under the NEW
     // definition (schema/colmap/constraints/key/partitioning) while the log
     // still carries the old one — the swap lands in the same commit
@@ -2844,10 +2911,32 @@ final class GraftTable private (
         s"parquet.bloom.filter.enabled#$p" -> "true",
         s"parquet.bloom.filter.expected.ndv#$p" -> ndv.toString)
     }
+    // WRITE-TIME SORT ORDER ([[setSortOrder]]), physical names — the df
+    // speaks them here. Unpartitioned tables RANGE-distribute on the sort
+    // key first (the Iceberg range write-distribution mode; AQE coalesces
+    // the shuffle to the advisory size, so a small append still lands one
+    // file) and then sort task-locally — landed files own DISJOINT key
+    // ranges, which is what makes file-level zone maps prune. Partitioned
+    // tables keep the per-cell rebalance (one file per cell is the
+    // stronger property) and add the task-local sort — row-group stats
+    // tighten; cross-file disjointness within a cell is optimize()'s job.
+    // Only user-facing distributed writes sort; rewrite paths
+    // (distribute = false) carry a layout of their own — an optimize's
+    // clustering, a survivor file's row order — that must reach the
+    // writer untouched.
+    val sortCols = sortOverride.getOrElse(currentSort)
+      .filter(df.columns.contains)
+    def sorted(d: DataFrame): DataFrame =
+      if (!distribute || sortCols.isEmpty) d
+      else d.sortWithinPartitions(sortCols.map(col): _*)
     val tmp = new Path(location, s"_tmp-${UUID.randomUUID()}")
     try {
-      if (partitionBy.isEmpty) df.write.options(bloomOpts).parquet(tmp.toString)
-      else {
+      if (partitionBy.isEmpty) {
+        val placed =
+          if (!distribute || sortCols.isEmpty) df
+          else df.repartitionByRange(sortCols.map(col): _*)
+        sorted(placed).write.options(bloomOpts).parquet(tmp.toString)
+      } else {
         // shadow columns carry each spec's PARTITION VALUE (identity: the
         // column itself; transforms: bucket/day/prefix of it — see
         // PartitionTransforms); source cols are never renamed, so they
@@ -2874,7 +2963,7 @@ final class GraftTable private (
           if (!distribute) withShadows
           else withShadows.hint("rebalance",
             partitionBy.indices.map(i => col(s"__gp_$i")): _*)
-        placed.write.options(bloomOpts)
+        sorted(placed).write.options(bloomOpts)
           .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
           .parquet(tmp.toString)
       }
@@ -3086,13 +3175,15 @@ final class GraftTable private (
       dataChange: Boolean = true,
       newKeyCol: Option[Option[String]] = None,
       newPartitionBy: Option[Seq[String]] = None,
-      newBloom: Option[Map[String, Long]] = None): Long = {
+      newBloom: Option[Map[String, Long]] = None,
+      newSort: Option[Seq[String]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
     val retired = newRetired.getOrElse(retiredAt(expected))
     val cons = newConstraints.getOrElse(constraintsAt(expected))
     val bloom = newBloom.getOrElse(bloomAt(expected))
+    val srt = newSort.getOrElse(sortAt(expected))
     // STALE-HANDLE guard: the partitioning this handle would record must
     // match what the log says is in force at `expected` — after a
     // setPartitioning / REPLACE from another handle, writing through THIS
@@ -3153,7 +3244,7 @@ final class GraftTable private (
     writeCommit(fs, logDir, next,
       metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
         newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange,
-        bloom, idHwm),
+        bloom, idHwm, srt),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
@@ -3673,7 +3764,8 @@ object GraftTable {
       constraints: Map[String, String] = Map.empty,
       dataChange: Boolean = true,
       bloom: Map[String, Long] = Map.empty,
-      idHwm: Map[String, Long] = Map.empty) = {
+      idHwm: Map[String, Long] = Map.empty,
+      sort: Seq[String] = Nil) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -3714,6 +3806,11 @@ object GraftTable {
       val ij = new java.util.LinkedHashMap[String, Any]()
       idHwm.toSeq.sortBy(_._1).foreach { case (c, v) => ij.put(c, v) }
       m.put("idhwm", ij)
+    }
+    if (sort.nonEmpty) {
+      val sj = new java.util.ArrayList[String]()
+      sort.foreach(sj.add)
+      m.put("sort", sj)
     }
     // layout-only commits (compact/optimize): rows unchanged, so change
     // feeds skip them without reading the rewritten files

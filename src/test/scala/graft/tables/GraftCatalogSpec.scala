@@ -687,6 +687,24 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("TBLPROPERTIES graft.sort.by sets/clears the write-time sort order") {
+    warehouse
+    spark.sql("CREATE TABLE gt.srt (k BIGINT, v STRING)")
+    spark.sql("ALTER TABLE gt.srt SET TBLPROPERTIES ('graft.sort.by' = 'k')")
+    val t = GraftTable.at(spark, s"$warehouse/srt")
+    assert(t.sortOrder == Seq("k"))
+    assert(t.history.last.op == "setSortOrder")
+    spark.sql("INSERT INTO gt.srt SELECT id, concat('v', id) FROM range(0, 100)")
+    assert(sqlRows("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gt.srt") ==
+      Set(Seq(100L)))
+    spark.sql("ALTER TABLE gt.srt UNSET TBLPROPERTIES ('graft.sort.by')")
+    assert(GraftTable.at(spark, s"$warehouse/srt").sortOrder.isEmpty)
+    // mixing sort and bloom property families stays loud (separate commits)
+    val e = intercept[Exception](spark.sql("ALTER TABLE gt.srt SET " +
+      "TBLPROPERTIES ('graft.sort.by' = 'k', 'graft.bloom.columns' = 'v')"))
+    assert(e.getMessage.contains("separate"), e.getMessage)
+  }
+
   test("DML with uncorrelated subqueries: IN-delete joins, EXISTS gates; correlated loud") {
     warehouse
     spark.sql("CREATE TABLE gt.subq (k BIGINT, grp STRING, v BIGINT) " +

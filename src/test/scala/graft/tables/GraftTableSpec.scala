@@ -682,6 +682,49 @@ class GraftTableSpec extends SparkTestBase {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  // ---- WRITE-TIME SORT ORDER (sorted tables)
+
+  test("setSortOrder: appends land range-disjoint files that zone-map prune") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "seed")).toDF("k", "v"), keyCol = Some("k"))
+    t.setSortOrder(Seq("k"))
+    assert(t.sortOrder == Seq("k"))
+    assert(t.history.last.op == "setSortOrder")
+    // a shuffled, multi-task append: without the sort every file would
+    // span the whole key domain and nothing could prune
+    val big = spark.range(0, 4000).selectExpr(
+      "CAST(pmod(id * 2654435761, 4000) + 100 AS BIGINT) AS k",
+      "concat('v', id) AS v").repartition(8)
+    // stop AQE merging the range shuffle at test scale — production-size
+    // appends split naturally; the point here is cross-FILE disjointness
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(big)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val files = t.filesAt(t.version).filter(_.rows > 1)
+    assert(files.size >= 2, s"want multiple data files, got ${files.size}")
+    // every multi-row file owns a narrow slice: point lookups prune to ≤1
+    // of them (+ the seed file)
+    val cands = t.scanCandidates(col("k") === 500L, t.version)
+    assert(cands.size <= 2,
+      s"sorted write did not prune: ${cands.size} of ${files.size + 1} files")
+    // reopen from disk: the order comes from the log; clearing stops sorting
+    assert(GraftTable.at(spark, loc).sortOrder == Seq("k"))
+    t.setSortOrder(Nil)
+    assert(t.sortOrder.isEmpty)
+    intercept[IllegalArgumentException](t.setSortOrder(Seq("nope")))
+  }
+
+  test("setSortOrder: survives rename by physical name; drops with the column") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 2L, "a")).toDF("k", "s", "v"))
+    t.setSortOrder(Seq("s"))
+    t.renameColumn("s", "s2")
+    assert(t.sortOrder == Seq("s2"), s"sort order lost across rename: ${t.sortOrder}")
+    t.dropColumn("s2")
+    assert(t.sortOrder.isEmpty, "sort order outlived its column")
+  }
+
   // ---- BRANCH refs (write-audit-publish)
 
   test("branch: writes are invisible to main until fastForward publishes them") {
