@@ -2479,7 +2479,56 @@ object Advanced extends QueryPack {
         |  SELECT k, q FROM base WHERE k % 2 = 0 AND k % 3 <> 0)
         |SELECT k % 3 = 0 AS merged, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(MAX(q) AS BIGINT) AS max_q
-        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q326 — WRITE-TIME SORT ORDER (sorted tables): after setSortOrder, a
+    // shuffled multi-task append lands files owning DISJOINT key ranges
+    // (range write distribution + task-local sort) — the invariant that
+    // makes zone maps prune point lookups on arrival. The query PROVES the
+    // invariant from the log's own zone maps (pairwise disjointness is
+    // deterministic even though range boundaries are sampled) and folds
+    // the data itself; the oracle replays both.
+    GraftQuery(
+      "q326_table_sorted_write",
+      (s, dir) => {
+        val base = Tables(s, dir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q326_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 5 === 0), keyCol = Some("k"))
+          t.setSortOrder(Seq("k"))
+          val pre = t.fileRanges("k").map(_._1).toSet
+          // a deliberately shuffled, multi-task ingest of the rest
+          t.append(base.where(col("k") % 5 =!= 0)
+            .orderBy(md5(col("k").cast("string"))).repartition(8))
+          // disjointness from the LOG (no data read): the SORTED-ERA files'
+          // [min, max] ranges must not overlap pairwise (the pre-sort
+          // create file legitimately spans the domain)
+          val ranges = t.fileRanges("k")
+            .filter { case (p, rows, _, _) => !pre(p) && rows > 0 }
+            .map { case (_, _, lo, hi) => (lo.toLong, hi.toLong) }
+            .sortBy(_._1)
+          val disjoint = ranges.sliding(2).forall {
+            case Seq((_, hi), (lo2, _)) => lo2 > hi
+            case _ => true
+          }
+          materializeSmall(t.snapshot()
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col("cents")).cast("long").as("sum_cents"))
+            .withColumn("files_disjoint", lit(disjoint))
+            .select(col("files_disjoint"), col("n"), col("sum_cents")))
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT TRUE AS files_disjoint,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

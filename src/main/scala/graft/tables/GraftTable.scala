@@ -1235,6 +1235,18 @@ final class GraftTable private (
     */
   private[tables] def filesAt(v: Long): Seq[AddFile] = activeFiles(v)
 
+  /** The logged zone-map interval of `colName` per CURRENT data file:
+    * (path, physical rows, min, max) — the operational view of what data
+    * skipping can refute (files lacking the stat are omitted). Driver
+    * metadata only, O(files); min/max are the log's string encodings
+    * (integral values parse as longs).
+    */
+  def fileRanges(colName: String): Seq[(String, Long, String, String)] = {
+    val v = version
+    activeFiles(v).flatMap(f =>
+      logicalStats(v, f, colName).map(ks => (f.path, f.rows, ks.min, ks.max)))
+  }
+
   /** A file's logged zone map for a LOGICAL column name at a version
     * (resolved through that version's column mapping — stats are keyed by
     * the stable physical names).
