@@ -201,7 +201,10 @@ final class GraftTable private (
     * pruning on arrival and paying a full-table OPTIMIZE first. An empty
     * list clears the order. Columns are logical names; orderable atomic
     * types only. SQL face: `ALTER TABLE t SET TBLPROPERTIES
-    * ('graft.sort.by' = 'c1,c2')` / UNSET to clear.
+    * ('graft.sort.by' = 'c1,c2')` / UNSET to clear. The native STREAMING
+    * sink does not sort (its executors write rows as epochs deliver them;
+    * its files still carry zone maps, just not disjoint ones) — compact or
+    * optimize stream-fed tables to recover the layout.
     */
   def setSortOrder(cols: Seq[String]): Long = {
     val v = version
@@ -2600,7 +2603,9 @@ final class GraftTable private (
       s"cannot fast-forward '$name': main advanced from version $bp to " +
         s"$head since the branch was cut — re-branch from the new head " +
         "and re-apply the changes")
-    // DDL parity: a publish carries data, not definitions
+    // DDL parity: a publish carries data, not definitions — and not write
+    // POLICY either (bloom/sort config changed on the branch would
+    // otherwise vanish silently in the diff-publish)
     require(b.schemaAt(bHead).json == schemaAt(bp).json &&
         b.colmapAt(bHead) == colmapAt(bp) &&
         b.constraintsAt(bHead) == constraintsAt(bp) &&
@@ -2608,6 +2613,10 @@ final class GraftTable private (
       s"cannot fast-forward '$name': the branch changed the table " +
         "DEFINITION (schema/column mapping/constraints/key/partitioning); " +
         "apply DDL on the main table, then re-branch")
+    require(b.bloomAt(bHead) == bloomAt(bp) && b.sortAt(bHead) == sortAt(bp),
+      s"cannot fast-forward '$name': the branch changed write policy " +
+        "(bloom index / sort order) — a diff-publish cannot carry it; " +
+        "apply the policy on the main table, then re-branch")
     val rootQ = fs.makeQualified(new Path(location)).toString
     // classify the branch's active files against main's state at the
     // branch point: inherited references map back to root-local names;

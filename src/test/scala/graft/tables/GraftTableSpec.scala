@@ -770,6 +770,13 @@ class GraftTableSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](t.fastForward("ddl"))
     assert(e2.getMessage.contains("DEFINITION"), e2.getMessage)
     t.dropBranch("ddl")
+    // write-POLICY divergence (sort/bloom config) is refused too — a
+    // diff-publish cannot carry it and must not drop it silently
+    val b4 = t.createBranch("pol")
+    b4.setSortOrder(Seq("k"))
+    val e4 = intercept[IllegalArgumentException](t.fastForward("pol"))
+    assert(e4.getMessage.contains("policy"), e4.getMessage)
+    t.dropBranch("pol")
     intercept[IllegalArgumentException](t.branch("nope"))
     intercept[IllegalArgumentException](t.createBranch("1bad"))
     // a branch of a branch would escape main-vacuum's one-level scan: loud
