@@ -378,8 +378,8 @@ class GraftTableModelSpec extends SparkTestBase {
         .as[(Long, String)].collect().toSet
       assert(got == model.toSet, s"after $op: $got != ${model.toSet}")
     }
-    for (step <- 1 to 14) {
-      rnd.nextInt(5) match {
+    for (step <- 1 to 16) {
+      rnd.nextInt(6) match {
         case 0 =>
           val rows = fresh(rnd.nextInt(3) + 1)
           val w = arm()
@@ -421,6 +421,17 @@ class GraftTableModelSpec extends SparkTestBase {
           t.compact(smallFileBytes = 32L << 20, targetBytes = 64L << 20)
           settle(w)
           check(s"$step:compact+race")
+        case 5 => // keyed IN-delete racing a disjoint blind append: the
+          // winner's key lives outside the erasure set, so the semi-join
+          // delete must rebase exactly like predicate DML
+          val ks = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          if (ks.nonEmpty) {
+            val w = arm()
+            t.deleteMatching(ks.toDF("erase_k"), "k")
+            ks.foreach(model.remove)
+            settle(w)
+          }
+          check(s"$step:deleteMatching+race")
       }
     }
     // the whole mixed racing history still folds through the change feed
