@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{instr, lit, md5, substring}
+import org.apache.spark.sql.functions.{conv, lit, md5, substring}
 
 /** Sampling primitives with the reference CLI's input validation
   * (`cli/Sample.java:125-127`): a fraction outside (0, 1] is refused up
@@ -20,17 +20,17 @@ object Sampling {
     df.sample(withReplacement = false, fraction = fraction, seed = seed)
   }
 
-  /** 12-bit content-addressed bucket (0..4095) from the md5 of `key`, via
-    * the instr-arithmetic hex subset both Spark and DuckDB evaluate
-    * identically (the q73 split-assignment trick). md5 is uniform per
-    * digit, so `bucket < round(p·4096)` is a Bernoulli(p) draw that is a
-    * pure function of the key.
+  /** 12-bit content-addressed bucket (0..4095) from the md5 of `key`:
+    * the first 3 hex digits parsed as one base-16 number — numerically
+    * identical to the per-digit instr arithmetic the DuckDB oracles
+    * replay (the q73 split-assignment trick), but ONE md5 evaluation
+    * instead of three (filter codegen does not eliminate the common
+    * subexpression; at 100 TB the digest dominates the draw). md5 is
+    * uniform per digit, so `bucket < round(p·4096)` is a Bernoulli(p)
+    * draw that is a pure function of the key.
     */
-  def hashBucket(key: Column): Column = {
-    val h = md5(key.cast("string"))
-    def hx(i: Int) = instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
-    hx(1) * 256 + hx(2) * 16 + hx(3)
-  }
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("int")
 
   /** Deterministic content-addressed Bernoulli: keep a row iff its
     * [[hashBucket]] falls under `round(fraction·4096)`. Same inclusion
