@@ -217,6 +217,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("partition_columns", ArrayType(StringType)),
           StructField("constraints", MapType(StringType, StringType)),
           StructField("renamed_columns", MapType(StringType, StringType)),
+          StructField("sort_order", ArrayType(StringType)),
+          StructField("bloom_columns", MapType(StringType, LongType)),
+          StructField("branches", ArrayType(StringType)),
           StructField("created_ts", LongType),
           StructField("last_modified_ts", LongType)))
         Some(new GraftMetadataTable(identString(ident), schema, () => {
@@ -225,7 +228,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           Seq(Row(t.location, t.version, files.size.toLong,
             files.map(GraftTable.liveRows).sum, files.map(_.bytes).sum,
             t.keyCol.orNull, t.partitionBy, t.constraints,
-            t.colmapNow, hist.head.ts, hist.last.ts))
+            t.colmapNow, t.sortOrder, t.bloomFilterColumns, t.listBranches,
+            hist.head.ts, hist.last.ts))
         }))
       case "branches" =>
         // live (unpublished) WAP branches: name, the main version they were

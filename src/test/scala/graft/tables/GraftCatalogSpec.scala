@@ -597,6 +597,14 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(r.getString(3) == "k")
     assert(r.getSeq[String](4) == Seq("p"))
     assert(r.getMap[String, String](5).toMap == Map("kp" -> "k > 0"))
+    // the table-config columns surface write policy and live branches
+    spark.sql("ALTER TABLE gt.dtl SET TBLPROPERTIES ('graft.sort.by' = 'k')")
+    t.createBranch("wip")
+    val r2 = spark.sql(
+      "SELECT sort_order, branches FROM gt.dtl.detail").head()
+    assert(r2.getSeq[String](0) == Seq("k"))
+    assert(r2.getSeq[String](1) == Seq("wip"))
+    t.dropBranch("wip")
   }
 
   test("atomic CREATE OR REPLACE: one commit, history kept, failure safe") {
