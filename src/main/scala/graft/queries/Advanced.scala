@@ -2501,9 +2501,19 @@ object Advanced extends QueryPack {
             base.where(col("k") % 5 === 0), keyCol = Some("k"))
           t.setSortOrder(Seq("k"))
           val pre = t.fileRanges("k").map(_._1).toSet
-          // a deliberately shuffled, multi-task ingest of the rest
-          t.append(base.where(col("k") % 5 =!= 0)
+          // a deliberately shuffled, multi-task ingest of the rest; AQE
+          // would coalesce the range shuffle to ONE file at oracle scale
+          // (production-size appends split naturally), which would make the
+          // disjointness claim vacuous — keep the shuffle's partitions
+          val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+          val prevCoalesce = s.conf.getOption(coalesceKey)
+          s.conf.set(coalesceKey, "false")
+          try t.append(base.where(col("k") % 5 =!= 0)
             .orderBy(md5(col("k").cast("string"))).repartition(8))
+          finally prevCoalesce match {
+            case Some(v) => s.conf.set(coalesceKey, v)
+            case None => s.conf.unset(coalesceKey)
+          }
           // disjointness from the LOG (no data read): the SORTED-ERA files'
           // [min, max] ranges must not overlap pairwise (the pre-sort
           // create file legitimately spans the domain)
@@ -2511,6 +2521,11 @@ object Advanced extends QueryPack {
             .filter { case (p, rows, _, _) => !pre(p) && rows > 0 }
             .map { case (_, _, lo, hi) => (lo.toLong, hi.toLong) }
             .sortBy(_._1)
+          // the claim must never pass vacuously: the multi-task append has
+          // to land 2+ stat-carrying files for disjointness to mean anything
+          require(ranges.size >= 2,
+            s"sorted append landed ${ranges.size} stat-carrying file(s); " +
+              "the disjointness claim would be vacuous")
           val disjoint = ranges.sliding(2).forall {
             case Seq((_, hi), (lo2, _)) => lo2 > hi
             case _ => true
