@@ -44,12 +44,14 @@ object IvfIndex {
     val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
 
-    // deterministic centroids: the nLists rows with the smallest seeded hash
-    // of their id — a uniform pseudo-random pick that needs no row count
-    // (sizing a sample fraction would cost an extra full-scan job) and plans
-    // as TakeOrderedAndProject: per-partition top-k, driver-side merge only.
+    // deterministic centroids: the nLists rows with the smallest seeded
+    // md5 of their id — a uniform pseudo-random pick that needs no row
+    // count (sizing a sample fraction would cost an extra full-scan job)
+    // and plans as TakeOrderedAndProject: per-partition top-k, driver-side
+    // merge only. md5 (not xxhash64) keeps the pick ENGINE-PORTABLE, so
+    // the whole index replays in the DuckDB oracle (q59).
     val cents = vecs.toDF("__cid", "__cvec")
-      .orderBy(xxhash64(lit(seed), col("__cid")), col("__cid"))
+      .orderBy(md5(concat_ws(":", lit(seed), col("__cid"))), col("__cid"))
       .limit(nLists)
       .as[(Long, Array[Double])]
       .collect()

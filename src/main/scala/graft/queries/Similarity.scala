@@ -264,6 +264,13 @@ object Similarity extends QueryPack {
         |SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF inverted-list ANN: fully oracle-checked since r13 — the centroid
+    // pick is an md5-seeded smallest-hash sample (engine-portable by
+    // design), list assignment/probing is argmax/top-3 cosine over the 8
+    // centroids, and every cosine is the q42-style index-ordered fold, so
+    // DuckDB replays the ENTIRE index bit-for-bit. Recall vs brute force
+    // and the nProbe==nLists exactness degeneration stay pinned in
+    // IvfIndexSpec.
     GraftQuery(
       "q59_similarity_ann_ivf",
       (s, dir) => {
@@ -274,6 +281,52 @@ object Similarity extends QueryPack {
             round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
           .orderBy("query_id", "rnk")
       },
-      None)
+      Some("""WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce([x * x FOR x IN emb], (a, b) -> a + b) AS norm2 FROM e),
+        |pick AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY md5('4242:' || vec_id), vec_id) AS rk
+        |  FROM e),
+        |cent AS (
+        |  SELECT n.vec_id, n.emb, n.norm2,
+        |    row_number() OVER (ORDER BY n.vec_id) - 1 AS c
+        |  FROM n JOIN pick ON pick.vec_id = n.vec_id WHERE pick.rk <= 8),
+        |vc AS (
+        |  SELECT n.vec_id, cent.c,
+        |    list_reduce([n.emb[i] * cent.emb[i]
+        |        FOR i IN generate_series(1, len(n.emb))], (a, b) -> a + b)
+        |      / (sqrt(n.norm2) * sqrt(cent.norm2)) AS cos
+        |  FROM n CROSS JOIN cent),
+        |vr AS (
+        |  SELECT vec_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS r
+        |  FROM vc),
+        |asn AS (SELECT vec_id, c AS list FROM vr WHERE r = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, c AS plist FROM vr
+        |  WHERE r <= 3 AND vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asn a ON a.list = p.plist
+        |  WHERE a.vec_id <> p.query_id),
+        |sims AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_reduce([qn.emb[i] * nn.emb[i]
+        |        FOR i IN generate_series(1, len(nn.emb))], (a, b) -> a + b)
+        |      / (sqrt(qn.norm2) * sqrt(nn.norm2)) AS sim
+        |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id
+        |              JOIN n nn ON nn.vec_id = c.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin))
   )
 }
