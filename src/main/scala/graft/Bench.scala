@@ -67,9 +67,16 @@ object Bench {
         else { val s = done.sorted; s(s.length / 2) }
       val (t, e) =
         if (e1.isEmpty && t1 > 3.0 && t1 > 2.5 * median) {
+          // MIN-OF-THREE on spike: one retry proved insufficient twice —
+          // r12's q03 and r13's q88 both needed judge-side isolated
+          // re-timing because the single retry also landed inside the
+          // neighbor's load burst. Two retries (min of three samples)
+          // makes a surviving spike require THREE consecutive contended
+          // samples, which the artifact's load_avg fields would show
           retried += 1
-          val (t2, e2) = timeOnce(fn)
-          if (e2.isEmpty) (math.min(t1, t2), e1) else (t1, e1)
+          val samples = t1 +: Seq.fill(2)(timeOnce(fn))
+            .collect { case (tn, None) => tn }
+          (samples.min, e1)
         } else (t1, e1)
       if (e.isEmpty) done += t
       (name, t, e)
@@ -110,7 +117,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg
-    val loadJson = f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"bench_cpus":$cpus"""
+    // the MXBean returns -1.0 where load average is unsupported — emit
+    // null rather than a misleading -1.00 "load"
+    def loadField(k: String, v: Double) =
+      if (v < 0) s""""$k":null""" else f""""$k":$v%.2f"""
+    val loadJson = loadField("load_avg_start", loadStart) + "," +
+      loadField("load_avg_end", loadEnd) + s""","bench_cpus":$cpus"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,$loadJson,"sf":"$sfDir"}""")
     // compact summary as the LAST line: the driver keeps only the tail of
     // stdout, and with 100+ queries the full line above loses its head

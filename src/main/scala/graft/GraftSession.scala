@@ -18,6 +18,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standard INT64 micros, not legacy INT96: INT96 carries no sane
+      // footer comparator, so timestamp zone maps (file skipping on the #1
+      // pruning dimension of a time-keyed table) only exist for INT64
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new graft.functions.expressions.GraftExtensions)
 
   /** Post-build attachment for hooks that cannot ride

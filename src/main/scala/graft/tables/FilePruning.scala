@@ -95,9 +95,9 @@ private[tables] object FilePruning {
   private def point(attr: Expression, lit: Expression,
       iv: Map[String, KeyStats])(check: (KeyStats, Any) => Boolean): Boolean = {
     (attrName(attr), lit) match {
-      case (Some(name), Literal(v, _)) if v != null =>
+      case (Some(name), Literal(v, dt)) if v != null =>
         iv.get(name).forall { s =>
-          coerce(s, v) match {
+          coerce(s, v, dt) match {
             case Some(cv) => check(s, cv)
             case None => true // kind mismatch (e.g. double literal): no prune
           }
@@ -107,20 +107,27 @@ private[tables] object FilePruning {
   }
 
   /** Literal runtime value → the stats domain: Catalyst integrals (Byte …
-    * Long) and date days (Int) are Long; strings (UTF8String) compare as
-    * UTF-8 bytes. Anything else (double, decimal, timestamp micros vs INT96
-    * footers …) disables pruning for that conjunct.
+    * Long) and date days (Int) are Long; Timestamp[NTZ] literals ARE epoch
+    * micros longs internally, matching the logged "ts"/"tsn" micros —
+    * gated on the literal's DATATYPE so a plain bigint literal can never
+    * be misread as micros (and instant vs wall-clock stats never cross);
+    * strings (UTF8String) compare as UTF-8 bytes. Anything else (double,
+    * decimal …) disables pruning for that conjunct.
     */
-  private def coerce(s: KeyStats, v: Any): Option[Any] = (s.kind, v) match {
+  private def coerce(s: KeyStats, v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = (s.kind, v) match {
     case ("long", n: java.lang.Number) if !n.isInstanceOf[java.lang.Double] &&
       !n.isInstanceOf[java.lang.Float] => Some(n.longValue)
+    case ("ts", n: java.lang.Long)
+      if dt == org.apache.spark.sql.types.TimestampType => Some(n.longValue)
+    case ("tsn", n: java.lang.Long)
+      if dt == org.apache.spark.sql.types.TimestampNTZType => Some(n.longValue)
     case ("string", u) if u.getClass.getName.endsWith("UTF8String") ||
       u.isInstanceOf[String] => Some(u.toString)
     case _ => None
   }
 
   private def contains(s: KeyStats, v: Any): Boolean = s.kind match {
-    case "long" =>
+    case "long" | "ts" | "tsn" =>
       val x = v.asInstanceOf[Long]; s.min.toLong <= x && x <= s.max.toLong
     case "string" =>
       val x = v.toString
@@ -130,7 +137,7 @@ private[tables] object FilePruning {
 
   /** `col < v` (strict) / `col <= v`: possible iff the file MIN is below. */
   private def minBelow(s: KeyStats, v: Any, strict: Boolean): Boolean = s.kind match {
-    case "long" =>
+    case "long" | "ts" | "tsn" =>
       val x = v.asInstanceOf[Long]
       if (strict) s.min.toLong < x else s.min.toLong <= x
     case "string" =>
@@ -141,7 +148,7 @@ private[tables] object FilePruning {
 
   /** `col > v` (strict) / `col >= v`: possible iff the file MAX is above. */
   private def maxAbove(s: KeyStats, v: Any, strict: Boolean): Boolean = s.kind match {
-    case "long" =>
+    case "long" | "ts" | "tsn" =>
       val x = v.asInstanceOf[Long]
       if (strict) s.max.toLong > x else s.max.toLong >= x
     case "string" =>

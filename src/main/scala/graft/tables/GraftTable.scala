@@ -65,6 +65,13 @@ final class GraftTable private (
     */
   @volatile private[tables] var onNextCommitAttempt: () => Unit = null
 
+  /** One-shot crash injector for publish-recovery specs: invoked (and
+    * cleared) inside [[fastForward]] after the publish commit lands but
+    * before the consumed branch dir is deleted — throwing here leaves
+    * exactly the mid-crash state (manifest + branch dir + landed commit).
+    */
+  @volatile private[tables] var onPublishAfterCommit: () => Unit = null
+
   /** `partitionBy` elements parsed as partition SPECS — bare column names
     * (identity, the legacy surface) or hidden-partitioning transforms
     * (`bucket(8,k)`, `days(ts)`, `truncate(4,s)` — see
@@ -2031,13 +2038,27 @@ final class GraftTable private (
       s"deleteMatching takes a ONE-column key frame, got ${keys0.columns.mkString(",")}")
     val colType = schema(on).dataType
     val keyType = keys0.schema.fields.head.dataType
-    // compare in the WIDER of the two types (lossless on both sides);
-    // incomparable families fail loud at cast analysis
+    // compare in the WIDER of the two types, and ONLY when one side widens
+    // losslessly into the other (or they already match). Anything else —
+    // double keys over a bigint column, string keys over numerics — would
+    // need a lossy/runtime cast that silently truncates (5.7 → 5) and
+    // deletes rows SQL IN semantics would never match: refused loud.
     val cmpType =
-      if (GraftTable.isSafeWidening(colType, keyType)) keyType else colType
+      if (keyType == colType) colType
+      else if (GraftTable.isSafeWidening(colType, keyType)) keyType
+      else if (GraftTable.isSafeWidening(keyType, colType)) colType
+      else throw new IllegalArgumentException(
+        s"deleteMatching: key type ${keyType.simpleString} is not " +
+          s"comparable to column '$on' (${colType.simpleString}) without a " +
+          "lossy cast; cast the key frame explicitly to the column's type " +
+          "if truncating semantics are intended")
     val kc = "__graft_in_key"
-    val keys = keys0.toDF(kc).where(col(kc).isNotNull)
-      .select(col(kc).cast(cmpType).as(kc)).distinct()
+    // null filter AFTER the cast: the widening cast itself is lossless, but
+    // filtering post-cast guarantees no null ever reaches the persisted
+    // key frame regardless of how cmpType evolves
+    val keys = keys0.toDF(kc)
+      .select(col(kc).cast(cmpType).as(kc))
+      .where(col(kc).isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val bounds = keys.agg(min(col(kc)), max(col(kc))).head()
@@ -2523,9 +2544,11 @@ final class GraftTable private (
 
   private def requireBranchName(name: String): Unit =
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
-        c == '_' || c == '-') && !name.head.isDigit,
-      s"illegal branch name '$name' (want [A-Za-z_][A-Za-z0-9_-]*; numeric " +
-        "names would collide with version-number time travel)")
+        c == '_' || c == '-') &&
+        (name.head.isLetter || name.head == '_'),
+      s"illegal branch name '$name' (want [A-Za-z_][A-Za-z0-9_-]*; a " +
+        "leading digit or '-' would collide with version-number time " +
+        "travel)")
 
   /** Branch names currently present (published branches are consumed). */
   def listBranches: Seq[String] =
@@ -2559,9 +2582,15 @@ final class GraftTable private (
       Map("branchPoint" -> v))
   }
 
-  /** Open an existing branch as a table handle (its own log/history). */
+  /** Open an existing branch as a table handle (its own log/history).
+    * First replays any publish manifest a crashed [[fastForward]] left —
+    * a rolled-back branch opens intact; a crash-completed publish deletes
+    * the (already published) branch dir, so the open fails loud with
+    * "no branch" rather than returning a log over vanished files.
+    */
   def branch(name: String): GraftTable = {
     requireBranchName(name)
+    if (fs.exists(branchDir(name))) recoverCrashedPublish(name)
     require(fs.exists(branchDir(name)),
       s"no branch '$name' (have: ${listBranches.mkString(", ")})")
     GraftTable.at(spark, branchDir(name).toString)
@@ -2573,9 +2602,14 @@ final class GraftTable private (
       .map(_.asInstanceOf[Number].longValue).getOrElse(
         throw new IllegalStateException(s"'$name' is not a branch (no branch point)"))
 
-  /** Drop an (unpublished) branch: its local files and log go with it. */
+  /** Drop an (unpublished) branch: its local files and log go with it.
+    * Replays a crashed publish first, so files a crashed attempt moved
+    * into the main root are pulled back (and deleted with the branch)
+    * rather than stranded as main-root orphans.
+    */
   def dropBranch(name: String): Unit = {
     requireBranchName(name)
+    if (fs.exists(branchDir(name))) recoverCrashedPublish(name)
     require(fs.exists(branchDir(name)),
       s"no branch '$name' (have: ${listBranches.mkString(", ")})")
     fs.delete(branchDir(name), true)
@@ -2627,6 +2661,25 @@ final class GraftTable private (
       else Some(p) // inherited absolute ref beyond this root (re-clone)
     val bFiles = b.filesAt(bHead)
     val mainNow = activeFiles(bp).map(f => f.path -> f).toMap
+    // CRASH SAFETY: record the publish intent (branch point + every
+    // branch-local file about to move) BEFORE the first rename. A process
+    // crash anywhere in the window [first rename, branch-dir delete]
+    // leaves this manifest behind; [[recoverCrashedPublish]] (run on the
+    // next open of the branch) either rolls the moves back (commit never
+    // landed — branch intact, retryable) or completes the publish (commit
+    // landed — branch dir deleted). The manifest is written atomically
+    // (temp + rename) so a torn manifest can never be replayed.
+    val toMove = bFiles.filter(f => toMain(f.path).isEmpty).map(_.path)
+    if (toMove.nonEmpty) {
+      val mp = new Path(branchDir(name), GraftTable.PublishManifestName)
+      val tmp = new Path(branchDir(name), s".tmp-manifest-${UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(GraftTable.mapper.writeValueAsString(Map(
+        "branchPoint" -> bp, "files" -> toMove.asJava).asJava)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, mp), s"could not write publish manifest $mp")
+    }
     val moved = scala.collection.mutable.ListBuffer.empty[String]
     try {
       val adds = bFiles.flatMap { f =>
@@ -2653,14 +2706,51 @@ final class GraftTable private (
     } catch {
       case e: Throwable =>
         // the publish did not land: return moved files to the branch so it
-        // stays intact for a retry
+        // stays intact for a retry, and clear the publish intent
         moved.foreach { p =>
           fs.rename(new Path(location, p), new Path(branchDir(name), p))
         }
+        fs.delete(new Path(branchDir(name), GraftTable.PublishManifestName), false)
         throw e
     }
+    val hook = onPublishAfterCommit
+    if (hook != null) { onPublishAfterCommit = null; hook() }
     fs.delete(branchDir(name), true)
     version
+  }
+
+  /** Replay a publish manifest a crashed [[fastForward]] left behind.
+    * Sound either way: data-file names are UUID-unique, so a commit after
+    * the recorded branch point whose adds include any manifest file IS the
+    * crashed publish's commit — the publish landed and only the branch-dir
+    * delete is missing (complete it). Otherwise the commit never landed —
+    * rename the moved files back into the branch dir (each move is
+    * idempotent: skipped when the file is already home) and drop the
+    * manifest, leaving the branch exactly as before the crashed attempt.
+    */
+  private def recoverCrashedPublish(name: String): Unit = {
+    val mp = new Path(branchDir(name), GraftTable.PublishManifestName)
+    if (!fs.exists(mp)) return
+    val node = GraftTable.mapper.readValue(
+      GraftTable.readFully(fs, mp), classOf[java.util.Map[String, Object]])
+    val bp = node.get("branchPoint").asInstanceOf[Number].longValue
+    val movedFiles = node.get("files").asInstanceOf[java.util.List[Object]]
+      .asScala.map(_.toString).toSet
+    val head = version
+    val landed = (bp + 1 to head).exists { v =>
+      cachedCommit(v)._2.exists(a => movedFiles.contains(a.path))
+    }
+    if (landed) fs.delete(branchDir(name), true)
+    else {
+      movedFiles.foreach { p =>
+        val src = new Path(location, p)
+        val dst = new Path(branchDir(name), p)
+        if (fs.exists(src) && !fs.exists(dst))
+          require(fs.rename(src, dst),
+            s"publish recovery: could not return $src to branch '$name'")
+      }
+      fs.delete(mp, false)
+    }
   }
 
   /** Root-local main-table files referenced by any LIVE branch — excluded
@@ -3113,10 +3203,16 @@ final class GraftTable private (
   /** DATA-SKIPPING stats: [min, max] per top-level column, for every column
     * whose PARQUET type makes the comparison domain unambiguous — INT32 /
     * INT64 carrying plain ints or DATE days ("long": Catalyst literals for
-    * those types are the same ints), and UTF8-annotated BINARY ("string").
-    * Decimals (unscaled ints / binaries), timestamps (INT96 / unit soup),
-    * floats (NaN ordering) stay stat-less — `FilePruning` then simply never
-    * prunes on them. Capped at [[GraftTable.MaxStatsColumns]] in footer
+    * those types are the same ints), INT64 TIMESTAMP normalized to epoch
+    * micros ("ts" instant / "tsn" wall-clock — the Catalyst literal's own
+    * internal value; time is the #1 pruning dimension of a 100 TB ingest
+    * table), and UTF8-annotated BINARY ("string").
+    * Decimals (unscaled ints / binaries), INT96 timestamps (no sane
+    * comparator — this engine writes INT64 micros), floats (NaN ordering)
+    * stay stat-less — `FilePruning` then simply never prunes on them. A
+    * PRE-"ts" reader sees the new kinds as unknown and answers "possibly"
+    * everywhere (its comparison cases are kind-gated), so the new stats are
+    * backward-compatible by construction, no protocol gate needed. Capped at [[GraftTable.MaxStatsColumns]] in footer
     * order (the Delta-style bound on per-file log weight: at 10⁶ files the
     * log must stay O(files × small-constant)). Gated by Spark type on the
     * MERGE path above but by parquet type here: the two consumers compare
@@ -3128,21 +3224,41 @@ final class GraftTable private (
       priorityCols: Set[String] = Set.empty): Map[String, KeyStats] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    def kindOf(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[String] = {
+    // (kind, scale): logged stat = footer long value × scale. TIMESTAMP
+    // (INT64 — parquet's own well-defined numeric comparator; the legacy
+    // INT96 soup stays excluded) normalizes to EPOCH MICROS, the exact
+    // internal value of a Catalyst Timestamp[NTZ] literal, so FilePruning
+    // compares like for like: "ts" = instant (isAdjustedToUTC),
+    // "tsn" = wall-clock NTZ — kept apart, the same micros value denotes
+    // different instants under the two semantics. MILLIS scales ×1000
+    // (exact); NANOS stays a RAW "long" because this engine reads
+    // TIMESTAMP(NANOS) columns as BIGINT (nanosAsLong), so predicates
+    // arrive as long nano literals.
+    def kindOf(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+        : Option[(String, Long)] = {
       val pt = c.getPrimitiveType
       (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
-        case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, null) => Some("long")
+        case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, null) => Some(("long", 1L))
         case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
-          _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) => Some("long")
+          _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) => Some(("long", 1L))
         case (PrimitiveTypeName.INT32,
-          _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => Some("long")
+          _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => Some(("long", 1L))
+        case (PrimitiveTypeName.INT64,
+            t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          val kind = if (t.isAdjustedToUTC) "ts" else "tsn"
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((kind, 1000L))
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some((kind, 1L))
+            case LogicalTypeAnnotation.TimeUnit.NANOS => Some(("long", 1L))
+            case _ => None
+          }
         case (PrimitiveTypeName.BINARY,
-          _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => Some("string")
+          _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => Some(("string", 1L))
         case _ => None
       }
     }
     val byCol = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, scala.collection.mutable.Buffer[org.apache.parquet.column.statistics.Statistics[_]])]
+      .empty[String, ((String, Long), scala.collection.mutable.Buffer[org.apache.parquet.column.statistics.Statistics[_]])]
     blocks.foreach(_.getColumns.asScala.foreach { c =>
       if (c.getPath.size == 1) kindOf(c).foreach { kind =>
         byCol.getOrElseUpdate(c.getPath.toDotString,
@@ -3150,7 +3266,7 @@ final class GraftTable private (
       }
     })
     val fileRows = blocks.map(_.getRowCount).sum
-    byCol.iterator.flatMap { case (name, (kind, sts)) =>
+    byCol.iterator.flatMap { case (name, ((kind, scale), sts)) =>
       if (sts.size != blocks.size ||
           sts.exists(s => s == null || !s.hasNonNullValue)) None
       else {
@@ -3161,9 +3277,9 @@ final class GraftTable private (
           if (sts.forall(_.isNumNullsSet)) Some(sts.map(_.getNumNulls).sum)
           else None
         kind match {
-          case "long" => Some(name -> KeyStats("long",
-            sts.map(_.genericGetMin.asInstanceOf[Number].longValue).min.toString,
-            sts.map(_.genericGetMax.asInstanceOf[Number].longValue).max.toString,
+          case "long" | "ts" | "tsn" => Some(name -> KeyStats(kind,
+            (sts.map(_.genericGetMin.asInstanceOf[Number].longValue).min * scale).toString,
+            (sts.map(_.genericGetMax.asInstanceOf[Number].longValue).max * scale).toString,
             nulls, Some(fileRows)))
           case _ =>
             val ord = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
@@ -3381,6 +3497,17 @@ object GraftTable {
 
   /** Per-table directory holding live (unpublished) branch tables. */
   private val BranchDirName = "_graft_branches"
+
+  /** Publish-intent manifest written inside a branch dir BEFORE
+    * fastForward starts renaming branch-local files into the main root:
+    * a process crash mid-publish leaves the manifest behind, and the next
+    * open of the branch replays it — rolled back (files returned to the
+    * branch) when the publish commit never landed, completed (branch dir
+    * deleted) when it did. Without it a crash between the renames and the
+    * commit left the branch log referencing files no longer in the branch
+    * dir, with no repair path.
+    */
+  private val PublishManifestName = "_graft_publish_manifest.json"
   private val mapper = new ObjectMapper()
 
   /** Internal metadata column names exposed by `readFiles(withMeta=true)`:

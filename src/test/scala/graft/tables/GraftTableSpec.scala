@@ -715,6 +715,47 @@ class GraftTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.setSortOrder(Seq("nope")))
   }
 
+  test("timestamp zone maps: time-banded files prune on point and range lookups") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val loc = tmp()
+    // three appends = three files, each owning a disjoint one-day band —
+    // the layout a time-keyed ingest table has naturally
+    val t = GraftTable.create(spark, loc, Seq(
+      (ts("2026-01-01 00:00:00"), 1L), (ts("2026-01-01 23:00:00"), 2L))
+      .toDF("ts", "v").coalesce(1))
+    t.append(Seq((ts("2026-01-02 00:00:00"), 3L), (ts("2026-01-02 23:00:00"), 4L))
+      .toDF("ts", "v").coalesce(1))
+    t.append(Seq((ts("2026-01-03 00:00:00"), 5L), (ts("2026-01-03 23:00:00"), 6L))
+      .toDF("ts", "v").coalesce(1))
+    assert(t.filesAt(t.version).size == 3)
+    // the logged stats are epoch-MICROS "ts" intervals
+    val cs = t.filesAt(t.version).flatMap(_.cs.get("ts"))
+    assert(cs.size == 3 && cs.forall(_.kind == "ts"),
+      s"want 3 'ts' zone maps, got $cs")
+    // a point BETWEEN the bands refutes every file; a point inside one
+    // band reads exactly that band
+    val p = t.scanCandidates(col("ts") === lit(ts("2026-01-01 23:30:00")), t.version)
+    assert(p.isEmpty, s"between-bands lookup read ${p.size} files")
+    val p2 = t.scanCandidates(col("ts") === lit(ts("2026-01-02 23:00:00")), t.version)
+    assert(p2.size == 1, s"point lookup read ${p2.size} of 3 files")
+    // range predicate reads only the overlapping bands — including when the
+    // bound arrives as a STRING the analyzer coerces (the SQL-face shape)
+    val r = t.scanCandidates(col("ts") >= lit(ts("2026-01-03 00:00:00")), t.version)
+    assert(r.size == 1, s"range scan read ${r.size} of 3 files")
+    val r2 = t.scanCandidates(col("ts") > lit("2026-01-01 23:59:59"), t.version)
+    assert(r2.size == 2, s"coerced-literal range read ${r2.size} of 3 files")
+    // pruning never changes results: scan == full filter
+    val full = t.snapshot().where(col("ts") >= ts("2026-01-02 00:00:00"))
+      .select("v").as[Long].collect().toSet
+    val pruned = t.scan(col("ts") >= ts("2026-01-02 00:00:00"))
+      .select("v").as[Long].collect().toSet
+    assert(full == pruned && full == Set(3L, 4L, 5L, 6L))
+    // a sorted time-keyed table: the verdict's "#1 pruning dimension" path
+    t.setSortOrder(Seq("ts"))
+    assert(t.sortOrder == Seq("ts"))
+  }
+
   test("setSortOrder: survives rename by physical name; drops with the column") {
     val t = GraftTable.create(spark, tmp(),
       Seq((1L, 2L, "a")).toDF("k", "s", "v"))
@@ -855,6 +896,88 @@ class GraftTableSpec extends SparkTestBase {
     t.append(Seq((5L, "e")).toDF("k", "v"))
     val ids2 = t.snapshot().select("id").as[Long].collect()
     assert(ids2.distinct.length == 4, s"post-publish collision: ${ids2.mkString(",")}")
+  }
+
+  test("deleteMatching: lossy key casts refused; lossless widenings compare wide") {
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a"), (2L, "b"), (5L, "e")).toDF("k", "v"), keyCol = Some("k"))
+    // double keys over a BIGINT column: 5.7 would silently truncate to 5
+    // and delete a row IN semantics never matches — refused loud
+    val e = intercept[IllegalArgumentException](
+      t.deleteMatching(Seq(5.7d).toDF("key"), "k"))
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (5L, "e")), "refusal mutated")
+    // string keys over a numeric column mis-compare the same way: refused
+    val e2 = intercept[IllegalArgumentException](
+      t.deleteMatching(Seq("2").toDF("key"), "k"))
+    assert(e2.getMessage.contains("lossy"), e2.getMessage)
+    // INT keys over the BIGINT column widen losslessly: compare in BIGINT
+    t.deleteMatching(Seq(2).toDF("key"), "k")
+    assert(rows(t) == Set((1L, "a"), (5L, "e")))
+    // the reverse widening — BIGINT keys over an INT column — compares in
+    // BIGINT too: a key beyond int range matches nothing (instead of
+    // wrapping), an in-range key matches exactly
+    val ti = GraftTable.create(spark, tmp(),
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    ti.deleteMatching(Seq(2L, 4294967298L /* == 2 if wrapped to int */)
+      .toDF("key"), "k")
+    assert(ti.snapshot().as[(Int, String)].collect().toSet == Set((1, "a")))
+  }
+
+  test("branch: crashed publish rolls back from the manifest when no commit landed") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val b = t.createBranch("crash")
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    // replicate the crash state BETWEEN the renames and the commit: the
+    // manifest is written and every branch-local file moved to main root
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(loc), spark.sparkContext.hadoopConfiguration)
+    val bdir = new org.apache.hadoop.fs.Path(loc, "_graft_branches/crash")
+    val local = fs.listStatus(bdir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet")).toSeq
+    assert(local.nonEmpty, "fixture: expected a branch-local data file")
+    val manifest = s"""{"branchPoint":${t.version},"files":[${
+      local.map("\"" + _ + "\"").mkString(",")}]}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(bdir,
+      "_graft_publish_manifest.json"), false)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+    local.foreach { n =>
+      assert(fs.rename(new org.apache.hadoop.fs.Path(bdir, n),
+        new org.apache.hadoop.fs.Path(loc, n)))
+    }
+    // next open of the branch replays the manifest: files return home,
+    // the branch reads intact, and the publish is retryable
+    assert(rows(t.branch("crash")) == Set((1L, "a"), (2L, "b")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(bdir,
+      "_graft_publish_manifest.json")), "manifest survived rollback")
+    t.fastForward("crash")
+    assert(rows(GraftTable.at(spark, loc)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("branch: crash AFTER the publish commit completes on next open") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val b = t.createBranch("crash2")
+    b.append(Seq((2L, "b")).toDF("k", "v"))
+    t.onPublishAfterCommit =
+      () => throw new RuntimeException("injected crash before branch delete")
+    intercept[RuntimeException](t.fastForward("crash2"))
+    // the commit landed; the stale branch dir + manifest remain. The next
+    // open detects the landed commit via the manifest's file names and
+    // COMPLETES the publish (branch consumed), never rolls it back
+    val e = intercept[IllegalArgumentException](t.branch("crash2"))
+    assert(e.getMessage.contains("no branch"), e.getMessage)
+    assert(t.listBranches.isEmpty)
+    assert(rows(GraftTable.at(spark, loc)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("branch names starting with '-' or a digit are refused") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](t.createBranch("-5"))
+    intercept[IllegalArgumentException](t.createBranch("7days"))
+    t.createBranch("_ok")
+    t.dropBranch("_ok")
   }
 
   // ---- TYPE WIDENING (metadata-only ALTER COLUMN TYPE)
