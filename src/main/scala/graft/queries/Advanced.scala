@@ -2543,7 +2543,144 @@ object Advanced extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
-        |FROM lineitem""".stripMargin)))
+        |FROM lineitem""".stripMargin)),
+
+    // q327 — PROTOCOL FEATURE GATE (log longevity): every commit records
+    // the reader/writer features the table uses (the Delta
+    // minReader/minWriter / Iceberg format-version design, as named
+    // features), so an engine build predating a feature refuses LOUD —
+    // naming it — instead of silently returning wrong rows (a DV-unaware
+    // reader would resurrect deleted rows). The query drives the gate
+    // end-to-end: features accumulate from use (sparse delete →
+    // deletion-vectors, rename → column-mapping, CHECK constraint →
+    // check-constraints), a planted future-engine commit refuses the read,
+    // and the data still folds correctly under the renamed schema. The
+    // oracle replays the delete relationally; the feature lists and the
+    // gate verdict are deterministic engine contracts.
+    GraftQuery(
+      "q327_table_protocol_features",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q327_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base, keyCol = Some("k"), constraints = Map("k_nonneg" -> "k >= 0"))
+          t.deleteWhere(col("k") % 97 === 0) // ~1% sparse → deletion vectors
+          t.renameColumn("cents", "price_cents") // → column-mapping
+          val (rf, wf) = t.features
+          val agg = t.snapshot().agg(
+            count(lit(1)).cast("long"),
+            sum(col("price_cents")).cast("long")).head()
+          val (nRows, sumCents) = (agg.getLong(0), agg.getLong(1))
+          // plant a commit from a FUTURE engine (an unknown reader
+          // feature): this engine must refuse the read loud, by name
+          val logDir = new java.io.File(root, "_graft_log")
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val metaLine = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(logDir, f"${1L}%020d.json").toPath), "UTF-8")
+            .linesIterator.next()
+          val node = mapper.readValue(metaLine,
+            classOf[java.util.Map[String, Object]])
+          node.get("meta").asInstanceOf[java.util.Map[String, Object]]
+            .put("readerFeatures", java.util.Arrays.asList("vector-index-v9"))
+          java.nio.file.Files.write(
+            new java.io.File(logDir, f"${t.version + 1}%020d.json").toPath,
+            mapper.writeValueAsString(node).getBytes("UTF-8"))
+          val gateLoud =
+            try {
+              graft.tables.GraftTable.at(s, root.getAbsolutePath)
+                .snapshot().count()
+              false
+            } catch {
+              case e: IllegalStateException =>
+                e.getMessage.contains("vector-index-v9")
+            }
+          import s.implicits._
+          Seq((gateLoud, nRows, sumCents, rf.mkString(","), wf.mkString(",")))
+            .toDF("gate_loud", "n", "sum_cents",
+              "reader_features", "writer_features")
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT TRUE AS gate_loud,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  'column-mapping,deletion-vectors' AS reader_features,
+        |  'check-constraints' AS writer_features
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin)),
+
+    // q328 — TIMESTAMP ZONE MAPS (time is the #1 pruning dimension of a
+    // 100 TB ingest table): a time-keyed sorted table logs per-file
+    // [min, max] TIMESTAMP intervals as epoch micros (parquet's own INT64
+    // comparator — INT96 never gets stats), and a time-range scan reads
+    // only the overlapping bands. The query ingests orders time-sorted
+    // across many files, PROVES pruning from the log (a one-year range
+    // must skip files; a point lookup outside the domain refutes all),
+    // and folds the range's rows — bit-equal to the unpruned filter,
+    // which is what the oracle replays.
+    GraftQuery(
+      "q328_table_timestamp_pruning",
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q328_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.orderBy(col("k")).limit(1), keyCol = Some("k"))
+          t.setSortOrder(Seq("ts"))
+          // shuffled multi-task ingest; keep the range shuffle's partitions
+          // so the time bands land as SEPARATE files at oracle scale
+          val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+          val prev = s.conf.getOption(coalesceKey)
+          s.conf.set(coalesceKey, "false")
+          try t.append(base.orderBy(md5(col("k").cast("string"))).repartition(8))
+          finally prev match {
+            case Some(v) => s.conf.set(coalesceKey, v)
+            case None => s.conf.unset(coalesceKey)
+          }
+          val total = t.fileRanges("ts").size.toLong
+          require(total >= 3, s"time-sorted ingest landed $total file(s); " +
+            "the pruning claim would be vacuous")
+          // the testdata's timestamps are wall-clock (TIMESTAMP_NTZ): the
+          // probe literals must be NTZ too, or the analyzer casts the
+          // COLUMN and interval analysis (soundly) stops pruning
+          val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+          val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+          val inRange = col("ts") >= lo && col("ts") < hi
+          // the log must prove the skipping: a one-year band of a ~6-year
+          // domain reads strictly fewer files; a point beyond the domain
+          // reads none
+          val pruned = t.scanFileCount(inRange) < total &&
+            t.scanFileCount(col("ts") ===
+              lit("2031-06-15 12:00:00").cast("timestamp_ntz")) == 0L
+          val agg = t.scan(inRange).agg(
+            count(lit(1)).cast("long"),
+            sum(col("cents")).cast("long")).head()
+          import s.implicits._
+          Seq((pruned, agg.getLong(0), agg.getLong(1)))
+            .toDF("time_pruned", "n", "sum_cents")
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH dup AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1))
+        |SELECT TRUE AS time_pruned,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM dup
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

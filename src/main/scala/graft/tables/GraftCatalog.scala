@@ -220,16 +220,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("sort_order", ArrayType(StringType)),
           StructField("bloom_columns", MapType(StringType, LongType)),
           StructField("branches", ArrayType(StringType)),
+          StructField("reader_features", ArrayType(StringType)),
+          StructField("writer_features", ArrayType(StringType)),
           StructField("created_ts", LongType),
           StructField("last_modified_ts", LongType)))
         Some(new GraftMetadataTable(identString(ident), schema, () => {
           val files = t.currentFiles
           val hist = t.history
+          val (rf, wf) = t.features
           Seq(Row(t.location, t.version, files.size.toLong,
             files.map(GraftTable.liveRows).sum, files.map(_.bytes).sum,
             t.keyCol.orNull, t.partitionBy, t.constraints,
             t.colmapNow, t.sortOrder, t.bloomFilterColumns, t.listBranches,
-            hist.head.ts, hist.last.ts))
+            rf, wf, hist.head.ts, hist.last.ts))
         }))
       case "branches" =>
         // live (unpublished) WAP branches: name, the main version they were

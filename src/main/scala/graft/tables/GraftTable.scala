@@ -126,6 +126,26 @@ final class GraftTable private (
   private def currentColmap: Map[String, String] =
     listVersions(fs, logDir).lastOption.map(colmapAt).getOrElse(Map.empty)
 
+  /** The (readerFeatures, writerFeatures) sets a version's commit carries —
+    * empty for legacy commits predating the protocol gate.
+    */
+  private def featuresAt(v: Long): (Set[String], Set[String]) = {
+    def get(k: String): Set[String] = cachedCommit(v)._1.get(k) match {
+      case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSet
+      case _ => Set.empty
+    }
+    (get("readerFeatures"), get("writerFeatures"))
+  }
+
+  /** The protocol feature sets in force at the current version (reader,
+    * writer) — the DESCRIBE DETAIL surface of the feature gate (see
+    * [[GraftTable.SupportedReaderFeatures]]).
+    */
+  def features: (Seq[String], Seq[String]) = {
+    val (r, w) = featuresAt(version)
+    (r.toSeq.sorted, w.toSeq.sorted)
+  }
+
   /** Physical names RETIRED by DROP COLUMN, carried forward in every
     * commit's metadata: dropped columns' values still live in old files,
     * so a later column must never bind the same physical name — by-name
@@ -1256,6 +1276,13 @@ final class GraftTable private (
     activeFiles(v).flatMap(f =>
       logicalStats(v, f, colName).map(ks => (f.path, f.rows, ks.min, ks.max)))
   }
+
+  /** How many data files a [[scan]] under `pred` would actually read after
+    * zone-map / partition / bloom pruning — the operational "did my layout
+    * prune?" probe (vs [[currentFiles]].size for the total). Driver
+    * metadata only, O(files).
+    */
+  def scanFileCount(pred: Column): Long = scanCandidates(pred, version).size.toLong
 
   /** A file's logged zone map for a LOGICAL column name at a version
     * (resolved through that version's column mapping — stats are keyed by
@@ -2528,11 +2555,21 @@ final class GraftTable private (
     val destLog = new Path(destPath, LogDirName)
     require(!dfs.exists(destLog), s"table already exists at $dest")
     dfs.mkdirs(destLog)
+    // the clone inherits the source's sticky features (its referenced
+    // files may carry DVs, its schema the declarations); a BRANCH
+    // additionally declares the 'branches' writer feature on ITS log —
+    // an engine without branch support must not commit into a branch dir
+    // (it could not publish or respect the publish protocol)
+    val cloneFeatures = {
+      val (r, w) = featuresAt(asOf)
+      (r, if (extraMeta.contains("branchPoint")) w + "branches" else w)
+    }
     writeCommit(dfs, destLog, 1L,
       metaMap(op, keyCol, schemaAt(asOf).json, None, partitionBy,
         colmapAt(asOf), retiredAt(asOf), constraintsAt(asOf),
         bloom = bloomAt(asOf), idHwm = idHwmAt(asOf),
-        sort = sortAt(asOf)) ++ extraMeta,
+        sort = sortAt(asOf), priorFeatures = cloneFeatures,
+        adds = refs) ++ extraMeta,
       refs, Nil)
     GraftTable.at(spark, dest)
   }
@@ -3321,6 +3358,19 @@ final class GraftTable private (
     val cons = newConstraints.getOrElse(constraintsAt(expected))
     val bloom = newBloom.getOrElse(bloomAt(expected))
     val srt = newSort.getOrElse(sortAt(expected))
+    // WRITER feature gate: refuse to commit to a table whose log declares
+    // writer features this engine does not implement — an unaware commit
+    // would corrupt the invariant the feature maintains (skip a CHECK
+    // constraint, reuse a retired physical name, …). Reads of such a
+    // table stay allowed; only writes are refused. (Unknown READER
+    // features already failed loud in readCommit before reaching here.)
+    val prior = featuresAt(expected)
+    val unknownW = prior._2.diff(SupportedWriterFeatures)
+    if (unknownW.nonEmpty) throw new IllegalStateException(
+      s"table at $location uses writer feature(s) " +
+        s"${unknownW.toSeq.sorted.mkString(", ")} this engine does not " +
+        "implement — refusing to write (an unaware commit would corrupt " +
+        "what the feature maintains); upgrade the engine to write here")
     // STALE-HANDLE guard: the partitioning this handle would record must
     // match what the log says is in force at `expected` — after a
     // setPartitioning / REPLACE from another handle, writing through THIS
@@ -3381,7 +3431,7 @@ final class GraftTable private (
     writeCommit(fs, logDir, next,
       metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
         newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange,
-        bloom, idHwm, srt),
+        bloom, idHwm, srt, priorFeatures = prior, adds = adds),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
@@ -3884,7 +3934,7 @@ object GraftTable {
     }
     writeCommit(fs, logDir, 1L,
       metaMap("create", keyCol, schemaJson, None, partitionBy,
-        constraints = constraints, idHwm = idHwmCreate),
+        constraints = constraints, idHwm = idHwmCreate, adds = adds),
       adds, Nil)
     t
   }
@@ -3905,6 +3955,68 @@ object GraftTable {
     new GraftTable(location, spark, key, meta("schema").toString, parts)
   }
 
+  /** PROTOCOL feature gate (the Delta minReader/minWriter / Iceberg
+    * format-version design, realized as NAMED features). Every commit's
+    * meta records the feature sets the table USES, split by what an
+    * unaware engine would break:
+    *
+    *   - READER features change what a scan must do to be CORRECT — an
+    *     engine that does not implement one would silently return wrong
+    *     rows (a DV-unaware reader returns deleted rows; a colmap-unaware
+    *     reader returns physical names). Readers REFUSE — loudly, naming
+    *     the feature — any commit whose readerFeatures it does not
+    *     implement.
+    *   - WRITER features change what a commit must maintain — an unaware
+    *     writer would corrupt invariants the data relies on (skip CHECK
+    *     constraints, reuse retired physical names, break identity
+    *     high-water marks, vacuum files a live branch references). Writers
+    *     refuse to commit to a table carrying writerFeatures they do not
+    *     implement; READS stay allowed (the features don't affect them).
+    *
+    * Features are STICKY (monotone union across commits, the Delta
+    * contract): once a table has used deletion vectors, a pre-DV engine
+    * must keep refusing even after an OPTIMIZE purges them — an
+    * intermediate commit may still carry them and time travel must stay
+    * loud, never wrong. Legacy logs (no features keys) read and write
+    * unchanged. This gate protects THIS engine and newer ones from each
+    * other; engines predating the gate ignore it — nothing can be done
+    * for them retroactively, the reason to land the gate now rather than
+    * with the first feature that needs it.
+    */
+  private[tables] val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+  private[tables] val SupportedWriterFeatures: Set[String] =
+    Set("drop-columns", "check-constraints", "generated-columns",
+      "identity-columns", "unique-key", "partition-transforms",
+      "bloom-index", "sort-order", "branches")
+
+  /** The feature sets a commit with this state implies — derived, never
+    * hand-maintained, so a new surface that forgets to register here is
+    * caught by the derivation tests rather than silently ungated.
+    */
+  private def impliedFeatures(schemaJson: String,
+      partitionBy: Seq[String], colmap: Map[String, String],
+      retired: Seq[String], constraints: Map[String, String],
+      bloom: Map[String, Long], idHwm: Map[String, Long], sort: Seq[String],
+      adds: Seq[AddFile]): (Set[String], Set[String]) = {
+    val r = Set.newBuilder[String]
+    val w = Set.newBuilder[String]
+    if (adds.exists(_.dv.isDefined)) r += "deletion-vectors"
+    if (colmap.nonEmpty) r += "column-mapping"
+    if (retired.nonEmpty) w += "drop-columns"
+    if (constraints.nonEmpty) w += "check-constraints"
+    if (bloom.nonEmpty) w += "bloom-index"
+    if (idHwm.nonEmpty) w += "identity-columns"
+    if (sort.nonEmpty) w += "sort-order"
+    if (partitionBy.exists(_.contains("("))) w += "partition-transforms"
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (generatedOf(schema).nonEmpty) w += "generated-columns"
+    if (identityOf(schema).nonEmpty) w += "identity-columns"
+    if (schema.fields.exists(f => f.metadata.contains(KeyUniqueKey) &&
+        f.metadata.getBoolean(KeyUniqueKey))) w += "unique-key"
+    (r.result(), w.result())
+  }
+
   private def metaMap(op: String, keyCol: Option[String], schemaJson: String,
       txn: Option[String] = None, partitionBy: Seq[String] = Nil,
       colmap: Map[String, String] = Map.empty,
@@ -3913,7 +4025,9 @@ object GraftTable {
       dataChange: Boolean = true,
       bloom: Map[String, Long] = Map.empty,
       idHwm: Map[String, Long] = Map.empty,
-      sort: Seq[String] = Nil) = {
+      sort: Seq[String] = Nil,
+      priorFeatures: (Set[String], Set[String]) = (Set.empty, Set.empty),
+      adds: Seq[AddFile] = Nil) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -3963,6 +4077,21 @@ object GraftTable {
     // layout-only commits (compact/optimize): rows unchanged, so change
     // feeds skip them without reading the rewritten files
     if (!dataChange) m.put("dataChange", false)
+    // sticky feature gate: prior ∪ implied-by-this-commit, sorted for
+    // byte-stable rendering
+    val (ir, iw) = impliedFeatures(schemaJson, partitionBy, colmap, retired,
+      constraints, bloom, idHwm, sort, adds)
+    val (fr, fw) = (priorFeatures._1 ++ ir, priorFeatures._2 ++ iw)
+    if (fr.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      fr.toSeq.sorted.foreach(l.add)
+      m.put("readerFeatures", l)
+    }
+    if (fw.nonEmpty) {
+      val l = new java.util.ArrayList[String]()
+      fw.toSeq.sorted.foreach(l.add)
+      m.put("writerFeatures", l)
+    }
     m.asScala.toMap
   }
 
@@ -4051,6 +4180,27 @@ object GraftTable {
         adds += parseAdd(node.get("add").asInstanceOf[java.util.Map[String, Object]])
       else if (node.containsKey("remove"))
         removes += node.get("remove").toString
+      else
+        // an action type this engine does not know CANNOT be skipped: the
+        // old behavior (silent skip) meant a newer log format read WRONG
+        // instead of loud — the exact failure the feature gate exists for
+        throw new IllegalStateException(
+          s"unknown log action ${node.keySet.asScala.mkString("/")} in " +
+            s"commit $v at $logDir — written by a newer engine; refusing " +
+            "to read rather than silently dropping it")
+    }
+    // READER feature gate: a feature-unaware scan would be silently wrong
+    // (a DV-unaware reader returns deleted rows; a colmap-unaware reader
+    // returns physical names) — refuse loud, naming the features
+    meta.get("readerFeatures") match {
+      case Some(l: java.util.List[_]) =>
+        val unknown = l.asScala.map(_.toString).toSet.diff(SupportedReaderFeatures)
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          s"commit $v at $logDir requires reader feature(s) " +
+            s"${unknown.toSeq.sorted.mkString(", ")} this engine does not " +
+            "implement — refusing to read (an unaware read would silently " +
+            "return wrong rows); upgrade the engine to read this table")
+      case _ => ()
     }
     (meta, adds.result(), removes.result())
   }
@@ -4166,6 +4316,14 @@ object GraftTable {
   private def readCheckpoint(fs: FileSystem, logDir: Path, v: Long): Seq[AddFile] =
     readFully(fs, checkpointPath(logDir, v)).linesIterator.filter(_.nonEmpty).flatMap { line =>
       val node = mapper.readValue(line, classOf[java.util.Map[String, Object]])
+      if (!node.containsKey("add") && !node.containsKey("txns"))
+        // same loud-never-wrong contract as readCommit: an unknown
+        // checkpoint entry type means a newer engine wrote state this one
+        // would silently drop from every snapshot
+        throw new IllegalStateException(
+          s"unknown checkpoint entry ${node.keySet.asScala.mkString("/")} " +
+            s"at $logDir version $v — written by a newer engine; refusing " +
+            "to read rather than silently dropping it")
       Option(node.get("add"))
         .map(a => parseAdd(a.asInstanceOf[java.util.Map[String, Object]]))
     }.toSeq

@@ -766,6 +766,80 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.sortOrder.isEmpty, "sort order outlived its column")
   }
 
+  // ---- PROTOCOL feature gate (reader/writer features in the commit log)
+
+  test("protocol: features are derived from use, sticky across purges") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      keyCol = Some("k"), constraints = Map("k_pos" -> "k > 0"))
+    // a plain-ish table declares only what it uses
+    assert(t.features == (Seq(), Seq("check-constraints")), t.features)
+    // a sparse delete lands a deletion vector → reader feature appears
+    t.deleteWhere(col("k") === 7L)
+    assert(t.features._1 == Seq("deletion-vectors"), t.features)
+    // compaction purges the DVs, but the feature STAYS (time travel to the
+    // DV-bearing commit must keep refusing on pre-DV engines)
+    t.compact()
+    assert(t.filesAt(t.version).forall(_.dv.isEmpty), "compact left DVs")
+    assert(t.features._1 == Seq("deletion-vectors"), "feature not sticky")
+    // rename → column-mapping; sort policy → sort-order
+    t.renameColumn("v", "val")
+    t.setSortOrder(Seq("k"))
+    assert(t.features == (Seq("column-mapping", "deletion-vectors"),
+      Seq("check-constraints", "sort-order")), t.features)
+  }
+
+  test("protocol: unknown reader feature refuses reads; writer feature refuses only writes") {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def futureCommit(loc: String, v: Long, extra: (String, Object)): Unit = {
+      val logDir = new java.io.File(loc, "_graft_log")
+      val v1 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(logDir, f"${1L}%020d.json").toPath), "UTF-8")
+      val meta = mapper.readValue(v1.linesIterator.next(),
+        classOf[java.util.Map[String, Object]])
+      meta.get("meta").asInstanceOf[java.util.Map[String, Object]]
+        .put(extra._1, extra._2)
+      java.nio.file.Files.write(new java.io.File(logDir, f"$v%020d.json").toPath,
+        mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    }
+    // reader feature from the future → ANY read fails loud, naming it
+    val locR = tmp()
+    GraftTable.create(spark, locR, Seq((1L, "a")).toDF("k", "v"))
+    futureCommit(locR, 2L, "readerFeatures" -> Seq("future-magic").asJava)
+    val er = intercept[IllegalStateException](
+      GraftTable.at(spark, locR).snapshot().count())
+    assert(er.getMessage.contains("future-magic") &&
+      er.getMessage.contains("reader feature"), er.getMessage)
+    // writer feature from the future → reads fine, commits refused loud
+    val locW = tmp()
+    GraftTable.create(spark, locW, Seq((1L, "a")).toDF("k", "v"))
+    futureCommit(locW, 2L, "writerFeatures" -> Seq("future-write").asJava)
+    val t2 = GraftTable.at(spark, locW)
+    assert(rows(t2) == Set((1L, "a")), "writer feature blocked a read")
+    val ew = intercept[IllegalStateException](
+      t2.append(Seq((2L, "b")).toDF("k", "v")))
+    assert(ew.getMessage.contains("future-write") &&
+      ew.getMessage.contains("writer feature"), ew.getMessage)
+    assert(rows(GraftTable.at(spark, locW)) == Set((1L, "a")))
+  }
+
+  test("protocol: unknown log action type fails loud instead of silent skip") {
+    val loc = tmp()
+    GraftTable.create(spark, loc, Seq((1L, "a")).toDF("k", "v"))
+    val logDir = new java.io.File(loc, "_graft_log")
+    val v1 = new java.io.File(logDir, f"${1L}%020d.json").toPath
+    val line = new String(java.nio.file.Files.readAllBytes(v1), "UTF-8")
+      .linesIterator.next() // the meta line
+    java.nio.file.Files.write(new java.io.File(logDir, f"${2L}%020d.json").toPath,
+      (line + "\n" + """{"tombstone":{"path":"part-x.parquet"}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      GraftTable.at(spark, loc).snapshot().count())
+    assert(e.getMessage.contains("tombstone") &&
+      e.getMessage.contains("unknown log action"), e.getMessage)
+  }
+
   // ---- BRANCH refs (write-audit-publish)
 
   test("branch: writes are invisible to main until fastForward publishes them") {
