@@ -2680,7 +2680,103 @@ object Advanced extends QueryPack {
         |    AS sum_cents
         |FROM dup
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin)))
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin)),
+
+    // q329 — TAG refs (immutable named versions): the reproducibility
+    // bookmark a training pipeline needs — "run X read tag R" stays
+    // bit-readable until the tag is dropped. The query tags a snapshot,
+    // rewrites the table, PROVES vacuum kept the tagged files (read-back
+    // through the tag equals the pre-rewrite state) and that dropping the
+    // tag frees them, and folds both eras. Oracle replays the two states
+    // relationally; the protection booleans are engine contracts.
+    GraftQuery(
+      "q329_table_tag_refs",
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q329_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base, keyCol = Some("k"))
+          t.createTag("training-run")
+          // the table moves on: balances re-derived, low accounts dropped
+          t.overwrite(base.where(col("cents") >= 0)
+            .select(col("k"), (col("cents") * 2).as("cents")))
+          val tagProtected = t.vacuum(retentionMs = 0L).isEmpty
+          val tagV = t.tagVersion("training-run")
+          val tagged = t.snapshot(Some(tagV)).agg(
+            count(lit(1)).cast("long"), sum(col("cents")).cast("long")).head()
+          val current = t.snapshot().agg(
+            count(lit(1)).cast("long"), sum(col("cents")).cast("long")).head()
+          t.dropTag("training-run")
+          val freed = t.vacuum(retentionMs = 0L).nonEmpty
+          import s.implicits._
+          Seq((tagProtected, freed, tagged.getLong(0), tagged.getLong(1),
+            current.getLong(0), current.getLong(1)))
+            .toDF("tag_protected", "freed_after_drop",
+              "n_tagged", "sum_tagged", "n_current", "sum_current")
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""WITH base AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT TRUE AS tag_protected, TRUE AS freed_after_drop,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_tagged,
+        |  (SELECT CAST(SUM(cents) AS BIGINT) FROM base) AS sum_tagged,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE cents >= 0)
+        |    AS n_current,
+        |  (SELECT CAST(SUM(cents * 2) AS BIGINT) FROM base WHERE cents >= 0)
+        |    AS sum_current""".stripMargin)),
+
+    // q330 — INCREMENTAL OPTIMIZE: re-clustering a 100 TB table because
+    // one day's ingest landed is the cost `optimize(onlyUnclustered =
+    // true)` removes — files a prior optimize stamped with the SAME
+    // cluster spec are skipped, only the arrivals are read and clustered
+    // into a fresh internally-disjoint generation (zone maps prune every
+    // generation independently). The query proves the contract from the
+    // log: the first generation's files survive the incremental run
+    // untouched, the arrivals are re-clustered, a second incremental run
+    // with nothing new is a version no-op — then folds the data, which
+    // layout maintenance must never change.
+    GraftQuery(
+      "q330_table_incremental_optimize",
+      (s, dir) => {
+        val base = Tables(s, dir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q330_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s, root.getAbsolutePath,
+            base.where(col("k") % 3 =!= 0).repartition(4), keyCol = Some("k"))
+          t.optimize(Seq("k"), targetBytes = 256 << 10)
+          val gen1 = t.fileRanges("k").map(_._1).toSet
+          t.append(base.where(col("k") % 3 === 0).repartition(2))
+          t.optimize(Seq("k"), targetBytes = 256 << 10, onlyUnclustered = true)
+          val after = t.fileRanges("k").map(_._1).toSet
+          val v = t.version
+          val priorGenUntouched = gen1.subsetOf(after)
+          val noopWhenClean =
+            t.optimize(Seq("k"), onlyUnclustered = true) == v
+          val agg = t.snapshot().agg(
+            count(lit(1)).cast("long"), sum(col("cents")).cast("long")).head()
+          import s.implicits._
+          Seq((priorGenUntouched, noopWhenClean, agg.getLong(0), agg.getLong(1)))
+            .toDF("prior_gen_untouched", "noop_when_clean", "n", "sum_cents")
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT TRUE AS prior_gen_untouched, TRUE AS noop_when_clean,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

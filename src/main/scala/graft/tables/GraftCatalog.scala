@@ -244,14 +244,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftMetadataTable(identString(ident), schema, () =>
           t.listBranches.map(n =>
             Row(n, t.branchPoint(n), t.branch(n).version))))
+      case "tags" =>
+        // immutable tag refs: name → pinned version — O(tags) metadata
+        val schema = StructType(Seq(
+          StructField("name", StringType),
+          StructField("version", LongType)))
+        Some(new GraftMetadataTable(identString(ident), schema, () =>
+          t.listTags.map { case (n, v) => Row(n, v) }))
       case _ => None
     }
   }
 
   /** `VERSION AS OF <v>` time travel (read-only); a non-numeric version
-    * string names a BRANCH (`VERSION AS OF 'audit'` — the WAP read face;
-    * branch names may not start with a digit, so the spaces never
-    * collide).
+    * string names a BRANCH (`VERSION AS OF 'audit'` — the WAP read face)
+    * or a TAG (`VERSION AS OF 'run-2026-08-15'` — the immutable
+    * reproducibility ref, resolved to its pinned version so the table is
+    * read-only like any time travel). Branch/tag names may not start with
+    * a digit and share one namespace (collisions refused at creation), so
+    * the three spaces never collide.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
@@ -263,9 +273,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (t.listBranches.contains(version))
           new GraftSqlTable(t.branch(version),
             s"${identString(ident)}@$version", None)
+        else if (t.listTags.exists(_._1 == version))
+          new GraftSqlTable(t, s"${identString(ident)}@$version",
+            Some(t.tagVersion(version)))
         else throw new IllegalArgumentException(
-          s"graft table versions are commit numbers or branch names; got " +
-            s"'$version' (branches: ${t.listBranches.mkString(", ")})")
+          s"graft table versions are commit numbers, branch names, or tag " +
+            s"names; got '$version' (branches: " +
+            s"${t.listBranches.mkString(", ")}; tags: " +
+            s"${t.listTags.map(_._1).mkString(", ")})")
     }
   }
 

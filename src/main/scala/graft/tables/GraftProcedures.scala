@@ -33,7 +33,8 @@ private[tables] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history",
-      "set_partitioning", "create_branch", "fast_forward", "drop_branch")
+      "set_partitioning", "create_branch", "fast_forward", "drop_branch",
+      "create_tag", "drop_tag")
 
   def load(resolve: String => GraftTable, name: String,
       pathFor: String => String = _ => throw new UnsupportedOperationException(
@@ -50,6 +51,8 @@ private[tables] object GraftProcedures {
       case "create_branch" => Some(CreateBranchProc(resolve))
       case "fast_forward" => Some(FastForwardProc(resolve, invalidate))
       case "drop_branch" => Some(DropBranchProc(resolve))
+      case "create_tag" => Some(CreateTagProc(resolve))
+      case "drop_tag" => Some(DropTagProc(resolve))
       case _ => None
     }
 
@@ -112,13 +115,17 @@ private[tables] object GraftProcedures {
         "approximate output file size"),
       param("where", StringType, "''",
         "partition predicate scoping the rewrite (OPTIMIZE ... WHERE); " +
-          "empty = whole table"))
+          "empty = whole table"),
+      param("only_unclustered", BooleanType, "false",
+        "incremental: skip files a prior optimize produced at this spec — " +
+          "pay O(new data), not O(table)"))
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val cols = input.getUTF8String(1).toString.split(',').toIndexedSeq
         .map(_.trim).filter(_.nonEmpty)
       val whereSql = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+      val onlyUnclustered = !input.isNullAt(4) && input.getBoolean(4)
       val v = table(input).optimize(cols, input.getLong(2),
-        whereSql.map(org.apache.spark.sql.functions.expr))
+        whereSql.map(org.apache.spark.sql.functions.expr), onlyUnclustered)
       result(VersionSchema, v)
     }
   }
@@ -261,6 +268,44 @@ private[tables] object GraftProcedures {
       reqParam("name", StringType, "branch to drop"))
     override def call(input: InternalRow): util.Iterator[Scan] = {
       table(input).dropBranch(input.getUTF8String(1).toString)
+      result(StructType(Seq(StructField("dropped", BooleanType))), true)
+    }
+  }
+
+  /** TAG surface: `create_tag` pins an immutable named version (vacuum +
+    * expire_history respect it until `drop_tag`). See
+    * [[GraftTable.createTag]].
+    */
+  private case class CreateTagProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "pin an immutable named version (read via VERSION AS OF '<tag>'; vacuum/expire respect it)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("name", StringType, "tag name ([A-Za-z_][A-Za-z0-9_-]*)"),
+      param("version", LongType, "-1",
+        "version to pin (default: the current version)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = table(input)
+      val at =
+        if (input.isNullAt(2) || input.getLong(2) < 0L) None
+        else Some(input.getLong(2))
+      val v = t.createTag(input.getUTF8String(1).toString, at)
+      result(StructType(Seq(StructField("pinned_version", LongType))), v)
+    }
+  }
+
+  private case class DropTagProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "delete a tag: its pinned version's files become reclaimable by vacuum/expire"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      reqParam("name", StringType, "tag to drop"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      table(input).dropTag(input.getUTF8String(1).toString)
       result(StructType(Seq(StructField("dropped", BooleanType))), true)
     }
   }

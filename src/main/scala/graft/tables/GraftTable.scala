@@ -2235,9 +2235,22 @@ final class GraftTable private (
     * scopes the rewrite to matching partitions (OPTIMIZE ... WHERE):
     * driver-side prune over the log's partition tuples, untouched
     * partitions' files are not read, not even listed.
+    *
+    * `onlyUnclustered` makes the rewrite INCREMENTAL: files a prior
+    * optimize produced at the SAME cluster spec (flag carried per file in
+    * the log, by rename-stable physical names) are skipped — only the
+    * files that landed since are read, clustered among themselves, and
+    * committed as a fresh internally-disjoint generation. At 100 TB this
+    * is the difference between re-clustering the table because one day's
+    * ingest arrived and paying O(new data): zone maps prune every
+    * generation independently, so scans stay tight; run a full optimize
+    * occasionally to merge generations. A spec CHANGE naturally rewrites
+    * everything (the old marks don't match). DML copy-on-write drops a
+    * file's mark (its copy is not clustered); deletion vectors keep it.
     */
   def optimize(clusterBy: Seq[String], targetBytes: Long = 128L << 20,
-      partitionPred: Option[Column] = None): Long = {
+      partitionPred: Option[Column] = None,
+      onlyUnclustered: Boolean = false): Long = {
     require(clusterBy.nonEmpty && clusterBy.size <= 4,
       "optimize clusters on 1 (range sort) to 4 (z-order) columns")
     require(clusterBy.distinct == clusterBy, "duplicate cluster columns")
@@ -2269,7 +2282,7 @@ final class GraftTable private (
     // partitions' files are rewritten (driver-side prune over the log's
     // partition tuples, same machinery as snapshotWhere) — at 100 TB you
     // optimize the day that just closed, not three years
-    val files = partitionPred match {
+    val files0 = partitionPred match {
       case None => activeFiles(v)
       case Some(pred) =>
         require(partitionBy.nonEmpty,
@@ -2285,6 +2298,12 @@ final class GraftTable private (
         val kept = prunePartitions(tupled.map(_.pv).distinct, pred, schema)
         tupled.filter(f => kept(f.pv)) ++ legacy
     }
+    // incremental: skip files a prior optimize stamped with this exact
+    // spec — physical names, so the mark survives renames with the policy
+    val physSpec = clusterBy.map(physName(colmapAt(v), _))
+    val files =
+      if (!onlyUnclustered) files0
+      else files0.filterNot(_.cb.contains(physSpec))
     if (files.isEmpty) return v
     val nOut = math.max(1L,
       (files.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
@@ -2318,9 +2337,12 @@ final class GraftTable private (
     }
     // same rebase contract as compact(): blind appends don't kill a
     // long-running OPTIMIZE — at 100 TB the clustering rewrite takes long
-    // enough that ingest WILL land during it
+    // enough that ingest WILL land during it. Outputs are STAMPED with the
+    // spec that produced them so a later incremental run can skip them.
     commitWithConflictCheck(v, "optimize",
-      writeData(clustered, distribute = false), files.map(_.path),
+      writeData(clustered, distribute = false)
+        .map(_.copy(cb = Some(physSpec))),
+      files.map(_.path),
       _ => false, Map.empty, dataChange = false,
       checkConstraints = false, checkSchema = false)
   }
@@ -2494,6 +2516,14 @@ final class GraftTable private (
     val all = listVersions(fs, logDir)
     require(all.contains(beforeVersion),
       s"version $beforeVersion does not exist (have ${all.head}..${all.last})")
+    // a live TAG pins its version readable: expiring past it would break
+    // the reproducibility contract the tag exists for — refuse loud, even
+    // on a dry run (the horizon itself is invalid, not just costly)
+    val pinned = listTags.filter(_._2 < beforeVersion)
+    require(pinned.isEmpty,
+      s"cannot expire history before version $beforeVersion: tag(s) " +
+        pinned.map { case (n, v) => s"'$n' (v$v)" }.mkString(", ") +
+        " pin older versions — dropTag them or lower the horizon")
     val victims = all.filter(_ < beforeVersion)
     // DRY RUN (vacuum parity): validate the horizon and report the commit
     // count a real run would expire — including whether it would have to
@@ -2615,6 +2645,9 @@ final class GraftTable private (
     val v = version
     require(!fs.exists(branchDir(name)),
       s"branch '$name' already exists (drop it or pick another name)")
+    require(!fs.exists(tagPath(name)),
+      s"a tag is named '$name' — VERSION AS OF '<name>' would be " +
+        "ambiguous; dropTag it or pick another branch name")
     cloneInternal(branchDir(name).toString, v, "createBranch",
       Map("branchPoint" -> v))
   }
@@ -2756,6 +2789,84 @@ final class GraftTable private (
     version
   }
 
+  // ---- TAG refs (immutable named versions) -------------------------------
+
+  private def tagsRoot = new Path(location, GraftTable.TagDirName)
+  private def tagPath(name: String) = new Path(tagsRoot, s"$name.json")
+
+  /** TAG a version with an IMMUTABLE name — the reproducibility bookmark
+    * ("training run X read `tag run-2026-08-15`"): unlike a branch, a tag
+    * never moves, is never consumed, and is read-only (`VERSION AS OF
+    * '<tag>'` resolves to the pinned version, whose SQL table refuses
+    * writes like any time-travel read). While the tag lives, [[vacuum]]
+    * keeps every file its version references and [[expireHistory]] refuses
+    * horizons above it — the pinned state stays bit-readable for audits;
+    * [[dropTag]] releases both. Tag and branch names share one namespace
+    * (creation refuses a collision loudly — `VERSION AS OF` must never be
+    * ambiguous) and the branch grammar (no leading digit/'-': numeric
+    * time travel wins those). O(1) driver metadata, no commit, no data.
+    */
+  def createTag(name: String, atVersion: Option[Long] = None): Long = {
+    requireBranchName(name)
+    require(!listBranches.contains(name),
+      s"a live branch is named '$name' — VERSION AS OF '<name>' would be " +
+        "ambiguous; publish/drop the branch or pick another tag name")
+    val v = atVersion.getOrElse(version)
+    val all = listVersions(fs, logDir)
+    require(all.contains(v),
+      s"version $v does not exist (have ${all.headOption.getOrElse(0L)}.." +
+        s"${all.lastOption.getOrElse(0L)})")
+    require(!fs.exists(tagPath(name)),
+      s"tag '$name' already exists at version ${tagVersion(name)} — tags " +
+        "are immutable; dropTag it first if re-pointing is really intended")
+    fs.mkdirs(tagsRoot)
+    // temp + rename: a reader never sees a torn tag file
+    val tmp = new Path(tagsRoot, s".tmp-tag-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(GraftTable.mapper.writeValueAsString(Map(
+      "version" -> v, "ts" -> System.currentTimeMillis()).asJava)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, tagPath(name)), s"could not write tag '$name'")
+    v
+  }
+
+  /** Delete a tag: its pinned version's files/commits become reclaimable
+    * by the next vacuum/expireHistory (nothing is deleted here).
+    */
+  def dropTag(name: String): Unit = {
+    requireBranchName(name)
+    require(fs.exists(tagPath(name)),
+      s"no tag '$name' (have: ${listTags.map(_._1).mkString(", ")})")
+    fs.delete(tagPath(name), false)
+  }
+
+  /** Live tags as (name, pinned version), sorted by name. */
+  def listTags: Seq[(String, Long)] =
+    if (!fs.exists(tagsRoot)) Nil
+    else fs.listStatus(tagsRoot).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).filterNot(_.startsWith("."))
+      .map(n => n.stripSuffix(".json"))
+      .map(n => n -> tagVersion(n)).sortBy(_._1)
+
+  /** The version a tag pins. */
+  def tagVersion(name: String): Long = {
+    require(fs.exists(tagPath(name)),
+      s"no tag '$name' (have: ${listTags.map(_._1).mkString(", ")})")
+    GraftTable.mapper.readValue(
+      GraftTable.readFully(fs, tagPath(name)),
+      classOf[java.util.Map[String, Object]])
+      .get("version").asInstanceOf[Number].longValue
+  }
+
+  /** Root-local files any live TAG's pinned version references — excluded
+    * from vacuum while the tag lives. O(tags × files) driver metadata.
+    */
+  private def tagReferencedLocal(): Set[String] =
+    listTags.flatMap { case (_, v) =>
+      activeFiles(v).map(_.path).filterNot(_.contains("/"))
+    }.toSet
+
   /** Replay a publish manifest a crashed [[fastForward]] left behind.
     * Sound either way: data-file names are UUID-unique, so a commit after
     * the recorded branch point whose adds include any manifest file IS the
@@ -2823,8 +2934,12 @@ final class GraftTable private (
       dryRun: Boolean = false): Seq[String] = {
     require(retentionMs >= 0, "retentionMs must be >= 0")
     // files a live (unpublished) branch references are NOT orphans — the
-    // branch's lineage needs them until it publishes or drops
-    val live = activeFiles(version).map(_.path).toSet ++ branchReferencedLocal()
+    // branch's lineage needs them until it publishes or drops; a live
+    // TAG's pinned version likewise (the reproducibility contract: a
+    // tagged training-data snapshot stays bit-readable until the tag is
+    // dropped)
+    val live = activeFiles(version).map(_.path).toSet ++
+      branchReferencedLocal() ++ tagReferencedLocal()
     val horizon = System.currentTimeMillis() - retentionMs
     val orphans = fs.listStatus(new Path(location)).toSeq
       .filter { st =>
@@ -3548,6 +3663,9 @@ object GraftTable {
   /** Per-table directory holding live (unpublished) branch tables. */
   private val BranchDirName = "_graft_branches"
 
+  /** Per-table directory holding immutable tag refs (`<name>.json`). */
+  private val TagDirName = "_graft_tags"
+
   /** Publish-intent manifest written inside a branch dir BEFORE
     * fastForward starts renaming branch-local files into the main root:
     * a process crash mid-publish leaves the manifest behind, and the next
@@ -3686,7 +3804,13 @@ object GraftTable {
     */
   final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
     bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty,
-    cs: Map[String, KeyStats] = Map.empty, dv: Option[Dv] = None)
+    cs: Map[String, KeyStats] = Map.empty, dv: Option[Dv] = None,
+    // the cluster spec (PHYSICAL column names) whose optimize() produced
+    // this file, if any — what incremental OPTIMIZE skips; a DML rewrite
+    // of the file drops the mark (the copy is no longer clustered), a DV
+    // keeps it (rows unchanged). Unknown to pre-r14 readers, who lose
+    // only the skip (they re-cluster more than needed, never wrongly)
+    cb: Option[Seq[String]] = None)
 
   /** Live (undeleted) rows of a file: physical count minus its DV. */
   private[tables] def liveRows(f: AddFile): Long =
@@ -4244,6 +4368,11 @@ object GraftTable {
       m.put("cs", cs)
     }
     a.dv.foreach { d => m.put("dvn", d.n); m.put("dv", d.b64) }
+    a.cb.foreach { c =>
+      val l = new java.util.ArrayList[String]()
+      c.foreach(l.add)
+      m.put("cb", l)
+    }
     m
   }
 
@@ -4267,10 +4396,12 @@ object GraftTable {
       .getOrElse(Map.empty[String, KeyStats])
     val dv = Option(m.get("dv")).map(b =>
       Dv(m.get("dvn").asInstanceOf[Number].longValue, b.toString))
+    val cb = Option(m.get("cb")).map(
+      _.asInstanceOf[java.util.List[Object]].asScala.map(_.toString).toSeq)
     AddFile(m.get("path").toString,
       m.get("rows").asInstanceOf[Number].longValue, stats,
       Option(m.get("bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L),
-      pv, cs, dv)
+      pv, cs, dv, cb)
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {

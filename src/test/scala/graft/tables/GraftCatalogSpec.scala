@@ -792,6 +792,41 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.table("gt.wap.branches").isEmpty)
   }
 
+  test("tags via SQL: CALL create_tag / VERSION AS OF '<tag>' / read-only / drop_tag") {
+    warehouse
+    spark.sql("CREATE TABLE gt.tgd (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gt.tgd VALUES (1, 'a'), (2, 'b')")
+    val pinned = spark.sql(
+      "CALL gt.system.create_tag(table => 'tgd', name => 'run1')")
+      .head().getLong(0)
+    assert(pinned == GraftTable.at(spark, s"$warehouse/tgd").version)
+    // the tag keeps serving the pinned state as the table moves on
+    spark.sql("INSERT INTO gt.tgd VALUES (3, 'c')")
+    assert(sqlRows("SELECT k FROM gt.tgd VERSION AS OF 'run1'") ==
+      Set(Seq(1L), Seq(2L)))
+    assert(sqlRows("SELECT k FROM gt.tgd") == Set(Seq(1L), Seq(2L), Seq(3L)))
+    // .tags metadata table
+    val ti = spark.table("gt.tgd.tags").collect()
+    assert(ti.length == 1 && ti.head.getString(0) == "run1" &&
+      ti.head.getLong(1) == pinned, ti.mkString(","))
+    // a tag read is a TIME-TRAVEL read: writes refuse loud
+    val cat = spark.sessionState.catalogManager.catalog("gt")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "tgd")
+    val loaded = cat.loadTable(ident, "run1")
+    val ew = intercept[IllegalArgumentException](
+      loaded.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null))
+    assert(ew.getMessage.contains("time-travel"), ew.getMessage)
+    // pinned version appears in the error-free name, and drop frees it
+    spark.sql("CALL gt.system.drop_tag(table => 'tgd', name => 'run1')")
+    assert(spark.table("gt.tgd.tags").isEmpty)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gt.tgd VERSION AS OF 'run1'").collect())
+    assert(e.getMessage.contains("tag"), e.getMessage)
+  }
+
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")

@@ -1046,6 +1046,84 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows(GraftTable.at(spark, loc)) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("optimize(onlyUnclustered): rewrites only post-optimize arrivals") {
+    val t = GraftTable.create(spark, tmp(),
+      (1L to 4000L).map(k => ((k * 2654435761L) % 4000, s"v$k"))
+        .toDF("k", "v").repartition(4), keyCol = Some("k"))
+    t.optimize(Seq("k"), targetBytes = 32 << 10)
+    val gen1 = t.filesAt(t.version).map(_.path).toSet
+    assert(t.filesAt(t.version).forall(_.cb.contains(Seq("k"))),
+      "optimize outputs not stamped with the cluster spec")
+    // new ingest lands unclustered
+    t.append((4000L to 4400L).map(k => (k, s"v$k")).toDF("k", "v").repartition(2))
+    val newFiles = t.filesAt(t.version).map(_.path).toSet -- gen1
+    assert(newFiles.nonEmpty)
+    // incremental: gen-1 outputs are NOT rewritten, only the arrivals
+    t.optimize(Seq("k"), targetBytes = 32 << 10, onlyUnclustered = true)
+    val after = t.filesAt(t.version).map(_.path).toSet
+    assert(gen1.subsetOf(after), "incremental optimize rewrote a prior generation")
+    assert(newFiles.intersect(after).isEmpty, "arrivals were not re-clustered")
+    // a second incremental run with nothing new is a no-op commit-wise
+    val v = t.version
+    assert(t.optimize(Seq("k"), onlyUnclustered = true) == v)
+    // pruning stays tight: a point lookup reads a sliver of each generation
+    val cands = t.scanCandidates(col("k") === 1234L, t.version)
+    assert(cands.size <= 3,
+      s"point lookup read ${cands.size} of ${after.size} files")
+    // a DIFFERENT spec ignores the old marks and rewrites everything
+    t.optimize(Seq("v"), onlyUnclustered = true)
+    assert(t.filesAt(t.version).forall(_.cb.contains(Seq("v"))))
+    // data intact through all generations
+    assert(t.snapshot().count() == 4401L)
+  }
+
+  test("tags: pinned version survives vacuum and blocks expire until dropped") {
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keyCol = Some("k"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val tagged = t.createTag("run-2026")
+    assert(tagged == t.version && t.listTags == Seq(("run-2026", tagged)))
+    // head moves on: the tagged files become unreferenced by the snapshot
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    // vacuum keeps every file the tag's version references
+    assert(t.vacuum(retentionMs = 0L).isEmpty,
+      "vacuum reclaimed a tag-referenced file")
+    assert(rows(t, Some(t.tagVersion("run-2026"))) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "tagged read broke after vacuum")
+    // expire refuses horizons above the tag, loud and by name
+    val e = intercept[IllegalArgumentException](t.expireHistory(t.version))
+    assert(e.getMessage.contains("run-2026"), e.getMessage)
+    // dropping the tag releases both
+    t.dropTag("run-2026")
+    assert(t.vacuum(retentionMs = 0L).nonEmpty, "drop did not free the files")
+    assert(t.expireHistory(t.version) > 0)
+    assert(rows(t) == Set((9L, "z")))
+  }
+
+  test("tags: immutable, one namespace with branches, versioned pin") {
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    t.createTag("v1-state", atVersion = Some(1L))
+    assert(t.tagVersion("v1-state") == 1L)
+    assert(rows(t, Some(t.tagVersion("v1-state"))) == Set((1L, "a")))
+    // immutable: re-creating is loud, not a silent re-point
+    val e = intercept[IllegalArgumentException](t.createTag("v1-state"))
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+    // one namespace: a branch may not take a tag's name and vice versa
+    val e2 = intercept[IllegalArgumentException](t.createBranch("v1-state"))
+    assert(e2.getMessage.contains("ambiguous"), e2.getMessage)
+    t.createBranch("wip")
+    val e3 = intercept[IllegalArgumentException](t.createTag("wip"))
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
+    t.dropBranch("wip")
+    intercept[IllegalArgumentException](t.createTag("7bad"))
+    intercept[IllegalArgumentException](t.createTag("missing", Some(99L)))
+    intercept[IllegalArgumentException](t.dropTag("nope"))
+    t.dropTag("v1-state")
+    assert(t.listTags.isEmpty)
+  }
+
   test("branch names starting with '-' or a digit are refused") {
     val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v"))
     intercept[IllegalArgumentException](t.createBranch("-5"))
