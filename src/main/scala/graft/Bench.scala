@@ -6,9 +6,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the engine's own session factory (UTC + AQE + nanos-parquet +
     // GraftExtensions) — the same session shape Verify and users get
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    val spark = GraftSession.attach(GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // CONTENTION CONTEXT: the host's 1-min load average at start and end
     // rides the artifact, so an n_retimed drift across rounds is

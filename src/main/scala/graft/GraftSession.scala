@@ -44,6 +44,18 @@ object GraftSession {
         .contains(graft.tables.GraftScanStatsRule))
       spark.experimental.extraOptimizations ++=
         Seq(graft.tables.GraftScanStatsRule)
+    // ANALYZE-fed CBO join reorder: Spark's own "Join Reorder" batch runs
+    // BEFORE GraftScanStatsRule can re-wrap the V1ScanWrapper, so at that
+    // point every graft relation reports no rowCount and CostBasedJoinReorder
+    // skips. Re-running the same rule here — the batch runs AFTER the
+    // re-wrap — lets it see the log-carried rowCount and the
+    // ANALYZE-computed NDV attributeStats. The rule self-gates on
+    // spark.sql.cbo.enabled && spark.sql.cbo.joinReorder.enabled, so this
+    // is a strict no-op until the user opts into CBO.
+    if (!spark.experimental.extraOptimizations
+        .contains(org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder))
+      spark.experimental.extraOptimizations ++=
+        Seq(org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder)
     graft.plans.TopKPerGroup.ensureStrategy(spark)
     spark
   }

@@ -16,9 +16,9 @@ object Verify {
     // the engine's own session factory: UTC + AQE + nanos-parquet configs
     // plus GraftExtensions (the SQL UPDATE / MERGE INTO rewrite and the
     // graft functions need analyzer/planner injection at session build)
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    val spark = GraftSession.attach(GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

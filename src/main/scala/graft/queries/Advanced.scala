@@ -2776,7 +2776,76 @@ object Advanced extends QueryPack {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
-        |FROM lineitem""".stripMargin)))
+        |FROM lineitem""".stripMargin)),
+
+    // q331 — ANALYZE / NDV column statistics: one `approx_count_distinct`
+    // pass writes per-column NDVs into the commit log; the catalog scan
+    // forwards them as V2 column statistics, which Spark turns into
+    // per-attribute distinctCount — the input CBO join-size estimation
+    // and join REORDERING need (the 3-way reorder itself is spec-pinned;
+    // a DuckDB oracle can't see Spark plans). Low-cardinality columns are
+    // exact under the HLL sketch's sparse mode, so the oracle replays
+    // them as plain COUNT(DISTINCT); the plan booleans pin that the stats
+    // actually reach the optimized plan under CBO.
+    GraftQuery(
+      "q331_table_analyze_ndv",
+      (s, dir) => {
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+            col("c_mktsegment").as("seg"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q331_${java.util.UUID.randomUUID()}")
+        try {
+          val t = graft.tables.GraftTable.create(s,
+            new java.io.File(root, "t").getAbsolutePath,
+            base, keyCol = Some("k"))
+          val ndv = t.analyze(Seq("nat", "seg"))
+          val statsSurfaced = t.columnNdv == ndv && ndv.size == 2
+          // under CBO the CATALOG relation's optimized stats must carry
+          // rowCount and the analyzed per-attribute distinctCount (the
+          // column-stats path runs through the V2 scan, so the pin reads
+          // through a throwaway catalog over the table's parent dir)
+          val cboKey = "spark.sql.cbo.enabled"
+          val prevCbo = s.conf.getOption(cboKey)
+          s.conf.set(cboKey, "true")
+          s.conf.set("spark.sql.catalog.q331cat", "graft.tables.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q331cat.root", root.getAbsolutePath)
+          val statsInPlan =
+            try {
+              val st = s.table("q331cat.t").queryExecution.optimizedPlan.stats
+              st.rowCount.isDefined && st.attributeStats.exists {
+                case (a, cs) =>
+                  a.name == "nat" && cs.distinctCount.contains(BigInt(ndv("nat")))
+              }
+            } finally {
+              prevCbo match {
+                case Some(v) => s.conf.set(cboKey, v)
+                case None => s.conf.unset(cboKey)
+              }
+              s.conf.unset("spark.sql.catalog.q331cat")
+              s.conf.unset("spark.sql.catalog.q331cat.root")
+            }
+          val exact = t.snapshot().agg(
+            count_distinct(col("nat")), count_distinct(col("seg"))).head()
+          val (exNat, exSeg) = (exact.getLong(0), exact.getLong(1))
+          // the HLL sketch is approximate by contract: pin it within its
+          // published 5% rsd of the exact counts (which DuckDB replays)
+          val ndvWithinTol =
+            math.abs(ndv("nat") - exNat) <= math.max(1L, exNat / 20) &&
+              math.abs(ndv("seg") - exSeg) <= math.max(1L, exSeg / 20)
+          import s.implicits._
+          Seq((statsSurfaced, statsInPlan, ndvWithinTol, exNat, exSeg))
+            .toDF("stats_surfaced", "stats_in_plan", "ndv_within_tol",
+              "n_nation_exact", "n_segment_exact")
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT TRUE AS stats_surfaced, TRUE AS stats_in_plan,
+        |  TRUE AS ndv_within_tol,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nation_exact,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segment_exact
+        |FROM customer""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

@@ -222,6 +222,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructField("branches", ArrayType(StringType)),
           StructField("reader_features", ArrayType(StringType)),
           StructField("writer_features", ArrayType(StringType)),
+          StructField("column_ndv", MapType(StringType, LongType)),
           StructField("created_ts", LongType),
           StructField("last_modified_ts", LongType)))
         Some(new GraftMetadataTable(identString(ident), schema, () => {
@@ -232,7 +233,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             files.map(GraftTable.liveRows).sum, files.map(_.bytes).sum,
             t.keyCol.orNull, t.partitionBy, t.constraints,
             t.colmapNow, t.sortOrder, t.bloomFilterColumns, t.listBranches,
-            rf, wf, hist.head.ts, hist.last.ts))
+            rf, wf, t.columnNdv, hist.head.ts, hist.last.ts))
         }))
       case "branches" =>
         // live (unpublished) WAP branches: name, the main version they were
@@ -1056,20 +1057,47 @@ private[tables] final class GraftScanBuilder(
           case Some(_) => (64L, Some(1L)) // one driver-derived row
           case None =>
             val preds = pushed.toSeq.flatMap(V1FilterConverter.toColumn)
-            val raw = gt.estimatedScanBytes(preds, pinned)
+            val (raw, rawRows) = gt.estimatedScan(preds, pinned)
             val ratio =
               if (full.isEmpty) 1.0
               else math.min(1.0, math.max(1, required.size).toDouble / full.size)
-            // row count only when nothing was pruned away under a filter —
-            // a filtered estimate knows bytes shrink but not row survival
-            val n = if (preds.isEmpty)
-              Some(gt.filesAt(pinned).map(GraftTable.liveRows).sum) else None
-            (math.max(1L, (raw * ratio).toLong), n)
+            // the row count is the pruned file set's live rows — an UPPER
+            // bound under filters (zone-map-refuted files excluded, DVs
+            // subtracted), which is what keeps rowCount PRESENT when the
+            // optimizer pushes inferred isnotnull join-key filters: a
+            // rowless relation would disable CBO join estimation entirely
+            (math.max(1L, (raw * ratio).toLong), Some(rawRows))
         }
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(bytes)
         override def numRows(): java.util.OptionalLong =
           rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+        // ANALYZE-computed NDVs ride out as V2 column statistics: Spark's
+        // transformV2Stats turns them into per-attribute distinctCount,
+        // the input CBO join-size estimation and join REORDERING read
+        // (advisory — absent columns simply estimate without)
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+          val m = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          if (pushedAgg.isEmpty) {
+            val ndv = gt.columnNdvAt(pinned)
+            required.fieldNames.foreach { c =>
+              ndv.get(c).foreach { n =>
+                m.put(
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .column(c),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(n)
+                  })
+              }
+            }
+          }
+          m
+        }
       }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](

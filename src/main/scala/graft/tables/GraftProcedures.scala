@@ -34,7 +34,7 @@ private[tables] object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "optimize", "vacuum", "restore", "clone", "expire_history",
       "set_partitioning", "create_branch", "fast_forward", "drop_branch",
-      "create_tag", "drop_tag")
+      "create_tag", "drop_tag", "analyze")
 
   def load(resolve: String => GraftTable, name: String,
       pathFor: String => String = _ => throw new UnsupportedOperationException(
@@ -53,6 +53,7 @@ private[tables] object GraftProcedures {
       case "drop_branch" => Some(DropBranchProc(resolve))
       case "create_tag" => Some(CreateTagProc(resolve))
       case "drop_tag" => Some(DropTagProc(resolve))
+      case "analyze" => Some(AnalyzeProc(resolve))
       case _ => None
     }
 
@@ -307,6 +308,28 @@ private[tables] object GraftProcedures {
     override def call(input: InternalRow): util.Iterator[Scan] = {
       table(input).dropTag(input.getUTF8String(1).toString)
       result(StructType(Seq(StructField("dropped", BooleanType))), true)
+    }
+  }
+
+  /** ANALYZE: one-pass per-column approximate distinct counts into the
+    * commit log; the scan forwards them as CBO column statistics. See
+    * [[GraftTable.analyze]].
+    */
+  private case class AnalyzeProc(resolve: String => GraftTable)
+    extends GraftProc(resolve) {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "compute per-column NDV statistics (one pass) for CBO join estimation/reordering"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      reqParam("table", StringType, "dotted table name under this catalog"),
+      param("columns", StringType, "''",
+        "comma-separated columns (empty = every atomic column)"))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val cols = Option(input.getUTF8String(1)).map(_.toString).getOrElse("")
+        .split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+      val ndv = table(input).analyze(cols)
+      result(StructType(Seq(StructField("analyzed_columns", LongType))),
+        ndv.size.toLong)
     }
   }
 

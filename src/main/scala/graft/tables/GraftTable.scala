@@ -126,6 +126,66 @@ final class GraftTable private (
   private def currentColmap: Map[String, String] =
     listVersions(fs, logDir).lastOption.map(colmapAt).getOrElse(Map.empty)
 
+  /** ANALYZE-computed per-column NDV (approx distinct counts) in force at
+    * a version, keyed by PHYSICAL name (rename-stable). Advisory planner
+    * statistics — staleness affects plan quality, never correctness.
+    */
+  private def ndvAt(v: Long): Map[String, Long] =
+    cachedCommit(v)._1.get("ndv") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (k, n) => k -> n.asInstanceOf[Number].longValue }.toMap
+      case _ => Map.empty
+    }
+
+  /** ANALYZE: compute per-column approximate distinct counts in ONE pass
+    * (`approx_count_distinct`, the HLL sketch — at 100 TB a single scan,
+    * no per-column jobs) and carry them in the commit log as planner
+    * statistics. The catalog scan forwards them as V2 column statistics,
+    * which Spark's `transformV2Stats` turns into per-attribute
+    * `distinctCount` — the input CBO join-size estimation and join
+    * REORDERING need (`spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled`). Columns default to every
+    * atomic column; stats are advisory (stale after enough DML — re-run)
+    * and keyed by physical name so they survive renames. The commit is
+    * layout-free metadata (`dataChange = false`): streams skip it, no
+    * file moves. Returns the NDV map by LOGICAL name.
+    */
+  def analyze(columns: Seq[String] = Nil): Map[String, Long] = {
+    val v = version
+    val schema = schemaAt(v)
+    val atomic = schema.fields.filterNot(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType | _: StructType => true
+      case _ => false
+    }).map(_.name).toSeq
+    val cols = if (columns.isEmpty) atomic else columns
+    cols.foreach(c => require(atomic.contains(c),
+      s"analyze: no atomic column '$c' in ${schema.fieldNames.mkString(",")}"))
+    val row = snapshot(Some(v))
+      .agg(count(lit(1)).as("__n"),
+        cols.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+    val cm = colmapAt(v)
+    val byLogical = cols.zipWithIndex
+      .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val byPhys = byLogical.map { case (c, n) => physName(cm, c) -> n }
+    commit(v, "analyze", Nil, Nil, dataChange = false,
+      newNdv = Some(ndvAt(v) ++ byPhys))
+    byLogical
+  }
+
+  /** The ANALYZE statistics in force, by LOGICAL column name (dropped
+    * columns' stale entries are not surfaced).
+    */
+  def columnNdv: Map[String, Long] = columnNdvAt(version)
+
+  private[tables] def columnNdvAt(v: Long): Map[String, Long] = {
+    val cm = colmapAt(v)
+    val n = ndvAt(v)
+    schemaAt(v).fieldNames.toSeq
+      .flatMap(l => n.get(physName(cm, l)).map(l -> _)).toMap
+  }
+
   /** The (readerFeatures, writerFeatures) sets a version's commit carries —
     * empty for legacy commits predating the protocol gate.
     */
@@ -933,7 +993,18 @@ final class GraftTable private (
     * unresolvable predicate simply doesn't prune — estimates only ever err
     * HIGH, never low, so a broadcast decision is never tricked upward.
     */
-  private[tables] def estimatedScanBytes(preds: Seq[Column], asOf: Long): Long = {
+  private[tables] def estimatedScanBytes(preds: Seq[Column], asOf: Long): Long =
+    estimatedScan(preds, asOf)._1
+
+  /** (bytes, rows) the zone-map-pruned, DV-adjusted scan would read — both
+    * UPPER bounds (an unresolvable or unprunable predicate simply doesn't
+    * shrink them), so a broadcast or CBO decision is never tricked upward.
+    * The row bound is what gives filtered scans a `rowCount` at all: the
+    * optimizer pushes inferred `isnotnull` join-key filters into every
+    * join's scans, and a rowless relation disables CBO join estimation
+    * (and reordering) entirely.
+    */
+  private[tables] def estimatedScan(preds: Seq[Column], asOf: Long): (Long, Long) = {
     val files = activeFiles(asOf)
     val schema = schemaAt(asOf)
     val cm = colmapAt(asOf)
@@ -943,10 +1014,11 @@ final class GraftTable private (
         case None => fs0
       }
     }
-    kept.map { f =>
+    val bytes = kept.map { f =>
       val sz = if (f.bytes > 0) f.bytes else f.rows * 64L // legacy: estimate
       if (f.dv.isEmpty) sz else math.max(1L, sz * liveRows(f) / f.rows)
     }.sum
+    (bytes, kept.map(liveRows).sum)
   }
 
   /** A file's known column intervals KEYED BY LOGICAL NAME (the predicate's
@@ -2492,7 +2564,8 @@ final class GraftTable private (
       newSchema = Some(newSchema), newColmap = Some(cm),
       newRetired = Some(retired), newConstraints = Some(newConstraints),
       newKeyCol = Some(newKeyCol), newPartitionBy = Some(newPartitionBy),
-      newBloom = Some(Map.empty), newSort = Some(Nil))
+      newBloom = Some(Map.empty), newSort = Some(Nil),
+      newNdv = Some(Map.empty)) // stats describe the REPLACED data
   }
 
   /** EXPIRE HISTORY: physically delete the commit-log files (and
@@ -3465,7 +3538,8 @@ final class GraftTable private (
       newKeyCol: Option[Option[String]] = None,
       newPartitionBy: Option[Seq[String]] = None,
       newBloom: Option[Map[String, Long]] = None,
-      newSort: Option[Seq[String]] = None): Long = {
+      newSort: Option[Seq[String]] = None,
+      newNdv: Option[Map[String, Long]] = None): Long = {
     val next = expected + 1
     val schema = newSchema.getOrElse(schemaAt(expected))
     val cm = newColmap.getOrElse(colmapAt(expected))
@@ -3473,6 +3547,7 @@ final class GraftTable private (
     val cons = newConstraints.getOrElse(constraintsAt(expected))
     val bloom = newBloom.getOrElse(bloomAt(expected))
     val srt = newSort.getOrElse(sortAt(expected))
+    val ndvs = newNdv.getOrElse(ndvAt(expected))
     // WRITER feature gate: refuse to commit to a table whose log declares
     // writer features this engine does not implement — an unaware commit
     // would corrupt the invariant the feature maintains (skip a CHECK
@@ -3546,7 +3621,7 @@ final class GraftTable private (
     writeCommit(fs, logDir, next,
       metaMap(op, newKeyCol.getOrElse(keyCol), schema.json, txn,
         newPartitionBy.getOrElse(partitionBy), cm, retired, cons, dataChange,
-        bloom, idHwm, srt, priorFeatures = prior, adds = adds),
+        bloom, idHwm, srt, priorFeatures = prior, adds = adds, ndv = ndvs),
       adds, removes)
     if (checkpointInterval > 0 && next % checkpointInterval == 0)
       writeCheckpoint(fs, logDir, next, activeFiles(next), committedTxns)
@@ -4151,7 +4226,8 @@ object GraftTable {
       idHwm: Map[String, Long] = Map.empty,
       sort: Seq[String] = Nil,
       priorFeatures: (Set[String], Set[String]) = (Set.empty, Set.empty),
-      adds: Seq[AddFile] = Nil) = {
+      adds: Seq[AddFile] = Nil,
+      ndv: Map[String, Long] = Map.empty) = {
     val m = new java.util.LinkedHashMap[String, Any]()
     m.put("op", op)
     m.put("ts", System.currentTimeMillis())
@@ -4192,6 +4268,11 @@ object GraftTable {
       val ij = new java.util.LinkedHashMap[String, Any]()
       idHwm.toSeq.sortBy(_._1).foreach { case (c, v) => ij.put(c, v) }
       m.put("idhwm", ij)
+    }
+    if (ndv.nonEmpty) {
+      val nj = new java.util.LinkedHashMap[String, Any]()
+      ndv.toSeq.sortBy(_._1).foreach { case (c, v) => nj.put(c, v) }
+      m.put("ndv", nj)
     }
     if (sort.nonEmpty) {
       val sj = new java.util.ArrayList[String]()

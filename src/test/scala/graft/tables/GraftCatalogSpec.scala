@@ -827,6 +827,74 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("tag"), e.getMessage)
   }
 
+  test("ANALYZE: NDV stats reach plan attributeStats and reorder a 3-way join") {
+    warehouse
+    spark.sql("CREATE TABLE gt.an_big (k BIGINT, g BIGINT)")
+    spark.sql("INSERT INTO gt.an_big SELECT id, id % 5 FROM range(0, 20000)")
+    spark.sql("CREATE TABLE gt.an_big2 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gt.an_big2 SELECT id, id * 2 FROM range(0, 20000)")
+    spark.sql("CREATE TABLE gt.an_tiny (g BIGINT, name STRING)")
+    // only 2 of the 5 groups exist: the big-tiny join is SELECTIVE
+    // (8000 rows) while big-big2 is not (20000) — with stats the DP
+    // reorder is strictly cheaper, without them nothing moves
+    spark.sql("INSERT INTO gt.an_tiny SELECT id, concat('g', id) FROM range(0, 2)")
+    // one-pass NDV into the log, surfaced in columnNdv and .detail
+    val n = spark.sql("CALL gt.system.analyze(table => 'an_big')")
+      .head().getLong(0)
+    assert(n == 2L)
+    spark.sql("CALL gt.system.analyze(table => 'an_big2')")
+    spark.sql("CALL gt.system.analyze(table => 'an_tiny')")
+    val t = GraftTable.at(spark, s"$warehouse/an_big")
+    assert(t.history.last.op == "analyze")
+    val ndv = t.columnNdv
+    // approx_count_distinct: exact small values, ~2% error on large ones
+    assert(ndv("g") == 5L, ndv.toString)
+    assert(math.abs(ndv("k") - 20000L) < 1000L, ndv.toString)
+    val detailNdv = spark.sql("SELECT column_ndv FROM gt.an_big.detail")
+      .head().getMap[String, Long](0)
+    assert(detailNdv.size == 2, detailNdv.toString)
+    withSQLConf("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      // the relation's optimized stats carry rowCount + per-attribute NDV
+      val st = spark.table("gt.an_big").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(20000)), st.toString)
+      assert(st.attributeStats.nonEmpty &&
+        st.attributeStats.exists { case (a, cs) =>
+          a.name == "g" && cs.distinctCount.contains(BigInt(5)) },
+        st.attributeStats.toString)
+      // written order joins the two 20k-row tables FIRST; with stats the
+      // DP reorder joins big ⋈ tiny before touching big2
+      def firstJoinTables(sql: String): Set[String] = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        val deepest = joins.last // innermost join = executed first
+        deepest.collectLeaves().collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.relation.table.name()
+        }.toSet
+      }
+      val q = """SELECT count(*) AS cnt FROM gt.an_big b
+        JOIN gt.an_big2 c ON b.k = c.k
+        JOIN gt.an_tiny t ON b.g = t.g"""
+      val reordered = firstJoinTables(q)
+      assert(reordered.exists(_.contains("an_tiny")),
+        s"CBO did not pull the tiny table into the first join: $reordered")
+      // and the reordered plan still answers correctly
+      assert(spark.sql(q).head().getLong(0) == 8000L)
+    }
+    // without CBO the syntactic order stands — the rule is a strict no-op
+    val plan = spark.sql("""SELECT count(*) FROM gt.an_big b
+        JOIN gt.an_big2 c ON b.k = c.k
+        JOIN gt.an_tiny t ON b.g = t.g""").queryExecution.optimizedPlan
+    val innermost = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.last
+    val leaves = innermost.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table.name() }.toSet
+    assert(!leaves.exists(_.contains("an_tiny")), leaves.toString)
+  }
+
   test("CALL graft.system.{compact,optimize,vacuum}: maintenance via SQL") {
     warehouse
     spark.sql("CREATE TABLE gt.mnt (k BIGINT, v STRING)")
