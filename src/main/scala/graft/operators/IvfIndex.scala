@@ -41,22 +41,51 @@ object IvfIndex {
       nLists: Int, nProbe: Int, seed: Long = 4242L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-
     // deterministic centroids: the nLists rows with the smallest seeded
     // md5 of their id — a uniform pseudo-random pick that needs no row
     // count (sizing a sample fraction would cost an extra full-scan job)
     // and plans as TakeOrderedAndProject: per-partition top-k, driver-side
     // merge only. md5 (not xxhash64) keeps the pick ENGINE-PORTABLE, so
     // the whole index replays in the DuckDB oracle (q59).
-    val cents = vecs.toDF("__cid", "__cvec")
+    val cents = df
+      .select(col(idCol).cast("long").as("__cid"),
+        col(vecCol).cast("array<double>").as("__cvec"))
       .orderBy(md5(concat_ws(":", lit(seed), col("__cid"))), col("__cid"))
       .limit(nLists)
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1).map(_._2)
     require(cents.length == nLists, s"not enough rows for $nLists centroids")
+    topKWithCentroids(df, idCol, vecCol, queryPred, k, nProbe, cents)
+  }
+
+  /** [[topK]] with TRAINED centroids: Lloyd-fitted lists place related
+    * vectors together, so a small nProbe recalls what a sampled pick only
+    * finds at higher probe cost on CLUSTERED data — the production path
+    * (sampled centroids stay the oracle-replayable path, q59). One k-means
+    * fit (itself distributed, seeded, deterministic) + the identical
+    * probe plan.
+    */
+  def topKTrained(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nLists: Int, nProbe: Int, iters: Int = 8, seed: Long = 4242L): DataFrame = {
+    val model = KMeans.fit(df, idCol, vecCol, k = nLists, iters = iters,
+      seed = seed)
+    topKWithCentroids(df, idCol, vecCol, queryPred, k, nProbe,
+      model.centroids.map(_.clone()))
+  }
+
+  /** The IVF probe plan over EXPLICIT centroids — assignment, bounded
+    * probe, per-query top-k. Centroid COUNT defines the lists.
+    */
+  def topKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
     val bcCents = spark.sparkContext.broadcast(cents)
 
     // localCheckpoint: the assignment pass feeds both the query collect and

@@ -30,8 +30,14 @@ object Extended extends QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // UDTF shape (reference S3 as an in-memory function): whole-file text →
-    // records via head-regex splitter → explode. Rows-only: inputs are
-    // fixture logfiles; parity with the DSv2 source is pinned in ScalaTest.
+    // records via head-regex splitter → explode. Oracle-checked: the
+    // splitter is deterministic string manipulation, so DuckDB replays it —
+    // read_text → line split with ordinals → head-regex marks → running-sum
+    // record ids → per-record fold; the one artifact rule (a trailing
+    // newline's final empty element is dropped, exactly RecordSplitter's
+    // dropRight) rides as a filter on the LAST ordinal. Pattern and path
+    // come from the same constants as the Spark side (never duplicated);
+    // the Spark run materializes the fixture before the oracle reads it.
     GraftQuery(
       "q50_udtf_record_split",
       (s, _) => {
@@ -48,7 +54,29 @@ object Extended extends QueryPack {
           .agg(count(lit(1)).as("n"), sum(col("is_multiline")).as("n_multiline"))
           .orderBy("level")
       },
-      None),
+      Some(s"""WITH raw AS (
+        |  SELECT content FROM read_text('${Logfile.FixtureDir}/fixture_0.log')),
+        |lines AS (
+        |  SELECT lst[i] AS line, i AS ord, len(lst) AS n_all
+        |  FROM (SELECT string_split(content, chr(10)) AS lst FROM raw),
+        |       UNNEST(range(1, len(lst) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT line, ord,
+        |    CASE WHEN regexp_full_match(line, '${LogfileFixture.PatternA}')
+        |      THEN 1 ELSE 0 END AS is_head
+        |  FROM lines WHERE NOT (line = '' AND ord = n_all)),
+        |numbered AS (
+        |  SELECT line, is_head, SUM(is_head) OVER (ORDER BY ord) AS rec
+        |  FROM kept),
+        |recs AS (
+        |  SELECT rec, MAX(CASE WHEN is_head = 1 THEN line END) AS head_line,
+        |    COUNT(*) AS n_lines
+        |  FROM numbered WHERE rec > 0 GROUP BY rec)
+        |SELECT regexp_extract(head_line, '\\b(INFO|WARN|ERROR)\\b', 1) AS level,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN n_lines > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multiline
+        |FROM recs GROUP BY level ORDER BY level""".stripMargin)),
 
     // Set operations, ALL variants (bag semantics).
     GraftQuery(

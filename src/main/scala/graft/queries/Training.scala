@@ -393,9 +393,10 @@ object Training extends QueryPack {
       None),
 
     // BPE tokenizer training: 12 merges over the corpus word counts.
-    // Rows-only by design (iterative argmax is not ANSI-expressible);
-    // the merge sequence is pinned against a hand-computed corpus in
-    // BpeTrainerSpec.
+    // Oracle-checked: the FIXED merge count unrolls into 12 materialized
+    // DuckDB CTE blocks (see bpeReplayCtes) that replay the argmax loop
+    // bit-for-bit; the merge sequence is additionally pinned against a
+    // hand-computed corpus in BpeTrainerSpec.
     GraftQuery(
       "q98_bpe_train",
       (s, dir) => {
@@ -407,7 +408,10 @@ object Training extends QueryPack {
             col("left"), col("right"), col("freq"))
           .orderBy("rank")
       },
-      None),
+      Some(bpeReplayCtes(12) + "\n" + (1 to 12).map(i =>
+        s"""SELECT CAST(${i - 1} AS BIGINT) AS rank, l AS "left", """ +
+          s"""r AS "right", CAST(freq AS BIGINT) AS freq FROM b$i""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank"))),
 
     // BPE APPLY — the other half of the tokenizer lifecycle: encode the
     // corpus vocabulary with the trained merge table and report the 20
@@ -415,9 +419,10 @@ object Training extends QueryPack {
     // runs over the DISTINCT word table (not the corpus): the 100 TB
     // corpus is touched once by wordCounts, and the merge table is a
     // broadcast-sized driver value folded into a typed map — the standard
-    // tokenize-at-scale shape. Rows-only by design (greedy merge
-    // application is not ANSI); BpeTrainerSpec pins encode() against
-    // hand-computed tokenizations.
+    // tokenize-at-scale shape. Oracle-checked: encode() IS the trained
+    // replay's final vocab state, so the same 12-block DuckDB chain
+    // (bpeReplayCtes) replays training AND encoding; BpeTrainerSpec pins
+    // encode() against hand-computed tokenizations.
     GraftQuery(
       "q133_bpe_apply",
       (s, dir) => {
@@ -435,7 +440,12 @@ object Training extends QueryPack {
           .orderBy(col("n_occurrences").desc, col("token"))
           .limit(20)
       },
-      None),
+      Some(bpeReplayCtes(12) + """
+        |SELECT token, CAST(SUM(w) AS BIGINT) AS n_occurrences
+        |FROM (SELECT UNNEST(string_split(trim(s, '\u001f'), '\u001f'))
+        |        AS token, w FROM v12)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"""
+        .stripMargin)),
 
     // Negative-sampling table — word2vec's unigram^(3/4) distribution as a
     // deterministic integer table: per-token weight = floor(count^0.75 ·
@@ -529,4 +539,47 @@ object Training extends QueryPack {
         |    AS n_collisions,
         |  round(CAST(SUM(load) AS DOUBLE) / 4096.0, 6) AS expected_load
         |FROM o""".stripMargin)))
+  /** DuckDB replay of the BPE TRAINING loop (q98) and its encode twin
+    * (q133): the vocabulary rides as a SEP-joined symbol string wrapped in
+    * separators on both ends, so `replace(s, SEP||l||SEP||r||SEP,
+    * SEP||lr||SEP)` IS [[BpeTrainer.mergePair]] — SQL replace scans
+    * left-to-right and continues after each replacement, the exact
+    * non-overlapping greedy semantics, and the wrapping separators make
+    * every match symbol-boundary-aligned. Each of the `nMerges`
+    * iterations is one MATERIALIZED CTE block (plain chaining would
+    * re-inline the corpus scan 2^n times): adjacent-pair explode by list
+    * comprehension, argmax with the engine's own (freq DESC, l, r)
+    * byte-order tie-break, minFreq=2 as HAVING, and a no-best iteration
+    * propagates the vocab unchanged — bit-identical to the trainer's
+    * early stop. Shares [[BpeTrainer]]'s constants by construction.
+    */
+  private def bpeReplayCtes(nMerges: Int): String = {
+    val sep = "\u001f" // US control char: cannot occur in whitespace-split words
+    val head = s"""wc AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |v0 AS MATERIALIZED (
+      |  SELECT '$sep' || array_to_string(string_split_regex(word, ''), '$sep')
+      |    || '$sep</w>$sep' AS s, w FROM wc)""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""b$i AS MATERIALIZED (
+        |  SELECT u.pr.l AS l, u.pr.r AS r, SUM(w) AS freq
+        |  FROM (SELECT w, UNNEST([{'l': lst[i], 'r': lst[i+1]}
+        |          FOR i IN range(2, len(lst) - 1)]) AS pr
+        |        FROM (SELECT string_split(s, '$sep') AS lst, w FROM v$p)) u
+        |  GROUP BY 1, 2 HAVING SUM(w) >= 2
+        |  ORDER BY freq DESC, l, r LIMIT 1),
+        |v$i AS MATERIALIZED (
+        |  SELECT CASE WHEN EXISTS (SELECT 1 FROM b$i)
+        |    THEN replace(s, '$sep' || (SELECT l FROM b$i) || '$sep' ||
+        |                    (SELECT r FROM b$i) || '$sep',
+        |                 '$sep' || (SELECT l FROM b$i) ||
+        |                    (SELECT r FROM b$i) || '$sep')
+        |    ELSE s END AS s, w FROM v$p)""".stripMargin
+    }
+    (head +: iters).mkString("WITH ", ",\n", "")
+  }
+
 }
