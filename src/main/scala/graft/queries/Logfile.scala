@@ -65,7 +65,55 @@ object Logfile extends QueryPack {
             max(unix_millis(col("ts"))).as("last_ts_ms"))
           .orderBy("kind", "level")
       },
-      None),
+      // Oracle-checked since r14: DuckDB replays the SOURCE itself — plain
+      // files via read_text, per-path pattern dispatch as a filename CASE,
+      // record assembly as the running-sum split (q50's machinery), head
+      // parsing via the same regexes, strptime millis. The gz twins carry
+      // BYTE-IDENTICAL content (the generator's contract, spec-pinned), so
+      // the oracle emits each group under both kinds — an independent
+      // engine now confirms the multiline-scan semantics end-to-end.
+      Some(s"""WITH raw AS (
+        |  SELECT filename, content
+        |  FROM read_text('$FixtureDir/fixture_*.log')),
+        |pat AS (SELECT filename, content,
+        |  CASE WHEN filename LIKE '%_1.log' OR filename LIKE '%_3.log'
+        |    THEN '${LogfileFixture.PatternB}'
+        |    ELSE '${LogfileFixture.PatternA}' END AS pat FROM raw),
+        |lines AS (
+        |  SELECT filename, pat, lst[i] AS line, i AS ord, len(lst) AS n_all
+        |  FROM (SELECT filename, pat, string_split(content, chr(10)) AS lst
+        |        FROM pat),
+        |       UNNEST(range(1, len(lst) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT filename, line, ord,
+        |    CASE WHEN regexp_full_match(line, pat) THEN 1 ELSE 0 END AS is_head
+        |  FROM lines WHERE NOT (line = '' AND ord = n_all)),
+        |numbered AS (
+        |  SELECT filename, line, is_head,
+        |    SUM(is_head) OVER (PARTITION BY filename ORDER BY ord) AS rec
+        |  FROM kept),
+        |recs AS (
+        |  SELECT filename, rec,
+        |    MAX(CASE WHEN is_head = 1 THEN line END) AS head_line,
+        |    COUNT(*) AS n_lines
+        |  FROM numbered WHERE rec > 0 GROUP BY filename, rec),
+        |parsedr AS (
+        |  SELECT regexp_extract(head_line, '\\b(INFO|WARN|ERROR)\\b', 1) AS level,
+        |    epoch_ms(strptime(regexp_extract(head_line,
+        |      '(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2},\\d{3})', 1),
+        |      '%Y-%m-%d %H:%M:%S,%g')) AS ts_ms,
+        |    CASE WHEN n_lines > 1 THEN 1 ELSE 0 END AS ml
+        |  FROM recs),
+        |byl AS (
+        |  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(SUM(ml) AS BIGINT) AS n_multiline,
+        |    CAST(MIN(ts_ms) AS BIGINT) AS first_ts_ms,
+        |    CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+        |  FROM parsedr GROUP BY level)
+        |SELECT k.kind, b.level, b.n_records, b.n_multiline, b.first_ts_ms,
+        |  b.last_ts_ms
+        |FROM byl b CROSS JOIN (VALUES ('gz'), ('plain')) AS k(kind)
+        |ORDER BY kind, level""".stripMargin)),
 
     // Layout-parser pipeline: prebuilt log4j layout → per-minute severity
     // counts over format-A fixture files (rows-only; parser values pinned
@@ -85,19 +133,100 @@ object Logfile extends QueryPack {
             col("n"), col("total_lines"))
           .orderBy("minute_us", "level")
       },
-      None),
+      // Oracle-checked since r14: same source replay as q47 over the two
+      // format-A files, Log4jDefault head pattern + ts/level regexes, per-
+      // minute truncation in epoch micros.
+      Some(s"""WITH raw AS (
+        |  SELECT filename, content FROM read_text(
+        |    ['$FixtureDir/fixture_0.log', '$FixtureDir/fixture_2.log'])),
+        |lines AS (
+        |  SELECT filename, lst[i] AS line, i AS ord, len(lst) AS n_all
+        |  FROM (SELECT filename, string_split(content, chr(10)) AS lst
+        |        FROM raw),
+        |       UNNEST(range(1, len(lst) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT filename, line, ord,
+        |    CASE WHEN regexp_full_match(line,
+        |      '${graft.sources.logfile.LogParsers.Log4jDefault.headPattern}') THEN 1 ELSE 0 END AS is_head
+        |  FROM lines WHERE NOT (line = '' AND ord = n_all)),
+        |numbered AS (
+        |  SELECT filename, line, is_head,
+        |    SUM(is_head) OVER (PARTITION BY filename ORDER BY ord) AS rec
+        |  FROM kept),
+        |recs AS (
+        |  SELECT filename, rec,
+        |    MAX(CASE WHEN is_head = 1 THEN line END) AS head_line,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM numbered WHERE rec > 0 GROUP BY filename, rec),
+        |parsedr AS (
+        |  SELECT strptime(regexp_extract(head_line,
+        |      '^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2},\\d{3})', 1),
+        |      '%Y-%m-%d %H:%M:%S,%g') AS ts,
+        |    regexp_extract(head_line,
+        |      '\\b(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)\\b', 1) AS level,
+        |    n_lines
+        |  FROM recs)
+        |SELECT CAST(epoch_us(date_trunc('minute', ts)) AS BIGINT) AS minute_us,
+        |  level, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_lines) AS BIGINT) AS total_lines
+        |FROM parsedr GROUP BY 1, 2 ORDER BY minute_us, level""".stripMargin)),
 
     // Reference Sample pipeline: Bernoulli sample → formatted export lines.
+    // The draw is the CONTENT-ADDRESSED md5 bucket on (file, offset) — the
+    // q23/q64 upgrade applied to the logfile surface: same inclusion
+    // probability as the RNG sampler (which stays for reference parity,
+    // exercised in SamplingSpec), but a record's fate is a pure function
+    // of its identity, so the sample is stable across engines, runs, and
+    // corpus regrowth — and the WHOLE pipeline (source record assembly,
+    // byte offsets, draw, formatting) replays in the DuckDB oracle.
     GraftQuery(
       "q48_logfile_sample_format",
       (s, _) => {
-        graft.operators.Sampling.bernoulli(
-          readFixture(s).filter(col("file").endsWith(".log")), // plain half only
-          fraction = 0.01, seed = 7L)
+        val plain = readFixture(s).filter(col("file").endsWith(".log"))
+        graft.operators.Sampling.bernoulliByHash(plain, fraction = 0.01,
+          key = concat_ws(":", col("file"), col("offset")))
           .select(format_string("%s@%016d:%n%n%s%n%n",
             col("file"), col("offset"), col("record")).as("sample_line"))
           .orderBy("sample_line")
       },
-      None)
+      Some(s"""WITH raw AS (
+        |  SELECT filename, content
+        |  FROM read_text('$FixtureDir/fixture_*.log')),
+        |pat AS (SELECT filename, content,
+        |  CASE WHEN filename LIKE '%_1.log' OR filename LIKE '%_3.log'
+        |    THEN '${LogfileFixture.PatternB}'
+        |    ELSE '${LogfileFixture.PatternA}' END AS pat FROM raw),
+        |lines AS (
+        |  SELECT filename, pat, lst[i] AS line, i AS ord, len(lst) AS n_all
+        |  FROM (SELECT filename, pat, string_split(content, chr(10)) AS lst
+        |        FROM pat),
+        |       UNNEST(range(1, len(lst) + 1)) AS t(i)),
+        |offs AS (
+        |  SELECT filename, pat, line, ord, n_all,
+        |    COALESCE(SUM(len(line) + 1) OVER (PARTITION BY filename
+        |      ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS off
+        |  FROM lines),
+        |kept AS (
+        |  SELECT filename, line, ord, off,
+        |    CASE WHEN regexp_full_match(line, pat) THEN 1 ELSE 0 END AS is_head
+        |  FROM offs WHERE NOT (line = '' AND ord = n_all)),
+        |numbered AS (
+        |  SELECT filename, line, ord, off, is_head,
+        |    SUM(is_head) OVER (PARTITION BY filename ORDER BY ord) AS rec
+        |  FROM kept),
+        |recs AS (
+        |  SELECT 'file:' || filename AS file,
+        |    MIN(CASE WHEN is_head = 1 THEN off END) AS "offset",
+        |    string_agg(line, chr(10) ORDER BY ord) AS record
+        |  FROM numbered WHERE rec > 0 GROUP BY filename, rec),
+        |sampled AS (
+        |  SELECT * FROM recs
+        |  WHERE CAST('0x' || substr(md5(file || ':' || "offset"), 1, 3)
+        |    AS INTEGER) < 41)
+        |SELECT file || '@' || lpad(CAST("offset" AS VARCHAR), 16, '0') || ':'
+        |  || chr(10) || chr(10) || record || chr(10) || chr(10)
+        |  AS sample_line
+        |FROM sampled ORDER BY sample_line""".stripMargin))
   )
 }
