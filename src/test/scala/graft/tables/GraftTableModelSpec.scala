@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 
 /** Model-based lifecycle property for the table layer: a RANDOM sequence of
   * DML and maintenance ops (merge, deleteWhere, update, append, overwrite,
-  * compact, optimize, renameColumn, restore) runs against both a
+  * compact, optimize incl. incremental, renameColumn, restore, widen, WAP
+  * branch cycles, keyed IN-deletes, tag cycles) runs against both a
   * [[GraftTable]] and a trivial in-memory reference model; after EVERY op
   * the snapshot must equal the model exactly. This catches interaction bugs
   * no single-op spec can (merge after optimize relocated rows, update after
@@ -56,7 +57,7 @@ class GraftTableModelSpec extends SparkTestBase {
     def snap(): Unit = past += ((t.version, model.toMap, vName))
 
     for (step <- 1 to 30) {
-      rnd.nextInt(15) match {
+      rnd.nextInt(17) match {
         case 0 => // append fresh keys
           val rows = fresh(rnd.nextInt(4) + 1)
           t.append(df(rows))
@@ -173,6 +174,27 @@ class GraftTableModelSpec extends SparkTestBase {
             ks.foreach(model.remove)
           }
           check(s"$step:deleteMatching")
+        case 15 => // TAG cycle: the pinned read serves the tag-time state
+          // while main moves on; expire above a live tag refuses; drop
+          // releases — against whatever history/renames came before
+          val tn = s"t$step"
+          t.createTag(tn)
+          val m0 = model.toSet
+          val rows = fresh(1)
+          t.append(df(rows))
+          rows.foreach { case (k, v) => model(k) = v }
+          val tagged = t.snapshot(Some(t.tagVersion(tn)))
+            .as[(Long, String)].collect().toSet
+          assert(tagged == m0, s"$step: tagged read $tagged != tag-time $m0")
+          val e = intercept[IllegalArgumentException](t.expireHistory(t.version))
+          assert(e.getMessage.contains(tn), s"$step: expire did not name the tag")
+          t.dropTag(tn)
+          check(s"$step:tagCycle")
+        case 16 => // incremental optimize: layout-only over the arrivals,
+          // data identical — composed against DVs/renames/restores
+          if (model.nonEmpty)
+            t.optimize(Seq("k"), targetBytes = 16L << 10, onlyUnclustered = true)
+          check(s"$step:optimizeIncremental")
       }
       snap()
     }
