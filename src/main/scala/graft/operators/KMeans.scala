@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.DecimalType
   * Driver state is O(k·dim) only; the data never leaves the executors.
   *
   * Determinism contract (so reruns and tests agree bit-for-bit):
-  *   - init picks the k rows with the smallest `xxhash64(id)` (seeded) via
+  *   - init picks the k rows with the smallest seeded `md5(seed:id)` via
   *     `orderBy(...).limit(k)` — a TakeOrderedAndProject, not a sample;
   *   - centroid components and inertia are summed as DECIMAL(30,10) (exact,
   *     order-independent) and divided driver-side at fixed scale, so the
@@ -85,9 +85,11 @@ object KMeans {
       .persist()
     try {
       // deterministic seeded init: k smallest by hash — TakeOrderedAndProject,
-      // driver receives exactly k rows
+      // driver receives exactly k rows. md5 (not xxhash64) keeps the pick
+      // ENGINE-PORTABLE — the same uniform no-count draw, replayable in
+      // the DuckDB oracle (the IvfIndex q59 precedent)
       var centroids: Array[Array[Double]] = base
-        .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+        .orderBy(md5(concat_ws(":", lit(seed), col("id"))), col("id"))
         .limit(k)
         .collect()
         .map(_.getSeq[Double](1).toArray)

@@ -203,7 +203,15 @@ object Graph extends QueryPack {
             min(col("node")).as("min_part"), max(col("node")).as("max_part"))
           .orderBy("coreness")
       },
-      None),
+      // Oracle-checked since r14: the peel loop UNROLLS — each block is one
+      // wave (deg ≤ running-max-of-min-degree removed at that coreness,
+      // edges shrink), and once the graph empties the remaining blocks are
+      // exact no-ops, so a generous fixed unroll computes the same
+      // fixpoint the engine's loop (and its spec-pinned driver tail)
+      // reaches. 60 blocks ≥ the oracle graph's waves by a wide margin
+      // (17 at sf0.01); the engine itself guards pathological chains with
+      // maxIter = 200, loud.
+      Some(kcoreReplaySql(60))),
 
     // Nation trade balance — the weighted in/out degree rollup of the
     // q103/q227 trade graph: per nation, export revenue (its suppliers'
@@ -257,4 +265,47 @@ object Graph extends QueryPack {
         |FROM exp_ FULL JOIN imp_ USING (nk)
         |JOIN nation ON nk = n_nationkey
         |ORDER BY n_name""".stripMargin)))
+  /** DuckDB replay of [[graft.operators.KCore.decompose]] over the
+    * co-purchase graph: `n` unrolled peel waves as MATERIALIZED CTE blocks
+    * (see the q232 comment for why a bounded unroll is exact).
+    */
+  private def kcoreReplaySql(n: Int): String = {
+    val head = s"""pairs AS MATERIALIZED (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e0 AS MATERIALIZED (
+      |  SELECT p1 AS src, p2 AS dst FROM pairs
+      |  UNION SELECT p2, p1 FROM pairs),
+      |act0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+      |k0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS kk)""".stripMargin
+    val blocks = (1 to n).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (
+        |  SELECT a.node, COALESCE(c.c, 0) AS deg
+        |  FROM act$p a LEFT JOIN (SELECT src, COUNT(*) AS c FROM e$p GROUP BY src) c
+        |    ON c.src = a.node),
+        |k$i AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT COUNT(*) FROM d$i) = 0 THEN (SELECT kk FROM k$p)
+        |    ELSE greatest((SELECT kk FROM k$p), (SELECT MIN(deg) FROM d$i)) END AS kk),
+        |rm$i AS MATERIALIZED (
+        |  SELECT node, (SELECT kk FROM k$i) AS coreness
+        |  FROM d$i WHERE deg <= (SELECT kk FROM k$i)),
+        |act$i AS MATERIALIZED (
+        |  SELECT node FROM d$i WHERE deg > (SELECT kk FROM k$i)),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e$p e
+        |  WHERE e.src NOT IN (SELECT node FROM rm$i)
+        |    AND e.dst NOT IN (SELECT node FROM rm$i))""".stripMargin
+    }
+    val union = (1 to n).map(i => s"SELECT * FROM rm$i").mkString(" UNION ALL ")
+    ((head +: blocks).mkString("WITH ", ",\n", "")) + s"""
+      |SELECT CAST(coreness AS BIGINT) AS coreness,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(MIN(node) AS BIGINT) AS min_part,
+      |  CAST(MAX(node) AS BIGINT) AS max_part
+      |FROM ($union) GROUP BY coreness ORDER BY coreness""".stripMargin
+  }
+
 }

@@ -289,7 +289,12 @@ object Training extends QueryPack {
           .select(col("cluster").cast("long").as("cluster"),
             col("n_points"), col("cluster_inertia"))
       },
-      None),
+      Some(kmeansReplayCtes(k = 8, iters = 5, seed = 42L) + """
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(ROUND(SUM(CAST(CAST(d AS VARCHAR) AS DECIMAL(30,10))), 4)
+        |    AS DOUBLE) AS cluster_inertia
+        |FROM fa GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // Incremental dedup of a NEW batch (sources src10..src19) against the
     // existing REFERENCE corpus (src0..src9): prefix-fingerprint exact dup
@@ -390,7 +395,38 @@ object Training extends QueryPack {
               col("n_points"), col("n_kept"), col("n_dropped")))
         } finally a.unpersist()
       },
-      None),
+      // the full SemDeDup chain replays: the k-means CTEs above, the
+      // within-cluster cosine pairs (q42's index-ordered dot/norm folds),
+      // the min-label components as a recursive closure (q69's pattern),
+      // and the kept rule (isolated or component representative)
+      Some("WITH RECURSIVE " + kmeansReplayCtes(k = 8, iters = 3, seed = 42L)
+        .stripPrefix("WITH ") + """,
+        |pairs AS MATERIALIZED (
+        |  SELECT x.id AS id1, y.id AS id2
+        |  FROM fa x JOIN fa y ON x.cluster = y.cluster AND x.id < y.id
+        |  WHERE list_reduce([x.vec[i] * y.vec[i]
+        |      FOR i IN generate_series(1, len(x.vec))], (a, b) -> a + b)
+        |    / (sqrt(list_reduce([e * e FOR e IN x.vec], (a, b) -> a + b))
+        |     * sqrt(list_reduce([e * e FOR e IN y.vec], (a, b) -> a + b)))
+        |    >= 0.3),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS id, least(a, MIN(b)) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT CAST(f.cluster AS BIGINT) AS cluster,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CASE WHEN c.component IS NULL OR c.component = f.id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN c.component IS NULL OR c.component = f.id
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM fa f LEFT JOIN comp c ON c.id = f.id
+        |GROUP BY f.cluster ORDER BY cluster""".stripMargin)),
 
     // BPE tokenizer training: 12 merges over the corpus word counts.
     // Oracle-checked: the FIXED merge count unrolls into 12 materialized
@@ -580,6 +616,70 @@ object Training extends QueryPack {
         |    ELSE s END AS s, w FROM v$p)""".stripMargin
     }
     (head +: iters).mkString("WITH ", ",\n", "")
+  }
+
+  /** DuckDB replay of the K-MEANS recurrence (q96/q99): `iters` Lloyd
+    * iterations unrolled as MATERIALIZED CTE blocks. Every arithmetic step
+    * replays the engine's own bit-exactly: the seeded md5 init pick, the
+    * index-ordered (a-b)² fold (list_reduce without an initial value —
+    * Spark's 0.0 seed is the identity for the all-nonnegative squares),
+    * the argmin's (distance, cluster) tie-break as a window rank, and the
+    * DECIMAL(30,10) centroid update — `CAST(x AS VARCHAR)` reproduces
+    * Spark's shortest-representation double→decimal conversion, the sums
+    * ride as exact HUGEINT 1e-10 units, HALF_UP division is integer
+    * arithmetic, and the final 1e-10-unit integer fits 2^53 so
+    * `CAST(.. AS DOUBLE) / 1e10` is the correctly-rounded double
+    * BigDecimal.doubleValue produces. `fa` is the final assignment
+    * (id, vec, cluster, d).
+    */
+  private def kmeansReplayCtes(k: Int, iters: Int, seed: Long): String = {
+    val sq = "list_reduce(list_transform(list_zip(v.vec, c.cvec), " +
+      "z -> (z[1] - z[2]) * (z[1] - z[2])), (acc, x) -> acc + x)"
+    val head = s"""v AS MATERIALIZED (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+      |  FROM embeddings),
+      |cc0 AS MATERIALIZED (
+      |  SELECT (ROW_NUMBER() OVER (ORDER BY
+      |    md5(CAST($seed AS VARCHAR) || ':' || CAST(id AS VARCHAR)), id)) - 1
+      |    AS rn, vec AS cvec
+      |  FROM v QUALIFY rn < $k)""".stripMargin
+    val iterBlocks = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (
+        |  SELECT id, vec, cluster, d FROM (
+        |    SELECT v.id, v.vec, c.rn AS cluster, $sq AS d,
+        |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY $sq, c.rn) AS rk
+        |    FROM v CROSS JOIN cc$p c)
+        |  WHERE rk = 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT cluster, pos,
+        |    SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,10))) AS s,
+        |    COUNT(*) AS n
+        |  FROM (SELECT cluster, u.pos, vec[u.pos] AS x
+        |        FROM a$i, UNNEST(range(1, len(vec) + 1)) AS u(pos))
+        |  GROUP BY cluster, pos),
+        |cc$i AS MATERIALIZED (
+        |  SELECT c.rn,
+        |    CASE WHEN ex.cluster IS NULL THEN c.cvec
+        |      ELSE (SELECT list(
+        |        CAST((CASE WHEN su >= 0 THEN 1 ELSE -1 END) *
+        |          ((abs(su) * 2 + nn) // (2 * nn)) AS DOUBLE) / 10000000000.0
+        |        ORDER BY pos)
+        |        FROM (SELECT pos, CAST(s2.s * 10000000000 AS HUGEINT) AS su,
+        |                s2.n AS nn
+        |              FROM s$i s2 WHERE s2.cluster = c.rn))
+        |      END AS cvec
+        |  FROM cc$p c
+        |  LEFT JOIN (SELECT DISTINCT cluster FROM s$i) ex ON ex.cluster = c.rn)"""
+        .stripMargin
+    }
+    val fa = s"""fa AS MATERIALIZED (
+      |  SELECT id, vec, cluster, d FROM (
+      |    SELECT v.id, v.vec, c.rn AS cluster, $sq AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY $sq, c.rn) AS rk
+      |    FROM v CROSS JOIN cc$iters c)
+      |  WHERE rk = 1)""".stripMargin
+    ((head +: iterBlocks) :+ fa).mkString("WITH ", ",\n", "")
   }
 
 }

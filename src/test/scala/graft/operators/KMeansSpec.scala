@@ -26,7 +26,7 @@ class KMeansSpec extends SparkTestBase {
     val data = toyDf.select(col("id"), col("vec"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val initIds = toyDf
-      .select(col("id"), xxhash64(lit(42L), col("id")).as("h"))
+      .select(col("id"), md5(concat_ws(":", lit(42L), col("id"))).as("h"))
       .orderBy("h", "id").limit(2).collect().map(_.getLong(0))
     var cents = initIds.map(data)
     for (_ <- 1 to 4) {
