@@ -263,14 +263,26 @@ object Analytics extends QueryPack {
     GraftQuery(
       "q24_approx_count_distinct",
       (s, dir) => {
+        // the HLL sketch value is engine-specific by definition — the
+        // oracle-checkable surface is the EXACT scaffolding plus the
+        // published-error-bound contract (default rsd 0.05; a 10% pin
+        // leaves 2x headroom), the q331 pattern
         Tables(s, dir, "events")
           .groupBy(col("event_type"))
           .agg(
             approx_count_distinct(col("user_id")).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("n_events"))
+          .select(col("event_type"), col("exact_users"), col("n_events"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(lit(1L), col("exact_users") / 10)).as("approx_within_tol"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  TRUE AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Clamped (non-negative) running stock — inventory semantics
     // `s_t = max(0, s_{t−1} + δ_t)` WITHOUT a sequential fold, via the

@@ -213,24 +213,37 @@ object Extended extends QueryPack {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Approximate percentile (t-digest-style sketch) — the 100 TB path for
-    // q57; approximate by construction → rows-only. Emitted as scalar
-    // p50/p90/p99 columns (same shape as q57), never array<double>: the
-    // driver's rows-only checker sorts column values in pandas and an
-    // array column crashes it (unhashable ndarray).
+    // q57. The sketch values are engine-specific; the oracle pins the
+    // EXACT percentiles (q57's replay) plus the sketch's rank-error
+    // contract: accuracy 1000 bounds the rank error by n/1000, so each
+    // approx value must land within 1% of the group's value RANGE of its
+    // exact counterpart — generous against the guarantee, meaningful
+    // against a broken sketch.
     GraftQuery(
       "q58_approx_percentile",
       (s, dir) => {
         Tables(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)")
-            .as("approx_pcts"))
+            .as("ap"),
+            expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ep"),
+            (max(col("o_totalprice")) - min(col("o_totalprice"))).as("spread"))
           .select(col("o_orderpriority"),
-            element_at(col("approx_pcts"), 1).as("p50"),
-            element_at(col("approx_pcts"), 2).as("p90"),
-            element_at(col("approx_pcts"), 3).as("p99"))
+            round(element_at(col("ep"), 1), 4).as("p50"),
+            round(element_at(col("ep"), 2), 4).as("p90"),
+            round(element_at(col("ep"), 3), 4).as("p99"),
+            (abs(element_at(col("ap"), 1) - element_at(col("ep"), 1)) <= col("spread") / 100 &&
+             abs(element_at(col("ap"), 2) - element_at(col("ep"), 2)) <= col("spread") / 100 &&
+             abs(element_at(col("ap"), 3) - element_at(col("ep"), 3)) <= col("spread") / 100)
+              .as("approx_within_tol"))
           .orderBy("o_orderpriority")
       },
-      None),
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |  TRUE AS approx_within_tol
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Value-range window frame (RANGE BETWEEN): per customer, count orders
     // whose price is within ±10000 of the current order's price.

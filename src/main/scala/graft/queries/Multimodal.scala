@@ -42,13 +42,37 @@ object Multimodal extends QueryPack {
       "q46_multimodal_features",
       (s, dir) => {
         implicit val spark = s
+        // the REAL decoders (ImageIO / WAV / MJPEG-AVI) reject the
+        // synthesized text-byte payloads deterministically, so every row
+        // takes the documented stub — a pure function of the payload
+        // length — and the byte statistics are pure functions of the
+        // text. Both replay in the oracle; the mean rides as an exact
+        // integer milli-mean (sum·10⁴ div n — the double mean's exact sum
+        // is recoverable because sum < 2⁵³), so no float rounding rule
+        // can diverge across engines.
         MediaPipeline.extractFeatures(
           MediaPipeline.fromDocuments(Tables(s, dir, "documents")))
           .toDF()
-          .withColumn("mean_byte", round(col("mean_byte"), 4))
+          .select(col("media_id"), col("n_bytes"),
+            when(col("n_bytes") === 0, 0L).otherwise(
+              expr("CAST(round(mean_byte * n_bytes) AS BIGINT) * 10000 div n_bytes"))
+              .as("mean_millibyte"),
+            col("width"), col("height"), col("channels"))
           .orderBy("media_id")
       },
-      None),
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(list_sum([ord(c) FOR c IN string_split_regex(text, '')])
+        |      AS BIGINT) AS sum_bytes
+        |  FROM documents)
+        |SELECT media_id, n AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0
+        |    ELSE CAST(sum_bytes * 10000 // n AS BIGINT) END AS mean_millibyte,
+        |  CAST(n % 512 + 16 AS BIGINT) AS width,
+        |  CAST((n // 512) % 512 + 16 AS BIGINT) AS height,
+        |  CAST(n % 4 + 1 AS BIGINT) AS channels
+        |FROM m ORDER BY media_id""".stripMargin)),
 
     // File-based media ingestion: author real PNGs, read them back with
     // Spark's built-in `binaryFile` source (path/length/content rows — the
@@ -81,6 +105,10 @@ object Multimodal extends QueryPack {
           }
           val bin = s.read.format("binaryFile").load(root)
           import s.implicits._
+          // the on-disk byte count is a JDK-PNG-encoder artifact, not a
+          // semantic — what the oracle pins is the decode truth (the
+          // authored dimensions, analytically known) plus the source
+          // contract that `length` matches the bytes actually delivered
           val decoded = bin
             .select(element_at(split(col("path"), "/"), -1).as("name"),
               col("length"), col("content"))
@@ -88,15 +116,23 @@ object Multimodal extends QueryPack {
             .map { case (name, len, bytes) =>
               val (w, h, c) = MediaPipeline.decodeImage(bytes)
                 .getOrElse((-1L, -1L, -1L))
-              (name, len, w, h, c)
+              (name, len > 0 && len == bytes.length, w, h, c)
             }
-            .toDF("name", "n_bytes", "width", "height", "channels")
+            .toDF("name", "length_matches_content", "width", "height", "channels")
           materializeSmall(decoded.orderBy("name"))
         } finally {
           val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
           fs.delete(new Path(root), true)
         }
       },
-      None)
+      // the fixture is authored by the query itself with analytically
+      // known dimensions — the oracle is the literal decode truth
+      Some("""SELECT 'img' || lpad(CAST(i AS VARCHAR), 2, '0') || '.png' AS name,
+        |  TRUE AS length_matches_content,
+        |  CAST(8 * i AS BIGINT) AS width,
+        |  CAST(4 * i AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM (SELECT UNNEST(range(1, 7)) AS i)
+        |ORDER BY name""".stripMargin))
   )
 }

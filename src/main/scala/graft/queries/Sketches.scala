@@ -78,12 +78,31 @@ object Sketches extends QueryPack {
             Tables(s, dir, "events").groupBy(col("event_type"))
               .agg(countDistinct(col("user_id")).as("exact_total")),
             "event_type")
+          // the union estimate is engine-specific by definition — the
+          // oracle pins the EXACT scaffolding plus the sketch's error
+          // contract (lgK = 12 ⇒ rsd ≈ 1.6%; a 10% pin leaves wide
+          // headroom yet still catches a broken union), the q331 pattern
           .select(col("event_type"), col("n_days"),
-            round(col("est_raw"), 2).as("est_unique"),
-            col("exact_total"), col("max_daily_exact"))
+            col("exact_total"), col("max_daily_exact"),
+            (abs(col("est_raw") - col("exact_total")) <=
+              greatest(lit(1.0), col("exact_total") / 10.0))
+              .as("union_within_tol"))
           .orderBy("event_type")
       },
-      None),
+      Some("""WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    COUNT(DISTINCT user_id) AS exact_day
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_total
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(t.exact_total AS BIGINT) AS exact_total,
+        |  CAST(MAX(d.exact_day) AS BIGINT) AS max_daily_exact,
+        |  TRUE AS union_within_tol
+        |FROM daily d JOIN tot t USING (event_type)
+        |GROUP BY d.event_type, t.exact_total
+        |ORDER BY event_type""".stripMargin)),
 
     // Quantile-sketch RE-AGGREGATION (the q131 pattern, for percentiles,
     // with an EXACT oracle): build one value-sketch per (event_type, day) —
