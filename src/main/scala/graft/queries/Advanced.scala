@@ -2845,7 +2845,71 @@ object Advanced extends QueryPack {
         |  TRUE AS ndv_within_tol,
         |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nation_exact,
         |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segment_exact
-        |FROM customer""".stripMargin)))
+        |FROM customer""".stripMargin)),
+
+    // q332 — STORAGE-BUCKETED CO-LOCATED JOIN: both tables are created
+    // `bucket(8, orderkey)`, each data file carries its bucket id in the
+    // log AND in its Spark-convention name, and the log-backed read
+    // (GraftFileIndex → HadoopFsRelation + BucketSpec) PROVES the layout
+    // to the planner — the fact-to-fact join runs with ZERO exchanges on
+    // the join keys (the bucket shadow `pmod(hash(k), 8)` IS Spark's
+    // HashPartitioning id expression). At 100 TB this removes the dominant
+    // repeated shuffle of a star/fact pipeline; the plan booleans pin the
+    // no-shuffle and log-backed-index claims (DuckDB can't see Spark
+    // plans), and the join/agg itself replays relationally.
+    GraftQuery(
+      "q332_table_bucketed_join",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l = Tables(s, dir, "lineitem").select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("cents"))
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_table_q332_${java.util.UUID.randomUUID()}")
+        try {
+          val to = graft.tables.GraftTable.create(s,
+            new java.io.File(root, "o").getAbsolutePath, o,
+            partitionBy = Seq("bucket(8,o_orderkey)"))
+          val tl = graft.tables.GraftTable.create(s,
+            new java.io.File(root, "l").getAbsolutePath, l,
+            partitionBy = Seq("bucket(8,l_orderkey)"))
+          val bKey = "spark.sql.autoBroadcastJoinThreshold"
+          val prev = s.conf.getOption(bKey)
+          s.conf.set(bKey, "-1") // force SMJ: broadcast would mask the claim
+          try {
+            val j = tl.snapshot()
+              .join(to.snapshot(), col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority"))
+              .agg(count(lit(1)).cast("long").as("n"),
+                sum(col("cents")).cast("long").as("revenue_cents"))
+            val collected = j.collect().toSeq // finalizes the AQE plan
+            val plan = j.queryExecution.executedPlan.toString()
+            val unshuffled = plan.contains("SortMergeJoin") &&
+              !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+              !plan.contains("Exchange hashpartitioning(o_orderkey")
+            val logBacked = plan.contains("GraftFileIndex")
+            import s.implicits._
+            collected
+              .map(r => (r.getString(0), unshuffled, logBacked,
+                r.getLong(1), r.getLong(2)))
+              .sortBy(_._1)
+              .toDF("o_orderpriority", "join_unshuffled", "scan_log_backed",
+                "n", "revenue_cents")
+          } finally prev match {
+            case Some(v) => s.conf.set(bKey, v)
+            case None => s.conf.unset(bKey)
+          }
+        } finally {
+          rmTree(root)
+        }
+      },
+      Some("""SELECT o.o_orderpriority, TRUE AS join_unshuffled,
+        |  TRUE AS scan_log_backed, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

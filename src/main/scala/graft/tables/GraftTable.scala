@@ -648,10 +648,112 @@ final class GraftTable private (
       withMeta: Boolean = false): DataFrame = {
     val logical = schemaAt(asOf)
     val phys = physicalSchema(logical, colmapAt(asOf))
-    val df = readPhysical(files, phys, withMeta)
+    val df = readPhysical(files, phys, withMeta, bucketSpecFor(files, asOf),
+      partitionLayoutFor(files, asOf))
     val outNames = logical.fieldNames.toIndexedSeq ++
       (if (withMeta) Seq(FileNameCol, RowIdxCol) else Nil)
     df.toDF(outNames: _*)
+  }
+
+  /** The bucket layout Spark may exploit when reading `fset`, if any: the
+    * read version carries a `bucket(n,col)` partition spec and EVERY file
+    * both logs its bucket value and encodes it in its name (Spark's
+    * bucketed-file naming, emitted by [[writeData]]), so the scan's
+    * `HashPartitioning(col, n)` claim is proven file-by-file — the shadow
+    * expression that routed rows into buckets (`pmod(hash(col), n)`,
+    * [[PartitionTransforms.Bucket]]) IS Spark's own
+    * `HashPartitioning.partitionIdExpression`, seed included. Joins of
+    * co-bucketed tables and aggregations on the bucket column then plan
+    * with zero exchanges. A file that predates the spec (or the naming)
+    * simply disables the claim: the read stays correct, it just shuffles
+    * like an unbucketed one.
+    */
+  private def bucketSpecFor(fset: Seq[AddFile], asOf: Long)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val byKey = partitionByAt(asOf)
+      .map(s => s -> PartitionTransforms.parse(s))
+    byKey.collectFirst {
+      case (key, b: PartitionTransforms.Bucket) => (key, b)
+    }.flatMap { case (key, b) =>
+      val pure = fset.nonEmpty && fset.forall { f =>
+        f.pv.get(key).flatten
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .exists(id => GraftTable.bucketIdFromName(baseName(f.path))
+            .contains(id))
+      }
+      if (pure)
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          b.n, Seq(physName(colmapAt(asOf), b.sourceCol)), Nil))
+      else None
+    }
+  }
+
+  /** Identity partition columns exposed as REAL partition columns of the
+    * log-backed relation, when every selected file logs the tuple and its
+    * string form round-trips the column type EXACTLY. Catalyst then does
+    * what a lakehouse scan should do at 100 TB:
+    *
+    *   - `snapshot().where(part = …)` prunes files inside the planner
+    *     (partition filters reach [[GraftFileIndex.listFiles]] — no
+    *     `snapshotWhere` call needed),
+    *   - Spark's dynamic-partition-pruning rule can inject RUNTIME filters
+    *     from a joined dimension (the star-schema prune),
+    *   - the column's values come from the log's tuple (a per-file
+    *     constant), not from decoding a parquet column.
+    *
+    * Because the tuple SUBSTITUTES for stored data, eligibility is strict
+    * and falls back to the plain data-column read rather than guess:
+    * round-trip-exact types only (integrals, boolean, date, string), and
+    * for strings every file must log a non-null value — the Hive
+    * default-partition token conflates NULL and the empty string, which
+    * pruning may treat as "unknown" but a substituting read must not.
+    */
+  private def partitionLayoutFor(fset: Seq[AddFile], asOf: Long)
+      : Option[(StructType, AddFile => org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.types._
+    val schema = schemaAt(asOf)
+    val cm = colmapAt(asOf)
+    val ids = partitionByAt(asOf).map(s => s -> PartitionTransforms.parse(s))
+      .collect { case (key, PartitionTransforms.Identity(c)) => (key, c) }
+    if (ids.isEmpty || fset.isEmpty) return None
+    val cols = ids.flatMap { case (key, c) =>
+      schema.fields.find(_.name == c).map(f => (key, physName(cm, c), f.dataType))
+    }
+    if (cols.size != ids.size) return None
+    val exactRoundTrip = cols.forall {
+      case (_, _, ByteType | ShortType | IntegerType | LongType |
+        BooleanType | DateType | StringType) => true
+      case _ => false
+    }
+    if (!exactRoundTrip) return None
+    val eligible = fset.forall { f =>
+      cols.forall { case (key, _, dt) =>
+        f.pv.get(key) match {
+          case Some(Some(_)) => true
+          case Some(None) => dt != StringType // null tuple: genuine null
+          case None => false // pre-spec file: no tuple to substitute
+        }
+      }
+    }
+    if (!eligible) return None
+    def value(dt: DataType, s: String): Any = dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case DateType => // the shadow cast writes ISO dates
+        java.time.LocalDate.parse(s).toEpochDay.toInt
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    val rowOf = (f: AddFile) =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        cols.map { case (key, _, dt) => f.pv(key).map(value(dt, _)).orNull })
+    val pSchema = StructType(cols.map { case (_, p, dt) =>
+      StructField(p, dt, nullable = true) })
+    // a tuple string that fails to parse must FALL BACK, never corrupt
+    scala.util.Try(fset.foreach(rowOf)).toOption.map(_ => (pSchema, rowOf))
   }
 
   /** Read `files` under `phys` column names, applying each file's deletion
@@ -663,7 +765,11 @@ final class GraftTable private (
     * 100 TB table pays the join.
     */
   private def readPhysical(files: Seq[AddFile], phys: StructType,
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      bucket: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None,
+      partLayout: Option[(StructType,
+        AddFile => org.apache.spark.sql.catalyst.InternalRow)] = None)
+      : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructField
     val metaSchema = StructType(phys.fields.toIndexedSeq :+
@@ -672,9 +778,40 @@ final class GraftTable private (
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (withMeta) metaSchema else phys)
+    // LOG-BACKED planning (GraftFileIndex): paths + exact lengths come
+    // from the commit log, so the scan plans with ZERO filesystem
+    // listing / per-file stat calls — at 100 TB on an object store that
+    // is 10⁵–10⁶ round trips per query the path-list read pays and this
+    // one does not. A legacy AddFile without a logged length (bytes = 0,
+    // pre-size logs and the change feed's fabricated remove entries)
+    // falls back to the stat-on-read path for its whole set.
+    def readBase(fset: Seq[AddFile]): DataFrame =
+      if (fset.exists(_.bytes <= 0L))
+        spark.read.schema(phys)
+          .parquet(fset.map(f => new Path(location, f.path).toString): _*)
+      else {
+        def qualified(fs0: Seq[AddFile]) = fs0.map { f =>
+          val p = new Path(location, f.path)
+          (p.getFileSystem(conf).makeQualified(p), f.bytes)
+        }
+        // identity partition columns ride as real partition columns when
+        // provably exact (see partitionLayoutFor) — grouped per logged
+        // tuple so Catalyst prunes at partition granularity
+        val (pSchema, groups) = partLayout match {
+          case Some((ps, rowOf)) =>
+            (ps, fset.groupBy(_.pv).valuesIterator.toSeq.map(g =>
+              (rowOf(g.head), qualified(g))))
+          case None =>
+            (new StructType(),
+              Seq((org.apache.spark.sql.catalyst.InternalRow.empty,
+                qualified(fset))))
+        }
+        GraftRelationRead.frame(spark,
+          fs.makeQualified(new Path(location)),
+          groups, pSchema, phys, bucket)
+      }
     def read(fset: Seq[AddFile], meta: Boolean): DataFrame = {
-      val df = spark.read.schema(phys)
-        .parquet(fset.map(f => new Path(location, f.path).toString): _*)
+      val df = readBase(fset)
       if (meta) df.select(phys.fieldNames.toIndexedSeq.map(col) :+
         col("_metadata.file_name").as(FileNameCol) :+
         col("_metadata.row_index").as(RowIdxCol): _*)
@@ -3341,9 +3478,20 @@ final class GraftTable private (
         }
         b.result()
       }
+      // bucket-partitioned tables encode each file's bucket id in its name
+      // (Spark's bucketed-file convention, `…_00003.parquet`): the read
+      // side can then PROVE the bucket layout file-by-file and report
+      // HashPartitioning to the planner — see [[bucketSpecFor]]. The name
+      // stays opaque to everything else (vacuum's part-*.parquet filter,
+      // DV base-name keying, publish manifests all unaffected).
+      val bucketKey: Option[String] = partitionBy.find(s =>
+        PartitionTransforms.parse(s).isInstanceOf[PartitionTransforms.Bucket])
       found.map { st =>
         val pv = parsePartitionValues(tmp, st.getPath)
-        val name = s"part-${UUID.randomUUID()}.parquet"
+        val bsuf = bucketKey.flatMap(pv.get).flatten
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .fold("")(id => f"_$id%05d")
+        val name = s"part-${UUID.randomUUID()}$bsuf.parquet"
         val dest = new Path(location, name)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
         val (rows, stats, cs) =
@@ -3877,6 +4025,18 @@ object GraftTable {
     * (deleting rows can only shrink the value set) while EXACT metadata
     * answers (COUNT(col)/MIN/MAX pushdown) must refuse on DV'd files.
     */
+  /** Bucket id from a data file's base name — Spark's own bucketed-file
+    * naming convention (`…_00003.parquet`), which [[GraftTable.writeData]]
+    * emits for bucket-partitioned tables so the read side can prove the
+    * layout. A plain UUID name (no `_<digits>` tail) yields None.
+    */
+  private val BucketedName = """.*_(\d+)(?:\..*)?$""".r
+  private[tables] def bucketIdFromName(name: String): Option[Int] =
+    name match {
+      case BucketedName(id) => scala.util.Try(id.toInt).toOption
+      case _ => None
+    }
+
   final case class AddFile(path: String, rows: Long, stats: Option[KeyStats],
     bytes: Long = 0L, pv: Map[String, Option[String]] = Map.empty,
     cs: Map[String, KeyStats] = Map.empty, dv: Option[Dv] = None,
