@@ -12,13 +12,12 @@ object Explain {
       else Seq("q01_agg_pricing_summary", "q03_join_broadcast_revenue_by_brand",
         "q04_join_shuffle_orders", "q05_join_star_revenue_by_region",
         "q10_asof_join_latest_order_before_event", "q19_topk_orders")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine's own session shape (extensions + AQE + 32 partitions):
+    // plans must match what Bench/Verify execute, and several queries need
+    // the graft-registered functions to even resolve
+    val spark = GraftSession.attach(GraftSession.builder("local[4]")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
