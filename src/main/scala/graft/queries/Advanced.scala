@@ -308,11 +308,16 @@ object Advanced extends QueryPack {
     GraftQuery(
       "q106_timeseries_gapfill",
       (s, dir) => {
+        // x feeds three consumers (bounds, the type dimension, the join
+        // probe) — materialize the O(types × minutes) aggregate once
+        // instead of re-scanning + re-aggregating the events fact three
+        // times behind the shared subtree
         val x = Tables(s, dir, "events")
           .where(col("event_type").isin("click", "error"))
           .select(col("event_type"), expr("ts div 60000000000").as("m"), col("value"))
           .groupBy("event_type", "m")
           .agg(dsum2(col("value")).as("v"))
+          .localCheckpoint()
         val bounds = x.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
         val grid = x.select("event_type").distinct()
           .crossJoin(broadcast(bounds))
@@ -509,8 +514,8 @@ object Advanced extends QueryPack {
     // Co-purchase brand affinity — item-item collaborative-filtering scores
     // at the brand level: baskets = orders, items = the DISTINCT brands on
     // the order (lineitem × broadcast part), affinity = cosine of the
-    // co-occurrence counts cooc/sqrt(n1·n2). The self-join runs on the
-    // (order, brand)-distinct frame keyed by order — per-basket fan-out is
+    // co-occurrence counts cooc/sqrt(n1·n2). Pairs expand basket-locally
+    // from each order's distinct brand set — per-basket fan-out is
     // bounded by brands-per-order (≤ 25), never by catalog size — and the
     // cosine denominator is exact Long counts with the single final float.
     GraftQuery(
@@ -518,13 +523,21 @@ object Advanced extends QueryPack {
       (s, dir) => {
         val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-        val ob = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // ONE exchange of the fact frame builds the per-order DISTINCT
+        // brand set; brand counts and the pair expansion both derive from
+        // it (the former distinct + self-join phrasing exchanged the fact
+        // frame three times). Per-basket fan-out stays bounded by
+        // brands-per-order (≤ 25), now structurally instead of via the
+        // join's per-key product.
+        val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-          .distinct()
-        val n = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
-        val a = ob.select(col("ok"), col("brand").as("b1"))
-        val b = ob.select(col("ok").as("ok2"), col("brand").as("b2"))
-        val cooc = a.join(b, col("ok") === col("ok2") && col("b1") < col("b2"))
+          .groupBy("ok").agg(collect_set(col("brand")).as("bs"))
+          .localCheckpoint()
+        val n = baskets.select(explode(col("bs")).as("brand"))
+          .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+        val cooc = baskets
+          .select(explode(graft.operators.BasketPairs.pairsDistinct("bs")).as("pr"))
+          .select(col("pr.p1").as("b1"), col("pr.p2").as("b2"))
           .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("cooc"))
         cooc
           .join(broadcast(n.select(col("brand").as("b1"), col("n").as("n1"))), "b1")

@@ -43,9 +43,20 @@ object Graph extends QueryPack {
     */
   private def coPurchase(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("p1"))
-    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("p2"))
-    a.join(b, "k").where(col("p1") < col("p2"))
+    // pairs-within-group via ONE shuffle: the textbook self-join on
+    // l_orderkey exchanges the fact table TWICE (both join inputs hash on
+    // the key) before the pair aggregation's third exchange. Grouping to a
+    // per-order part list and expanding index pairs (j > i, distinct
+    // values, emitted as (least, greatest) — exactly the multiset the
+    // p1 < p2 self-join produces, order-insensitive so collect_list's
+    // nondeterminism is immaterial) costs one exchange of the fact table +
+    // the pair aggregation. Per-order line counts are bounded (≤7 in TPC-H;
+    // any d² blowup hits the self-join identically), so the expansion is
+    // skew-safe.
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .select(explode(graft.operators.BasketPairs.pairsMulti("ps")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
   }

@@ -467,13 +467,19 @@ object Text extends QueryPack {
         val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("word")).limit(40)
           .select(col("word"))
-        val dt = words.join(broadcast(vocab), "word")
-          .select(col("doc_id"), col("word")).distinct()
-        val ca = dt.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        // per-doc distinct vocab set in ONE exchange, materialized once —
+        // the former distinct + three-way reuse (ca, both self-join sides)
+        // re-exploded the corpus behind each consumer; pair counts expand
+        // basket-locally (≤ C(40,2) per doc, map-side partial aggregation)
+        val docsets = words.join(broadcast(vocab), "word")
+          .groupBy(col("doc_id")).agg(collect_set(col("word")).as("ws"))
+          .localCheckpoint()
+        val ca = docsets.select(explode(col("ws")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
         val nDocs = Tables(s, dir, "documents").count()
-        val pairs = dt.as("x").join(dt.as("y"), col("x.doc_id") === col("y.doc_id"))
-          .filter(col("x.word") < col("y.word"))
-          .groupBy(col("x.word").as("w1"), col("y.word").as("w2"))
+        val pairs = docsets
+          .select(explode(graft.operators.BasketPairs.pairsDistinct("ws")).as("pr"))
+          .groupBy(col("pr.p1").as("w1"), col("pr.p2").as("w2"))
           .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
         pairs

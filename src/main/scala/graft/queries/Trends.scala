@@ -173,17 +173,22 @@ object Trends extends QueryPack {
     GraftQuery(
       "q122_market_basket",
       (s, dir) => {
-        // the distinct basket-item frame feeds four consumers (both pair
-        // sides, item counts, basket total) — materialise it once
-        val items = Tables(s, dir, "lineitem")
+        // ONE exchange of the fact table builds the per-basket DISTINCT
+        // item set; totals, item counts and the pair expansion all derive
+        // from the materialized baskets (the former distinct + self-join
+        // phrasing exchanged the fact frame three times). Pair fan-out is
+        // basket-local — C(|basket|, 2), the same bound the self-join's
+        // per-key product carried — and partial-aggregates map-side.
+        val baskets = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-          .distinct()
+          .groupBy("k").agg(collect_set(col("p")).as("ps"))
           .localCheckpoint()
-        val totals = items.agg(countDistinct(col("k")).as("nb"))
-        val itemCounts = items.groupBy("p").agg(count(lit(1)).as("np"))
-        val a = items.select(col("k"), col("p").as("p1"))
-        val b = items.select(col("k"), col("p").as("p2"))
-        val pairs = a.join(b, "k").where(col("p1") < col("p2"))
+        val totals = baskets.agg(count(lit(1)).as("nb"))
+        val itemCounts = baskets.select(explode(col("ps")).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("np"))
+        val pairs = baskets
+          .select(explode(graft.operators.BasketPairs.pairsDistinct("ps")).as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("nab"))
           .where(col("nab") >= 3)
         pairs
@@ -461,41 +466,41 @@ object Trends extends QueryPack {
         |  round(CAST(cents AS DOUBLE) / CAST(ytot AS DOUBLE), 6) AS share_of_year
         |FROM r WHERE rnk = 1 ORDER BY yr""".stripMargin)),
 
-    // Frequent TRIPLES with a-priori pruning — q122's pairs extended one
-    // level: items below 0.3% support are pruned BEFORE any pair forms, and
-    // pair-level pruning gates the triple join (downward closure: a
-    // frequent triple's every sub-pair is frequent, so pruning cannot
-    // change the answer — the oracle counts triples directly and must
-    // agree). Brand-level baskets bound per-order fan-out at C(25,3).
+    // Frequent TRIPLES — q122's pairs extended one level, generated
+    // basket-locally (each order's distinct brand set expands its own
+    // C(d,3) candidates; d ≤ 25 brands structurally, far fewer per real
+    // basket). The classic a-priori L1/L2 join-gating existed to bound the
+    // fan-out of the level-wise self-joins; with local generation the
+    // bound is structural and the gates prune nothing (downward closure
+    // made them result-neutral — the oracle counts triples directly and
+    // must agree). Support filter at the end is the oracle's own.
     GraftQuery(
       "q256_apriori_triples",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
+        // ONE exchange of the fact frame builds the per-basket DISTINCT
+        // brand set; the former two-level a-priori join chain (items
+        // self-joined into pairs, pairs extended into triples, L1/L2
+        // support gates broadcast between the levels) exchanged the fact
+        // frame four times to bound the JOIN fan-out it created. Basket-
+        // local generation carries the bound structurally — C(|basket
+        // brands|, 3), ≤ C(25, 3) at the 25-brand catalog and tiny for real
+        // baskets — so the level gates that existed to tame the joins
+        // prune nothing the expansion doesn't already avoid; the candidate
+        // stream partial-aggregates map-side and the final support filter
+        // (the oracle's own semantics) is unchanged. Downward closure made
+        // the gates result-neutral, which is exactly why dropping them is
+        // safe.
+        val baskets = Tables(s, dir, "lineitem")
           .join(broadcast(Tables(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("k"), col("p_brand").as("b"))
-          .distinct()
+          .groupBy("k").agg(collect_set(col("b")).as("bs"))
           .localCheckpoint()
-        val nb = items.agg(countDistinct(col("k")).as("nb"))
-        // L1: frequent items (support >= 0.3% of baskets, cross-multiplied)
-        val l1 = items.groupBy(col("b")).agg(count(lit(1)).as("c1"))
-          .crossJoin(broadcast(nb)).filter(col("c1") * 1000 >= col("nb") * 3)
-          .select(col("b"))
-        val i2 = items.join(broadcast(l1), Seq("b"), "left_semi")
-        // L2: frequent pairs among L1 items
-        val p12 = i2.select(col("k"), col("b").as("b1"))
-          .join(i2.select(col("k").as("k2"), col("b").as("b2")),
-            col("k") === col("k2") && col("b1") < col("b2"))
-        val l2 = p12.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
-          .crossJoin(broadcast(nb)).filter(col("c2") * 1000 >= col("nb") * 3)
-          .select(col("b1"), col("b2"))
-        // triples: extend L2-surviving pairs, gate the (b2, b3) edge on L2
-        val t = p12.join(broadcast(l2), Seq("b1", "b2"), "left_semi")
-          .join(i2.select(col("k").as("k3"), col("b").as("b3")),
-            col("k") === col("k3") && col("b2") < col("b3"))
-          .join(broadcast(l2.select(col("b1").as("b2"), col("b2").as("b3"))),
-            Seq("b2", "b3"), "left_semi")
+        val nb = baskets.agg(count(lit(1)).as("nb"))
+        val t = baskets
+          .select(explode(graft.operators.BasketPairs.triplesDistinct("bs")).as("tr"))
+          .select(col("tr.b1").as("b1"), col("tr.b2").as("b2"), col("tr.b3").as("b3"))
         t.groupBy(col("b1"), col("b2"), col("b3")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(nb)).filter(col("cnt") * 1000 >= col("nb") * 3)
           .select(col("b1"), col("b2"), col("b3"), col("cnt"),
@@ -845,6 +850,12 @@ object Trends extends QueryPack {
           .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
             col("p_brand").as("b"))
           .localCheckpoint()
+        // DELIBERATELY the self-join (not BasketPairs expansion): the
+        // customer grain is DENSE — ~20+ of the 25 brands per customer —
+        // and at that density the whole-stage-codegen'd join + hash
+        // aggregate beats the interpreted higher-order-function expansion
+        // (measured 2.4 s vs 3.3 s warm at sf0.1); the order grain shares
+        // the code path for symmetry
         def coPairs(df: org.apache.spark.sql.DataFrame, key: String) = {
           val d = df.select(col(key), col("b")).distinct()
           d.select(col(key), col("b").as("b1"))
