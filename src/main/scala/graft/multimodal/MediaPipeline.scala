@@ -44,8 +44,33 @@ object MediaPipeline {
     * decodable image, None otherwise — callers fall back to the stub, so a
     * corpus of synthesized text-byte payloads still flows end-to-end.
     */
+  // in-memory ImageInputStreams: the default file-backed cache writes a
+  // temp file to disk PER ImageIO.read call — pure overhead for payloads
+  // that are already byte arrays
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Container-signature pre-screen: the stock JDK readers (PNG/JPEG/GIF/
+    * BMP/TIFF/WBMP) each require one of these prefixes before they will
+    * decode anything, so a payload matching none of them is rejected
+    * WITHOUT the per-call reader-service scan + exception throw — outcome
+    * identical to handing it to ImageIO (which would return null), just
+    * without paying for the refusal on every record of a text-byte corpus.
+    * WBMP's header is the weakest (two zero bytes) and is kept
+    * conservatively.
+    */
+  private def couldBeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42) ||
+      (p(0) == 0 && p(1) == 0))
+
   private[graft] def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
-    try {
+    if (!couldBeImage(payload)) None
+    else try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map(img => (img.getWidth.toLong, img.getHeight.toLong,
           img.getColorModel.getNumComponents.toLong))
@@ -59,8 +84,21 @@ object MediaPipeline {
     * the payload is not a parseable WAV — callers fall back to the stub,
     * so a corpus of synthesized text-byte payloads still flows end-to-end.
     */
+  /** Same pre-screen for the stock audio readers: WAV (RIFF…WAVE),
+    * AIFF/AIFC (FORM…AIF*), AU (.snd) — a payload matching none is what
+    * AudioSystem would reject after probing every provider.
+    */
+  private def couldBeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
   private[graft] def decodeAudio(payload: Array[Byte]): Option[(Long, Long, Long)] =
-    try {
+    if (!couldBeAudio(payload)) None
+    else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -151,7 +189,13 @@ object MediaPipeline {
           }).getOrElse(decodeStub(rec.payload))
         val mean =
           if (rec.payload.isEmpty) 0.0
-          else rec.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / rec.payload.length
+          else {
+            // primitive while-loop: foldLeft boxes every byte, and this
+            // runs once per payload byte of the whole corpus
+            var s = 0L; var i = 0
+            while (i < rec.payload.length) { s += rec.payload(i) & 0xff; i += 1 }
+            s.toDouble / rec.payload.length
+          }
         MediaFeatures(rec.media_id, rec.payload.length.toLong, mean, w, h, c)
       }
     }

@@ -2219,9 +2219,25 @@ final class GraftTable private (
   private def routeDmlMarked(files: Seq[AddFile], v: Long,
       mark: DataFrame => DataFrame,
       allowDrop: Boolean): (Seq[AddFile], Seq[AddFile], Seq[AddFile]) = {
-    val hitCounts: Map[String, Long] = mark(readFiles(files, v, withMeta = true))
-      .groupBy(col(FileNameCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE pass over the touched snapshot computes both routing inputs: the
+    // per-file matched-row count (always needed) and the matched positions
+    // (needed only for merge-on-read files, whose merged vector is capped
+    // at DvMaxPositionsPerFile anyway — [[graft.functions.BoundedPosAgg]]
+    // drops its buffer past the cap, so dense rewrite-class files ship a
+    // count, never a position list). Previously a count pass and a second
+    // position pass re-read the dv-classified files.
+    val posAgg = org.apache.spark.sql.functions
+      .udaf(graft.functions.BoundedPosAgg(DvMaxPositionsPerFile))
+    val hitInfo: Map[String, (Long, Option[Seq[Long]])] =
+      mark(readFiles(files, v, withMeta = true))
+        .groupBy(col(FileNameCol)).agg(posAgg(col(RowIdxCol)).as("cp"))
+        .select(col(FileNameCol), col("cp._1").as("n"), col("cp._2").as("pos"))
+        .collect().map { r =>
+          val pos = if (r.isNullAt(2)) None
+            else Some(r.getSeq[Long](2))
+          r.getString(0) -> (r.getLong(1), pos)
+        }.toMap
+    val hitCounts = hitInfo.view.mapValues(_._1).toMap
     val touched = files.filter(f => hitCounts.contains(baseName(f.path)))
     val dropped =
       if (allowDrop) touched.filter(f => hitCounts(baseName(f.path)) == liveRows(f))
@@ -2233,21 +2249,15 @@ final class GraftTable private (
         val merged = hits + f.dv.map(_.n).getOrElse(0L)
         merged <= DvMaxPositionsPerFile && hits < liveRows(f) * DvMaxFraction
       }
-    val dvAdds =
-      if (dvFiles.isEmpty) Nil
-      else {
-        val dvP = dvFiles.map(f => baseName(f.path)).toSet
-        val pos = mark(readFiles(dvFiles, v, withMeta = true))
-          .select(col(FileNameCol), col(RowIdxCol))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
-        require(pos.keySet == dvP, "DML matched-row set changed mid-operation")
-        dvFiles.map { f =>
-          val all = (f.dv.map(_.positions).getOrElse(Array.empty[Long]) ++
-            pos(baseName(f.path))).distinct.sorted
-          f.copy(dv = Some(Dv.of(all)))
-        }
-      }
+    val dvAdds = dvFiles.map { f =>
+      // dv classification implies hits + existing ≤ cap, so the bounded
+      // collector cannot have overflowed for this file
+      val fresh = hitInfo(baseName(f.path))._2.getOrElse(throw new IllegalStateException(
+        s"DML position collection overflowed for dv-classified file ${f.path}"))
+      val all = (f.dv.map(_.positions).getOrElse(Array.empty[Long]) ++
+        fresh).distinct.sorted
+      f.copy(dv = Some(Dv.of(all)))
+    }
     (dvAdds, rewrite, dropped)
   }
 
