@@ -1,4 +1,9 @@
 package graft
+/** Dev tool (optimization diagnosis): noop-sink full-scan time per base
+  * table — quantifies the single-row-group decode floor of the testdata
+  * (each parquet is ONE row group, so a scan decodes on one core no matter
+  * the split config). `runMain graft.SProbe [sfDir]`.
+  */
 object SProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

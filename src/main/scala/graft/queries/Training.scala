@@ -307,18 +307,29 @@ object Training extends QueryPack {
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
         val isRef = length(col("source")) === 4
         val isNew = length(col("source")) === 5
+        // the fingerprint frame is tiny (one row per doc) but its split()
+        // rides every consumer — materialize it once; three consumers below
         val pref = docs.select(col("doc_id"), col("source"),
           md5(concat_ws(" ", slice(col("ws"), 1, 10))).as("pdig"))
+          .localCheckpoint()
         val wins = docs.filter(size(col("ws")) >= 20)
           .select(col("doc_id"), col("source"), explode(array_distinct(expr(
             """transform(sequence(0, size(ws) - 20),
               |  i -> concat_ws(' ', slice(ws, i + 1, 20)))""".stripMargin)))
             .as("win"))
-        val refP = pref.filter(isRef).select("pdig").distinct()
-        val refW = wins.filter(isRef).select("win").distinct()
-        val exactIds = pref.filter(isNew).join(refP, Seq("pdig"), "left_semi")
+        // ref-side-distinct + semi-join evaluated the corpus-scale window
+        // explode TWICE (once per side) behind two shuffles on `win`; a
+        // single group-tag pass — does this window value occur in the
+        // reference? — needs ONE explode and ONE shuffle. Same hot-key
+        // profile as the join (both key on `win`), half the passes.
+        def refTagged(df: org.apache.spark.sql.DataFrame, key: String) = {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+          df.withColumn("has_ref", max(when(isRef, 1).otherwise(0)).over(w))
+            .filter(isNew && col("has_ref") === 1)
+        }
+        val exactIds = refTagged(pref, "pdig")
           .select("doc_id").distinct().withColumn("is_pd", lit(1))
-        val winIds = wins.filter(isNew).join(refW, Seq("win"), "left_semi")
+        val winIds = refTagged(wins, "win")
           .select("doc_id").distinct().withColumn("is_w", lit(1))
         pref.filter(isNew)
           .join(exactIds, Seq("doc_id"), "left")
