@@ -10,8 +10,10 @@ object QTime {
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // attach: queries using the graft-registered functions (hamming64,
+    // cosine_sim, …) must resolve here exactly as they do under Bench
+    val spark = GraftSession.attach(GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
