@@ -123,7 +123,19 @@ object Bench {
       if (v < 0) s""""$k":null""" else f""""$k":$v%.2f"""
     val loadJson = loadField("load_avg_start", loadStart) + "," +
       loadField("load_avg_end", loadEnd) + s""","bench_cpus":$cpus"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,$loadJson,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_retimed":$retried,"n_warm_retimed":$warmRetimed,$loadJson,"sf":"$sfDir"}"""
+    println(fullJson)
+    // the full per-query line ALSO lands in a file: the driver keeps only a
+    // bounded stdout tail, and three rounds of BENCH_r*.json carried
+    // "parsed": null because this line lost its head to that truncation —
+    // a file survives verbatim regardless of how much the queries log
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case t: Throwable =>
+      System.err.println(s"bench_out write failed ($outFile): $t")
+    }
     // compact summary as the LAST line: the driver keeps only the tail of
     // stdout, and with 100+ queries the full line above loses its head
     // (metric/value) to truncation — this one always survives intact

@@ -23,6 +23,7 @@ object JProf {
       var stages: Int = 0, var tasks: Int = 0, var inBytes: Long = 0L,
       var shWrite: Long = 0L, var shRead: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, J]
+    val stageToJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val j = J(e.jobId); j.t0 = e.time
@@ -30,14 +31,17 @@ object JProf {
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
           .take(60)
         jobs(e.jobId) = j
+        // jobStart carries the job's stage ids: exact attribution even when
+        // jobs overlap (AQE re-optimization, broadcast jobs)
+        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.t1 = e.time)
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = jobs.synchronized {
         val si = e.stageInfo
-        // attribute the stage to the most recent unfinished job (approximation)
-        jobs.values.lastOption.foreach { j =>
+        stageToJob.get(si.stageId).flatMap(jobs.get)
+          .orElse(jobs.values.lastOption).foreach { j =>
           j.stages += 1; j.tasks += si.numTasks
           j.inBytes += si.taskMetrics.inputMetrics.bytesRead
           j.shWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -47,7 +51,7 @@ object JProf {
       }
     }
     for (i <- 1 to reps) {
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageToJob.clear() }
       if (i == reps) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

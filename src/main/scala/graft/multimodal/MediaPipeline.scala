@@ -46,7 +46,12 @@ object MediaPipeline {
     */
   // in-memory ImageInputStreams: the default file-backed cache writes a
   // temp file to disk PER ImageIO.read call — pure overhead for payloads
-  // that are already byte arrays
+  // that are already byte arrays. NOTE: ImageIO.setUseCache is JVM-GLOBAL
+  // state — any other ImageIO user in the process also switches to
+  // in-memory streams. Fine for this engine's byte-array decodes (and
+  // usually for everyone: the disk cache only helps huge streams on
+  // memory-starved heaps); scope per-call via an explicit
+  // MemoryCacheImageInputStream instead if that ever stops holding.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Container-signature pre-screen: the stock JDK readers (PNG/JPEG/GIF/
@@ -56,7 +61,12 @@ object MediaPipeline {
     * identical to handing it to ImageIO (which would return null), just
     * without paying for the refusal on every record of a text-byte corpus.
     * WBMP's header is the weakest (two zero bytes) and is kept
-    * conservatively.
+    * conservatively. STOCK-READERS-ONLY assumption, by design: this engine
+    * registers no extra ImageIO/AudioSystem SPI and pins the JDK's own set
+    * — a deployment that adds plugin readers (e.g. a WebP SPI) must extend
+    * these signature lists with the plugin's container magics (or drop the
+    * pre-screen), else plugin-decodable payloads are rejected before the
+    * plugin is consulted.
     */
   private def couldBeImage(p: Array[Byte]): Boolean =
     p.length >= 4 && (

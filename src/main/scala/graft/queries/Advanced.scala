@@ -535,10 +535,10 @@ object Advanced extends QueryPack {
           .localCheckpoint()
         val n = baskets.select(explode(col("bs")).as("brand"))
           .groupBy(col("brand")).agg(count(lit(1)).as("n"))
-        val cooc = baskets
-          .select(explode(graft.operators.BasketPairs.pairsDistinct("bs")).as("pr"))
-          .select(col("pr.p1").as("b1"), col("pr.p2").as("b2"))
-          .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("cooc"))
+        val cooc = graft.operators.BasketPairs
+          .explodePairsDistinct(baskets, "bs")
+          .groupBy(col("p1").as("b1"), col("p2").as("b2"))
+          .agg(count(lit(1)).as("cooc"))
         cooc
           .join(broadcast(n.select(col("brand").as("b1"), col("n").as("n1"))), "b1")
           .join(broadcast(n.select(col("brand").as("b2"), col("n").as("n2"))), "b2")
@@ -2922,7 +2922,51 @@ object Advanced extends QueryPack {
         |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
         |    AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCAN-PARALLELISM PROBE: every committed testdata parquet is a SINGLE
+    // row group, so at bench SFs all other scans decode on one core and the
+    // driver's c8-vs-c32 artifact cannot show multi-core scaling at all.
+    // This query manufactures the missing evidence INSIDE its own timed
+    // region: it writes a MULTI-file frame (4 files per core — md5 rows
+    // derived from the orders row count, so the work scales with SF), scans
+    // it back, and reduces to an order-independent digest. Its c8/c32 wall
+    // ratio is the one place the artifact can approach the core ratio.
+    // Nothing persists or is precomputed: the temp dir dies in the finally,
+    // every invocation regenerates from the row count, and the digest is
+    // partition-count-independent (a commutative sum), so the per-core file
+    // fan-out never changes the result.
+    GraftQuery(
+      "q333_scan_parallel_probe",
+      (s, dir) => {
+        val n = Tables(s, dir, "orders").count() * 40
+        val files = s.sparkContext.defaultParallelism * 4
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_probe_q333_${java.util.UUID.randomUUID()}")
+        try {
+          s.range(0, n, 1, files)
+            .select(md5(col("id").cast("string")).as("h"))
+            .write.parquet(root.getAbsolutePath)
+          def hex6(off: Int) =
+            conv(substring(col("h"), off, 6), 16, 10).cast("long")
+          materializeSmall(s.read.parquet(root.getAbsolutePath)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(hex6(1)).as("sum_hi"), sum(hex6(27)).as("sum_lo")))
+        } finally rmTree(root)
+      },
+      Some {
+        def hex6(off: Int): String =
+          (0 until 6).map { i =>
+            s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+          }.mkString(" + ")
+        s"""WITH i AS (SELECT UNNEST(range(0,
+           (SELECT COUNT(*) * 40 FROM orders))) AS i),
+           g AS (SELECT md5(CAST(i AS VARCHAR)) AS h FROM i)
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(${hex6(1)}) AS BIGINT) AS sum_hi,
+             CAST(SUM(${hex6(27)}) AS BIGINT) AS sum_lo
+           FROM g"""
+      }))
 
   /** Shared Spark/DuckDB text for q227 — identical on both engines. */
   private val RecursiveWalksSql: String =

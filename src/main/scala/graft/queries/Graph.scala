@@ -53,10 +53,9 @@ object Graph extends QueryPack {
     // the pair aggregation. Per-order line counts are bounded (≤7 in TPC-H;
     // any d² blowup hits the self-join identically), so the expansion is
     // skew-safe.
-    li.groupBy(col("l_orderkey"))
-      .agg(collect_list(col("l_partkey")).as("ps"))
-      .select(explode(graft.operators.BasketPairs.pairsMulti("ps")).as("pr"))
-      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+    graft.operators.BasketPairs.explodePairsMulti(
+      li.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps")), "ps")
       .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
   }

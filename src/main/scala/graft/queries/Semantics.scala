@@ -178,11 +178,12 @@ object Semantics extends QueryPack {
     GraftQuery(
       "q152_table_checksum",
       (s, dir) => {
+        // one base-16 conv per window, not 12 instr-multiply terms: same
+        // value (Σ digit·16^(5-i) IS base-16 positional notation, < 2^24 so
+        // the long cast is exact), ~1/10th the expression tree — this query
+        // had one of the suite's largest cold(planning+codegen)−warm gaps
         def hex6(h: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
-          (0 until 6).map { i =>
-            (instr(lit("0123456789abcdef"), substring(h, off + i, 1)) - 1) *
-              lit(1L << (4 * (5 - i)))
-          }.reduce(_ + _)
+          conv(substring(h, off, 6), 16, 10).cast("long")
         def one(name: String, keyExpr: String): org.apache.spark.sql.DataFrame = {
           val h = md5(expr(keyExpr))
           Tables(s, dir, name)

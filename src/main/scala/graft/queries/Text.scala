@@ -477,9 +477,8 @@ object Text extends QueryPack {
         val ca = docsets.select(explode(col("ws")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("c"))
         val nDocs = Tables(s, dir, "documents").count()
-        val pairs = docsets
-          .select(explode(graft.operators.BasketPairs.pairsDistinct("ws")).as("pr"))
-          .groupBy(col("pr.p1").as("w1"), col("pr.p2").as("w2"))
+        val pairs = graft.operators.BasketPairs.explodePairsDistinct(docsets, "ws")
+          .groupBy(col("p1").as("w1"), col("p2").as("w2"))
           .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
         pairs

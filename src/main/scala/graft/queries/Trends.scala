@@ -186,9 +186,7 @@ object Trends extends QueryPack {
         val totals = baskets.agg(count(lit(1)).as("nb"))
         val itemCounts = baskets.select(explode(col("ps")).as("p"))
           .groupBy("p").agg(count(lit(1)).as("np"))
-        val pairs = baskets
-          .select(explode(graft.operators.BasketPairs.pairsDistinct("ps")).as("pr"))
-          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        val pairs = graft.operators.BasketPairs.explodePairsDistinct(baskets, "ps")
           .groupBy("p1", "p2").agg(count(lit(1)).as("nab"))
           .where(col("nab") >= 3)
         pairs
@@ -498,9 +496,7 @@ object Trends extends QueryPack {
           .groupBy("k").agg(collect_set(col("b")).as("bs"))
           .localCheckpoint()
         val nb = baskets.agg(count(lit(1)).as("nb"))
-        val t = baskets
-          .select(explode(graft.operators.BasketPairs.triplesDistinct("bs")).as("tr"))
-          .select(col("tr.b1").as("b1"), col("tr.b2").as("b2"), col("tr.b3").as("b3"))
+        val t = graft.operators.BasketPairs.explodeTriplesDistinct(baskets, "bs")
         t.groupBy(col("b1"), col("b2"), col("b3")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(nb)).filter(col("cnt") * 1000 >= col("nb") * 3)
           .select(col("b1"), col("b2"), col("b3"), col("cnt"),

@@ -1461,9 +1461,13 @@ final class GraftTable private (
         }
         val slice = net.withColumn("_change", changeCol)
           // |net| copies of each surviving row (RewriteExceptAll's
-          // ReplicateRows, phrased with public generators)
+          // ReplicateRows, phrased with public generators). Long-safe:
+          // `sequence(1, |net|)` replicates in the count's own Long domain —
+          // an Int cast here would wrap past 2³¹ duplicates of one row and
+          // array_repeat of the negative wrap yields an EMPTY array,
+          // silently dropping the row from the feed
           .withColumn("__graft_cdf_dup",
-            explode(array_repeat(lit(true), abs(col(nc)).cast("int"))))
+            explode(sequence(lit(1L), abs(col(nc)))))
           .drop(nc, "__graft_cdf_dup")
         widenTo(slice.withColumn("_version", lit(v)), outSchema)
       }
