@@ -27,9 +27,23 @@ object JProf {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val j = J(e.jobId); j.t0 = e.time
-        j.desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-          .take(60)
+        def prop(k: String) = Option(e.properties).flatMap(p => Option(p.getProperty(k)))
+        // description when set, else a best-effort graft frame from the
+        // submitting thread's stack (it is blocked in runJob while the job
+        // runs, so the listener usually catches it mid-action) — the only
+        // way to tell 15 anonymous ~40 ms table-op jobs apart
+        def graftFrame: Option[String] = {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.values.flatMap { st =>
+            st.find { f =>
+              f.getClassName.startsWith("graft.") &&
+                !f.getClassName.contains("JProf")
+            }
+          }.headOption.map(f =>
+            s"@${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}:${f.getLineNumber}")
+        }
+        j.desc = prop("spark.job.description")
+          .orElse(prop("callSite.short")).orElse(graftFrame).getOrElse("").take(90)
         jobs(e.jobId) = j
         // jobStart carries the job's stage ids: exact attribution even when
         // jobs overlap (AQE re-optimization, broadcast jobs)

@@ -18,10 +18,22 @@ object Tables {
     * all pin `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is
     * value-preserving and `unix_micros * 1000` is exact.
     */
+  /** Parquet SCHEMA memo per file path: a bare-path `spark.read.parquet`
+    * runs a footer-reading schema-inference JOB on every call — ~40 ms of
+    * driver+task latency that a catalog-backed table never pays (its schema
+    * comes from the metastore). One inference per path per JVM, then
+    * `read.schema(...)` skips the job. Metadata only — never rows, bytes,
+    * or results: every query still scans the parquet in full each run.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeTs(df) else df
   }
 

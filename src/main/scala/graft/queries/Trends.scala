@@ -846,18 +846,17 @@ object Trends extends QueryPack {
           .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
             col("p_brand").as("b"))
           .localCheckpoint()
-        // DELIBERATELY the self-join (not BasketPairs expansion): the
-        // customer grain is DENSE — ~20+ of the 25 brands per customer —
-        // and at that density the whole-stage-codegen'd join + hash
-        // aggregate beats the interpreted higher-order-function expansion
-        // (measured 2.4 s vs 3.3 s warm at sf0.1); the order grain shares
-        // the code path for symmetry
+        // basket-local expansion on BOTH grains: with the codegen pair
+        // generator (nested posexplode+slice — round 15) the dense ~24-of-
+        // 25-brand customer baskets no longer pay interpreted lambdas, so
+        // the one-exchange expansion now beats the two-exchange codegen
+        // self-join that round 14 measured faster (self-join 2.13 s vs
+        // expansion 1.5 s warm at sf0.1)
         def coPairs(df: org.apache.spark.sql.DataFrame, key: String) = {
-          val d = df.select(col(key), col("b")).distinct()
-          d.select(col(key), col("b").as("b1"))
-            .join(d.select(col(key).as("k2"), col("b").as("b2")),
-              col(key) === col("k2") && col("b1") < col("b2"))
-            .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("co"))
+          val sets = df.groupBy(col(key)).agg(collect_set(col("b")).as("bs"))
+          graft.operators.BasketPairs.explodePairsDistinct(sets, "bs")
+            .groupBy(col("p1").as("b1"), col("p2").as("b2"))
+            .agg(count(lit(1)).as("co"))
         }
         val custCo = coPairs(ob, "ck").withColumnRenamed("co", "cust_co")
         val basketCo = coPairs(ob, "ok").withColumnRenamed("co", "basket_co")

@@ -22,7 +22,12 @@ package object queries {
     * results: the rows transit the driver.
     */
   private[queries] def materializeSmall(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("graft:materialize result")
+    val rows =
+      try java.util.Arrays.asList(df.collect(): _*)
+      finally sc.setJobDescription(prev)
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 }

@@ -162,9 +162,9 @@ final class GraftTable private (
     val cols = if (columns.isEmpty) atomic else columns
     cols.foreach(c => require(atomic.contains(c),
       s"analyze: no atomic column '$c' in ${schema.fieldNames.mkString(",")}"))
-    val row = snapshot(Some(v))
+    val row = labeled("analyze")(snapshot(Some(v))
       .agg(count(lit(1)).as("__n"),
-        cols.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+        cols.map(c => approx_count_distinct(col(c)).as(c)): _*).head())
     val cm = colmapAt(v)
     val byLogical = cols.zipWithIndex
       .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
@@ -411,7 +411,8 @@ final class GraftTable private (
     require(!cur.contains(name),
       s"constraint '$name' already exists (${cur(name)})")
     val pred = expr(predicateSql) // resolution fails loud on bad references
-    val bad = snapshot().where(!coalesce(pred, lit(true))).limit(1).count()
+    val bad = labeled("constraint scan")(
+      snapshot().where(!coalesce(pred, lit(true))).limit(1).count())
     require(bad == 0,
       s"cannot add constraint '$name': existing row(s) violate ($predicateSql)")
     commit(v, "addConstraint", Nil, Nil,
@@ -531,9 +532,10 @@ final class GraftTable private (
       what: String): Unit = {
     if (!uniqueKeyEnforced) return
     val k = keyCol.get
-    val agg = df.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
-      count_distinct(col(k)).as("d"), min(col(k)).as("lo"),
-      max(col(k)).as("hi")).head()
+    val agg = labeled("unique-key probe")(
+      df.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
+        count_distinct(col(k)).as("d"), min(col(k)).as("lo"),
+        max(col(k)).as("hi")).head())
     require(agg.getLong(0) == agg.getLong(1),
       s"$what violates UNIQUE KEY '$k': ${agg.getLong(0) - agg.getLong(1)} " +
         "null key(s)")
@@ -547,9 +549,10 @@ final class GraftTable private (
       .filter(f => f.rows > 0 &&
         f.stats.forall(_.intersects(agg.get(3), agg.get(4))))
     if (candidates.isEmpty) return
-    val hits = readFiles(candidates, v).select(col(k))
-      .join(df.select(col(k)).distinct(), Seq(k), "left_semi")
-      .limit(1).count()
+    val hits = labeled("unique-key existence")(
+      readFiles(candidates, v).select(col(k))
+        .join(df.select(col(k)).distinct(), Seq(k), "left_semi")
+        .limit(1).count())
     require(hits == 0,
       s"$what violates UNIQUE KEY '$k': at least one key already exists " +
         "in the table")
@@ -883,6 +886,18 @@ final class GraftTable private (
   private def conf: Configuration = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = new Path(location).getFileSystem(conf)
   private def logDir = new Path(location, LogDirName)
+
+  /** Label the Spark jobs an internal op submits (the guide's job-
+    * description practice — a 30-job table operation is unreadable in the
+    * UI without them). Restores the caller's own label after, so a user
+    * description survives table ops running inside their query.
+    */
+  private def labeled[T](desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:$desc")
+    try f finally sc.setJobDescription(prev)
+  }
 
   /** The file's base name — equal to the logged path for root-local files,
     * the last segment for absolute (shallow-clone) references; this is the
@@ -1962,9 +1977,10 @@ final class GraftTable private (
     // over the non-null subset, and the source key range for footer-stats
     // file pruning — previously two separate jobs, i.e. two full
     // evaluations of an arbitrary source plan
-    val uniq = src.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
-      count_distinct(col(k)).as("d"),
-      min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+    val uniq = labeled("merge probe")(
+      src.agg(count(lit(1)).as("n"), count(col(k)).as("nn"),
+        count_distinct(col(k)).as("d"),
+        min(col(k)).as("lo"), max(col(k)).as("hi")).head())
     require(uniq.getLong(0) == uniq.getLong(1),
       s"merge source has ${uniq.getLong(0) - uniq.getLong(1)} null '$k' keys; " +
         "null keys can never match a target row — filter them out first")
@@ -1984,11 +2000,11 @@ final class GraftTable private (
     // reads only pruned candidates; result is O(files), driver-safe)
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readFiles(candidates, v, withMeta = true)
+      else labeled("merge touched-files")(readFiles(candidates, v, withMeta = true)
         .select(col(k), col(FileNameCol))
         .join(src.select(col(k)).distinct(), Seq(k), "left_semi")
         .select(col(FileNameCol)).distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect()).map(_.getString(0)).toSet
     val rewritten = candidates.filter(f => touched(baseName(f.path)))
 
     val survivors =
@@ -2233,10 +2249,10 @@ final class GraftTable private (
     val posAgg = org.apache.spark.sql.functions
       .udaf(graft.functions.BoundedPosAgg(DvMaxPositionsPerFile))
     val hitInfo: Map[String, (Long, Option[Seq[Long]])] =
-      mark(readFiles(files, v, withMeta = true))
+      labeled("dml route")(mark(readFiles(files, v, withMeta = true))
         .groupBy(col(FileNameCol)).agg(posAgg(col(RowIdxCol)).as("cp"))
         .select(col(FileNameCol), col("cp._1").as("n"), col("cp._2").as("pos"))
-        .collect().map { r =>
+        .collect()).map { r =>
           val pos = if (r.isNullAt(2)) None
             else Some(r.getSeq[Long](2))
           r.getString(0) -> (r.getLong(1), pos)
@@ -2609,17 +2625,29 @@ final class GraftTable private (
     val frac =
       if (totalRows <= target) 1.0
       else math.min(1.0, target.toDouble / totalRows)
-    val rankCols = dims.map { c =>
-      val vals = df.select(col(c)).where(col(c).isNotNull)
-        .sample(withReplacement = false, frac, seed = 42)
-        .orderBy(col(c)).collect().map(_.get(0)).toIndexedSeq
-      val bounds =
-        if (vals.isEmpty) Seq.empty
-        else (1 until ranks)
-          .map(i => vals(((i.toLong * vals.length) / ranks).toInt)).distinct
-      if (bounds.isEmpty) lit(0L)
-      else aggregate(array(bounds.map(lit(_)): _*), lit(0L),
-        (acc, b) => acc + when(col(c) >= b, 1L).otherwise(0L))
+    // the per-dimension boundary probes are INDEPENDENT jobs — submit them
+    // concurrently (driver threads; actions are only sequential because a
+    // caller awaits them one by one) so the wall cost is the slowest probe,
+    // not the sum. Per-dim plans and collected values are bit-identical to
+    // the sequential phrasing; job descriptions are thread-local, so each
+    // future labels its own.
+    val rankCols = locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(dims.toList) { c => Future {
+        val vals = labeled(s"optimize boundary probe $c")(
+          df.select(col(c)).where(col(c).isNotNull)
+            .sample(withReplacement = false, frac, seed = 42)
+            .orderBy(col(c)).collect()).map(_.get(0)).toIndexedSeq
+        val bounds =
+          if (vals.isEmpty) Seq.empty
+          else (1 until ranks)
+            .map(i => vals(((i.toLong * vals.length) / ranks).toInt)).distinct
+        if (bounds.isEmpty) lit(0L)
+        else aggregate(array(bounds.map(lit(_)): _*), lit(0L),
+          (acc, b) => acc + when(col(c) >= b, 1L).otherwise(0L))
+      } }, Duration.Inf)
     }
     val n = rankCols.size
     (for { d <- 0 until n; j <- 0 until 8 } yield
@@ -3448,7 +3476,8 @@ final class GraftTable private (
         val placed =
           if (!distribute || sortCols.isEmpty) df
           else df.repartitionByRange(sortCols.map(col): _*)
-        sorted(placed).write.options(bloomOpts).parquet(tmp.toString)
+        labeled("data write")(
+          sorted(placed).write.options(bloomOpts).parquet(tmp.toString))
       } else {
         // shadow columns carry each spec's PARTITION VALUE (identity: the
         // column itself; transforms: bucket/day/prefix of it — see
@@ -3476,9 +3505,10 @@ final class GraftTable private (
           if (!distribute) withShadows
           else withShadows.hint("rebalance",
             partitionBy.indices.map(i => col(s"__gp_$i")): _*)
-        sorted(placed).write.options(bloomOpts)
-          .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
-          .parquet(tmp.toString)
+        labeled("data write")(
+          sorted(placed).write.options(bloomOpts)
+            .partitionBy(partitionBy.indices.map(i => s"__gp_$i"): _*)
+            .parquet(tmp.toString))
       }
       // constraint verdict BEFORE any rename into the table root: the
       // write job finished, so the observation is complete; a violation
@@ -3526,21 +3556,35 @@ final class GraftTable private (
       // DV base-name keying, publish manifests all unaffected).
       val bucketKey: Option[String] = partitionBy.find(s =>
         PartitionTransforms.parse(s).isInstanceOf[PartitionTransforms.Bucket])
-      found.map { st =>
-        val pv = parsePartitionValues(tmp, st.getPath)
-        val bsuf = bucketKey.flatMap(pv.get).flatten
-          .flatMap(v => scala.util.Try(v.toInt).toOption)
-          .fold("")(id => f"_$id%05d")
-        val name = s"part-${UUID.randomUUID()}$bsuf.parquet"
-        val dest = new Path(location, name)
-        require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
-        val (rows, stats, cs) =
-          footerStats(dest, keyColOverride.getOrElse(keyCol),
-            statsSchemaOverride.getOrElse(tableSchema),
-            // identity hwm is recovered from these stats at commit time —
-            // the columns must never fall off the stats column cap
-            idSpecs.map { case (n, _) => physName(cm, n) }.toSet)
-        AddFile(name, rows, stats, st.getLen, pv, cs)
+      locally {
+        // rename + footer-stats read PER FILE, in parallel: both are
+        // independent driver-side I/O (~10-20 ms each), and a partitioned
+        // write lands one file per cell — serially that loop alone costs
+        // O(cells) × latency per commit (at 100 TB: thousands of files
+        // against object-store round trips). Bounded by the JVM's common
+        // pool; results keep `found` order (commit content is order-
+        // independent, this just keeps logs deterministic).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val statsSchema = statsSchemaOverride.getOrElse(tableSchema)
+        val keyC = keyColOverride.getOrElse(keyCol)
+        val prio = idSpecs.map { case (n, _) => physName(cm, n) }.toSet
+        Await.result(Future.traverse(found.toList) { st => Future {
+          val pv = parsePartitionValues(tmp, st.getPath)
+          val bsuf = bucketKey.flatMap(pv.get).flatten
+            .flatMap(v => scala.util.Try(v.toInt).toOption)
+            .fold("")(id => f"_$id%05d")
+          val name = s"part-${UUID.randomUUID()}$bsuf.parquet"
+          val dest = new Path(location, name)
+          require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+          val (rows, stats, cs) =
+            footerStats(dest, keyC, statsSchema,
+              // identity hwm is recovered from these stats at commit time —
+              // the columns must never fall off the stats column cap
+              prio)
+          AddFile(name, rows, stats, st.getLen, pv, cs)
+        } }, Duration.Inf)
       }
     } finally fs.delete(tmp, true)
   }
