@@ -34,10 +34,17 @@ object ABench {
     println(f"== ABench cpus=$cpus noExtras=$noExtras load=$loadAvg%.2f")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (sys.env.get("SPARK_GRAFT_RDD_STATS").contains("1")) {
+          val pr = spark.sparkContext.getPersistentRDDs
+          val mem = spark.sparkContext.getExecutorMemoryStatus.values
+            .map { case (max, free) => max - free }.sum
+          println(f"   rep $i: $t%.2f s persistentRDDs=${pr.size} storageUsed=${mem / 1e6}%.1fMB")
+        }
+        t
       }
       println(f"$name%-36s min=${times.min}%.3f  " +
         times.map(t => f"$t%.3f").mkString(" "))

@@ -58,6 +58,13 @@ object PrefixFilterJoin {
     val cachedSets =
       if (persist) docSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docSets
+    // materialize the cache EAGERLY: the candidate and verify stages are
+    // independent AQE stage-jobs that run CONCURRENTLY, and a lazily-
+    // materializing InMemoryRelation lets them race — each racer recomputes
+    // the corpus scan + shingle explode + frequency window instead of
+    // hitting blocks (observed: the corpus parquet read 6x in one q72run).
+    // One tiny count pins the blocks before any consumer launches.
+    if (persist) cachedSets.count()
 
     // candidates: share ≥1 prefix token, mutual length bound for J ≥ t, and
     // the PPJoin positional bound — a token at (0-based) position p in the

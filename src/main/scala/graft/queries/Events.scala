@@ -889,14 +889,17 @@ object Events extends QueryPack {
         val perUser = Tables(s, dir, "events")
           .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
           .withColumn("negc", -col("c"))
-        val ranked = graft.operators.DistributedPrefixSum
-          .scan(perUser, Seq("negc", "user_id"), Seq("c"), idxName = "rnk")
-        val tot = perUser.agg(count(lit(1)).as("nu"), sum(col("c")).as("te"))
-        ranked.crossJoin(broadcast(tot))
-          .filter(col("rnk") <= greatest(lit(1L), expr("nu div 100")))
-          .agg(max(col("nu")).as("n_users"),
-            max(expr("greatest(CAST(1 AS BIGINT), nu div 100)")).as("top_users"),
-            max(col("run_c")).as("top_events"), max(col("te")).as("total_events"))
+        // totals ride the scan's own pass-1 collect — the former separate
+        // `perUser.agg(...)` re-ran the events-per-user aggregation twice
+        val res = graft.operators.DistributedPrefixSum
+          .scanWithTotals(perUser, Seq("negc", "user_id"), Seq("c"), idxName = "rnk")
+        val (nu, te) = (res.totalCount, res.totalSums("c"))
+        val topUsers = math.max(1L, nu / 100)
+        res.df
+          .filter(col("rnk") <= lit(topUsers))
+          .agg(max(lit(nu)).as("n_users"),
+            max(lit(topUsers)).as("top_users"),
+            max(col("run_c")).as("top_events"), max(lit(te)).as("total_events"))
           .select(col("n_users"), col("top_users"), col("top_events"),
             col("total_events"),
             round(col("top_events").cast("double")

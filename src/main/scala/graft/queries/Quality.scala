@@ -683,19 +683,22 @@ object Quality extends QueryPack {
           .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100)" +
             " AS BIGINT)")).as("cents"))
           .withColumn("negc", -col("cents"))
-        val scanned = graft.operators.DistributedPrefixSum
-          .scan(rev, Seq("negc", "l_partkey"), Seq("cents"))
-        val tot = rev.agg(sum(col("cents")).as("total"))
-        scanned.crossJoin(broadcast(tot))
+        // the scan's pass-1 collect already totals `cents` — the former
+        // separate `rev.agg(...)` re-ran the whole lineitem revenue
+        // aggregation a second time just for the grand total
+        val res = graft.operators.DistributedPrefixSum
+          .scanWithTotals(rev, Seq("negc", "l_partkey"), Seq("cents"))
+        val total = res.totalSums("cents")
+        res.df
           .withColumn("cls",
-            when(col("run_cents") * 100 <= col("total") * 80, "A")
-              .when(col("run_cents") * 100 <= col("total") * 95, "B")
+            when(col("run_cents") * 100 <= lit(total) * 80, "A")
+              .when(col("run_cents") * 100 <= lit(total) * 95, "B")
               .otherwise("C"))
           .groupBy(col("cls"))
           .agg(count(lit(1)).as("n_parts"),
             (sum(col("cents")).cast("double") / 100.0).as("revenue"),
             round(sum(col("cents")).cast("double")
-              / max(col("total")).cast("double"), 6).as("share"))
+              / lit(total).cast("double"), 6).as("share"))
           .orderBy("cls")
       },
       Some("""WITH rev AS (

@@ -601,17 +601,21 @@ object Stats extends QueryPack {
             when(col("l_returnflag") === "A", 1L).otherwise(0L).as("f2"))
         val byVal = li.groupBy(col("cents"))
           .agg(sum(col("f1")).as("c1"), sum(col("f2")).as("c2"))
-        val scanned = graft.operators.DistributedPrefixSum
-          .scan(byVal, Seq("cents"), Seq("c1", "c2"))
-        val tot = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-        scanned.crossJoin(broadcast(tot))
+        // scanWithTotals hands back Σc1/Σc2 from the scan's own pass-1
+        // driver collect — the former separate `byVal.agg(...)` total frame
+        // re-evaluated the whole lineitem aggregation a second time
+        val res = graft.operators.DistributedPrefixSum
+          .scanWithTotals(byVal, Seq("cents"), Seq("c1", "c2"))
+        val (n1, n2) = (res.totalSums("c1"), res.totalSums("c2"))
+        res.df
           .withColumn("dev", expr(
-            "abs(CAST(run_c1 AS DECIMAL(38,0)) * n2 - CAST(run_c2 AS DECIMAL(38,0)) * n1)"))
+            s"abs(CAST(run_c1 AS DECIMAL(38,0)) * ${n2}L - " +
+              s"CAST(run_c2 AS DECIMAL(38,0)) * ${n1}L)"))
           .orderBy(col("dev").desc, col("cents").asc)
           .limit(1)
-          .select(col("n1"), col("n2"),
+          .select(lit(n1).as("n1"), lit(n2).as("n2"),
             round(col("dev").cast("double")
-              / (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks_d"),
+              / (lit(n1).cast("double") * lit(n2).cast("double")), 6).as("ks_d"),
             (col("cents").cast("double") / 100.0).as("at_value"))
       },
       Some("""WITH li AS (
@@ -995,14 +999,17 @@ object Stats extends QueryPack {
           .withColumn("n", count(lit(1)).over(Window.partitionBy("ck")))
           .filter(col("rn") === expr("(n + 1) div 2"))
           .select(col("ck"), col("c").as("med"))
-        val ranked = graft.operators.DistributedPrefixSum
-          .scan(perCust, Seq("med", "ck"), Nil, idxName = "idx")
-        val tot = perCust.agg(count(lit(1)).as("nc"), sum(col("med")).as("sm"))
-        ranked.crossJoin(broadcast(tot))
-          .filter(col("idx") === expr("(nc + 1) div 2"))
-          .select(col("nc").as("n_customers"),
+        // the scan's pass-1 collect already totals the frame — the former
+        // separate `perCust.agg(...)` re-ran the whole per-customer median
+        // window a second time just for (count, sum)
+        val res = graft.operators.DistributedPrefixSum
+          .scanWithTotals(perCust, Seq("med", "ck"), Seq("med"), idxName = "idx")
+        val (nc, sm) = (res.totalCount, res.totalSums("med"))
+        res.df
+          .filter(col("idx") === lit((nc + 1) / 2))
+          .select(lit(nc).as("n_customers"),
             (col("med").cast("double") / 100.0).as("median_customer_median"),
-            round(col("sm").cast("double") / col("nc").cast("double") / 100.0, 4)
+            round(lit(sm).cast("double") / lit(nc).cast("double") / 100.0, 4)
               .as("mean_customer_median"))
       },
       Some("""WITH o AS (
