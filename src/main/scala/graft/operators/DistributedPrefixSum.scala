@@ -79,10 +79,14 @@ object DistributedPrefixSum {
     val vIdx = valueCols.map(schema.fieldIndex).toArray
 
     // ONE RDD object for both jobs → the range shuffle's map stage runs once
-    // and is a skipped stage in the second job.
-    val rdd = sorted.rdd
+    // and is a skipped stage in the second job. INTERNAL rows: `.rdd` would
+    // decode every row to an external Row and `createDataFrame` re-encode it
+    // through the RowEncoder — a full codec round trip per row that
+    // dominated this operator's cost (the scan only APPENDS Long columns).
+    val rdd = sorted.queryExecution.toRdd
 
     // pass 1: per-partition (count, sums) — numPartitions tuples, tiny.
+    // Field reads only: no reference outlives the (buffer-reusing) row.
     val totals: Array[(Int, Long, Array[Long])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var c = 0L
@@ -110,7 +114,11 @@ object DistributedPrefixSum {
       while (i < vIdx.length) { accS(i) += s(i); i += 1 }
     }
 
-    // pass 2: emit global index + running sums (shuffle reused).
+    // pass 2: emit global index + running sums (shuffle reused). The input
+    // row's buffer is reused by the scan iterator, so values are lifted off
+    // a COPY before they outlive the call.
+    val inTypes = schema.fields.map(_.dataType)
+    val nIn = inTypes.length
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = offIdx(pid)
       val run = offSum(pid).clone()
@@ -120,13 +128,22 @@ object DistributedPrefixSum {
         while (k < vIdx.length) {
           if (!r.isNullAt(vIdx(k))) run(k) += r.getLong(vIdx(k)); k += 1
         }
-        Row.fromSeq(r.toSeq ++ (i +: run.toSeq))
+        val c = r.copy()
+        val arr = new Array[Any](nIn + 1 + vIdx.length)
+        var j = 0
+        while (j < nIn) { arr(j) = c.get(j, inTypes(j)); j += 1 }
+        arr(nIn) = i
+        var m = 0
+        while (m < vIdx.length) { arr(nIn + 1 + m) = run(m); m += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val outSchema = StructType(
       schema.fields ++ outNames.map(StructField(_, LongType, nullable = false)))
     val sums = valueCols.zipWithIndex.map { case (c, i) => c -> accS(i) }.toMap
-    ScanResult(spark.createDataFrame(out, outSchema), accC, sums)
+    ScanResult(org.apache.spark.sql.graftbridge.GraftPlanBridge
+      .internalCreateDataFrame(spark, out, outSchema), accC, sums)
   }
 
   /** Distributed sorted `lag(c, 1)` — the previous row's value of each
@@ -158,17 +175,25 @@ object DistributedPrefixSum {
       .repartitionByRange(parts, sortKeys.map(col): _*)
       .sortWithinPartitions(sortKeys.map(col): _*)
     // ONE RDD object for both jobs → range shuffle computed once (pass 2's
-    // map stage is skipped, shuffle files reused), exactly like scan().
-    val rdd = sorted.rdd
+    // map stage is skipped, shuffle files reused), exactly like scan() —
+    // and INTERNAL rows for the same no-codec-round-trip reason.
+    val rdd = sorted.queryExecution.toRdd
+    val inTypes = schema.fields.map(_.dataType)
+    val nIn = inTypes.length
+    val lagTypes = lIdx.map(inTypes)
 
     // pass 1: each partition's last-row lag values (null array if empty).
+    // Values are lifted off a COPY — the iterator reuses the row buffer —
+    // and ship to the driver as internal values (UTF8String etc. are
+    // serializable).
     val lasts: Array[(Int, Array[Any])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var last: Array[Any] = null
         it.foreach { r =>
           if (last == null) last = new Array[Any](lIdx.length)
+          val c = r.copy()
           var i = 0
-          while (i < lIdx.length) { last(i) = r.get(lIdx(i)); i += 1 }
+          while (i < lIdx.length) { last(i) = c.get(lIdx(i), lagTypes(i)); i += 1 }
         }
         Iterator.single((pid, last))
       }
@@ -187,19 +212,28 @@ object DistributedPrefixSum {
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var prevVals: Array[Any] = boundary(pid)
       it.map { r =>
-        val lagged: Seq[Any] =
-          if (prevVals == null) Seq.fill(lIdx.length)(null) else prevVals.toSeq
-        val cur = new Array[Any](lIdx.length)
+        val c = r.copy()
+        val arr = new Array[Any](nIn + lIdx.length)
+        var j = 0
+        while (j < nIn) { arr(j) = c.get(j, inTypes(j)); j += 1 }
         var i = 0
-        while (i < lIdx.length) { cur(i) = r.get(lIdx(i)); i += 1 }
+        while (i < lIdx.length) {
+          arr(nIn + i) = if (prevVals == null) null else prevVals(i)
+          i += 1
+        }
+        val cur = new Array[Any](lIdx.length)
+        i = 0
+        while (i < lIdx.length) { cur(i) = c.get(lIdx(i), lagTypes(i)); i += 1 }
         prevVals = cur
-        Row.fromSeq(r.toSeq ++ lagged)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val outSchema = StructType(schema.fields ++ lagCols.zip(outNames).map {
       case (c, n) => StructField(n, schema(c).dataType, nullable = true)
     })
-    spark.createDataFrame(out, outSchema)
+    org.apache.spark.sql.graftbridge.GraftPlanBridge
+      .internalCreateDataFrame(spark, out, outSchema)
   }
 
   /** SQL `ntile(k) OVER (ORDER BY …)` by rank arithmetic — no window at

@@ -31,4 +31,18 @@ object GraftPlanBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Wrap an [[org.apache.spark.sql.catalyst.InternalRow]] RDD as a batch
+    * DataFrame WITHOUT the external-Row round trip: `createDataFrame(Row…)`
+    * re-encodes every row through the RowEncoder (and `.rdd` first decoded
+    * them) — for operators like the distributed prefix scan that only
+    * append primitive columns, that codec round trip is the dominant
+    * per-row cost. Rows must follow the InternalRow contract (caller copies
+    * buffer-reusing rows before retaining values).
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
