@@ -2939,16 +2939,26 @@ object Advanced extends QueryPack {
     GraftQuery(
       "q333_scan_parallel_probe",
       (s, dir) => {
-        val n = Tables(s, dir, "orders").count() * 40
-        val files = s.sparkContext.defaultParallelism * 4
+        // The probed work must be CPU on the SCAN side, or the ratio
+        // measures something else: storing hashes made the probe
+        // DISK-bound (~1 GB of incompressible hex — flat across cores),
+        // and a core-proportional file count handed the lower-core run
+        // less commit overhead. So: write ×100 orders-count of PLAIN ids
+        // (delta-encodes to a few MB) across a FIXED 32-file fan-out
+        // (saturates the 32-core contract, splits evenly across fewer
+        // cores — identical physical work at every core count), then scan
+        // back and burn a 6-long md5 chain per row. c8/c32 wall ratio ≈
+        // core ratio up to the ~1 s fixed floor (job scheduling, commit,
+        // planning).
+        val n = Tables(s, dir, "orders").count() * 100
+        val files = 32
         val root = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_probe_q333_${java.util.UUID.randomUUID()}")
         try {
-          s.range(0, n, 1, files)
-            .select(md5(col("id").cast("string")).as("h"))
-            .write.parquet(root.getAbsolutePath)
+          s.range(0, n, 1, files).write.parquet(root.getAbsolutePath)
+          val h = (1 to 6).foldLeft(col("id").cast("string")) { (c, _) => md5(c) }
           def hex6(off: Int) =
-            conv(substring(col("h"), off, 6), 16, 10).cast("long")
+            conv(substring(h, off, 6), 16, 10).cast("long")
           materializeSmall(s.read.parquet(root.getAbsolutePath)
             .agg(count(lit(1)).as("n_rows"),
               sum(hex6(1)).as("sum_hi"), sum(hex6(27)).as("sum_lo")))
@@ -2960,8 +2970,8 @@ object Advanced extends QueryPack {
             s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (5 - i))}"
           }.mkString(" + ")
         s"""WITH i AS (SELECT UNNEST(range(0,
-           (SELECT COUNT(*) * 40 FROM orders))) AS i),
-           g AS (SELECT md5(CAST(i AS VARCHAR)) AS h FROM i)
+           (SELECT COUNT(*) * 100 FROM orders))) AS i),
+           g AS (SELECT md5(md5(md5(md5(md5(md5(CAST(i AS VARCHAR))))))) AS h FROM i)
            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(${hex6(1)}) AS BIGINT) AS sum_hi,
              CAST(SUM(${hex6(27)}) AS BIGINT) AS sum_lo
